@@ -1,0 +1,103 @@
+"""Chebyshev grid primitives: nodes, barycentric weights, differentiation.
+
+Pure functions of static shapes, implemented in JAX so they trace and fuse
+under ``jit``.  Numerical conventions follow the NumPy reference
+implementation (for behavioral parity, not translation):
+
+- Type-I Chebyshev points (``numpy.polynomial.chebyshev.chebpts1``),
+  scaled to the physical domain and sorted ascending
+  (reference ``_extrude_slice.py:66-70``).
+- Barycentric weights ``w_i = 1 / prod_{j != i} (x_i - x_j)``
+  (reference ``barycentric.py:30-49``).
+- Spectral differentiation matrix after Berrut & Trefethen (2004) §9.3
+  (reference ``barycentric.py:52-77``).
+
+All of these are O(n) / O(n^2) with n <= ~100; they run at build time,
+not in the query hot path, so clarity and exact convention parity win
+over micro-optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "chebpts1",
+    "nodes_for_dim",
+    "barycentric_weights",
+    "differentiation_matrix",
+    "chebyshev_polynomial_matrix",
+]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def chebpts1(n: int) -> jax.Array:
+    """Type-I Chebyshev points on [-1, 1], ascending.
+
+    ``x_k = -cos(pi * (2k + 1) / (2n))`` for ``k = 0..n-1`` — identical to
+    ``numpy.polynomial.chebyshev.chebpts1(n)`` (which evaluates
+    ``cos(linspace(-pi, 0, n) + pi/(2n))``) up to 1-ulp rounding.
+    """
+    k = jnp.arange(n, dtype=jnp.float64)
+    return -jnp.cos(jnp.pi * (2.0 * k + 1.0) / (2.0 * n))
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def nodes_for_dim(lo, hi, n: int) -> jax.Array:
+    """Chebyshev Type-I nodes scaled to [lo, hi], ascending."""
+    std = chebpts1(n)
+    return 0.5 * (lo + hi) + 0.5 * (hi - lo) * std
+
+
+@jax.jit
+def barycentric_weights(nodes: jax.Array) -> jax.Array:
+    """Barycentric weights ``w_i = 1 / prod_{j != i} (x_i - x_j)``.
+
+    Vectorized as a pairwise-difference matrix with unit diagonal; the
+    row-product inverse equals the reference's sequential divisions to
+    within rounding.
+    """
+    n = nodes.shape[0]
+    diff = nodes[:, None] - nodes[None, :]
+    diff = jnp.where(jnp.eye(n, dtype=bool), 1.0, diff)
+    return 1.0 / jnp.prod(diff, axis=1)
+
+
+@jax.jit
+def differentiation_matrix(nodes: jax.Array, weights: jax.Array) -> jax.Array:
+    """Spectral differentiation matrix (Berrut & Trefethen 2004, §9.3).
+
+    ``D[i, j] = (w_j / w_i) / (x_i - x_j)`` off-diagonal,
+    ``D[i, i] = -sum_{j != i} D[i, j]`` (negative row sum).
+    ``D @ f`` gives derivative values at the nodes.
+    """
+    n = nodes.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    c = nodes[:, None] - nodes[None, :]
+    c = jnp.where(eye, 1.0, c)
+    d = weights[None, :] / (c * weights[:, None])
+    d = jnp.where(eye, 0.0, d)
+    row_sum = jnp.sum(d, axis=1)
+    return jnp.where(eye, -row_sum[:, None], d)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def chebyshev_polynomial_matrix(x: jax.Array, n: int) -> jax.Array:
+    """Matrix ``Q[m, k] = T_k(x[m])`` for ``k = 0..n-1`` (Chebyshev-Vandermonde).
+
+    Computed by the three-term recurrence ``T_k = 2 x T_{k-1} - T_{k-2}``
+    (matching ``numpy.polynomial.chebyshev.chebval`` evaluation of the
+    identity coefficient matrix in the reference TT eval path,
+    ``tensor_train.py:2257-2259``), unrolled statically — n is a small
+    compile-time constant, so XLA fuses the whole recurrence.
+    """
+    x = jnp.asarray(x)
+    cols = [jnp.ones_like(x)]
+    if n > 1:
+        cols.append(x)
+    for _ in range(2, n):
+        cols.append(2.0 * x * cols[-1] - cols[-2])
+    return jnp.stack(cols, axis=-1)

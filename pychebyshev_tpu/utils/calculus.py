@@ -1,0 +1,178 @@
+"""Calculus helpers: rootfinding, 1-D optimization, bounds validation.
+
+Design split: these are *cold-path* analysis routines over tiny 1-D
+coefficient vectors (n <= ~100).  The colleague-matrix eigenproblem
+(Good 1961) is a general nonsymmetric eig, which XLA:TPU does not
+support, so rootfinding deliberately runs on the host in NumPy; the
+surrounding evaluation (derivative values, candidate evaluation) uses
+the shared JAX kernels.  Parity target: reference ``_calculus.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+
+__all__ = [
+    "normalize_bounds",
+    "roots_1d",
+    "optimize_1d",
+    "validate_calculus_args",
+    "slider_partition_intersect",
+]
+
+
+def normalize_bounds(dims, bounds, domain, dim_labels=None):
+    """Normalize/validate ``integrate(bounds=...)``.
+
+    Returns one ``(lo, hi)`` or ``None`` (= full domain) per entry of
+    *dims*.  Raises ValueError on out-of-domain bounds, lo > hi, or
+    length mismatch.  ``dim_labels`` overrides indices in error messages
+    (callers with storage-frame dims pass user-frame labels).
+    """
+    if bounds is None:
+        return [None] * len(dims)
+
+    if (isinstance(bounds, tuple) and len(bounds) == 2
+            and not isinstance(bounds[0], (list, tuple))):
+        bounds = [bounds]
+
+    if len(bounds) != len(dims):
+        raise ValueError(
+            f"bounds length {len(bounds)} != dims length {len(dims)}"
+        )
+
+    result = []
+    for i, bd in enumerate(bounds):
+        if bd is None:
+            result.append(None)
+            continue
+        lo, hi = bd
+        label = dim_labels[i] if dim_labels is not None else dims[i]
+        if lo > hi:
+            raise ValueError(f"bounds lo={lo} > hi={hi} for dim {label}")
+        dom_lo, dom_hi = domain[dims[i]]
+        if lo < dom_lo - 1e-14 or hi > dom_hi + 1e-14:
+            raise ValueError(
+                f"bounds ({lo}, {hi}) outside domain [{dom_lo}, {dom_hi}] "
+                f"for dim {label}"
+            )
+        result.append((max(lo, dom_lo), min(hi, dom_hi)))
+    return result
+
+
+def roots_1d(values, domain) -> np.ndarray:
+    """All real roots of a 1-D interpolant (values at ascending Type-I nodes).
+
+    Chebyshev coefficients -> colleague-matrix roots
+    (``numpy.polynomial.chebyshev.chebroots``) -> filter real roots in
+    [-1, 1] -> map to the physical domain -> sort + dedupe.
+    """
+    from numpy.polynomial.chebyshev import chebroots
+
+    from pychebyshev_tpu.ops.dct import _coeff_matrix_np
+
+    values = np.asarray(values, dtype=np.float64)
+    coeffs = _coeff_matrix_np(len(values)) @ values
+    raw = chebroots(coeffs)
+
+    tol = 1e-10
+    real = [np.clip(r.real, -1.0, 1.0) for r in raw
+            if abs(r.imag) < tol and -1.0 - tol <= r.real <= 1.0 + tol]
+    if not real:
+        return np.array([], dtype=float)
+
+    a, b = domain
+    physical = np.sort(0.5 * (a + b) + 0.5 * (b - a) * np.array(real))
+    if len(physical) > 1:
+        mask = np.concatenate(
+            [[True], np.diff(physical) > 1e-10 * (b - a + 1)]
+        )
+        physical = physical[mask]
+    return physical
+
+
+def optimize_1d(values, nodes, bary_weights, diff_matrix, domain,
+                mode: str = "min"):
+    """Min or max of a 1-D interpolant via derivative roots + endpoints.
+
+    Returns ``(value, location)``.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    nodes = np.asarray(nodes, dtype=np.float64)
+    bary_weights = np.asarray(bary_weights, dtype=np.float64)
+    diff_matrix = np.asarray(diff_matrix, dtype=np.float64)
+
+    deriv_values = diff_matrix @ values
+    critical = roots_1d(deriv_values, domain)
+
+    a, b = domain
+    candidates = np.concatenate([[a], critical, [b]]).astype(np.float64)
+
+    # Vectorized barycentric evaluation at all candidates (host, tiny).
+    diff = candidates[:, None] - nodes[None, :]
+    exact = np.abs(diff) < NODE_COINCIDENCE_TOL
+    has_exact = exact.any(axis=1)
+    safe = np.where(exact, 1.0, diff)
+    w_over_diff = bary_weights[None, :] / safe
+    vals = (w_over_diff * values[None, :]).sum(axis=1) / w_over_diff.sum(axis=1)
+    if has_exact.any():
+        vals = np.where(has_exact, values[exact.argmax(axis=1)], vals)
+
+    idx = int(np.argmin(vals) if mode == "min" else np.argmax(vals))
+    return float(vals[idx]), float(candidates[idx])
+
+
+def validate_calculus_args(ndim, dim, fixed, domain):
+    """Validate roots/minimize/maximize args.
+
+    Returns ``(dim, slice_params)`` where slice_params fixes every other
+    dimension.
+    """
+    if ndim == 1:
+        dim = 0 if dim is None else dim
+        if dim != 0:
+            raise ValueError(f"dim must be 0 for 1-D interpolant, got {dim}")
+        if fixed and len(fixed) > 0:
+            raise ValueError("fixed must be empty for 1-D interpolant")
+        return dim, []
+
+    if dim is None:
+        raise ValueError("dim is required for multi-D interpolant")
+    if dim < 0 or dim >= ndim:
+        raise ValueError(f"dim {dim} out of range [0, {ndim - 1}]")
+
+    fixed = fixed or {}
+    expected = set(range(ndim)) - {dim}
+    provided = set(fixed.keys())
+    if provided != expected:
+        missing = expected - provided
+        raise ValueError(
+            f"fixed must specify all dims except {dim}; missing {missing}"
+        )
+
+    slice_params = []
+    for d, v in fixed.items():
+        lo, hi = domain[d]
+        if v < lo or v > hi:
+            raise ValueError(
+                f"Fixed value {v} for dim {d} outside domain [{lo}, {hi}]"
+            )
+        slice_params.append((d, v))
+    return dim, slice_params
+
+
+def slider_partition_intersect(group_dims, integrate_dims):
+    """Classify a slider group vs an integration set.
+
+    Returns ``(kind, kept)`` with kind in {"full", "partial", "none"} and
+    ``kept`` the group dims not being integrated.
+    """
+    group_set = set(group_dims)
+    overlap = group_set & set(integrate_dims)
+    if not overlap:
+        return "none", list(group_dims)
+    if overlap == group_set:
+        return "full", []
+    return "partial", [d for d in group_dims if d not in overlap]
