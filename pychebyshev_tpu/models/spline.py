@@ -1,20 +1,1280 @@
-"""ChebyshevSpline — piecewise Chebyshev interpolation at user knots.
+"""ChebyshevSpline: piecewise Chebyshev interpolation at user knots.
 
-Placeholder module: full implementation lands in the spline stage.
+API-parity target: reference ``spline.py`` (class ``ChebyshevSpline``,
+2226 lines).  Partitions the domain at interior knots into a Cartesian
+product of pieces, each an independent
+:class:`~pychebyshev_tpu.models.approximation.ChebyshevApproximation`,
+restoring spectral convergence across kinks/discontinuities
+(Ruiz & Zeron 2021, §3.8).
+
+TPU notes: each piece's tensors live on device; ``eval_batch`` routes
+points to pieces with a vectorized ``searchsorted`` and issues one fused
+batched kernel per *occupied* piece, so large batches still run as a
+handful of device calls.  Piece routing itself is host logic (tiny,
+shape-determining).
 """
 
 from __future__ import annotations
+
+import itertools
+import os
+import pickle
+import time
+import warnings
+from typing import Callable, List, Tuple
+
+import numpy as np
+
+from pychebyshev_tpu.models.approximation import ChebyshevApproximation
+from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 
 __all__ = ["ChebyshevSpline", "is_nested_n_nodes"]
 
 
 def is_nested_n_nodes(n_nodes) -> bool:
-    """True if n_nodes is the nested per-piece List[List[int]] form."""
+    """True if n_nodes is in nested (per-sub-interval) form."""
     return n_nodes is not None and any(
         isinstance(x, (list, tuple)) for x in n_nodes
     )
 
 
 class ChebyshevSpline:
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("ChebyshevSpline: implementation pending")
+    """Piecewise Chebyshev interpolation with user-specified knots.
+
+    Parameters mirror the reference ctor (``spline.py:106-267``):
+    flat or nested (per-piece) ``n_nodes``, per-dim ``knots``, auto-N via
+    ``error_threshold``, ``defer_build``.  The extra ``vectorized`` kwarg
+    is forwarded to each piece for single-call TPU builds.
+    """
+
+    def __init__(self, function, num_dimensions, domain, n_nodes=None,
+                 knots=None, max_derivative_order=2, error_threshold=None,
+                 max_n=64, additional_data=None, *, defer_build=False,
+                 n_workers=None, vectorized=False):
+        from pychebyshev_tpu import Domain, Ns
+        from pychebyshev_tpu.utils.parallel_build import normalize_n_workers
+
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+
+        self.function = function
+        self.num_dimensions = num_dimensions
+        self.domain = [list(b) for b in domain]
+        self.error_threshold = error_threshold
+        if max_n < 3:
+            raise ValueError(
+                f"max_n must be at least 3 (the initial N of the doubling "
+                f"loop), got max_n={max_n}. For a grid smaller than 3 per "
+                f"dimension, pass n_nodes explicitly instead of using "
+                f"error-threshold auto-calibration."
+            )
+        self.max_n = max_n
+        self.n_workers = normalize_n_workers(n_workers)
+        self.vectorized = bool(vectorized)
+
+        # Normalize n_nodes (None entries = auto).
+        if n_nodes is None:
+            if error_threshold is None:
+                raise ValueError(
+                    "Must provide either n_nodes (explicit) or "
+                    "error_threshold (auto-N). Got neither."
+                )
+            n_nodes = [None] * num_dimensions
+        else:
+            n_nodes = list(n_nodes)
+            if any(n is None for n in n_nodes) and error_threshold is None:
+                raise ValueError(
+                    "None entries in n_nodes require error_threshold to be "
+                    "set (auto-N mode)."
+                )
+
+        self._n_nodes_nested = is_nested_n_nodes(n_nodes)
+        if self._n_nodes_nested:
+            if not all(isinstance(x, (list, tuple)) for x in n_nodes):
+                raise ValueError(
+                    "n_nodes must be fully nested (all dims as lists) when "
+                    "any dim is nested; got mixed form"
+                )
+
+        self.n_nodes = n_nodes
+        if knots is None:
+            knots = [[] for _ in range(num_dimensions)]
+        self.knots = [list(k) for k in knots]
+        self.max_derivative_order = max_derivative_order
+        self.additional_data = additional_data
+        self._derivative_id_registry: dict = {}
+        self._derivative_id_to_orders: list = []
+        self.descriptor: str = ""
+
+        # Validate knots: strictly inside domain, sorted.
+        for d in range(num_dimensions):
+            lo, hi = domain[d]
+            for k in self.knots[d]:
+                if not (lo < k < hi):
+                    raise ValueError(
+                        f"Knot {k} for dimension {d} is not strictly "
+                        f"inside domain [{lo}, {hi}]"
+                    )
+            if self.knots[d] != sorted(self.knots[d]):
+                raise ValueError(f"Knots for dimension {d} must be sorted")
+
+        # Per-dimension sub-intervals and the piece-grid shape.
+        self._intervals: List[List[Tuple[float, float]]] = []
+        for d in range(num_dimensions):
+            lo, hi = domain[d]
+            edges = [lo] + list(self.knots[d]) + [hi]
+            self._intervals.append(
+                [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+            )
+        self._shape = tuple(len(iv) for iv in self._intervals)
+
+        # Nested-form per-dim length validation.
+        if self._n_nodes_nested:
+            for d in range(num_dimensions):
+                expected = len(self.knots[d]) + 1
+                if len(n_nodes[d]) != expected:
+                    raise ValueError(
+                        f"n_nodes[{d}] must have {expected} entries "
+                        f"(one per sub-interval); got {len(n_nodes[d])}"
+                    )
+                inner = list(n_nodes[d])
+                if any(x is None for x in inner) and error_threshold is None:
+                    raise ValueError(
+                        "None entries in nested n_nodes require "
+                        "error_threshold to be set (auto-N mode)."
+                    )
+                n_nodes[d] = inner
+            self.n_nodes = n_nodes
+
+        self._pieces: List[ChebyshevApproximation | None] = (
+            [None] * int(np.prod(self._shape))
+        )
+        self._built = False
+        self._build_time = 0.0
+        self._cached_error_estimate = None
+
+        if defer_build:
+            if function is not None:
+                raise ValueError(
+                    "defer_build=True requires function=None (the "
+                    "deferred-construction workflow expects values to be "
+                    "supplied via set_original_function_values() later)"
+                )
+            for flat_idx, multi_idx in enumerate(
+                itertools.product(*[range(s) for s in self._shape])
+            ):
+                sub_domain = [list(self._intervals[d][multi_idx[d]])
+                              for d in range(self.num_dimensions)]
+                piece_n = self._piece_n_nodes(multi_idx)
+                self._pieces[flat_idx] = ChebyshevApproximation(
+                    None, self.num_dimensions, sub_domain, piece_n,
+                    max_derivative_order=self.max_derivative_order,
+                    additional_data=self.additional_data,
+                    defer_build=True, n_workers=self.n_workers,
+                )
+
+    def _piece_n_nodes(self, multi_idx):
+        if self._n_nodes_nested:
+            return [self.n_nodes[d][multi_idx[d]]
+                    for d in range(self.num_dimensions)]
+        return list(self.n_nodes)
+
+    # ------------------------------------------------------------------
+    # Build / deferred construction
+    # ------------------------------------------------------------------
+
+    def set_original_function_values(self, per_piece_values) -> None:
+        """Fill every piece's tensor atomically (all validated first)."""
+        if len(per_piece_values) != len(self._pieces):
+            raise ValueError(
+                f"expected {len(self._pieces)} piece tensors, "
+                f"got {len(per_piece_values)}"
+            )
+        validated = []
+        for i, (piece, vals) in enumerate(zip(self._pieces,
+                                              per_piece_values)):
+            if piece is None:
+                raise RuntimeError(f"piece {i} is None — invalid state")
+            if piece.tensor_values is not None:
+                raise RuntimeError(
+                    f"piece {i} is already constructed; "
+                    "set_original_function_values() is for defer_build=True "
+                    "splines"
+                )
+            arr = np.asarray(vals, dtype=np.float64)
+            expected_shape = tuple(piece.n_nodes)
+            if arr.shape != expected_shape:
+                raise ValueError(
+                    f"piece {i}: values shape {arr.shape} does not match "
+                    f"expected {expected_shape}"
+                )
+            if not np.isfinite(arr).all():
+                raise ValueError(
+                    f"piece {i}: values contains NaN or Inf (must be finite)"
+                )
+            validated.append(arr)
+        import jax.numpy as jnp
+        for piece, arr in zip(self._pieces, validated):
+            piece.tensor_values = jnp.asarray(arr)
+            piece.function = None
+        self._built = True
+        self.function = None
+
+    def build(self, verbose: bool | int = True) -> None:
+        """Build every piece on its sub-domain."""
+        if self.function is None:
+            raise RuntimeError(
+                "Cannot build: no function assigned. "
+                "This object was created via from_values() or load()."
+            )
+        start = time.time()
+        self._cached_error_estimate = None
+        total_pieces = int(np.prod(self._shape))
+
+        if verbose:
+            if self._n_nodes_nested:
+                has_auto = any(any(n is None for n in self.n_nodes[d])
+                               for d in range(self.num_dimensions))
+            else:
+                has_auto = any(n is None for n in self.n_nodes)
+            if has_auto:
+                print(f"Building {self.num_dimensions}D Chebyshev Spline "
+                      f"({total_pieces} pieces, auto-N per piece with "
+                      f"error_threshold={self.error_threshold:.2e})...")
+            else:
+                print(f"Building {self.num_dimensions}D Chebyshev Spline "
+                      f"({total_pieces} pieces, "
+                      f"{self.total_build_evals:,} total evaluations)...")
+
+        from pychebyshev_tpu.utils.progress import progress_iter
+        piece_indices = list(
+            itertools.product(*[range(s) for s in self._shape]))
+        for flat_idx, multi_idx in enumerate(progress_iter(
+                piece_indices, total=total_pieces,
+                enabled=(verbose == 2), desc="Building spline pieces")):
+            sub_domain = [list(self._intervals[d][multi_idx[d]])
+                          for d in range(self.num_dimensions)]
+            piece = ChebyshevApproximation(
+                self.function, self.num_dimensions, sub_domain,
+                self._piece_n_nodes(multi_idx),
+                max_derivative_order=self.max_derivative_order,
+                error_threshold=self.error_threshold, max_n=self.max_n,
+                additional_data=self.additional_data,
+                n_workers=self.n_workers, vectorized=self.vectorized,
+            )
+            piece.build(verbose=False)
+            self._pieces[flat_idx] = piece
+            if verbose:
+                print(f"  Piece {flat_idx + 1}/{total_pieces}: "
+                      f"domain {sub_domain}, n_nodes={piece.n_nodes}")
+
+        self._build_time = time.time() - start
+        self._built = True
+        if verbose:
+            print(f"Build complete in {self._build_time:.3f}s")
+
+    # ------------------------------------------------------------------
+    # Piece routing + evaluation
+    # ------------------------------------------------------------------
+
+    def _find_piece(self, point):
+        """(flat_idx, piece) containing *point*.  A point exactly at a
+        knot routes to the right piece (searchsorted side='right')."""
+        multi_idx = []
+        for d in range(self.num_dimensions):
+            if len(self.knots[d]) == 0:
+                multi_idx.append(0)
+            else:
+                idx = int(np.searchsorted(self.knots[d], point[d],
+                                          side="right"))
+                multi_idx.append(min(idx, self._shape[d] - 1))
+        flat = int(np.ravel_multi_index(multi_idx, self._shape))
+        return flat, self._pieces[flat]
+
+    def get_derivative_id(self, derivative_order) -> int:
+        """Stable session-local id for a derivative-orders tuple."""
+        if len(derivative_order) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(derivative_order)} does not "
+                f"match num_dimensions {self.num_dimensions}"
+            )
+        for d, o in enumerate(derivative_order):
+            if not isinstance(o, (int, np.integer)):
+                raise ValueError(
+                    f"derivative_order[{d}] must be int, got "
+                    f"{type(o).__name__}"
+                )
+            if o < 0 or o > self.max_derivative_order:
+                raise ValueError(
+                    f"derivative_order[{d}]={o} out of range "
+                    f"[0, {self.max_derivative_order}]"
+                )
+        key = tuple(int(o) for o in derivative_order)
+        if key in self._derivative_id_registry:
+            return self._derivative_id_registry[key]
+        new_id = len(self._derivative_id_to_orders)
+        self._derivative_id_registry[key] = new_id
+        self._derivative_id_to_orders.append(key)
+        return new_id
+
+    def _resolve_derivative_args(self, derivative_order, derivative_id):
+        if derivative_order is not None and derivative_id is not None:
+            raise ValueError(
+                "provide exactly one of derivative_order or derivative_id, "
+                "not both"
+            )
+        if derivative_order is None and derivative_id is None:
+            raise ValueError("must provide derivative_order or derivative_id")
+        if derivative_id is not None:
+            if (derivative_id < 0
+                    or derivative_id >= len(self._derivative_id_to_orders)):
+                raise KeyError(
+                    f"unknown derivative_id {derivative_id}; "
+                    f"register via get_derivative_id() first"
+                )
+            return list(self._derivative_id_to_orders[derivative_id])
+        return derivative_order
+
+    def _check_knot_boundary(self, point, derivative_order) -> None:
+        """Derivatives at a knot are ill-defined (left/right differ)."""
+        if all(d == 0 for d in derivative_order):
+            return
+        for d in range(self.num_dimensions):
+            if derivative_order[d] > 0:
+                for k in self.knots[d]:
+                    if abs(point[d] - k) < NODE_COINCIDENCE_TOL:
+                        raise ValueError(
+                            f"Derivative w.r.t. dimension {d} is not "
+                            f"defined at knot x[{d}]={k}. The left and "
+                            f"right derivatives may differ at this point."
+                        )
+
+    def eval(self, point, derivative_order=None, *, derivative_id=None):
+        """Evaluate at a point (routes to the containing piece)."""
+        if not self._built:
+            raise RuntimeError("Call build() before eval().")
+        derivative_order = self._resolve_derivative_args(
+            derivative_order, derivative_id)
+        self._check_knot_boundary(point, derivative_order)
+        _, piece = self._find_piece(point)
+        return piece.vectorized_eval(point, derivative_order)
+
+    def eval_multi(self, point, derivative_orders):
+        """Multiple derivative specs at one point (shared weights)."""
+        if not self._built:
+            raise RuntimeError("Call build() before eval_multi().")
+        for do in derivative_orders:
+            self._check_knot_boundary(point, do)
+        _, piece = self._find_piece(point)
+        return piece.vectorized_eval_multi(point, derivative_orders)
+
+    def eval_batch(self, points, derivative_order=None, *,
+                   derivative_id=None):
+        """Batched evaluation, grouped by piece.
+
+        Piece indices are computed with one vectorized ``searchsorted``
+        per dim; each occupied piece evaluates its group in a single
+        fused device call.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before eval_batch().")
+        derivative_order = self._resolve_derivative_args(
+            derivative_order, derivative_id)
+        points = np.asarray(points, dtype=float)
+        n = points.shape[0]
+        results = np.empty(n)
+
+        multi_indices = np.zeros((n, self.num_dimensions), dtype=int)
+        for d in range(self.num_dimensions):
+            if len(self.knots[d]) > 0:
+                multi_indices[:, d] = np.searchsorted(
+                    self.knots[d], points[:, d], side="right")
+                np.clip(multi_indices[:, d], 0, self._shape[d] - 1,
+                        out=multi_indices[:, d])
+
+        flat_indices = np.ravel_multi_index(multi_indices.T, self._shape)
+        for piece_idx in np.unique(flat_indices):
+            mask = flat_indices == piece_idx
+            results[mask] = self._pieces[piece_idx].vectorized_eval_batch(
+                points[mask], derivative_order)
+        return results
+
+    # Reference-compatible aliases matching the Approximation surface.
+    vectorized_eval = eval
+    vectorized_eval_multi = eval_multi
+    vectorized_eval_batch = eval_batch
+
+    # ------------------------------------------------------------------
+    # Error estimation + sensitivity
+    # ------------------------------------------------------------------
+
+    def error_estimate(self) -> float:
+        """Max over pieces (disjoint sub-domains -> worst case governs)."""
+        if not self._built:
+            raise RuntimeError("Call build() before error_estimate().")
+        if self._cached_error_estimate is not None:
+            return self._cached_error_estimate
+        self._cached_error_estimate = max(
+            piece.error_estimate() for piece in self._pieces)
+        return self._cached_error_estimate
+
+    def sobol_indices(self) -> dict:
+        """Per-piece Sobol indices aggregated by volume x variance."""
+        from pychebyshev_tpu.utils.sensitivity import (
+            chebyshev_coefficient_tensor,
+            sobol_from_coeffs,
+        )
+        if not self._built:
+            raise RuntimeError("Call build() first")
+
+        total_variance = 0.0
+        first_energy = {d: 0.0 for d in range(self.num_dimensions)}
+        total_energy = {d: 0.0 for d in range(self.num_dimensions)}
+
+        for piece in self._pieces:
+            if piece is None:
+                continue
+            vol = 1.0
+            for d in range(self.num_dimensions):
+                lo, hi = piece.domain[d]
+                vol *= (hi - lo)
+            coeffs = chebyshev_coefficient_tensor(piece.tensor_values)
+            res = sobol_from_coeffs(coeffs, self.num_dimensions)
+            total_variance += vol * res["variance"]
+            for d in range(self.num_dimensions):
+                first_energy[d] += vol * res["first_order"][d] * res["variance"]
+                total_energy[d] += vol * res["total_order"][d] * res["variance"]
+
+        if total_variance == 0:
+            zeros = {d: 0.0 for d in range(self.num_dimensions)}
+            return {"first_order": dict(zeros), "total_order": dict(zeros),
+                    "variance": 0.0}
+        return {
+            "first_order": {d: first_energy[d] / total_variance
+                            for d in range(self.num_dimensions)},
+            "total_order": {d: total_energy[d] / total_variance
+                            for d in range(self.num_dimensions)},
+            "variance": total_variance,
+        }
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def num_pieces(self) -> int:
+        """Total pieces (Cartesian product of per-dim interval counts)."""
+        return int(np.prod(self._shape))
+
+    @property
+    def total_build_evals(self) -> int:
+        """Total function evaluations across pieces (0 if unknowable)."""
+        if self._built:
+            return sum(int(p.n_evaluations) for p in self._pieces)
+        if self._n_nodes_nested:
+            total = 0
+            for multi_idx in itertools.product(
+                    *[range(s) for s in self._shape]):
+                piece_n = self._piece_n_nodes(multi_idx)
+                if any(n is None for n in piece_n):
+                    return 0
+                total += int(np.prod(piece_n))
+            return total
+        if any(n is None for n in self.n_nodes):
+            return 0
+        return int(np.prod(self.n_nodes)) * int(np.prod(self._shape))
+
+    @property
+    def build_time(self) -> float:
+        """Wall-clock seconds of the most recent build()."""
+        return self._build_time
+
+    # ------------------------------------------------------------------
+    # Serialization
+    # ------------------------------------------------------------------
+
+    def __getstate__(self) -> dict:
+        from pychebyshev_tpu._version import __version__
+        state = self.__dict__.copy()
+        state["function"] = None
+        state["_pychebyshev_version"] = __version__
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        from pychebyshev_tpu._version import __version__
+        saved = state.pop("_pychebyshev_version", None)
+        if saved is not None and saved != __version__:
+            warnings.warn(
+                f"This object was saved with pychebyshev-tpu {saved}, but "
+                f"you are loading it with {__version__}. Evaluation results "
+                f"may differ if internal data layout changed.",
+                UserWarning,
+                stacklevel=2,
+            )
+        self.__dict__.update(state)
+        self.function = None
+        defaults = {
+            "_cached_error_estimate": None,
+            "descriptor": "",
+            "additional_data": None,
+            "n_workers": None,
+            "vectorized": False,
+            "_derivative_id_registry": {},
+            "_derivative_id_to_orders": [],
+        }
+        for key, val in defaults.items():
+            if not hasattr(self, key):
+                setattr(self, key, val)
+        if not hasattr(self, "_n_nodes_nested"):
+            self._n_nodes_nested = is_nested_n_nodes(self.n_nodes)
+
+    def is_construction_finished(self) -> bool:
+        """True iff this spline is built and usable."""
+        return self._built
+
+    def get_constructor_type(self) -> str:
+        """Class name."""
+        return type(self).__name__
+
+    def get_used_ns(self) -> list:
+        """Per-dim n_nodes preserving nested vs flat shape."""
+        return [list(piece) if isinstance(piece, list) else piece
+                for piece in self.n_nodes]
+
+    def set_descriptor(self, descriptor: str) -> None:
+        """Attach a free-form text label."""
+        if not isinstance(descriptor, str):
+            raise TypeError(
+                f"descriptor must be str, got {type(descriptor).__name__}"
+            )
+        self.descriptor = descriptor
+
+    def get_descriptor(self) -> str:
+        """The descriptor label (default '')."""
+        return self.descriptor
+
+    def get_max_derivative_order(self) -> int:
+        """Maximum queryable derivative order."""
+        return self.max_derivative_order
+
+    @staticmethod
+    def is_dimensionality_allowed(num_dimensions: int) -> bool:
+        """Whether this class supports ``num_dimensions`` (any >= 1)."""
+        return isinstance(num_dimensions, int) and num_dimensions >= 1
+
+    def get_error_threshold(self):
+        """The error_threshold ctor kwarg, or None."""
+        return self.error_threshold
+
+    def get_num_evaluation_points(self) -> int:
+        """Grid points summed across pieces."""
+        return int(sum(int(np.prod(p.n_nodes)) for p in self._pieces))
+
+    def get_evaluation_points(self) -> np.ndarray:
+        """Concatenated per-piece grids (pieces in C-order)."""
+        return np.concatenate(
+            [p.get_evaluation_points() for p in self._pieces], axis=0)
+
+    def clone(self) -> "ChebyshevSpline":
+        """Independent deep copy (function not duplicated)."""
+        import copy
+        return copy.deepcopy(self)
+
+    def get_special_points(self):
+        """Per-dimension knot/kink locations."""
+        return self.knots
+
+    def save(self, path: str | os.PathLike, format: str = "pickle") -> None:
+        """Save to pickle (default) or .pcb binary (flat n_nodes only)."""
+        if not self._built:
+            raise RuntimeError(
+                "Cannot save an unbuilt ChebyshevSpline. Call build() first."
+            )
+        if format == "pickle":
+            with open(path, "wb") as f:
+                pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+        elif format == "binary":
+            from pychebyshev_tpu.utils import binary
+            with open(path, "wb") as f:
+                binary.write_spline(f, self)
+        else:
+            raise ValueError(
+                f"format must be 'pickle' or 'binary', got {format!r}"
+            )
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "ChebyshevSpline":
+        """Load from pickle or .pcb (magic-sniffed)."""
+        from pychebyshev_tpu.utils import binary
+        if binary.detect_format(path) == "binary":
+            with open(path, "rb") as f:
+                return binary.read_spline(f)
+        with open(path, "rb") as f:
+            obj = pickle.load(f)  # noqa: S301
+        if not isinstance(obj, cls):
+            raise TypeError(
+                f"Expected a {cls.__name__} instance, got "
+                f"{type(obj).__name__}"
+            )
+        return obj
+
+    # ------------------------------------------------------------------
+    # Deferred-values workflow
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def nodes(num_dimensions, domain, n_nodes, knots) -> dict:
+        """Per-piece grid info (flat n_nodes only)."""
+        if is_nested_n_nodes(n_nodes):
+            raise NotImplementedError(
+                "ChebyshevSpline.nodes() accepts only flat n_nodes "
+                "(one int per dim, shared across pieces). Nested "
+                "per-sub-interval n_nodes is supported via __init__ "
+                "but not via the nodes()/from_values() workflow."
+            )
+        ChebyshevSpline._validate_domain_knots(num_dimensions, domain, knots)
+
+        intervals = ChebyshevSpline._compute_intervals(
+            num_dimensions, domain, knots)
+        piece_shape = tuple(len(iv) for iv in intervals)
+        pieces_info = []
+        for multi_idx in np.ndindex(*piece_shape):
+            sub_domain = [intervals[d][multi_idx[d]]
+                          for d in range(num_dimensions)]
+            piece_nodes = ChebyshevApproximation.nodes(
+                num_dimensions, [list(sd) for sd in sub_domain], n_nodes)
+            pieces_info.append({
+                "piece_index": multi_idx,
+                "sub_domain": sub_domain,
+                "nodes_per_dim": piece_nodes["nodes_per_dim"],
+                "full_grid": piece_nodes["full_grid"],
+                "shape": piece_nodes["shape"],
+            })
+        return {
+            "pieces": pieces_info,
+            "num_pieces": int(np.prod(piece_shape)),
+            "piece_shape": piece_shape,
+        }
+
+    @staticmethod
+    def _validate_domain_knots(num_dimensions, domain, knots):
+        for d in range(num_dimensions):
+            lo, hi = domain[d]
+            if lo >= hi:
+                raise ValueError(
+                    f"domain[{d}]: lo={lo} must be strictly less than "
+                    f"hi={hi}"
+                )
+            for k in knots[d]:
+                if not (lo < k < hi):
+                    raise ValueError(
+                        f"Knot {k} for dimension {d} is not strictly "
+                        f"inside domain [{lo}, {hi}]"
+                    )
+            if list(knots[d]) != sorted(knots[d]):
+                raise ValueError(f"Knots for dimension {d} must be sorted")
+            if len(knots[d]) != len(set(knots[d])):
+                raise ValueError(
+                    f"Knots for dimension {d} contain duplicates"
+                )
+
+    @staticmethod
+    def _compute_intervals(num_dimensions, domain, knots):
+        intervals = []
+        for d in range(num_dimensions):
+            lo, hi = domain[d]
+            edges = [lo] + list(knots[d]) + [hi]
+            intervals.append(
+                [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+            )
+        return intervals
+
+    @classmethod
+    def from_values(cls, piece_values, num_dimensions, domain, n_nodes,
+                    knots, max_derivative_order: int = 2) -> "ChebyshevSpline":
+        """Fully-built spline from per-piece pre-computed values."""
+        if is_nested_n_nodes(n_nodes):
+            raise NotImplementedError(
+                "ChebyshevSpline.from_values() accepts only flat n_nodes "
+                "(one int per dim, shared across pieces). Nested "
+                "per-sub-interval n_nodes is supported via __init__ "
+                "but not via the nodes()/from_values() workflow."
+            )
+        cls._validate_domain_knots(num_dimensions, domain, knots)
+
+        intervals = cls._compute_intervals(num_dimensions, domain, knots)
+        piece_shape = tuple(len(iv) for iv in intervals)
+        total_pieces = int(np.prod(piece_shape))
+        if len(piece_values) != total_pieces:
+            raise ValueError(
+                f"Expected {total_pieces} piece_values, got "
+                f"{len(piece_values)}"
+            )
+        expected_shape = tuple(n_nodes)
+        for flat_idx, pv in enumerate(piece_values):
+            if np.asarray(pv).shape != expected_shape:
+                raise ValueError(
+                    f"piece_values[{flat_idx}] has shape "
+                    f"{np.asarray(pv).shape}, expected {expected_shape}"
+                )
+
+        pieces = []
+        for flat_idx, multi_idx in enumerate(np.ndindex(*piece_shape)):
+            sub_domain = [list(intervals[d][multi_idx[d]])
+                          for d in range(num_dimensions)]
+            pieces.append(ChebyshevApproximation.from_values(
+                piece_values[flat_idx], num_dimensions, sub_domain, n_nodes,
+                max_derivative_order=max_derivative_order))
+
+        obj = object.__new__(cls)
+        obj.function = None
+        obj.num_dimensions = num_dimensions
+        obj.domain = [list(b) for b in domain]
+        obj.n_nodes = list(n_nodes)
+        obj._n_nodes_nested = False
+        obj.max_derivative_order = max_derivative_order
+        obj.error_threshold = None
+        obj.max_n = 64
+        obj.knots = [list(k) for k in knots]
+        obj._intervals = intervals
+        obj._shape = piece_shape
+        obj._pieces = pieces
+        obj._built = True
+        obj._build_time = 0.0
+        obj._cached_error_estimate = None
+        obj.descriptor = ""
+        obj.additional_data = None
+        obj.n_workers = None
+        obj.vectorized = False
+        obj._derivative_id_registry = {}
+        obj._derivative_id_to_orders = []
+        return obj
+
+    @classmethod
+    def _from_pieces(cls, source, pieces):
+        """New spline sharing grid metadata from *source* with new pieces."""
+        obj = object.__new__(cls)
+        obj.function = None
+        obj.num_dimensions = source.num_dimensions
+        obj.domain = [list(b) for b in source.domain]
+        obj.n_nodes = list(source.n_nodes)
+        obj._n_nodes_nested = getattr(source, "_n_nodes_nested", False)
+        obj.max_derivative_order = source.max_derivative_order
+        obj.error_threshold = None
+        obj.max_n = 64
+        obj.knots = [list(k) for k in source.knots]
+        obj._intervals = source._intervals
+        obj._shape = source._shape
+        obj._pieces = pieces
+        obj._built = True
+        obj._build_time = 0.0
+        obj._cached_error_estimate = None
+        obj.descriptor = ""
+        obj.additional_data = None
+        obj.n_workers = None
+        obj.vectorized = False
+        obj._derivative_id_registry = {}
+        obj._derivative_id_to_orders = []
+        return obj
+
+    # ------------------------------------------------------------------
+    # Extrusion / slicing
+    # ------------------------------------------------------------------
+
+    def extrude(self, params) -> "ChebyshevSpline":
+        """Add constant dims (each piece extruded; new dim has no knots)."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_extrusion_params,
+        )
+        sorted_params = normalize_extrusion_params(params,
+                                                   self.num_dimensions)
+
+        knots = [list(k) for k in self.knots]
+        intervals = [list(iv) for iv in self._intervals]
+        shape = list(self._shape)
+        domain = [list(b) for b in self.domain]
+        n_nodes = list(self.n_nodes)
+
+        for dim_idx, (lo, hi), n in sorted_params:
+            knots.insert(dim_idx, [])
+            intervals.insert(dim_idx, [(lo, hi)])
+            shape.insert(dim_idx, 1)
+            domain.insert(dim_idx, [lo, hi])
+            n_nodes.insert(dim_idx, [n] if self._n_nodes_nested else n)
+
+        pieces = []
+        for piece in self._pieces:
+            p = piece
+            for dim_idx, bounds, n in sorted_params:
+                p = p.extrude((dim_idx, bounds, n))
+            pieces.append(p)
+
+        obj = ChebyshevSpline._from_pieces(self, pieces)
+        obj.num_dimensions = self.num_dimensions + len(sorted_params)
+        obj.domain = domain
+        obj.n_nodes = n_nodes
+        obj.knots = knots
+        obj._intervals = intervals
+        obj._shape = tuple(shape)
+        return obj
+
+    def slice(self, params) -> "ChebyshevSpline":
+        """Fix dims at values; only containing pieces survive per dim."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_slicing_params,
+        )
+        sorted_params = normalize_slicing_params(params, self.num_dimensions)
+
+        for dim_idx, value in sorted_params:
+            lo, hi = self.domain[dim_idx]
+            if value < lo or value > hi:
+                raise ValueError(
+                    f"Slice value {value} for dim {dim_idx} is outside "
+                    f"domain [{lo}, {hi}]"
+                )
+
+        knots = [list(k) for k in self.knots]
+        intervals = [list(iv) for iv in self._intervals]
+        shape = list(self._shape)
+        domain = [list(b) for b in self.domain]
+        n_nodes = list(self.n_nodes)
+        pieces_arr = np.array(self._pieces, dtype=object).reshape(self._shape)
+
+        for dim_idx, value in sorted_params:  # descending
+            knots_d = knots[dim_idx]
+            if len(knots_d) == 0:
+                interval_idx = 0
+            else:
+                interval_idx = int(np.searchsorted(knots_d, value,
+                                                   side="right"))
+                interval_idx = min(interval_idx, shape[dim_idx] - 1)
+
+            pieces_arr = np.take(pieces_arr, interval_idx, axis=dim_idx)
+            flat_pieces = pieces_arr.ravel()
+            for i in range(len(flat_pieces)):
+                flat_pieces[i] = flat_pieces[i].slice((dim_idx, value))
+            pieces_arr = flat_pieces.reshape(pieces_arr.shape)
+
+            del knots[dim_idx]
+            del intervals[dim_idx]
+            del shape[dim_idx]
+            del domain[dim_idx]
+            del n_nodes[dim_idx]
+
+        obj = ChebyshevSpline._from_pieces(self, list(pieces_arr.ravel()))
+        obj.num_dimensions = self.num_dimensions - len(sorted_params)
+        obj.domain = domain
+        obj.n_nodes = n_nodes
+        obj.knots = knots
+        obj._intervals = intervals
+        obj._shape = tuple(shape)
+        return obj
+
+    # ------------------------------------------------------------------
+    # Calculus
+    # ------------------------------------------------------------------
+
+    def integrate(self, dims=None, bounds=None):
+        """Sum of piece integrals (full) or piece-summed lower-dim spline
+        (partial), with per-piece clipped sub-bounds."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import normalize_bounds
+
+        if dims is None:
+            dims = list(range(self.num_dimensions))
+        elif isinstance(dims, int):
+            dims = [dims]
+        dims = sorted(set(dims))
+        for d in dims:
+            if d < 0 or d >= self.num_dimensions:
+                raise ValueError(
+                    f"dim {d} out of range [0, {self.num_dimensions - 1}]"
+                )
+
+        per_dim_bounds = normalize_bounds(dims, bounds, self.domain)
+        dim_to_idx = {d: i for i, d in enumerate(dims)}
+
+        def _clip(bd, piece_lo, piece_hi):
+            """Overlap of bounds with a piece interval.
+
+            Returns (skip, bounds_or_None)."""
+            if bd is None:
+                return False, None
+            overlap_lo = max(bd[0], piece_lo)
+            overlap_hi = min(bd[1], piece_hi)
+            if overlap_lo >= overlap_hi:
+                return True, None
+            if (abs(overlap_lo - piece_lo) < 1e-14
+                    and abs(overlap_hi - piece_hi) < 1e-14):
+                return False, None
+            return False, (overlap_lo, overlap_hi)
+
+        # Full integration: sum piece integrals.
+        if len(dims) == self.num_dimensions:
+            total = 0.0
+            pieces_arr = np.array(self._pieces,
+                                  dtype=object).reshape(self._shape)
+            for idx in np.ndindex(*self._shape):
+                piece = pieces_arr[idx]
+                piece_bounds = []
+                skip = False
+                for d in range(self.num_dimensions):
+                    piece_lo, piece_hi = self._intervals[d][idx[d]]
+                    s, pb = _clip(per_dim_bounds[dim_to_idx[d]],
+                                  piece_lo, piece_hi)
+                    if s:
+                        skip = True
+                        break
+                    piece_bounds.append(pb)
+                if skip:
+                    continue
+                if all(b is None for b in piece_bounds):
+                    total += piece.integrate()
+                else:
+                    total += piece.integrate(bounds=piece_bounds)
+            return total
+
+        # Partial integration: integrate each piece along d, sum pieces
+        # along that axis of the piece grid.
+        pieces_arr = np.array(self._pieces, dtype=object).reshape(self._shape)
+        knots = [list(k) for k in self.knots]
+        intervals = [list(iv) for iv in self._intervals]
+        shape = list(self._shape)
+        domain = [list(b) for b in self.domain]
+        n_nodes = list(self.n_nodes)
+
+        for d in sorted(dims, reverse=True):
+            bd = per_dim_bounds[dim_to_idx[d]]
+            new_shape = [s for i, s in enumerate(pieces_arr.shape) if i != d]
+            new_pieces = (np.empty(new_shape, dtype=object)
+                          if new_shape else np.empty((), dtype=object))
+
+            def _integrate_line(dim_pieces):
+                integrated = []
+                for piece_idx, p in enumerate(dim_pieces):
+                    s, pb = _clip(bd, *intervals[d][piece_idx])
+                    if s:
+                        continue
+                    if pb is None:
+                        integrated.append(p.integrate(dims=[d]))
+                    else:
+                        integrated.append(p.integrate(dims=[d], bounds=[pb]))
+                if not integrated:
+                    integrated.append(dim_pieces[0].integrate(dims=[d]) * 0.0)
+                result = integrated[0]
+                for other in integrated[1:]:
+                    result = result + other
+                return result
+
+            if new_shape:
+                for idx in np.ndindex(*new_shape):
+                    full_idx = list(idx)
+                    full_idx.insert(d, slice(None))
+                    new_pieces[idx] = _integrate_line(
+                        list(pieces_arr[tuple(full_idx)].ravel()))
+            else:
+                new_pieces[()] = _integrate_line(list(pieces_arr.ravel()))
+
+            pieces_arr = new_pieces
+            del knots[d]
+            del intervals[d]
+            del shape[d]
+            del domain[d]
+            del n_nodes[d]
+
+        if len(shape) == 0:
+            return float(pieces_arr.item().integrate())
+
+        obj = ChebyshevSpline._from_pieces(self, list(pieces_arr.ravel()))
+        obj.num_dimensions = self.num_dimensions - len(dims)
+        obj.domain = domain
+        obj.n_nodes = n_nodes
+        obj.knots = knots
+        obj._intervals = intervals
+        obj._shape = tuple(shape)
+        return obj
+
+    def roots(self, dim=None, fixed=None) -> np.ndarray:
+        """Merged + deduped roots across all pieces of the 1-D slice."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            roots_1d,
+            validate_calculus_args,
+        )
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self.domain)
+        sliced = self.slice(slice_params) if slice_params else self
+
+        all_roots = [
+            roots_1d(np.asarray(p.tensor_values), p.domain[0])
+            for p in sliced._pieces
+        ]
+        if not all_roots:
+            return np.array([], dtype=float)
+        combined = np.sort(np.concatenate(all_roots))
+        if len(combined) > 1:
+            scale = abs(self.domain[dim][1] - self.domain[dim][0]) + 1
+            mask = np.concatenate(
+                [[True], np.diff(combined) > 1e-10 * scale])
+            combined = combined[mask]
+        return combined
+
+    def minimize(self, dim=None, fixed=None):
+        """(min value, location): best over pieces of the 1-D slice."""
+        return self._optimize(dim, fixed, "min")
+
+    def maximize(self, dim=None, fixed=None):
+        """(max value, location): best over pieces of the 1-D slice."""
+        return self._optimize(dim, fixed, "max")
+
+    def _optimize(self, dim, fixed, mode):
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            optimize_1d,
+            validate_calculus_args,
+        )
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self.domain)
+        sliced = self.slice(slice_params) if slice_params else self
+
+        better = (lambda a, b: a < b) if mode == "min" else (lambda a, b: a > b)
+        best_val = float("inf") if mode == "min" else float("-inf")
+        best_loc = 0.0
+        for p in sliced._pieces:
+            val, loc = optimize_1d(
+                np.asarray(p.tensor_values), np.asarray(p.nodes[0]),
+                np.asarray(p.weights[0]), np.asarray(p.diff_matrices[0]),
+                p.domain[0], mode=mode)
+            if better(val, best_val):
+                best_val, best_loc = val, loc
+        return best_val, best_loc
+
+    # ------------------------------------------------------------------
+    # Arithmetic operators
+    # ------------------------------------------------------------------
+
+    def _check_spline_compatible(self, other):
+        from pychebyshev_tpu.utils.algebra import check_compatible
+        check_compatible(self, other)
+        if self.knots != other.knots:
+            raise ValueError(f"Knot mismatch: {self.knots} vs {other.knots}")
+
+    def __add__(self, other):
+        if type(self) is not type(other):
+            return NotImplemented
+        self._check_spline_compatible(other)
+        pieces = [
+            ChebyshevApproximation._from_grid(
+                ps, ps.tensor_values + po.tensor_values)
+            for ps, po in zip(self._pieces, other._pieces)
+        ]
+        return ChebyshevSpline._from_pieces(self, pieces)
+
+    def __sub__(self, other):
+        if type(self) is not type(other):
+            return NotImplemented
+        self._check_spline_compatible(other)
+        pieces = [
+            ChebyshevApproximation._from_grid(
+                ps, ps.tensor_values - po.tensor_values)
+            for ps, po in zip(self._pieces, other._pieces)
+        ]
+        return ChebyshevSpline._from_pieces(self, pieces)
+
+    def __mul__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        s = float(scalar)
+        pieces = [
+            ChebyshevApproximation._from_grid(p, p.tensor_values * s)
+            for p in self._pieces
+        ]
+        return ChebyshevSpline._from_pieces(self, pieces)
+
+    def __rmul__(self, scalar):
+        return self.__mul__(scalar)
+
+    def __truediv__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        return self.__mul__(1.0 / float(scalar))
+
+    def __neg__(self):
+        return self.__mul__(-1.0)
+
+    def __iadd__(self, other):
+        self._check_spline_compatible(other)
+        for ps, po in zip(self._pieces, other._pieces):
+            ps.tensor_values = ps.tensor_values + po.tensor_values
+            ps._cached_error_estimate = None
+        self._cached_error_estimate = None
+        return self
+
+    def __isub__(self, other):
+        self._check_spline_compatible(other)
+        for ps, po in zip(self._pieces, other._pieces):
+            ps.tensor_values = ps.tensor_values - po.tensor_values
+            ps._cached_error_estimate = None
+        self._cached_error_estimate = None
+        return self
+
+    def __imul__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        s = float(scalar)
+        for p in self._pieces:
+            p.tensor_values = p.tensor_values * s
+            p._cached_error_estimate = None
+        self._cached_error_estimate = None
+        return self
+
+    def __itruediv__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        return self.__imul__(1.0 / float(scalar))
+
+    # ------------------------------------------------------------------
+    # Printing + plotting
+    # ------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        return (f"ChebyshevSpline(dims={self.num_dimensions}, "
+                f"pieces={self.num_pieces}, shape={self._shape}, "
+                f"built={self._built})")
+
+    def __str__(self) -> str:
+        status = "built" if self._built else "not built"
+        max_display = 6
+        if self.num_dimensions > max_display:
+            nodes_str = ("[" + ", ".join(
+                str(n) for n in self.n_nodes[:max_display]) + ", ...]")
+            knots_str = ("[" + ", ".join(
+                str(k) for k in self.knots[:max_display]) + ", ...]")
+            domain_str = (" x ".join(
+                f"[{lo}, {hi}]" for lo, hi in self.domain[:max_display])
+                + " x ...")
+        else:
+            nodes_str = str(self.n_nodes)
+            knots_str = str(self.knots)
+            domain_str = " x ".join(f"[{lo}, {hi}]"
+                                    for lo, hi in self.domain)
+        shape_str = " x ".join(str(s) for s in self._shape)
+
+        lines = [
+            f"ChebyshevSpline ({self.num_dimensions}D, {status})",
+            f"  Nodes:       {nodes_str} per piece",
+            f"  Knots:       {knots_str}",
+            f"  Pieces:      {self.num_pieces} ({shape_str})",
+        ]
+        if self._built:
+            lines.append(f"  Build:       {self._build_time:.3f}s "
+                         f"({self.total_build_evals:,} function evals)")
+        lines.append(f"  Domain:      {domain_str}")
+        if self._built:
+            lines.append(f"  Error est:   {self.error_estimate():.2e}")
+        return "\n".join(lines)
+
+    def plot_1d(self, ax=None, n_points=200, fixed=None):
+        """1-D slice plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_1d_impl
+        return plot_1d_impl(self, ax=ax, n_points=n_points, fixed=fixed)
+
+    def plot_2d_surface(self, ax=None, n_points=50, fixed=None):
+        """2-D surface plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_surface_impl
+        return plot_2d_surface_impl(self, ax=ax, n_points=n_points,
+                                    fixed=fixed)
+
+    def plot_2d_contour(self, ax=None, n_points=50, n_levels=20, fixed=None):
+        """2-D contour plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_contour_impl
+        return plot_2d_contour_impl(self, ax=ax, n_points=n_points,
+                                    n_levels=n_levels, fixed=fixed)
+
+    # ------------------------------------------------------------------
+    # Adaptive knot placement
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def auto_knots(cls, function, num_dimensions, domain, *,
+                   max_knots_per_dim: int = 5, n_scan_points: int = 200,
+                   threshold_factor: float = 5.0,
+                   n_nodes_per_piece: int = 10,
+                   additional_data=None) -> "ChebyshevSpline":
+        """Build a spline with knots auto-placed at detected kinks.
+
+        Scans each dim at midpoints of the others, clusters |second
+        difference| spikes above ``threshold_factor * mean``, keeps the
+        peak per cluster (capped per dim), then builds
+        (reference ``spline.py:2110-2226``).
+        """
+        knots = []
+        midpoint = [(d[0] + d[1]) / 2.0 for d in domain]
+
+        for dim_idx in range(num_dimensions):
+            lo, hi = domain[dim_idx]
+            xs = np.linspace(lo, hi, n_scan_points)
+            ys = np.empty(n_scan_points)
+            for i, x in enumerate(xs):
+                point = list(midpoint)
+                point[dim_idx] = float(x)
+                ys[i] = float(function(point, additional_data))
+
+            if not np.isfinite(ys).all():
+                raise ValueError(
+                    f"function returned non-finite values during scan on "
+                    f"dim {dim_idx}; auto_knots requires a finite-valued "
+                    f"function over the entire domain"
+                )
+
+            d2 = np.abs(np.diff(ys, n=2))
+            if len(d2) == 0:
+                knots.append([])
+                continue
+            # mean (not median): sparse-signal piecewise-linear inputs have
+            # almost all-zero second differences; median would be 0.
+            mean_d2 = float(np.mean(d2))
+            if mean_d2 == 0:
+                knots.append([])
+                continue
+
+            spike_indices = np.where(d2 > threshold_factor * mean_d2)[0]
+            if len(spike_indices) == 0:
+                knots.append([])
+                continue
+
+            # Cluster nearby spikes; keep the peak of each cluster.
+            cluster_radius = max(1, n_scan_points // (max_knots_per_dim * 4))
+            clusters = []
+            current = [int(spike_indices[0])]
+            for idx in spike_indices[1:]:
+                if int(idx) - current[-1] <= cluster_radius:
+                    current.append(int(idx))
+                else:
+                    clusters.append(current)
+                    current = [int(idx)]
+            clusters.append(current)
+
+            peaks = [max(c, key=lambda i: d2[i]) for c in clusters]
+            peaks.sort(key=lambda i: -d2[i])
+            peaks = peaks[:max_knots_per_dim]
+            knots.append(sorted(float(xs[i + 1]) for i in peaks))
+
+        spl = cls(function, num_dimensions, domain,
+                  n_nodes=[n_nodes_per_piece] * num_dimensions,
+                  knots=knots, additional_data=additional_data)
+        spl.build(verbose=False)
+        return spl

@@ -1,0 +1,366 @@
+"""ChebyshevSpline: kink recovery, routing, special_points dispatch,
+calculus, algebra, serialization, auto_knots."""
+
+import math
+import pickle
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import (
+    ChebyshevApproximation,
+    ChebyshevSpline,
+    SpecialPoints,
+)
+
+
+def abs_kink(x, _):
+    return abs(x[0])
+
+
+def payoff_2d(x, _):
+    # call-payoff-style kink along dim 0 at K=1.0, smooth in dim 1
+    return max(x[0] - 1.0, 0.0) * math.exp(-0.1 * x[1])
+
+
+@pytest.fixture(scope="module")
+def spline_abs():
+    sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [15], [[0.0]])
+    sp.build(verbose=False)
+    return sp
+
+
+@pytest.fixture(scope="module")
+def spline_2d():
+    sp = ChebyshevSpline(payoff_2d, 2, [[0.0, 2.0], [0.0, 1.0]],
+                         [12, 10], [[1.0], []])
+    sp.build(verbose=False)
+    return sp
+
+
+class TestAccuracy:
+    def test_abs_recovered_exactly(self, spline_abs):
+        for x in [-0.73, -0.3, 0.001, 0.5, 0.99]:
+            assert abs(spline_abs.eval([x], [0]) - abs(x)) < 1e-12
+
+    def test_knot_point_routes_right(self, spline_abs):
+        assert abs(spline_abs.eval([0.0], [0])) < 1e-13
+
+    def test_derivative_piecewise(self, spline_abs):
+        assert abs(spline_abs.eval([0.5], [1]) - 1.0) < 1e-10
+        assert abs(spline_abs.eval([-0.5], [1]) + 1.0) < 1e-10
+
+    def test_derivative_at_knot_raises(self, spline_abs):
+        with pytest.raises(ValueError, match="not defined"):
+            spline_abs.eval([0.0], [1])
+
+    def test_2d_payoff(self, spline_2d):
+        for pt in [[0.5, 0.3], [1.5, 0.7], [1.0001, 0.1]]:
+            expected = payoff_2d(pt, None)
+            assert abs(spline_2d.eval(pt, [0, 0]) - expected) < 1e-10
+
+    def test_spline_beats_plain_approximation(self):
+        # The whole point: a kink destroys spectral convergence for the
+        # plain tensor but not for the spline.
+        plain = ChebyshevApproximation(abs_kink, 1, [[-1, 1]], [15])
+        plain.build(verbose=False)
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [15], [[0.0]])
+        sp.build(verbose=False)
+        x = 0.137
+        assert abs(sp.eval([x], [0]) - abs(x)) < 1e-12
+        assert abs(plain.vectorized_eval([x], [0]) - abs(x)) > 1e-4
+
+
+class TestDispatch:
+    def test_special_points_dispatches_to_spline(self):
+        obj = ChebyshevApproximation(
+            abs_kink, 1, [[-1, 1]], n_nodes=[[15, 15]],
+            special_points=[[0.0]])
+        assert isinstance(obj, ChebyshevSpline)
+        obj.build(verbose=False)
+        assert abs(obj.eval([0.4], [0]) - 0.4) < 1e-12
+
+    def test_empty_special_points_stays_approximation(self):
+        obj = ChebyshevApproximation(
+            abs_kink, 1, [[-1, 1]], [15], special_points=[[]])
+        assert isinstance(obj, ChebyshevApproximation)
+
+    def test_typed_helper(self):
+        obj = ChebyshevApproximation(
+            abs_kink, 1, [[-1, 1]], n_nodes=[[9, 9]],
+            special_points=SpecialPoints(knots_per_dim=[[0.0]]))
+        assert isinstance(obj, ChebyshevSpline)
+
+    def test_special_points_validation(self):
+        with pytest.raises(ValueError):
+            ChebyshevApproximation(abs_kink, 1, [[-1, 1]], [[9, 9]],
+                                   special_points=[[2.0]])  # outside
+        with pytest.raises(ValueError):
+            ChebyshevApproximation(abs_kink, 2, [[-1, 1], [-1, 1]],
+                                   special_points=[[0.0]])  # wrong len
+        with pytest.raises(ValueError):
+            ChebyshevApproximation(abs_kink, 1, [[-1, 1]], [9],
+                                   special_points=[[0.0]])  # flat n_nodes
+        with pytest.raises(ValueError):
+            ChebyshevApproximation(abs_kink, 1, [[-1, 1]],
+                                   special_points=[0.0])  # not nested
+
+    def test_knot_validation(self):
+        with pytest.raises(ValueError, match="sorted"):
+            ChebyshevSpline(abs_kink, 1, [[-1, 1]], [9],
+                            [[0.5, -0.5]])
+        with pytest.raises(ValueError, match="strictly"):
+            ChebyshevSpline(abs_kink, 1, [[-1, 1]], [9], [[1.0]])
+
+
+class TestBatchRouting:
+    def test_batch_matches_single(self, spline_2d):
+        rng = np.random.default_rng(11)
+        pts = np.column_stack([rng.uniform(0, 2, 50),
+                               rng.uniform(0, 1, 50)])
+        batch = spline_2d.eval_batch(pts, [0, 0])
+        singles = [spline_2d.eval(list(p), [0, 0]) for p in pts]
+        np.testing.assert_allclose(batch, singles, atol=1e-13)
+
+    def test_batch_spans_pieces(self, spline_abs):
+        pts = np.array([[-0.5], [0.5], [-0.1], [0.9]])
+        out = spline_abs.eval_batch(pts, [0])
+        np.testing.assert_allclose(out, [0.5, 0.5, 0.1, 0.9], atol=1e-12)
+
+    def test_eval_multi(self, spline_2d):
+        pt = [0.5, 0.5]
+        multi = spline_2d.eval_multi(pt, [[0, 0], [0, 1]])
+        assert abs(multi[0] - spline_2d.eval(pt, [0, 0])) < 1e-13
+        assert abs(multi[1] - spline_2d.eval(pt, [0, 1])) < 1e-13
+
+    def test_derivative_id(self, spline_2d):
+        did = spline_2d.get_derivative_id([0, 1])
+        a = spline_2d.eval([0.5, 0.5], derivative_id=did)
+        b = spline_2d.eval([0.5, 0.5], [0, 1])
+        assert a == b
+
+
+class TestNestedNs:
+    def test_nested_n_nodes(self):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [[9, 17]], [[0.0]])
+        sp.build(verbose=False)
+        assert sp._pieces[0].n_nodes == [9]
+        assert sp._pieces[1].n_nodes == [17]
+        assert abs(sp.eval([0.6], [0]) - 0.6) < 1e-12
+        assert sp.get_used_ns() == [[9, 17]]
+
+    def test_nested_length_validation(self):
+        with pytest.raises(ValueError, match="entries"):
+            ChebyshevSpline(abs_kink, 1, [[-1, 1]], [[9, 9, 9]], [[0.0]])
+
+    def test_auto_n_per_piece(self):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]],
+                             error_threshold=1e-10, knots=[[0.0]])
+        sp.build(verbose=False)
+        assert sp.error_estimate() <= 1e-10
+
+
+class TestErrorAndSobol:
+    def test_error_is_max_over_pieces(self, spline_abs):
+        per_piece = [p.error_estimate() for p in spline_abs._pieces]
+        assert spline_abs.error_estimate() == max(per_piece)
+
+    def test_sobol_single_piece_matches_approx(self):
+        def f(x, _):
+            return math.sin(x[0]) + 0.3 * x[1]
+
+        sp = ChebyshevSpline(f, 2, [[-1, 1], [-1, 1]], [9, 9],
+                             [[], []])
+        sp.build(verbose=False)
+        ap = ChebyshevApproximation(f, 2, [[-1, 1], [-1, 1]], [9, 9])
+        ap.build(verbose=False)
+        s1, s2 = sp.sobol_indices(), ap.sobol_indices()
+        for d in range(2):
+            assert abs(s1["first_order"][d] - s2["first_order"][d]) < 1e-10
+
+
+class TestCalculus:
+    def test_integrate_full(self, spline_abs):
+        # integral of |x| over [-1, 1] = 1
+        assert abs(spline_abs.integrate() - 1.0) < 1e-12
+
+    def test_integrate_sub_bounds(self, spline_abs):
+        got = spline_abs.integrate(dims=0, bounds=(-0.5, 0.5))
+        assert abs(got - 0.25) < 1e-12
+
+    def test_integrate_partial(self, spline_2d):
+        reduced = spline_2d.integrate(dims=0)
+        assert isinstance(reduced, ChebyshevSpline)
+        assert reduced.num_dimensions == 1
+        # int_0^2 max(x-1,0) dx = 0.5, times exp(-0.1 y)
+        got = reduced.eval([0.3], [0])
+        assert abs(got - 0.5 * math.exp(-0.03)) < 1e-9
+
+    def test_roots_across_pieces(self):
+        def f(x, _):
+            return abs(x[0]) - 0.5
+
+        sp = ChebyshevSpline(f, 1, [[-1, 1]], [15], [[0.0]])
+        sp.build(verbose=False)
+        np.testing.assert_allclose(sp.roots(), [-0.5, 0.5], atol=1e-9)
+
+    def test_minimize_maximize(self, spline_abs):
+        val, loc = spline_abs.minimize()
+        assert abs(val) < 1e-10 and abs(loc) < 1e-6
+        val, loc = spline_abs.maximize()
+        assert abs(val - 1.0) < 1e-10 and abs(abs(loc) - 1.0) < 1e-10
+
+
+class TestExtrudeSlice:
+    def test_extrude(self, spline_abs):
+        ext = spline_abs.extrude((1, (0.0, 5.0), 4))
+        assert ext.num_dimensions == 2
+        assert ext.knots == [[0.0], []]
+        assert abs(ext.eval([0.5, 3.0], [0, 0]) - 0.5) < 1e-11
+
+    def test_slice_selects_surviving_piece(self, spline_2d):
+        sl = spline_2d.slice((0, 1.5))
+        assert sl.num_dimensions == 1
+        got = sl.eval([0.4], [0])
+        assert abs(got - payoff_2d([1.5, 0.4], None)) < 1e-10
+
+    def test_slice_smooth_dim_keeps_knots(self, spline_2d):
+        sl = spline_2d.slice((1, 0.5))
+        assert sl.num_dimensions == 1
+        assert sl.knots == [[1.0]]
+        assert sl.num_pieces == 2
+        got = sl.eval([0.5, ][0:1], [0])
+        assert abs(got - payoff_2d([0.5, 0.5], None)) < 1e-10
+
+
+class TestAlgebra:
+    def test_add_and_scalar(self, spline_abs):
+        sp2 = spline_abs + spline_abs
+        assert abs(sp2.eval([0.3], [0]) - 0.6) < 1e-12
+        sp3 = spline_abs * 3.0
+        assert abs(sp3.eval([-0.4], [0]) - 1.2) < 1e-12
+        sp4 = -spline_abs
+        assert abs(sp4.eval([0.2], [0]) + 0.2) < 1e-12
+
+    def test_inplace(self):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [9], [[0.0]])
+        sp.build(verbose=False)
+        sp *= 2.0
+        assert abs(sp.eval([0.3], [0]) - 0.6) < 1e-12
+
+    def test_knot_mismatch(self, spline_abs):
+        other = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [15], [[0.5]])
+        other.build(verbose=False)
+        with pytest.raises(ValueError, match="Knot mismatch"):
+            _ = spline_abs + other
+
+
+class TestSerialization:
+    def test_pickle_roundtrip(self, spline_2d, tmp_path):
+        p = tmp_path / "sp.pkl"
+        spline_2d.save(p)
+        loaded = ChebyshevSpline.load(p)
+        pt = [0.7, 0.2]
+        assert abs(loaded.eval(pt, [0, 0])
+                   - spline_2d.eval(pt, [0, 0])) < 1e-14
+
+    def test_binary_roundtrip(self, spline_2d, tmp_path):
+        p = tmp_path / "sp.pcb"
+        spline_2d.save(p, format="binary")
+        raw = p.read_bytes()
+        assert raw[:4] == b"PCB\x00"
+        assert raw[6:8] == (2).to_bytes(2, "little")
+        loaded = ChebyshevSpline.load(p)
+        pt = [1.3, 0.8]
+        assert abs(loaded.eval(pt, [0, 0])
+                   - spline_2d.eval(pt, [0, 0])) < 1e-14
+
+    def test_binary_rejects_nested(self, tmp_path):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [[9, 11]], [[0.0]])
+        sp.build(verbose=False)
+        with pytest.raises(NotImplementedError):
+            sp.save(tmp_path / "x.pcb", format="binary")
+
+    def test_nodes_from_values_roundtrip(self, spline_abs):
+        info = ChebyshevSpline.nodes(1, [[-1, 1]], [15], [[0.0]])
+        assert info["num_pieces"] == 2
+        piece_values = [
+            np.abs(piece["full_grid"][:, 0]).reshape(piece["shape"])
+            for piece in info["pieces"]
+        ]
+        sp = ChebyshevSpline.from_values(
+            piece_values, 1, [[-1, 1]], [15], [[0.0]])
+        for x in [-0.8, -0.2, 0.3, 0.7]:
+            assert abs(sp.eval([x], [0])
+                       - spline_abs.eval([x], [0])) < 1e-14
+
+    def test_defer_build(self):
+        sp = ChebyshevSpline(None, 1, [[-1, 1]], [9], [[0.0]],
+                             defer_build=True)
+        assert not sp.is_construction_finished()
+        vals = [np.abs(p.get_evaluation_points()[:, 0]).reshape(9)
+                for p in sp._pieces]
+        sp.set_original_function_values(vals)
+        assert sp.is_construction_finished()
+        assert abs(sp.eval([0.5], [0]) - 0.5) < 1e-12
+
+    def test_defer_build_atomic(self):
+        sp = ChebyshevSpline(None, 1, [[-1, 1]], [9], [[0.0]],
+                             defer_build=True)
+        bad = [np.zeros(9), np.zeros(7)]  # second has wrong shape
+        with pytest.raises(ValueError):
+            sp.set_original_function_values(bad)
+        # atomicity: nothing was filled
+        assert all(p.tensor_values is None for p in sp._pieces)
+
+
+class TestErgonomics:
+    def test_surface(self, spline_abs):
+        assert spline_abs.get_constructor_type() == "ChebyshevSpline"
+        assert spline_abs.num_pieces == 2
+        assert spline_abs.get_special_points() == [[0.0]]
+        assert spline_abs.get_num_evaluation_points() == 30
+        assert spline_abs.get_evaluation_points().shape == (30, 1)
+        assert spline_abs.total_build_evals == 30
+        assert ChebyshevSpline.is_dimensionality_allowed(3)
+        s = str(spline_abs)
+        assert "ChebyshevSpline" in s and "Pieces" in s
+
+    def test_clone(self, spline_abs):
+        c = spline_abs.clone()
+        c *= 2.0
+        assert abs(spline_abs.eval([0.5], [0]) - 0.5) < 1e-12
+        assert abs(c.eval([0.5], [0]) - 1.0) < 1e-12
+
+    def test_unbuilt_errors(self):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [9], [[0.0]])
+        with pytest.raises(RuntimeError):
+            sp.eval([0.5], [0])
+        with pytest.raises(RuntimeError):
+            sp.error_estimate()
+        with pytest.raises(RuntimeError):
+            sp.integrate()
+        with pytest.raises(RuntimeError):
+            sp.save("/tmp/x.pkl")
+
+
+class TestAutoKnots:
+    def test_finds_kink(self):
+        sp = ChebyshevSpline.auto_knots(abs_kink, 1, [[-1, 1]])
+        assert len(sp.knots[0]) >= 1
+        assert min(abs(k) for k in sp.knots[0]) < 0.02
+        assert abs(sp.eval([0.37], [0]) - 0.37) < 1e-6
+
+    def test_smooth_function_no_knots(self):
+        def f(x, _):
+            return math.sin(x[0])
+
+        sp = ChebyshevSpline.auto_knots(f, 1, [[-1, 1]])
+        assert sp.knots == [[]]
+
+    def test_2d(self):
+        sp = ChebyshevSpline.auto_knots(payoff_2d, 2,
+                                        [[0.0, 2.0], [0.0, 1.0]])
+        assert len(sp.knots[0]) >= 1
+        assert min(abs(k - 1.0) for k in sp.knots[0]) < 0.02
+        assert sp.knots[1] == []
