@@ -1,13 +1,1235 @@
-"""ChebyshevTT — tensor-train Chebyshev interpolation.
+"""ChebyshevTT: Chebyshev interpolation in Tensor Train format.
 
-Placeholder module: full implementation lands in the TT stage.
+API-parity target: reference ``tensor_train.py`` (class ``ChebyshevTT``,
+3491 lines).  Builds from O(d n r^2) function evaluations via TT-Cross
+(maxvol pivoting), TT-SVD, or rank-adaptive ALS; stores Chebyshev
+*coefficient* cores; evaluates batches through the fused jitted
+contraction chain in ``ops.tt_eval`` (one MXU GEMM + batched chain
+contraction per dimension).
+
+Frame discipline (reference v0.20.1, issue #19): the storage order of
+cores may be a permutation ``_dim_order`` of the user's dims (set by
+``with_auto_order``/``reorder``).  All public methods accept user-frame
+indices/coordinates and permute exactly once into storage frame; no
+method mutates ``_dim_order`` temporarily, so concurrent evaluation is
+race-free by construction.
 """
 
 from __future__ import annotations
+
+import os
+import pickle
+import time
+import warnings
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from pychebyshev_tpu.models import tt_algorithms as tta
+from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
 
 __all__ = ["ChebyshevTT"]
 
 
 class ChebyshevTT:
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("ChebyshevTT: implementation pending")
+    """Chebyshev interpolant in TT format for high-dimensional functions.
+
+    Parameters mirror the reference ctor (``tensor_train.py:1088-1138``);
+    the additional ``vectorized`` kwarg marks ``function`` as
+    batch-capable (``f(points (N, d), data) -> (N,)``) so the build
+    oracle issues one batched call per cross block.
+    """
+
+    def __init__(self, function: Callable, num_dimensions: int,
+                 domain, n_nodes, max_rank: int = 10,
+                 tolerance: float = 1e-6, max_sweeps: int = 10,
+                 additional_data=None, *, max_derivative_order: int = 2,
+                 vectorized: bool = False):
+        from pychebyshev_tpu import Domain, Ns
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+        if len(domain) != num_dimensions:
+            raise ValueError(
+                f"domain has {len(domain)} entries but "
+                f"num_dimensions={num_dimensions}"
+            )
+        if len(n_nodes) != num_dimensions:
+            raise ValueError(
+                f"n_nodes has {len(n_nodes)} entries but "
+                f"num_dimensions={num_dimensions}"
+            )
+
+        self.function = function
+        self.num_dimensions = num_dimensions
+        self.domain = [list(b) for b in domain]
+        self.n_nodes = [int(n) for n in n_nodes]
+        self.max_rank = max_rank
+        self.tolerance = tolerance
+        self.max_sweeps = max_sweeps
+        self.max_derivative_order = max_derivative_order
+        self.vectorized = bool(vectorized)
+
+        self._coeff_cores: Optional[List[np.ndarray]] = None
+        self._built = False
+        self.descriptor: str = ""
+        self.additional_data = additional_data
+        self._tt_ranks: Optional[List[int]] = None
+        self._build_time: float = 0.0
+        self._total_build_evals: int = 0
+        self._cached_error_estimate: Optional[float] = None
+        self.method: Optional[str] = None
+        # _dim_order[k] = original (user-frame) dim stored at TT position k.
+        self._dim_order: List[int] = list(range(num_dimensions))
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    def _storage_grids(self) -> List[np.ndarray]:
+        """Per-storage-position Chebyshev node arrays (ascending)."""
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        return [
+            np.asarray(nodes_for_dim(self.domain[d][0], self.domain[d][1],
+                                     self.n_nodes[d]))
+            for d in range(self.num_dimensions)
+        ]
+
+    def build(self, verbose: bool | int = True, seed: Optional[int] = None,
+              method: str = "cross") -> None:
+        """Build value cores (cross / svd / als), convert to coefficient
+        cores via the DCT-II cosine matrix."""
+        if method not in ("cross", "svd", "als"):
+            raise ValueError(
+                f"method must be 'cross', 'svd', or 'als', got {method!r}"
+            )
+        if self.function is None:
+            raise RuntimeError(
+                "Cannot build: no function assigned. "
+                "This object was created via from_values() or load()."
+            )
+        self.method = method
+        start = time.time()
+        self._cached_error_estimate = None
+
+        full_tensor_size = int(np.prod(self.n_nodes))
+        if verbose:
+            print(f"Building {self.num_dimensions}D ChebyshevTT "
+                  f"(max_rank={self.max_rank}, method={method!r})...")
+            print(f"  Full tensor would need {full_tensor_size:,} "
+                  f"evaluations")
+
+        grids = self._storage_grids()
+        oracle = tta.GridOracle(self.function, grids,
+                                additional_data=self.additional_data,
+                                vectorized=self.vectorized)
+
+        if method == "cross":
+            if verbose:
+                print("  Running TT-Cross...")
+            value_cores = tta.tt_cross(
+                oracle, list(self.n_nodes), max_rank=self.max_rank,
+                tol=self.tolerance, max_sweeps=self.max_sweeps,
+                verbose=verbose, seed=seed)
+        elif method == "svd":
+            if verbose:
+                print(f"  Building full tensor "
+                      f"({full_tensor_size:,} evaluations)...")
+            target = oracle.full_tensor(list(self.n_nodes))
+            value_cores = tta.tt_svd_from_tensor(
+                target, max_rank=self.max_rank, tol=self.tolerance)
+            if verbose:
+                ranks = [1] + [c.shape[2] for c in value_cores]
+                print(f"  TT-SVD ranks: {ranks}")
+        else:  # als
+            if verbose:
+                print("  Running TT-ALS...")
+            target = oracle.full_tensor(list(self.n_nodes))
+            value_cores = tta.tt_als(
+                target, max_rank=self.max_rank, tol=self.tolerance,
+                random_state=seed, verbose=bool(verbose))
+
+        self._total_build_evals = oracle.n_evals
+        self._coeff_cores = [tta.value_core_to_coeff_core(c)
+                             for c in value_cores]
+        self._tt_ranks = [1] + [c.shape[2] for c in self._coeff_cores]
+        self._build_time = time.time() - start
+        self._built = True
+
+        if verbose:
+            tt_storage = sum(c.size for c in self._coeff_cores)
+            print(f"  Built in {self._build_time:.3f}s "
+                  f"({self._total_build_evals:,} function evaluations)")
+            print(f"  TT ranks: {self._tt_ranks}")
+            print(f"  Compression: {full_tensor_size:,} -> {tt_storage:,} "
+                  f"elements ({full_tensor_size / tt_storage:.1f}x)")
+
+    def _check_built(self) -> None:
+        if not self._built:
+            raise RuntimeError("Call build() before using this method.")
+
+    # ------------------------------------------------------------------
+    # Orthogonalization + completion
+    # ------------------------------------------------------------------
+
+    def orth_left(self, position: int) -> None:
+        """Left-orthogonalize cores [0..position-1] in place (tensor
+        unchanged; R factors absorbed rightward)."""
+        self._check_built()
+        d = self.num_dimensions
+        if not (1 <= position < d):
+            raise ValueError(
+                f"position must be in [1, {d - 1}] for orth_left, "
+                f"got {position}"
+            )
+        for k in range(position):
+            self._coeff_cores[k], self._coeff_cores[k + 1] = (
+                tta.orth_left_core(self._coeff_cores[k],
+                                   self._coeff_cores[k + 1]))
+
+    def orth_right(self, position: int) -> None:
+        """Right-orthogonalize cores [position+1..d-1] in place."""
+        self._check_built()
+        d = self.num_dimensions
+        if not (0 <= position < d - 1):
+            raise ValueError(
+                f"position must be in [0, {d - 2}] for orth_right, "
+                f"got {position}"
+            )
+        for k in range(d - 1, position, -1):
+            self._coeff_cores[k - 1], self._coeff_cores[k] = (
+                tta.orth_right_core(self._coeff_cores[k - 1],
+                                    self._coeff_cores[k]))
+
+    def run_completion(self, tolerance: float = 1e-8, max_iter: int = 50,
+                       verbose: bool = False) -> None:
+        """Refine the TT at its current rank via fixed-rank ALS sweeps
+        against fresh grid samples (re-evaluates the function on the full
+        grid; rank does not grow)."""
+        self._check_built()
+        if self.function is None:
+            raise RuntimeError(
+                "run_completion requires self.function to be callable; "
+                "the TT was loaded from a source without the original "
+                "function."
+            )
+        value_cores = [tta.coeff_core_to_value_core(c)
+                       for c in self._coeff_cores]
+        grids = self._storage_grids()
+        oracle = tta.GridOracle(self.function, grids,
+                                additional_data=self.additional_data,
+                                vectorized=self.vectorized)
+        target = oracle.full_tensor(list(self.n_nodes))
+        refined = tta.als_fixed_rank_sweeps(
+            value_cores, target, tolerance=tolerance, max_iter=max_iter,
+            verbose=verbose)
+        self._coeff_cores = [tta.value_core_to_coeff_core(c)
+                             for c in refined]
+        self._cached_error_estimate = None
+
+    # ------------------------------------------------------------------
+    # Inner product / integration / calculus
+    # ------------------------------------------------------------------
+
+    def inner_product(self, other: "ChebyshevTT") -> float:
+        """Frobenius inner product of the two coefficient tensors via
+        core-chain contraction, O(d n r_s^2 r_o^2)."""
+        self._check_built()
+        if not isinstance(other, ChebyshevTT):
+            raise ValueError(
+                f"other must be a ChebyshevTT, got {type(other).__name__}"
+            )
+        other._check_built()
+        if not np.allclose(np.asarray(self.domain, dtype=float),
+                           np.asarray(other.domain, dtype=float)):
+            raise ValueError(
+                "inner_product requires matching domains; "
+                f"got {self.domain} vs {other.domain}"
+            )
+        if list(self.n_nodes) != list(other.n_nodes):
+            raise ValueError(
+                "inner_product requires matching n_nodes; "
+                f"got {self.n_nodes} vs {other.n_nodes}"
+            )
+        if list(self._dim_order) != list(other._dim_order):
+            raise ValueError(
+                f"inner_product requires matching _dim_order: "
+                f"{self._dim_order} vs {other._dim_order}. "
+                f"Call other = other.reorder(self._dim_order) to align "
+                f"before computing inner_product."
+            )
+        m = np.array([[1.0]])
+        for k in range(self.num_dimensions):
+            m = np.einsum("ij,ipa,jpb->ab", m, self._coeff_cores[k],
+                          other._coeff_cores[k])
+        return float(m[0, 0])
+
+    def integrate(self, dims=None, bounds=None):
+        """Fejer-1 quadrature contraction through value cores.
+
+        Full integration chains the contracted (r_l, r_r) matrices to a
+        scalar; partial integration absorbs pending matrices into the
+        next kept core.  ``dims``/``bounds`` are user-frame.
+        """
+        from pychebyshev_tpu.ops.quadrature import (
+            fejer1_weights,
+            sub_interval_weights,
+        )
+        from pychebyshev_tpu.utils.calculus import normalize_bounds
+
+        self._check_built()
+
+        if dims is None:
+            dims_sorted = list(range(self.num_dimensions))
+        elif isinstance(dims, int):
+            dims_sorted = [dims]
+        else:
+            dims_sorted = sorted(set(dims))
+
+        if any(d < 0 or d >= self.num_dimensions for d in dims_sorted):
+            raise ValueError(
+                f"dims contains out-of-range index "
+                f"(num_dimensions={self.num_dimensions}, dims={dims_sorted})"
+            )
+
+        storage_for = {d: self._dim_order.index(d) for d in dims_sorted}
+        integrated_storage = sorted(storage_for.values())
+        integrated_set = set(integrated_storage)
+
+        bounds_storage_dims = [storage_for[d] for d in dims_sorted]
+        normalized = normalize_bounds(
+            bounds_storage_dims, bounds, self.domain,
+            dim_labels=dims_sorted)
+
+        # Quadrature weights per storage position (physical scaling baked in).
+        weights_per_storage = {}
+        for sp, bd in zip(bounds_storage_dims, normalized):
+            n = self.n_nodes[sp]
+            a, b = self.domain[sp]
+            scale = (b - a) / 2.0
+            if bd is None:
+                weights_per_storage[sp] = fejer1_weights(n) * scale
+            else:
+                t_lo = 2.0 * (bd[0] - a) / (b - a) - 1.0
+                t_hi = 2.0 * (bd[1] - a) / (b - a) - 1.0
+                weights_per_storage[sp] = (
+                    sub_interval_weights(n, t_lo, t_hi) * scale)
+
+        contracted = {}
+        for sp in integrated_storage:
+            val_core = tta.coeff_core_to_value_core(self._coeff_cores[sp])
+            contracted[sp] = np.einsum("rjs,j->rs", val_core,
+                                       weights_per_storage[sp])
+
+        if len(dims_sorted) == self.num_dimensions:
+            result = contracted[integrated_storage[0]]
+            for sp in integrated_storage[1:]:
+                result = result @ contracted[sp]
+            return float(result.ravel()[0])
+
+        # Partial: absorb pending products into the next kept core.
+        new_cores = []
+        pending = None
+        for k in range(self.num_dimensions):
+            if k in integrated_set:
+                m = contracted[k]
+                pending = m if pending is None else pending @ m
+                continue
+            core = self._coeff_cores[k].copy()
+            if pending is not None:
+                core = np.einsum("lr,rjs->ljs", pending, core)
+                pending = None
+            new_cores.append(core)
+        if pending is not None and new_cores:
+            new_cores[-1] = np.einsum("ljs,sr->ljr", new_cores[-1], pending)
+
+        kept = [sp for sp in range(self.num_dimensions)
+                if sp not in integrated_set]
+        # Renumber surviving user dims ascending; map each kept storage
+        # position's original dim to its new index.
+        new_dim_index = {}
+        next_idx = 0
+        for orig_d in range(self.num_dimensions):
+            if orig_d in set(dims_sorted):
+                continue
+            new_dim_index[orig_d] = next_idx
+            next_idx += 1
+        new_dim_order = [new_dim_index[self._dim_order[sp]] for sp in kept]
+
+        return self._assemble(
+            cores=new_cores,
+            domain=[self.domain[sp] for sp in kept],
+            n_nodes=[self.n_nodes[sp] for sp in kept],
+            dim_order=new_dim_order,
+        )
+
+    def _to_1d_chebyshev(self, sliced_1d: "ChebyshevTT"):
+        """1-D dense ChebyshevApproximation from a 1-D TT."""
+        from pychebyshev_tpu.models.approximation import (
+            ChebyshevApproximation,
+        )
+        assert sliced_1d.num_dimensions == 1
+        values = np.asarray(sliced_1d.to_dense(), dtype=float).reshape(-1)
+        a, b = sliced_1d.domain[0]
+        return ChebyshevApproximation.from_values(
+            values, num_dimensions=1, domain=[(float(a), float(b))],
+            n_nodes=[int(sliced_1d.n_nodes[0])])
+
+    def _user_frame_domain(self) -> list:
+        """Domain list indexed by user-frame dims."""
+        return [self.domain[self._dim_order.index(u)]
+                for u in range(self.num_dimensions)]
+
+    def roots(self, dim=None, fixed=None):
+        """Roots along *dim* (user-frame): slice to 1-D, re-sample dense,
+        colleague-matrix rootfinding."""
+        self._check_built()
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self._user_frame_domain())
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).roots()
+
+    def minimize(self, dim=None, fixed=None):
+        """(min value, location) along *dim* (user-frame)."""
+        self._check_built()
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self._user_frame_domain())
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).minimize()
+
+    def maximize(self, dim=None, fixed=None):
+        """(max value, location) along *dim* (user-frame)."""
+        self._check_built()
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self._user_frame_domain())
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).maximize()
+
+    def to_dense(self) -> np.ndarray:
+        """Materialize the full value tensor (axes in user-frame order)."""
+        self._check_built()
+        value_cores = [tta.coeff_core_to_value_core(c)
+                       for c in self._coeff_cores]
+        result = tta.tt_reconstruct(value_cores).reshape(
+            tuple(self.n_nodes))
+        canonical = list(range(self.num_dimensions))
+        if self._dim_order != canonical:
+            inv = [0] * self.num_dimensions
+            for storage_pos, orig_dim in enumerate(self._dim_order):
+                inv[orig_dim] = storage_pos
+            result = np.transpose(result, axes=inv)
+        return result
+
+    # ------------------------------------------------------------------
+    # Extrude / slice
+    # ------------------------------------------------------------------
+
+    def _assemble(self, cores, domain, n_nodes, dim_order,
+                  max_rank=None) -> "ChebyshevTT":
+        """Internal factory for derived TTs (integrate/slice/extrude/
+        algebra/reorder results)."""
+        obj = self.__class__.__new__(self.__class__)
+        obj.function = None
+        obj.num_dimensions = len(n_nodes)
+        obj.domain = [list(b) for b in domain]
+        obj.n_nodes = [int(n) for n in n_nodes]
+        obj.max_rank = self.max_rank if max_rank is None else max_rank
+        obj.tolerance = self.tolerance
+        obj.max_sweeps = self.max_sweeps
+        obj.max_derivative_order = self.max_derivative_order
+        obj.additional_data = self.additional_data
+        obj.descriptor = self.descriptor
+        obj.method = self.method
+        obj.vectorized = False
+        obj._coeff_cores = cores
+        obj._tt_ranks = [c.shape[0] for c in cores] + [cores[-1].shape[2]]
+        obj._built = True
+        obj._build_time = 0.0
+        obj._total_build_evals = 0
+        obj._cached_error_estimate = None
+        obj._dim_order = list(dim_order)
+        return obj
+
+    def extrude(self, params) -> "ChebyshevTT":
+        """Insert rank-preserving constant cores for the new dims.
+
+        In coefficient space the constant function 1 has only c0 = 1, so
+        the inserted core is ``core[i, 0, i] = 1``.
+        """
+        self._check_built()
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_extrusion_params,
+        )
+        norm_params = normalize_extrusion_params(params, self.num_dimensions)
+        canonical = list(range(self.num_dimensions))
+        identity = self._dim_order == canonical
+
+        new_cores = list(self._coeff_cores)
+        new_domain = list(self.domain)
+        new_n_nodes = list(self.n_nodes)
+        new_dim_order = list(self._dim_order)
+
+        def _insert_constant_core(cores, pos, n_new):
+            if pos == 0 or pos == len(cores):
+                r_at = 1
+            else:
+                r_at = cores[pos - 1].shape[2]
+            core = np.zeros((r_at, n_new, r_at))
+            core[:, 0, :] = np.eye(r_at)
+            return cores[:pos] + [core] + cores[pos:]
+
+        for dim_idx, (lo, hi), n_new in sorted(norm_params,
+                                               key=lambda p: p[0]):
+            if identity:
+                new_cores = _insert_constant_core(new_cores, dim_idx, n_new)
+                new_domain.insert(dim_idx, [lo, hi])
+                new_n_nodes.insert(dim_idx, n_new)
+                new_dim_order = list(range(len(new_cores)))
+            else:
+                storage_pos = len(new_cores)
+                new_cores = _insert_constant_core(new_cores, storage_pos,
+                                                  n_new)
+                new_domain.append([lo, hi])
+                new_n_nodes.append(n_new)
+                new_dim_order = [d if d < dim_idx else d + 1
+                                 for d in new_dim_order]
+                new_dim_order.append(dim_idx)
+
+        return self._assemble(new_cores, new_domain, new_n_nodes,
+                              new_dim_order)
+
+    def slice(self, params) -> "ChebyshevTT":
+        """Contract cores at fixed values (barycentric row in value space,
+        absorbed into a neighbor core).  ``params`` is user-frame."""
+        self._check_built()
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_slicing_params,
+        )
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights,
+            nodes_for_dim,
+        )
+        from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+
+        norm_params = normalize_slicing_params(params, self.num_dimensions)
+
+        # Validate values in user frame against storage-frame domains.
+        for dim_idx, value in norm_params:
+            storage_pos = self._dim_order.index(dim_idx)
+            lo, hi = self.domain[storage_pos]
+            if value < lo or value > hi:
+                raise ValueError(
+                    f"Slice value {value} for dim {dim_idx} is outside "
+                    f"domain [{lo}, {hi}]"
+                )
+
+        new_cores = list(self._coeff_cores)
+        new_domain = list(self.domain)
+        new_n_nodes = list(self.n_nodes)
+        live_dim_order = list(self._dim_order)
+
+        translated = [(live_dim_order.index(dim_idx), value)
+                      for dim_idx, value in norm_params]
+        for storage_pos, value in sorted(translated, key=lambda t: -t[0]):
+            lo, hi = new_domain[storage_pos]
+            nodes = np.asarray(nodes_for_dim(lo, hi,
+                                             new_n_nodes[storage_pos]))
+            value_core = tta.coeff_core_to_value_core(
+                new_cores[storage_pos])
+
+            diff = value - nodes
+            exact_idx = int(np.argmin(np.abs(diff)))
+            if np.abs(diff[exact_idx]) < NODE_COINCIDENCE_TOL:
+                m = value_core[:, exact_idx, :]
+            else:
+                w = np.asarray(barycentric_weights(nodes))
+                w_over_diff = w / diff
+                w_norm = w_over_diff / np.sum(w_over_diff)
+                m = np.einsum("rjs,j->rs", value_core, w_norm)
+
+            if storage_pos < len(new_cores) - 1:
+                new_cores[storage_pos + 1] = np.einsum(
+                    "lr,rjs->ljs", m, new_cores[storage_pos + 1])
+            else:
+                new_cores[storage_pos - 1] = np.einsum(
+                    "ijs,sr->ijr", new_cores[storage_pos - 1], m)
+            del new_cores[storage_pos]
+            new_domain.pop(storage_pos)
+            new_n_nodes.pop(storage_pos)
+            live_dim_order.pop(storage_pos)
+
+        if len(new_cores) == 0:
+            raise RuntimeError("internal error: cannot slice all dimensions")
+
+        sliced_orig = {dim_idx for dim_idx, _ in norm_params}
+        new_dim_index = {}
+        next_idx = 0
+        for orig_d in range(self.num_dimensions):
+            if orig_d in sliced_orig:
+                continue
+            new_dim_index[orig_d] = next_idx
+            next_idx += 1
+        result_dim_order = [new_dim_index[d] for d in live_dim_order]
+
+        return self._assemble(new_cores, new_domain, new_n_nodes,
+                              result_dim_order)
+
+    # ------------------------------------------------------------------
+    # Evaluation
+    # ------------------------------------------------------------------
+
+    def _storage_point(self, point):
+        canonical = list(range(self.num_dimensions))
+        if self._dim_order != canonical:
+            return [point[self._dim_order[k]]
+                    for k in range(self.num_dimensions)]
+        return list(point)
+
+    def eval(self, point) -> float:
+        """Evaluate at a single point via the TT contraction chain."""
+        self._check_built()
+        point_storage = self._storage_point(point)
+        return self._eval_storage_frame(point_storage,
+                                        [0] * self.num_dimensions)
+
+    def _eval_storage_frame(self, point_storage, derivative_order_storage
+                            ) -> float:
+        """Evaluate at a storage-frame point (value or FD derivative)."""
+        if all(o == 0 for o in derivative_order_storage):
+            pts = np.asarray(point_storage, dtype=np.float64)[None, :]
+            out = tt_eval_batch(self._coeff_cores,
+                                np.asarray(self.domain, dtype=np.float64),
+                                pts)
+            return float(np.asarray(out)[0])
+        return self._fd_derivative(point_storage, derivative_order_storage)
+
+    def eval_batch(self, points) -> np.ndarray:
+        """Evaluate at (N, d) points — one fused device call."""
+        self._check_built()
+        points = np.asarray(points, dtype=np.float64)
+        canonical = list(range(self.num_dimensions))
+        if self._dim_order != canonical:
+            points = points[:, self._dim_order]
+        out = tt_eval_batch(self._coeff_cores,
+                            np.asarray(self.domain, dtype=np.float64),
+                            points)
+        return np.asarray(out)
+
+    def eval_multi(self, point, derivative_orders) -> List[float]:
+        """Value + finite-difference derivatives at one point.
+
+        Coordinates and orders are permuted once into storage frame, then
+        each spec evaluates through the storage-frame helper (no
+        ``_dim_order`` mutation — the v0.20.1 race-free discipline).
+        """
+        self._check_built()
+        canonical = list(range(self.num_dimensions))
+        if self._dim_order != canonical:
+            point_storage = [point[self._dim_order[k]]
+                             for k in range(self.num_dimensions)]
+            derivs_storage = [
+                [do[self._dim_order[k]] for k in range(self.num_dimensions)]
+                for do in derivative_orders
+            ]
+        else:
+            point_storage = list(point)
+            derivs_storage = [list(do) for do in derivative_orders]
+        return [self._eval_storage_frame(point_storage, ds)
+                for ds in derivs_storage]
+
+    # --- finite differences (storage frame) ---------------------------
+
+    def _fd_step(self, d: int) -> float:
+        a, b = self.domain[d]
+        return (b - a) * 1e-4
+
+    def _nudge_point(self, point, d: int, h: float):
+        pt = list(point)
+        a, b = self.domain[d]
+        needed = h * 1.5
+        if pt[d] - a < needed:
+            pt[d] = a + needed
+        if b - pt[d] < needed:
+            pt[d] = b - needed
+        return pt
+
+    def _fd_derivative(self, point, deriv_order) -> float:
+        active = [(d, o) for d, o in enumerate(deriv_order) if o > 0]
+        if len(active) == 1:
+            d, order = active[0]
+            return self._fd_single_dim(point, d, order)
+        if len(active) == 2:
+            (d1, o1), (d2, o2) = active
+            if o1 == 1 and o2 == 1:
+                return self._fd_cross_deriv(point, d1, d2)
+        return self._fd_nested(point, active)
+
+    def _fd_single_dim(self, point, d: int, order: int) -> float:
+        h = self._fd_step(d)
+        pt = self._nudge_point(point, d, h)
+        zero = [0] * self.num_dimensions
+        pt_plus, pt_minus = list(pt), list(pt)
+        pt_plus[d] += h
+        pt_minus[d] -= h
+        if order == 1:
+            return (self._eval_storage_frame(pt_plus, zero)
+                    - self._eval_storage_frame(pt_minus, zero)) / (2.0 * h)
+        if order == 2:
+            f_plus = self._eval_storage_frame(pt_plus, zero)
+            f_center = self._eval_storage_frame(pt, zero)
+            f_minus = self._eval_storage_frame(pt_minus, zero)
+            return (f_plus - 2.0 * f_center + f_minus) / (h * h)
+        raise ValueError(
+            f"Derivative order {order} not supported (use 1 or 2)")
+
+    def _fd_cross_deriv(self, point, d1: int, d2: int) -> float:
+        h1, h2 = self._fd_step(d1), self._fd_step(d2)
+        pt = self._nudge_point(self._nudge_point(point, d1, h1), d2, h2)
+        zero = [0] * self.num_dimensions
+
+        def at(delta1, delta2):
+            p = list(pt)
+            p[d1] += delta1
+            p[d2] += delta2
+            return self._eval_storage_frame(p, zero)
+
+        return (at(h1, h2) - at(h1, -h2) - at(-h1, h2)
+                + at(-h1, -h2)) / (4.0 * h1 * h2)
+
+    def _fd_nested(self, point, active_dims) -> float:
+        if not active_dims:
+            return self._eval_storage_frame(point,
+                                            [0] * self.num_dimensions)
+        d, order = active_dims[0]
+        remaining = active_dims[1:]
+        h = self._fd_step(d)
+        pt = self._nudge_point(point, d, h)
+        pt_plus, pt_minus = list(pt), list(pt)
+        pt_plus[d] += h
+        pt_minus[d] -= h
+        if order == 1:
+            return (self._fd_nested(pt_plus, remaining)
+                    - self._fd_nested(pt_minus, remaining)) / (2.0 * h)
+        if order == 2:
+            return (self._fd_nested(pt_plus, remaining)
+                    - 2.0 * self._fd_nested(pt, remaining)
+                    + self._fd_nested(pt_minus, remaining)) / (h * h)
+        raise ValueError(
+            f"Derivative order {order} not supported (use 1 or 2)")
+
+    # ------------------------------------------------------------------
+    # Error estimate + properties
+    # ------------------------------------------------------------------
+
+    def error_estimate(self) -> float:
+        """Sum over dims of max |last Chebyshev coefficient| in each core."""
+        self._check_built()
+        if self._cached_error_estimate is not None:
+            return self._cached_error_estimate
+        total = sum(float(np.max(np.abs(core[:, -1, :])))
+                    for core in self._coeff_cores)
+        self._cached_error_estimate = total
+        return total
+
+    @property
+    def tt_ranks(self) -> List[int]:
+        """[1, r_1, ..., r_{d-1}, 1]."""
+        self._check_built()
+        return list(self._tt_ranks)
+
+    @property
+    def compression_ratio(self) -> float:
+        """Full-tensor elements / TT storage elements."""
+        self._check_built()
+        full_size = int(np.prod(self.n_nodes))
+        return full_size / sum(c.size for c in self._coeff_cores)
+
+    @property
+    def total_build_evals(self) -> int:
+        """Unique function evaluations used during build."""
+        return self._total_build_evals
+
+    @property
+    def dim_order(self) -> List[int]:
+        """dim_order[k] = original dim stored at TT position k."""
+        return list(self._dim_order)
+
+    def reorder(self, new_order, *, max_rank=None,
+                tolerance=None) -> "ChebyshevTT":
+        """New TT with storage permutation ``new_order`` via bubble-sorted
+        adjacent TT-swaps (SVD-split per swap)."""
+        self._check_built()
+        new_order = list(new_order)
+        d = self.num_dimensions
+        if sorted(new_order) != list(range(d)):
+            raise ValueError(
+                f"new_order must be a permutation of range({d}); "
+                f"got {new_order!r}"
+            )
+        if new_order == self._dim_order:
+            return self.clone()
+
+        eff_max_rank = self.max_rank if max_rank is None else max_rank
+        eff_tol = self.tolerance if tolerance is None else tolerance
+
+        current = list(self._dim_order)
+        cores = [c.copy() for c in self._coeff_cores]
+        n_nodes = list(self.n_nodes)
+        domain = list(self.domain)
+
+        for k in range(d):
+            j = current.index(new_order[k])
+            while j > k:
+                cores = tta.tt_swap_adjacent(
+                    cores, j - 1, max_rank=eff_max_rank, tolerance=eff_tol)
+                current[j - 1], current[j] = current[j], current[j - 1]
+                n_nodes[j - 1], n_nodes[j] = n_nodes[j], n_nodes[j - 1]
+                domain[j - 1], domain[j] = domain[j], domain[j - 1]
+                j -= 1
+
+        return self._assemble(cores, domain, n_nodes, new_order)
+
+    # ------------------------------------------------------------------
+    # Serialization + ergonomics
+    # ------------------------------------------------------------------
+
+    def __getstate__(self) -> dict:
+        from pychebyshev_tpu._version import __version__
+        state = self.__dict__.copy()
+        state["function"] = None
+        state["_pychebyshev_version"] = __version__
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        from pychebyshev_tpu._version import __version__
+        saved = state.pop("_pychebyshev_version", None)
+        if saved is not None and saved != __version__:
+            warnings.warn(
+                f"This object was saved with pychebyshev-tpu {saved}, but "
+                f"you are loading it with {__version__}. Evaluation results "
+                f"may differ if internal data layout changed.",
+                UserWarning,
+                stacklevel=2,
+            )
+        self.__dict__.update(state)
+        self.function = None
+        defaults = {
+            "_cached_error_estimate": None,
+            "additional_data": None,
+            "descriptor": "",
+            "max_derivative_order": 2,
+            "vectorized": False,
+        }
+        for key, val in defaults.items():
+            if not hasattr(self, key):
+                setattr(self, key, val)
+        if not hasattr(self, "_dim_order"):
+            self._dim_order = list(range(self.num_dimensions))
+
+    def is_construction_finished(self) -> bool:
+        """True iff built and usable."""
+        return self._built
+
+    def get_constructor_type(self) -> str:
+        """Class name."""
+        return type(self).__name__
+
+    def get_used_ns(self) -> list:
+        """Per-dim node counts."""
+        return list(self.n_nodes)
+
+    def set_descriptor(self, descriptor: str) -> None:
+        """Attach a free-form text label."""
+        if not isinstance(descriptor, str):
+            raise TypeError(
+                f"descriptor must be str, got {type(descriptor).__name__}"
+            )
+        self.descriptor = descriptor
+
+    def get_descriptor(self) -> str:
+        """The descriptor label (default '')."""
+        return self.descriptor
+
+    def get_max_derivative_order(self) -> int:
+        """Maximum queryable derivative order (via eval_multi FD)."""
+        return self.max_derivative_order
+
+    def get_num_evaluation_points(self) -> int:
+        """Full Cartesian grid size (TT-Cross samples a sparse subset;
+        see ``total_build_evals`` for the actual count)."""
+        return int(np.prod(self.n_nodes))
+
+    def get_evaluation_points(self) -> np.ndarray:
+        """Full Cartesian node grid, columns in user-frame order."""
+        grids = self._storage_grids()
+        mesh = np.meshgrid(*grids, indexing="ij")
+        user_frame = [mesh[self._dim_order.index(u)]
+                      for u in range(self.num_dimensions)]
+        return np.stack([g.ravel() for g in user_frame],
+                        axis=-1).astype(np.float64)
+
+    def clone(self) -> "ChebyshevTT":
+        """Independent deep copy (function not duplicated)."""
+        import copy
+        return copy.deepcopy(self)
+
+    def sobol_indices(self) -> dict:
+        """First/total-order Sobol indices from coefficient cores,
+        O(d n r^2); keys are user-frame dims."""
+        self._check_built()
+        from pychebyshev_tpu.utils.sensitivity import sobol_from_tt_cores
+        storage = sobol_from_tt_cores(self._coeff_cores)
+        user_first, user_total = {}, {}
+        for s in range(self.num_dimensions):
+            user_d = self._dim_order[s]
+            user_first[user_d] = storage["first_order"][s]
+            user_total[user_d] = storage["total_order"][s]
+        return {"first_order": user_first, "total_order": user_total,
+                "variance": storage["variance"]}
+
+    @classmethod
+    def from_values(cls, tensor_values, num_dimensions: int, domain,
+                    n_nodes, max_rank: Optional[int] = None,
+                    tolerance: float = 1e-6,
+                    max_derivative_order: int = 2, additional_data=None,
+                    descriptor: str = "") -> "ChebyshevTT":
+        """TT-SVD compression of a precomputed dense value tensor."""
+        from pychebyshev_tpu import Domain, Ns
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+
+        arr = np.asarray(tensor_values, dtype=np.float64)
+        expected_shape = tuple(n_nodes)
+        if arr.shape != expected_shape:
+            raise ValueError(
+                f"tensor_values shape {arr.shape} does not match expected "
+                f"{expected_shape}"
+            )
+        if not np.isfinite(arr).all():
+            raise ValueError(
+                "tensor_values contains NaN or Inf — all values must be "
+                "finite"
+            )
+        if max_rank is None:
+            max_rank = max(n_nodes)
+
+        value_cores = tta.tt_svd_from_tensor(arr, max_rank=max_rank,
+                                             tol=tolerance)
+        coeff_cores = [tta.value_core_to_coeff_core(c)
+                       for c in value_cores]
+
+        obj = cls.__new__(cls)
+        obj.function = None
+        obj.num_dimensions = num_dimensions
+        obj.domain = [list(b) for b in domain]
+        obj.n_nodes = list(n_nodes)
+        obj.max_rank = max_rank
+        obj.tolerance = tolerance
+        obj.max_sweeps = 10
+        obj.max_derivative_order = max_derivative_order
+        obj.additional_data = additional_data
+        obj.descriptor = descriptor
+        obj.method = "svd"
+        obj.vectorized = False
+        obj._coeff_cores = coeff_cores
+        obj._tt_ranks = ([c.shape[0] for c in coeff_cores]
+                         + [coeff_cores[-1].shape[2]])
+        obj._built = True
+        obj._build_time = 0.0
+        obj._total_build_evals = 0
+        obj._cached_error_estimate = None
+        obj._dim_order = list(range(num_dimensions))
+        return obj
+
+    @classmethod
+    def with_auto_order(cls, function, num_dimensions: int, domain,
+                        n_nodes, *, max_rank: int = 10,
+                        tolerance: float = 1e-6, max_sweeps: int = 10,
+                        additional_data=None, n_trials: int = 5,
+                        method: str = "greedy_swap",
+                        vectorized: bool = False) -> "ChebyshevTT":
+        """Build trying multiple dim orderings; keep the lowest total rank.
+
+        ``greedy_swap`` tries adjacent transpositions from the canonical
+        order; ``random`` samples ``n_trials`` permutations (seeded).
+        The winner's :attr:`dim_order` records the chosen permutation and
+        ``eval``/``eval_batch`` remap user coordinates transparently.
+        """
+        def build_with_order(order):
+            perm_domain = [domain[order[k]] for k in range(num_dimensions)]
+            perm_n_nodes = [n_nodes[order[k]]
+                            for k in range(num_dimensions)]
+
+            if vectorized:
+                inv = np.argsort(np.asarray(order))
+
+                def perm_f(points, ad):
+                    pts = np.asarray(points)
+                    return function(pts[:, inv], ad)
+            else:
+                def perm_f(point, ad):
+                    orig = [0.0] * num_dimensions
+                    for k in range(num_dimensions):
+                        orig[order[k]] = point[k]
+                    return function(orig, ad)
+
+            tt = cls(perm_f, num_dimensions, perm_domain, perm_n_nodes,
+                     max_rank=max_rank, tolerance=tolerance,
+                     max_sweeps=max_sweeps,
+                     additional_data=additional_data,
+                     vectorized=vectorized)
+            tt.build(verbose=False)
+            tt._dim_order = list(order)
+            return tt
+
+        def total_rank(tt):
+            return sum(tt.tt_ranks)
+
+        canonical = list(range(num_dimensions))
+        best_tt = build_with_order(canonical)
+        best_rank = total_rank(best_tt)
+
+        if method == "random":
+            rng = np.random.default_rng(42)
+            for _ in range(n_trials):
+                perm = rng.permutation(num_dimensions).tolist()
+                tt = build_with_order(perm)
+                if total_rank(tt) < best_rank:
+                    best_tt, best_rank = tt, total_rank(tt)
+        elif method == "greedy_swap":
+            improved = True
+            trial = 0
+            while improved and trial < n_trials:
+                improved = False
+                current = best_tt.dim_order
+                for i in range(num_dimensions - 1):
+                    trial_order = list(current)
+                    trial_order[i], trial_order[i + 1] = (
+                        trial_order[i + 1], trial_order[i])
+                    tt = build_with_order(trial_order)
+                    if total_rank(tt) < best_rank:
+                        best_tt, best_rank = tt, total_rank(tt)
+                        improved = True
+                        break
+                trial += 1
+        else:
+            raise ValueError(
+                f"with_auto_order: unknown method {method!r}; "
+                "expected 'greedy_swap' or 'random'"
+            )
+        return best_tt
+
+    @staticmethod
+    def nodes(num_dimensions, domain, n_nodes) -> dict:
+        """Per-dim Chebyshev node arrays (no function evaluation)."""
+        from pychebyshev_tpu import Domain, Ns
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+        if len(domain) != num_dimensions or len(n_nodes) != num_dimensions:
+            raise ValueError(
+                f"domain and n_nodes must have length {num_dimensions}"
+            )
+        nodes_per_dim = [
+            np.asarray(nodes_for_dim(domain[d][0], domain[d][1],
+                                     int(n_nodes[d])))
+            for d in range(num_dimensions)
+        ]
+        return {"nodes_per_dim": nodes_per_dim}
+
+    @staticmethod
+    def is_dimensionality_allowed(num_dimensions: int) -> bool:
+        """Whether this class supports ``num_dimensions`` (any >= 1)."""
+        return isinstance(num_dimensions, int) and num_dimensions >= 1
+
+    def save(self, path: str | os.PathLike) -> None:
+        """Save to pickle (function excluded)."""
+        self._check_built()
+        with open(os.fspath(path), "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "ChebyshevTT":
+        """Load from pickle (only load trusted files)."""
+        with open(os.fspath(path), "rb") as f:
+            obj = pickle.load(f)  # noqa: S301
+        if not isinstance(obj, cls):
+            raise TypeError(
+                f"Expected a {cls.__name__} instance, got "
+                f"{type(obj).__name__}"
+            )
+        return obj
+
+    # ------------------------------------------------------------------
+    # Printing
+    # ------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        return (f"ChebyshevTT(dims={self.num_dimensions}, "
+                f"nodes={self.n_nodes}, max_rank={self.max_rank}, "
+                f"built={self._built})")
+
+    def __str__(self) -> str:
+        status = "built" if self._built else "not built"
+        full_tensor_size = int(np.prod(self.n_nodes))
+        max_display = 6
+        if self.num_dimensions > max_display:
+            nodes_str = ("[" + ", ".join(
+                str(n) for n in self.n_nodes[:max_display]) + ", ...]")
+            domain_str = (" x ".join(
+                f"[{lo}, {hi}]" for lo, hi in self.domain[:max_display])
+                + " x ...")
+        else:
+            nodes_str = str(self.n_nodes)
+            domain_str = " x ".join(f"[{lo}, {hi}]"
+                                    for lo, hi in self.domain)
+
+        lines = [
+            f"ChebyshevTT ({self.num_dimensions}D, {status})",
+            f"  Nodes:       {nodes_str}",
+        ]
+        if self._built:
+            tt_storage = sum(c.size for c in self._coeff_cores)
+            lines.append(f"  TT ranks:    {self._tt_ranks}")
+            lines.append(f"  Compression: {full_tensor_size:,} -> "
+                         f"{tt_storage:,} elements "
+                         f"({full_tensor_size / tt_storage:.1f}x)")
+            lines.append(f"  Build:       {self._build_time:.3f}s "
+                         f"({self._total_build_evals:,} function evals)")
+            lines.append(f"  Domain:      {domain_str}")
+            lines.append(f"  Error est:   {self.error_estimate():.2e}")
+        else:
+            lines.append(f"  Domain:      {domain_str}")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------
+    # Algebra
+    # ------------------------------------------------------------------
+
+    def _check_compatible_tt(self, other) -> None:
+        if not isinstance(other, ChebyshevTT):
+            raise TypeError(
+                f"unsupported operand type for ChebyshevTT: "
+                f"{type(other).__name__}"
+            )
+        self._check_built()
+        other._check_built()
+        if self.num_dimensions != other.num_dimensions:
+            raise ValueError(
+                f"num_dimensions mismatch: {self.num_dimensions} vs "
+                f"{other.num_dimensions}"
+            )
+        if list(self.n_nodes) != list(other.n_nodes):
+            raise ValueError(
+                f"n_nodes mismatch: {self.n_nodes} vs {other.n_nodes}"
+            )
+        if not np.allclose(np.asarray(self.domain, dtype=float),
+                           np.asarray(other.domain, dtype=float)):
+            raise ValueError(
+                f"domain mismatch: {self.domain} vs {other.domain}"
+            )
+        if self._dim_order != other._dim_order:
+            raise ValueError(
+                f"TT dim_order mismatch: {self._dim_order} vs "
+                f"{other._dim_order}. Call other = "
+                f"other.reorder(self.dim_order) to align before "
+                f"adding/subtracting."
+            )
+
+    def __add__(self, other: "ChebyshevTT") -> "ChebyshevTT":
+        """Block-diagonal core stacking + TT-SVD rounding to
+        ``max(self.max_rank, other.max_rank)``."""
+        self._check_compatible_tt(other)
+        stacked = tta.tt_add_cores(self._coeff_cores, other._coeff_cores)
+        target_rank = max(self.max_rank, other.max_rank)
+        rounded = tta.tt_round_cores(stacked, max_rank=target_rank,
+                                     tolerance=self.tolerance)
+        return self._assemble(rounded, self.domain, self.n_nodes,
+                              self._dim_order, max_rank=target_rank)
+
+    def __neg__(self) -> "ChebyshevTT":
+        self._check_built()
+        new_cores = [c.copy() for c in self._coeff_cores]
+        new_cores[0] = -new_cores[0]
+        return self._assemble(new_cores, self.domain, self.n_nodes,
+                              self._dim_order)
+
+    def __sub__(self, other: "ChebyshevTT") -> "ChebyshevTT":
+        return self + (-other)
+
+    def __mul__(self, scalar) -> "ChebyshevTT":
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            raise TypeError(
+                f"ChebyshevTT * {type(scalar).__name__} is not supported "
+                "(only scalar multiplication is defined for TT)"
+            )
+        self._check_built()
+        new_cores = [c.copy() for c in self._coeff_cores]
+        new_cores[0] = new_cores[0] * float(scalar)
+        return self._assemble(new_cores, self.domain, self.n_nodes,
+                              self._dim_order)
+
+    def __rmul__(self, scalar) -> "ChebyshevTT":
+        return self.__mul__(scalar)
+
+    def __truediv__(self, scalar) -> "ChebyshevTT":
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            raise TypeError(
+                f"ChebyshevTT / {type(scalar).__name__} is not supported"
+            )
+        if float(scalar) == 0.0:
+            raise ZeroDivisionError("division by zero")
+        return self.__mul__(1.0 / float(scalar))
+
+    def __iadd__(self, other) -> "ChebyshevTT":
+        return self + other
+
+    def __isub__(self, other) -> "ChebyshevTT":
+        return self - other
+
+    def __imul__(self, scalar) -> "ChebyshevTT":
+        return self * scalar
+
+    def __itruediv__(self, scalar) -> "ChebyshevTT":
+        return self / scalar
+
+    # ------------------------------------------------------------------
+    # Plotting
+    # ------------------------------------------------------------------
+
+    def vectorized_eval_batch(self, points, derivative_order=None):
+        """Alias matching the Approximation batch surface (values only)."""
+        if derivative_order is not None and any(
+                o != 0 for o in derivative_order):
+            return np.array([
+                self.eval_multi(list(p), [list(derivative_order)])[0]
+                for p in np.asarray(points)
+            ])
+        return self.eval_batch(points)
+
+    def plot_1d(self, ax=None, n_points=200, fixed=None):
+        """1-D slice plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_1d_impl
+        return plot_1d_impl(self, ax=ax, n_points=n_points, fixed=fixed)
+
+    def plot_2d_surface(self, ax=None, n_points=50, fixed=None):
+        """2-D surface plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_surface_impl
+        return plot_2d_surface_impl(self, ax=ax, n_points=n_points,
+                                    fixed=fixed)
+
+    def plot_2d_contour(self, ax=None, n_points=50, n_levels=20, fixed=None):
+        """2-D contour plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_contour_impl
+        return plot_2d_contour_impl(self, ax=ax, n_points=n_points,
+                                    n_levels=n_levels, fixed=fixed)
