@@ -1,13 +1,930 @@
-"""ChebyshevSlider — additive (sliding-technique) decomposition.
+"""ChebyshevSlider: additive (sliding-technique) decomposition.
 
-Placeholder module: full implementation lands in the slider stage.
+API-parity target: reference ``slider.py`` (class ``ChebyshevSlider``,
+1499 lines; Ruiz & Zeron 2021, ch. 7).  Approximates
+``f(x) ~= f(z) + sum_i [s_i(x_{G_i}) - f(z)]`` over a user partition of
+dims with pivot z; each slide is a low-dimensional device-resident
+:class:`ChebyshevApproximation`, so build cost is the *sum* of per-group
+grid sizes instead of their product.
+
+TPU additions over the reference surface: an ``eval_batch`` that sums the
+slides' fused batched kernels (the reference only has per-point eval),
+and ``vectorized`` build functions (one batched call per slide grid).
 """
 
 from __future__ import annotations
+
+import os
+import pickle
+import time
+import warnings
+from typing import Callable, List, Tuple
+
+import numpy as np
+
+from pychebyshev_tpu.models.approximation import ChebyshevApproximation
 
 __all__ = ["ChebyshevSlider"]
 
 
 class ChebyshevSlider:
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("ChebyshevSlider: implementation pending")
+    """Additive Chebyshev decomposition around a pivot point.
+
+    Parameters mirror the reference ctor (``slider.py:80-126``); the
+    extra ``vectorized`` kwarg marks ``function`` as batch-capable.
+    """
+
+    def __init__(self, function: Callable, num_dimensions: int, domain,
+                 n_nodes, partition, pivot_point,
+                 max_derivative_order: int = 2, additional_data=None, *,
+                 vectorized: bool = False):
+        from pychebyshev_tpu import Domain, Ns
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+
+        self.function = function
+        self.num_dimensions = num_dimensions
+        self.domain = [list(b) for b in domain]
+        self.n_nodes = list(n_nodes)
+        self.partition = [list(g) for g in partition]
+        self.pivot_point = list(pivot_point)
+        self.max_derivative_order = max_derivative_order
+        self.descriptor: str = ""
+        self.additional_data = additional_data
+        self.vectorized = bool(vectorized)
+
+        all_dims = sorted(d for group in self.partition for d in group)
+        if all_dims != list(range(num_dimensions)):
+            raise ValueError(
+                f"Partition must cover all dimensions "
+                f"0..{num_dimensions - 1} exactly once. "
+                f"Got dimensions: {all_dims}"
+            )
+
+        self._dim_to_slide = {}
+        for slide_idx, group in enumerate(self.partition):
+            for d in group:
+                self._dim_to_slide[d] = slide_idx
+
+        self.slides: List[ChebyshevApproximation] = []
+        self.pivot_value: float = 0.0
+        self._built = False
+        self._cached_error_estimate = None
+        self._derivative_id_registry: dict = {}
+        self._derivative_id_to_orders: list = []
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    def build(self, verbose: bool | int = True) -> None:
+        """Build one low-dim approximation per group (off-group dims fixed
+        at the pivot)."""
+        if self.function is None:
+            raise RuntimeError(
+                "Cannot build: no function assigned. "
+                "This object was created via load() or a factory."
+            )
+        start = time.time()
+        self._cached_error_estimate = None
+
+        if self.vectorized:
+            pivot_arr = np.asarray([self.pivot_point], dtype=np.float64)
+            self.pivot_value = float(np.asarray(
+                self.function(pivot_arr, self.additional_data)).reshape(-1)[0])
+        else:
+            self.pivot_value = float(
+                self.function(self.pivot_point, self.additional_data))
+
+        total_evals = self.total_build_evals
+        if verbose:
+            print(f"Building {self.num_dimensions}D Chebyshev Slider "
+                  f"({len(self.partition)} slides, {total_evals:,} "
+                  f"evaluations vs {int(np.prod(self.n_nodes)):,} for "
+                  f"full tensor)...")
+
+        from pychebyshev_tpu.utils.progress import progress_iter
+
+        self.slides = []
+        for slide_idx, group in enumerate(progress_iter(
+                self.partition, total=len(self.partition),
+                enabled=(verbose == 2), desc="Building slides")):
+            slide_domain = [self.domain[d] for d in group]
+            slide_n_nodes = [self.n_nodes[d] for d in group]
+            slide_func = self._make_slide_func(group)
+
+            slide = ChebyshevApproximation(
+                slide_func, len(group), slide_domain, slide_n_nodes,
+                max_derivative_order=self.max_derivative_order,
+                additional_data=self.additional_data,
+                vectorized=self.vectorized,
+            )
+            slide.build(verbose=False)
+            self.slides.append(slide)
+            if verbose:
+                print(f"  Slide {slide_idx + 1}/{len(self.partition)}: "
+                      f"dims {group}, "
+                      f"{int(np.prod(slide_n_nodes)):,} evals")
+
+        if verbose:
+            print(f"Build complete in {time.time() - start:.3f}s")
+        self._built = True
+
+    def _make_slide_func(self, group):
+        """Slide closure: fills off-group dims with the pivot."""
+        pivot = list(self.pivot_point)
+        function = self.function
+        if self.vectorized:
+            group_arr = np.asarray(group, dtype=np.intp)
+            pivot_arr = np.asarray(pivot, dtype=np.float64)
+
+            def slide_func(sub_points, data):
+                sub_points = np.asarray(sub_points, dtype=np.float64)
+                full = np.tile(pivot_arr, (sub_points.shape[0], 1))
+                full[:, group_arr] = sub_points
+                return function(full, data)
+        else:
+            def slide_func(sub_point, data):
+                full_point = list(pivot)
+                for local_i, global_d in enumerate(group):
+                    full_point[global_d] = sub_point[local_i]
+                return function(full_point, data)
+        return slide_func
+
+    # ------------------------------------------------------------------
+    # Derivative-id registry
+    # ------------------------------------------------------------------
+
+    def get_derivative_id(self, derivative_order) -> int:
+        """Stable session-local id for a derivative-orders tuple."""
+        if len(derivative_order) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(derivative_order)} does not "
+                f"match num_dimensions {self.num_dimensions}"
+            )
+        for d, o in enumerate(derivative_order):
+            if not isinstance(o, (int, np.integer)):
+                raise ValueError(
+                    f"derivative_order[{d}] must be int, got "
+                    f"{type(o).__name__}"
+                )
+            if o < 0 or o > self.max_derivative_order:
+                raise ValueError(
+                    f"derivative_order[{d}]={o} out of range "
+                    f"[0, {self.max_derivative_order}]"
+                )
+        key = tuple(int(o) for o in derivative_order)
+        if key in self._derivative_id_registry:
+            return self._derivative_id_registry[key]
+        new_id = len(self._derivative_id_to_orders)
+        self._derivative_id_registry[key] = new_id
+        self._derivative_id_to_orders.append(key)
+        return new_id
+
+    def _resolve_derivative_args(self, derivative_order, derivative_id):
+        if derivative_order is not None and derivative_id is not None:
+            raise ValueError(
+                "provide exactly one of derivative_order or derivative_id, "
+                "not both"
+            )
+        if derivative_order is None and derivative_id is None:
+            raise ValueError("must provide derivative_order or derivative_id")
+        if derivative_id is not None:
+            if (derivative_id < 0
+                    or derivative_id >= len(self._derivative_id_to_orders)):
+                raise KeyError(
+                    f"unknown derivative_id {derivative_id}; "
+                    f"register via get_derivative_id() first"
+                )
+            return list(self._derivative_id_to_orders[derivative_id])
+        return derivative_order
+
+    # ------------------------------------------------------------------
+    # Evaluation
+    # ------------------------------------------------------------------
+
+    def eval(self, point, derivative_order=None, *, derivative_id=None
+             ) -> float:
+        """Eq. 7.5 sliding sum; derivatives route to the owning slide
+        (cross-group mixed partials are exactly 0)."""
+        if not self._built:
+            raise RuntimeError("Call build() before eval().")
+        derivative_order = self._resolve_derivative_args(
+            derivative_order, derivative_id)
+
+        if any(o > 0 for o in derivative_order):
+            active_slides = {
+                self._dim_to_slide[d]
+                for d, order in enumerate(derivative_order) if order > 0
+            }
+            if len(active_slides) > 1:
+                return 0.0
+            slide_idx = active_slides.pop()
+            group = self.partition[slide_idx]
+            sub_point = [point[d] for d in group]
+            sub_deriv = [derivative_order[d] for d in group]
+            return self.slides[slide_idx].vectorized_eval(
+                sub_point, sub_deriv)
+
+        result = self.pivot_value
+        for slide_idx, group in enumerate(self.partition):
+            sub_point = [point[d] for d in group]
+            slide_val = self.slides[slide_idx].vectorized_eval(
+                sub_point, [0] * len(group))
+            result += slide_val - self.pivot_value
+        return result
+
+    def eval_multi(self, point, derivative_orders) -> List[float]:
+        """Multiple derivative specs at one point."""
+        return [self.eval(point, do) for do in derivative_orders]
+
+    def eval_batch(self, points, derivative_order=None) -> np.ndarray:
+        """Batched evaluation: one fused device call per slide.
+
+        TPU-native extension beyond the reference surface (which only
+        offers per-point eval); values sum the slides' batched kernels,
+        derivative specs route to the owning slide's batched kernel.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before eval_batch().")
+        points = np.asarray(points, dtype=np.float64)
+        n = points.shape[0]
+        if derivative_order is None:
+            derivative_order = [0] * self.num_dimensions
+
+        if any(o > 0 for o in derivative_order):
+            active_slides = {
+                self._dim_to_slide[d]
+                for d, order in enumerate(derivative_order) if order > 0
+            }
+            if len(active_slides) > 1:
+                return np.zeros(n)
+            slide_idx = active_slides.pop()
+            group = self.partition[slide_idx]
+            sub_deriv = [derivative_order[d] for d in group]
+            return self.slides[slide_idx].vectorized_eval_batch(
+                points[:, group], sub_deriv)
+
+        result = np.full(n, self.pivot_value)
+        for slide_idx, group in enumerate(self.partition):
+            vals = self.slides[slide_idx].vectorized_eval_batch(
+                points[:, group], [0] * len(group))
+            result += vals - self.pivot_value
+        return result
+
+    vectorized_eval_batch = eval_batch
+
+    # ------------------------------------------------------------------
+    # Error estimation + properties
+    # ------------------------------------------------------------------
+
+    def error_estimate(self) -> float:
+        """Sum of per-slide estimates (every slide contributes to every
+        point; cross-group interaction error is not included)."""
+        if not self._built:
+            raise RuntimeError("Call build() before error_estimate().")
+        if self._cached_error_estimate is not None:
+            return self._cached_error_estimate
+        self._cached_error_estimate = sum(
+            slide.error_estimate() for slide in self.slides)
+        return self._cached_error_estimate
+
+    @property
+    def total_build_evals(self) -> int:
+        """Sum over groups of their grid sizes."""
+        return sum(int(np.prod([self.n_nodes[d] for d in group]))
+                   for group in self.partition)
+
+    # ------------------------------------------------------------------
+    # Serialization + ergonomics
+    # ------------------------------------------------------------------
+
+    def __getstate__(self) -> dict:
+        from pychebyshev_tpu._version import __version__
+        state = self.__dict__.copy()
+        state["function"] = None
+        state["_pychebyshev_version"] = __version__
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        from pychebyshev_tpu._version import __version__
+        saved = state.pop("_pychebyshev_version", None)
+        if saved is not None and saved != __version__:
+            warnings.warn(
+                f"This object was saved with pychebyshev-tpu {saved}, but "
+                f"you are loading it with {__version__}. Evaluation results "
+                f"may differ if internal data layout changed.",
+                UserWarning,
+                stacklevel=2,
+            )
+        self.__dict__.update(state)
+        self.function = None
+        defaults = {
+            "_cached_error_estimate": None,
+            "descriptor": "",
+            "additional_data": None,
+            "vectorized": False,
+            "_derivative_id_registry": {},
+            "_derivative_id_to_orders": [],
+        }
+        for key, val in defaults.items():
+            if not hasattr(self, key):
+                setattr(self, key, val)
+
+    def is_construction_finished(self) -> bool:
+        """True iff built and usable."""
+        return self._built
+
+    def get_constructor_type(self) -> str:
+        """Class name."""
+        return type(self).__name__
+
+    def get_used_ns(self) -> list:
+        """Per-dim node counts."""
+        return list(self.n_nodes)
+
+    def set_descriptor(self, descriptor: str) -> None:
+        """Attach a free-form text label."""
+        if not isinstance(descriptor, str):
+            raise TypeError(
+                f"descriptor must be str, got {type(descriptor).__name__}"
+            )
+        self.descriptor = descriptor
+
+    def get_descriptor(self) -> str:
+        """The descriptor label (default '')."""
+        return self.descriptor
+
+    def get_max_derivative_order(self) -> int:
+        """Maximum queryable derivative order."""
+        return self.max_derivative_order
+
+    def get_num_evaluation_points(self) -> int:
+        """Slide grid points (pivot singleton excluded)."""
+        return int(self.total_build_evals)
+
+    def get_evaluation_points(self) -> np.ndarray:
+        """Slide grids lifted into d-D space (off-group dims at pivot)."""
+        pivot = np.array(self.pivot_point, dtype=np.float64)
+        rows = []
+        for slide, group in zip(self.slides, self.partition):
+            grid = slide.get_evaluation_points()
+            full = np.tile(pivot, (len(grid), 1))
+            full[:, group] = grid
+            rows.append(full)
+        return np.concatenate(rows, axis=0)
+
+    def clone(self) -> "ChebyshevSlider":
+        """Independent deep copy (function not duplicated)."""
+        import copy
+        return copy.deepcopy(self)
+
+    @staticmethod
+    def is_dimensionality_allowed(num_dimensions: int) -> bool:
+        """Whether this class supports ``num_dimensions`` (any >= 1)."""
+        return isinstance(num_dimensions, int) and num_dimensions >= 1
+
+    def save(self, path: str | os.PathLike) -> None:
+        """Save to pickle (function excluded)."""
+        if not self._built:
+            raise RuntimeError(
+                "Cannot save an unbuilt slider. Call build() first."
+            )
+        with open(os.fspath(path), "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "ChebyshevSlider":
+        """Load from pickle (only load trusted files)."""
+        with open(os.fspath(path), "rb") as f:
+            obj = pickle.load(f)  # noqa: S301
+        if not isinstance(obj, cls):
+            raise TypeError(
+                f"Expected a {cls.__name__} instance, got "
+                f"{type(obj).__name__}"
+            )
+        return obj
+
+    @classmethod
+    def _from_slides(cls, source, slides, pivot_value):
+        """New slider sharing metadata from *source* with new slides."""
+        obj = object.__new__(cls)
+        obj.function = None
+        obj.num_dimensions = source.num_dimensions
+        obj.domain = [list(b) for b in source.domain]
+        obj.n_nodes = list(source.n_nodes)
+        obj.max_derivative_order = source.max_derivative_order
+        obj.partition = [list(g) for g in source.partition]
+        obj.pivot_point = list(source.pivot_point)
+        obj.slides = slides
+        obj.pivot_value = pivot_value
+        obj._dim_to_slide = dict(source._dim_to_slide)
+        obj._built = True
+        obj.descriptor = ""
+        obj.additional_data = None
+        obj.vectorized = False
+        obj._cached_error_estimate = None
+        obj._derivative_id_registry = {}
+        obj._derivative_id_to_orders = []
+        return obj
+
+    @classmethod
+    def _assemble(cls, *, num_dimensions, domain, n_nodes, partition,
+                  pivot_point, slides, pivot_value, max_derivative_order,
+                  descriptor="", additional_data=None):
+        """Internal factory for extrude/slice/integrate results."""
+        dim_to_slide = {}
+        for si, group in enumerate(partition):
+            for d in group:
+                dim_to_slide[d] = si
+        obj = object.__new__(cls)
+        obj.function = None
+        obj.num_dimensions = num_dimensions
+        obj.domain = [list(b) for b in domain]
+        obj.n_nodes = list(n_nodes)
+        obj.max_derivative_order = max_derivative_order
+        obj.partition = [list(g) for g in partition]
+        obj.pivot_point = list(pivot_point)
+        obj.slides = slides
+        obj.pivot_value = pivot_value
+        obj._dim_to_slide = dim_to_slide
+        obj._built = True
+        obj.descriptor = descriptor
+        obj.additional_data = additional_data
+        obj.vectorized = False
+        obj._cached_error_estimate = None
+        obj._derivative_id_registry = {}
+        obj._derivative_id_to_orders = []
+        return obj
+
+    # ------------------------------------------------------------------
+    # Extrude / slice
+    # ------------------------------------------------------------------
+
+    def extrude(self, params) -> "ChebyshevSlider":
+        """Each new dim becomes a 1-dim slide whose tensor is constant at
+        the pivot value (contributes 0 to the sliding sum); existing
+        group indices are remapped."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_extrusion_params,
+        )
+        sorted_params = normalize_extrusion_params(params,
+                                                   self.num_dimensions)
+
+        domain = [list(b) for b in self.domain]
+        n_nodes = list(self.n_nodes)
+        pivot_point = list(self.pivot_point)
+        partition = [list(g) for g in self.partition]
+        slides = list(self.slides)
+
+        for dim_idx, (lo, hi), n in sorted_params:
+            for group in partition:
+                for i in range(len(group)):
+                    if group[i] >= dim_idx:
+                        group[i] += 1
+
+            constant = np.full(n, self.pivot_value)
+            new_slide = ChebyshevApproximation.from_values(
+                constant, 1, [[lo, hi]], [n],
+                max_derivative_order=self.max_derivative_order)
+
+            partition.append([dim_idx])
+            slides.append(new_slide)
+            domain.insert(dim_idx, [lo, hi])
+            n_nodes.insert(dim_idx, n)
+            pivot_point.insert(dim_idx, 0.5 * (lo + hi))
+
+        return ChebyshevSlider._assemble(
+            num_dimensions=self.num_dimensions + len(sorted_params),
+            domain=domain, n_nodes=n_nodes, partition=partition,
+            pivot_point=pivot_point, slides=slides,
+            pivot_value=self.pivot_value,
+            max_derivative_order=self.max_derivative_order)
+
+    def slice(self, params) -> "ChebyshevSlider":
+        """Fix dims at values.
+
+        Multi-dim groups slice the slide's tensor; a single-dim group's
+        value is absorbed as a delta into the pivot value and every other
+        slide's tensor, and the group disappears.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.extrude_slice import (
+            normalize_slicing_params,
+        )
+        sorted_params = normalize_slicing_params(params, self.num_dimensions)
+
+        for dim_idx, value in sorted_params:
+            lo, hi = self.domain[dim_idx]
+            if value < lo or value > hi:
+                raise ValueError(
+                    f"Slice value {value} for dim {dim_idx} is outside "
+                    f"domain [{lo}, {hi}]"
+                )
+
+        domain = [list(b) for b in self.domain]
+        n_nodes = list(self.n_nodes)
+        pivot_point = list(self.pivot_point)
+        partition = [list(g) for g in self.partition]
+        slides = list(self.slides)
+        pivot_value = self.pivot_value
+
+        for dim_idx, value in sorted_params:  # descending
+            slide_idx = None
+            local_dim_idx = None
+            for si, group in enumerate(partition):
+                if dim_idx in group:
+                    slide_idx = si
+                    local_dim_idx = group.index(dim_idx)
+                    break
+
+            if len(partition[slide_idx]) > 1:
+                slides[slide_idx] = slides[slide_idx].slice(
+                    (local_dim_idx, value))
+                partition[slide_idx].remove(dim_idx)
+            else:
+                s_val = slides[slide_idx].vectorized_eval([value], [0])
+                delta = s_val - pivot_value
+                for i in range(len(slides)):
+                    if i != slide_idx:
+                        slides[i] = ChebyshevApproximation._from_grid(
+                            slides[i], slides[i].tensor_values + delta)
+                pivot_value = s_val
+                del partition[slide_idx]
+                del slides[slide_idx]
+
+            for group in partition:
+                for i in range(len(group)):
+                    if group[i] > dim_idx:
+                        group[i] -= 1
+
+            del domain[dim_idx]
+            del n_nodes[dim_idx]
+            del pivot_point[dim_idx]
+
+        return ChebyshevSlider._assemble(
+            num_dimensions=self.num_dimensions - len(sorted_params),
+            domain=domain, n_nodes=n_nodes, partition=partition,
+            pivot_point=pivot_point, slides=slides,
+            pivot_value=pivot_value,
+            max_derivative_order=self.max_derivative_order)
+
+    # ------------------------------------------------------------------
+    # Integration
+    # ------------------------------------------------------------------
+
+    def integrate(self, dims=None, bounds=None):
+        """Closed-form integration of the sliding sum.
+
+        Groups are classified "full" / "partial" / "none" against the
+        integration set.  Full groups' integrals are absorbed into the new
+        pivot constant; partial groups contract their integrated local
+        dims; untouched groups are rescaled by the integrated volume.  The
+        unified tensor rule ``new = scale * source + (pv' - pv * vol_T)``
+        keeps the sliding identity exact (reference ``slider.py:881-1136``).
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            normalize_bounds,
+            slider_partition_intersect,
+        )
+
+        if dims is None:
+            dims_sorted = list(range(self.num_dimensions))
+        elif isinstance(dims, int):
+            dims_sorted = [dims]
+        else:
+            dims_sorted = sorted(set(dims))
+        for d in dims_sorted:
+            if d < 0 or d >= self.num_dimensions:
+                raise ValueError(
+                    f"dim {d} out-of-range [0, {self.num_dimensions - 1}]"
+                )
+
+        per_dim_bounds = normalize_bounds(dims_sorted, bounds, self.domain)
+        dim_to_idx = {d: i for i, d in enumerate(dims_sorted)}
+
+        widths = {}
+        bounds_for_dim = {}
+        for d in dims_sorted:
+            bd = per_dim_bounds[dim_to_idx[d]]
+            a, b = self.domain[d]
+            widths[d] = (b - a) if bd is None else (bd[1] - bd[0])
+            bounds_for_dim[d] = bd
+
+        vol_t = 1.0
+        for d in dims_sorted:
+            vol_t *= widths[d]
+
+        slide_info = []
+        for group in self.partition:
+            kind, kept = slider_partition_intersect(list(group), dims_sorted)
+            slide_info.append({"kind": kind, "kept": kept,
+                               "group": list(group)})
+
+        # New pivot constant: pv * vol_T plus each full slide's
+        # vol(T \ G_i) * (I_i - pv * vol(G_i)).
+        pv_new = self.pivot_value * vol_t
+        for slide_idx, info in enumerate(slide_info):
+            if info["kind"] != "full":
+                continue
+            slide = self.slides[slide_idx]
+            group = info["group"]
+            local_dims = list(range(len(group)))
+            local_bounds = [bounds_for_dim[g] for g in group]
+            if all(b is None for b in local_bounds):
+                integral = slide.integrate(dims=local_dims)
+            else:
+                integral = slide.integrate(dims=local_dims,
+                                           bounds=local_bounds)
+            vol_outside = 1.0
+            for d in dims_sorted:
+                if d not in group:
+                    vol_outside *= widths[d]
+            vol_group = 1.0
+            for d in group:
+                vol_group *= widths[d]
+            pv_new += vol_outside * (float(integral)
+                                     - self.pivot_value * vol_group)
+
+        if len(dims_sorted) == self.num_dimensions:
+            return float(pv_new)
+
+        # Partial integration: new slider over surviving dims.
+        survive = sorted(d for d in range(self.num_dimensions)
+                         if d not in dim_to_idx)
+        old_to_new = {old: new for new, old in enumerate(survive)}
+
+        shift = pv_new - self.pivot_value * vol_t
+        new_partition = []
+        new_slides = []
+        for slide_idx, info in enumerate(slide_info):
+            if info["kind"] == "full":
+                continue
+            group = info["group"]
+            slide = self.slides[slide_idx]
+
+            if info["kind"] == "none":
+                new_tensor = vol_t * slide.tensor_values + shift
+                new_slide = ChebyshevApproximation._from_grid(slide,
+                                                              new_tensor)
+                new_group = [old_to_new[d] for d in group]
+            else:
+                local_dims = []
+                local_bounds = []
+                for local_i, gd in enumerate(group):
+                    if gd in dim_to_idx:
+                        local_dims.append(local_i)
+                        local_bounds.append(bounds_for_dim[gd])
+                if all(b is None for b in local_bounds):
+                    reduced = slide.integrate(dims=local_dims)
+                else:
+                    reduced = slide.integrate(dims=local_dims,
+                                              bounds=local_bounds)
+                vol_outside = 1.0
+                for d in dims_sorted:
+                    if d not in group:
+                        vol_outside *= widths[d]
+                new_tensor = vol_outside * reduced.tensor_values + shift
+                new_slide = ChebyshevApproximation._from_grid(reduced,
+                                                              new_tensor)
+                new_group = [old_to_new[d] for d in info["kept"]]
+
+            new_partition.append(new_group)
+            new_slides.append(new_slide)
+
+        if not new_slides:
+            raise RuntimeError(
+                "internal error: partial integration produced 0 slides "
+                "with surviving dims"
+            )
+
+        return ChebyshevSlider._assemble(
+            num_dimensions=len(survive),
+            domain=[list(self.domain[d]) for d in survive],
+            n_nodes=[self.n_nodes[d] for d in survive],
+            partition=new_partition,
+            pivot_point=[self.pivot_point[d] for d in survive],
+            slides=new_slides, pivot_value=pv_new,
+            max_derivative_order=self.max_derivative_order,
+            descriptor=self.descriptor,
+            additional_data=self.additional_data)
+
+    # ------------------------------------------------------------------
+    # 1-D reduction + roots / optimization
+    # ------------------------------------------------------------------
+
+    def _to_1d_chebyshev(self, sliced_1d: "ChebyshevSlider"):
+        """Re-sample a 1-D slider at its Chebyshev nodes into a dense
+        1-D approximation."""
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        assert sliced_1d.num_dimensions == 1
+        n = sliced_1d.n_nodes[0]
+        a, b = sliced_1d.domain[0]
+        cheb_nodes = np.asarray(nodes_for_dim(a, b, int(n)))
+        values = sliced_1d.eval_batch(cheb_nodes[:, None])
+        return ChebyshevApproximation.from_values(
+            values, num_dimensions=1, domain=[(float(a), float(b))],
+            n_nodes=[int(n)])
+
+    def roots(self, dim=None, fixed=None):
+        """Roots along *dim*: slice to 1-D, re-sample, colleague matrix."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self.domain)
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).roots()
+
+    def minimize(self, dim=None, fixed=None):
+        """(min value, location) along *dim*."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self.domain)
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).minimize()
+
+    def maximize(self, dim=None, fixed=None):
+        """(max value, location) along *dim*."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import validate_calculus_args
+        dim, slice_params = validate_calculus_args(
+            self.num_dimensions, dim, fixed, self.domain)
+        sliced = self.slice(slice_params) if slice_params else self
+        return self._to_1d_chebyshev(sliced).maximize()
+
+    # ------------------------------------------------------------------
+    # Algebra
+    # ------------------------------------------------------------------
+
+    def _check_slider_compatible(self, other):
+        from pychebyshev_tpu.utils.algebra import check_compatible
+        check_compatible(self, other)
+        if self.partition != other.partition:
+            raise ValueError(
+                f"Partition mismatch: {self.partition} vs {other.partition}"
+            )
+        if self.pivot_point != other.pivot_point:
+            raise ValueError(
+                f"Pivot point mismatch: {self.pivot_point} vs "
+                f"{other.pivot_point}"
+            )
+
+    def __add__(self, other):
+        if type(self) is not type(other):
+            return NotImplemented
+        self._check_slider_compatible(other)
+        slides = [
+            ChebyshevApproximation._from_grid(
+                a, a.tensor_values + b.tensor_values)
+            for a, b in zip(self.slides, other.slides)
+        ]
+        return ChebyshevSlider._from_slides(
+            self, slides, self.pivot_value + other.pivot_value)
+
+    def __sub__(self, other):
+        if type(self) is not type(other):
+            return NotImplemented
+        self._check_slider_compatible(other)
+        slides = [
+            ChebyshevApproximation._from_grid(
+                a, a.tensor_values - b.tensor_values)
+            for a, b in zip(self.slides, other.slides)
+        ]
+        return ChebyshevSlider._from_slides(
+            self, slides, self.pivot_value - other.pivot_value)
+
+    def __mul__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        s = float(scalar)
+        slides = [
+            ChebyshevApproximation._from_grid(sl, sl.tensor_values * s)
+            for sl in self.slides
+        ]
+        return ChebyshevSlider._from_slides(self, slides,
+                                            self.pivot_value * s)
+
+    def __rmul__(self, scalar):
+        return self.__mul__(scalar)
+
+    def __truediv__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        return self.__mul__(1.0 / float(scalar))
+
+    def __neg__(self):
+        return self.__mul__(-1.0)
+
+    def __iadd__(self, other):
+        self._check_slider_compatible(other)
+        for a, b in zip(self.slides, other.slides):
+            a.tensor_values = a.tensor_values + b.tensor_values
+            a._cached_error_estimate = None
+        self.pivot_value += other.pivot_value
+        self._cached_error_estimate = None
+        return self
+
+    def __isub__(self, other):
+        self._check_slider_compatible(other)
+        for a, b in zip(self.slides, other.slides):
+            a.tensor_values = a.tensor_values - b.tensor_values
+            a._cached_error_estimate = None
+        self.pivot_value -= other.pivot_value
+        self._cached_error_estimate = None
+        return self
+
+    def __imul__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        s = float(scalar)
+        for sl in self.slides:
+            sl.tensor_values = sl.tensor_values * s
+            sl._cached_error_estimate = None
+        self.pivot_value *= s
+        self._cached_error_estimate = None
+        return self
+
+    def __itruediv__(self, scalar):
+        from pychebyshev_tpu.utils.algebra import is_scalar
+        if not is_scalar(scalar):
+            return NotImplemented
+        return self.__imul__(1.0 / float(scalar))
+
+    # ------------------------------------------------------------------
+    # Printing + plotting
+    # ------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        return (f"ChebyshevSlider(dims={self.num_dimensions}, "
+                f"slides={len(self.partition)}, "
+                f"partition={self.partition}, built={self._built})")
+
+    def __str__(self) -> str:
+        status = "built" if self._built else "not built"
+        total_slide_evals = self.total_build_evals
+        full_tensor_evals = int(np.prod(self.n_nodes))
+        max_display = 6
+
+        def _fmt(seq):
+            if len(seq) > max_display:
+                return ("[" + ", ".join(str(v) for v in seq[:max_display])
+                        + ", ...]")
+            return str(seq)
+
+        if self.num_dimensions > max_display:
+            domain_str = (" x ".join(
+                f"[{lo}, {hi}]" for lo, hi in self.domain[:max_display])
+                + " x ...")
+        else:
+            domain_str = " x ".join(f"[{lo}, {hi}]"
+                                    for lo, hi in self.domain)
+
+        lines = [
+            f"ChebyshevSlider ({self.num_dimensions}D, "
+            f"{len(self.partition)} slides, {status})",
+            f"  Partition: {_fmt(self.partition)}",
+            f"  Pivot:     {_fmt(self.pivot_point)}",
+            f"  Nodes:     {_fmt(self.n_nodes)} "
+            f"({total_slide_evals:,} vs {full_tensor_evals:,} full tensor)",
+            f"  Domain:    {domain_str}",
+        ]
+        if self._built and self.slides:
+            lines.append(f"  Error est: {self.error_estimate():.2e}")
+            lines.append("  Slides:")
+            for i, (group, slide) in enumerate(zip(self.partition,
+                                                   self.slides)):
+                slide_evals = int(np.prod([self.n_nodes[d] for d in group]))
+                lines.append(f"    [{i}] dims {group}: {slide_evals:,} "
+                             f"evals, built in {slide.build_time:.3f}s")
+        return "\n".join(lines)
+
+    def plot_1d(self, ax=None, n_points=200, fixed=None):
+        """1-D slice plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_1d_impl
+        return plot_1d_impl(self, ax=ax, n_points=n_points, fixed=fixed)
+
+    def plot_2d_surface(self, ax=None, n_points=50, fixed=None):
+        """2-D surface plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_surface_impl
+        return plot_2d_surface_impl(self, ax=ax, n_points=n_points,
+                                    fixed=fixed)
+
+    def plot_2d_contour(self, ax=None, n_points=50, n_levels=20, fixed=None):
+        """2-D contour plot (requires matplotlib)."""
+        from pychebyshev_tpu.utils.viz import plot_2d_contour_impl
+        return plot_2d_contour_impl(self, ax=ax, n_points=n_points,
+                                    n_levels=n_levels, fixed=fixed)
