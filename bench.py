@@ -1,0 +1,177 @@
+"""Benchmark: 5-D Black-Scholes batched interpolant queries on one chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: f32 dense batched throughput (the production serving mode;
+with HIGHEST matmul precision its delivered accuracy equals the f64
+path's interpolation-limited error on this grid).  Baseline: the reference implementation's
+single-query ``vectorized_eval`` at ~0.065 ms/query on CPU (BASELINE.md),
+i.e. ~15,385 queries/s; ``vs_baseline`` is the speedup ratio.
+Diagnostics (build time, accuracy vs the analytic oracle, f64-parity
+throughput, TT throughput) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import pychebyshev_tpu  # noqa: F401  (x64 on)
+import jax
+import jax.numpy as jnp
+
+BASELINE_SINGLE_QUERY_S = 0.065e-3  # reference vectorized_eval, CPU
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bs_price_np(points, _data=None):
+    """Analytic Black-Scholes call price (host, float64-exact)."""
+    from scipy.stats import norm
+    points = np.asarray(points, dtype=np.float64)
+    s, k, t, sigma, r = (points[:, i] for i in range(5))
+    sqrt_t = np.sqrt(t)
+    d1 = (np.log(s / k) + (r + 0.5 * sigma ** 2) * t) / (sigma * sqrt_t)
+    d2 = d1 - sigma * sqrt_t
+    return s * norm.cdf(d1) - k * np.exp(-r * t) * norm.cdf(d2)
+
+
+DOMAIN = [[80.0, 120.0], [90.0, 110.0], [0.25, 2.0], [0.1, 0.5],
+          [0.01, 0.05]]
+
+
+def sample_points(n, seed=0):
+    rng = np.random.default_rng(seed)
+    lo = np.array([b[0] for b in DOMAIN])
+    hi = np.array([b[1] for b in DOMAIN])
+    return lo + (hi - lo) * rng.uniform(0.02, 0.98, size=(n, 5))
+
+
+def time_fn(fn, *args, warmup=1, iters=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    start = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main() -> None:
+    from pychebyshev_tpu import ChebyshevApproximation, ChebyshevTT
+    from pychebyshev_tpu.ops import eval as eval_ops
+    from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+
+    log(f"devices: {jax.devices()}")
+
+    # ---- Build (vectorized host oracle; one fused device transfer) ----
+    t0 = time.time()
+    cheb = ChebyshevApproximation(bs_price_np, 5, DOMAIN, [11] * 5,
+                                  vectorized=True)
+    cheb.build(verbose=False)
+    build_time = time.time() - t0
+    log(f"build: {build_time:.3f}s (161,051 evaluations, "
+        f"reference ~0.35s)")
+
+    # ---- Accuracy vs analytic oracle ----
+    pts_check = sample_points(4096, seed=7)
+    exact = bs_price_np(pts_check)
+    approx64 = cheb.vectorized_eval_batch(pts_check, [0] * 5)
+    scale = np.abs(exact).max()
+    # Relative error over the liquid region (deep-OTM prices are ~1e-5,
+    # where relative error is meaningless); plus scale-normalized max.
+    liquid = np.abs(exact) > 1.0
+    rel64 = np.abs(approx64 - exact)[liquid] / np.abs(exact)[liquid]
+    log(f"f64 price err vs analytic: max rel {rel64.max():.2e} "
+        f"(|price|>1), max abs/scale "
+        f"{np.abs(approx64 - exact).max() / scale:.2e} "
+        f"(interpolation-limited)")
+
+    n = 1 << 20
+    pts64 = jnp.asarray(sample_points(n, seed=1))
+    pts32 = pts64.astype(jnp.float32)
+    nodes, weights, diffs = cheb._grid_tuples()
+    orders = (0, 0, 0, 0, 0)
+
+    # ---- f64 parity mode ----
+    def run64(p):
+        return eval_ops.eval_batch(cheb.tensor_values, nodes, weights,
+                                   diffs, p, orders)
+
+    dt64 = time_fn(run64, pts64, iters=3)
+    qps64 = n / dt64
+    log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
+        f"{qps64:,.0f} queries/s (software f64 on TPU)")
+
+    # ---- f32 throughput mode ----
+    tensor32 = cheb.tensor_values.astype(jnp.float32)
+    nodes32 = tuple(a.astype(jnp.float32) for a in nodes)
+    weights32 = tuple(a.astype(jnp.float32) for a in weights)
+    diffs32 = tuple(a.astype(jnp.float32) for a in diffs)
+
+    def run32(p):
+        return eval_ops.eval_batch(tensor32, nodes32, weights32, diffs32,
+                                   p, orders)
+
+    dt32 = time_fn(run32, pts32, iters=10)
+    qps32 = n / dt32
+    approx32 = np.asarray(run32(jnp.asarray(pts_check,
+                                            jnp.float32)), dtype=np.float64)
+    rel32 = np.abs(approx32 - exact)[liquid] / np.abs(exact)[liquid]
+    dev32 = np.abs(approx32 - approx64).max() / scale
+    log(f"f32 batched: {dt32 * 1e3:.2f} ms / {n:,} pts -> "
+        f"{qps32:,.0f} queries/s (max rel err vs analytic "
+        f"{rel32.max():.2e} on |price|>1; dev from f64 {dev32:.1e})")
+
+    # ---- Greeks (derivative pass) ----
+    def run_delta(p):
+        return eval_ops.eval_batch(tensor32, nodes32, weights32, diffs32,
+                                   p, (1, 0, 0, 0, 0))
+
+    dt_delta = time_fn(run_delta, pts32, iters=5)
+    log(f"f32 delta batched: {dt_delta * 1e3:.2f} ms -> "
+        f"{n / dt_delta:,.0f} queries/s")
+
+    # ---- TT (rank-15 cross) ----
+    tt = ChebyshevTT(bs_price_np, 5, DOMAIN, [11] * 5, max_rank=15,
+                     vectorized=True)
+    tt.build(verbose=False, seed=42)
+    dom_arr = np.asarray(DOMAIN)
+    cores64 = tuple(jnp.asarray(c) for c in tt._coeff_cores)
+
+    def run_tt64(p):
+        return tt_eval_batch(cores64, dom_arr, p)
+
+    def run_tt32(p):
+        return tt_eval_batch(cores64, dom_arr, p)
+
+    dt_tt64 = time_fn(run_tt64, pts64, iters=3)
+    dt_tt32 = time_fn(run_tt32, pts32, iters=5)
+    tt_check = np.asarray(run_tt64(jnp.asarray(pts_check)))
+    tt_rel = np.abs(tt_check - exact)[liquid] / np.abs(exact)[liquid]
+    log(f"TT: ranks={tt.tt_ranks}, unique evals={tt.total_build_evals:,} "
+        f"(reference ~7.4k), max rel err {tt_rel.max():.2e} on |price|>1")
+    log(f"TT f64 batched: {dt_tt64 * 1e3:.2f} ms -> "
+        f"{n / dt_tt64:,.0f} queries/s; "
+        f"TT f32 batched: {dt_tt32 * 1e3:.2f} ms -> "
+        f"{n / dt_tt32:,.0f} queries/s "
+        f"(reference ~0.004 ms/pt = 250,000 queries/s)")
+
+    vs_baseline = qps32 * BASELINE_SINGLE_QUERY_S
+    print(json.dumps({
+        "metric": "bs5d_11n_f32_batched_queries_per_sec",
+        "value": round(qps32),
+        "unit": "queries/s",
+        "vs_baseline": round(vs_baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

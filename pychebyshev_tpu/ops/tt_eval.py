@@ -1,18 +1,26 @@
 """Batched tensor-train evaluation — the TT query hot path.
 
 TPU-first recast of the reference TT eval chain
-(``tensor_train.py:2217-2265``): for a batch of N points, each dimension
-contributes one real GEMM ``Q @ core`` on the MXU (Q holds Chebyshev
-polynomial values via the statically-unrolled three-term recurrence),
-followed by a batched (1, r) x (r, r) chain contraction.  The whole chain
-is a single jit so XLA fuses scaling, recurrence, and contractions;
-recompilation is keyed on the (static) core shapes and batch size.
+(``tensor_train.py:2217-2265``).  For a batch of N points the running
+interface row ``(N, r)`` is contracted dimension by dimension:
+
+    a[n, j, k] = sum_i row[n, i] * core[i, j, k]     (MXU GEMM)
+    row[n, k]  = sum_j Q[n, j] * a[n, j, k]          (VPU reduction)
+
+with Q the Chebyshev polynomial values from the statically-unrolled
+three-term recurrence.  Contracting the *row* before Q keeps the peak
+intermediate at (N, n_k, r_k) — linear in the bond rank — instead of the
+(N, r, r) blow-up a Q-first ordering produces at high ranks.  Very large
+batches are processed in fixed-size chunks via ``lax.map`` so HBM
+footprint stays bounded for any N.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -20,17 +28,36 @@ from pychebyshev_tpu.ops.chebyshev import chebyshev_polynomial_matrix
 
 __all__ = ["tt_eval_batch"]
 
+# Cap on the (chunk, n_k * r_k) intermediate, in elements.
+_MAX_INTERMEDIATE_ELEMS = 1 << 23
+
+
+def _chain(cores, lo, hi, points):
+    row = jnp.ones((points.shape[0], 1), dtype=points.dtype)
+    for d, core in enumerate(cores):
+        scaled = 2.0 * (points[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
+        q = chebyshev_polynomial_matrix(scaled, core.shape[1])  # (N, n_d)
+        r_l, n_d, r_r = core.shape
+        a = jnp.matmul(row, core.reshape(r_l, n_d * r_r),
+                       precision=jax.lax.Precision.HIGHEST)  # MXU GEMM
+        a = a.reshape(-1, n_d, r_r)
+        row = jnp.einsum("nj,njk->nk", q, a)                    # VPU
+    return row[:, 0]
+
 
 @jax.jit
 def _tt_eval_batch_impl(cores: Tuple[jax.Array, ...], lo: jax.Array,
                         hi: jax.Array, points: jax.Array) -> jax.Array:
-    result = jnp.ones((points.shape[0], 1, 1), dtype=points.dtype)
-    for d, core in enumerate(cores):
-        scaled = 2.0 * (points[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
-        q = chebyshev_polynomial_matrix(scaled, core.shape[1])  # (N, n_d)
-        v = jnp.einsum("nj,ijk->nik", q, core)                  # GEMM
-        result = jnp.einsum("nij,njk->nik", result, v)          # batched chain
-    return result[:, 0, 0]
+    n = points.shape[0]
+    per_point = max(c.shape[1] * c.shape[2] for c in cores)
+    chunk = max(256, _MAX_INTERMEDIATE_ELEMS // max(per_point, 1))
+    if n <= chunk:
+        return _chain(cores, lo, hi, points)
+    pad = (-n) % chunk
+    padded = jnp.pad(points, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, chunk, points.shape[1])
+    out = jax.lax.map(lambda p: _chain(cores, lo, hi, p), chunks)
+    return out.reshape(-1)[:n]
 
 
 def tt_eval_batch(coeff_cores, domain, points) -> jax.Array:
@@ -42,7 +69,9 @@ def tt_eval_batch(coeff_cores, domain, points) -> jax.Array:
     domain : (d, 2) array of per-dim [lo, hi] (storage frame).
     points : (N, d) query points (storage frame).
     """
-    domain = jnp.asarray(domain, dtype=jnp.float64)
-    points = jnp.asarray(points, dtype=jnp.float64)
-    cores = tuple(jnp.asarray(c, dtype=jnp.float64) for c in coeff_cores)
+    points = jnp.asarray(points)
+    if points.dtype not in (jnp.float32, jnp.float64):
+        points = points.astype(jnp.float64)
+    domain = jnp.asarray(domain, dtype=points.dtype)
+    cores = tuple(jnp.asarray(c, dtype=points.dtype) for c in coeff_cores)
     return _tt_eval_batch_impl(cores, domain[:, 0], domain[:, 1], points)

@@ -1,0 +1,207 @@
+"""Device-mesh sharding for builds and giant query batches.
+
+The reference's only parallelism is a host process pool over grid points
+(``_parallel.py``).  The TPU-native equivalents here are:
+
+- **Data-parallel build** (``build_tensor_sharded``): the Chebyshev grid
+  (N, d) is sharded across the ``dp`` mesh axis, the JAX-traceable target
+  function evaluates its shard on every device in one fused call, and
+  the value tensor is gathered.  This is the "embarrassingly parallel
+  grid evaluation" axis — XLA inserts the all-gather.
+- **Data-parallel queries** (``eval_batch_dp``): query points shard over
+  ``dp``; the grid tensor is replicated (it is tiny — the largest
+  benchmark tensor, 11^5 f64, is ~1.3 MB); outputs stay sharded.
+- **Tensor-parallel queries** (``eval_batch_tp``): for tensors too large
+  to replicate, the value tensor shards along grid axis 0 over ``tp``;
+  each device contracts its slab against the matching slice of the
+  dim-0 barycentric rows and a ``psum`` over ``tp`` completes the
+  reduction (ICI collective inserted by shard_map).
+
+All entry points accept any ``jax.sharding.Mesh``; collectives ride ICI
+when the mesh maps onto a physical torus.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+from pychebyshev_tpu.ops import eval as eval_ops
+
+__all__ = [
+    "make_mesh",
+    "full_grid",
+    "build_tensor_sharded",
+    "sharded_vectorized",
+    "eval_batch_dp",
+    "eval_batch_tp",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Tuple[str, ...] = ("dp",),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """A mesh over the first ``n_devices`` devices.
+
+    With one axis name the mesh is 1-D; pass ``shape`` for multi-axis
+    meshes (e.g. ``axis_names=("dp", "tp"), shape=(2, 4)``).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def full_grid(domain, n_nodes) -> jax.Array:
+    """(prod(n), d) Cartesian Chebyshev grid in C-order (device array)."""
+    per_dim = [nodes_for_dim(domain[d][0], domain[d][1], int(n_nodes[d]))
+               for d in range(len(n_nodes))]
+    mesh_axes = jnp.meshgrid(*per_dim, indexing="ij")
+    return jnp.stack([g.ravel() for g in mesh_axes], axis=-1)
+
+
+def build_tensor_sharded(function: Callable, domain, n_nodes,
+                         mesh: Mesh, additional_data=None,
+                         axis_name: str = "dp") -> jax.Array:
+    """Evaluate a JAX-traceable batched function over the grid, sharded.
+
+    ``function(points (N, d), data) -> (N,)`` is traced once; the grid
+    shards across ``axis_name`` and the gathered result is reshaped to
+    the (replicated) value tensor.
+    """
+    grid = full_grid(domain, n_nodes)
+    grid = jax.device_put(grid, NamedSharding(mesh, P(axis_name, None)))
+
+    @jax.jit
+    def _eval(points):
+        return function(points, additional_data)
+
+    values = _eval(grid)
+    replicated = jax.device_put(values, NamedSharding(mesh, P()))
+    return replicated.reshape(tuple(int(n) for n in n_nodes))
+
+
+def sharded_vectorized(function: Callable, mesh: Mesh,
+                       axis_name: str = "dp") -> Callable:
+    """Wrap a JAX-traceable batched function so that constructor-driven
+    builds (``vectorized=True``) automatically shard grid evaluation
+    across the mesh."""
+    def wrapped(points, data):
+        pts = jax.device_put(jnp.asarray(points, dtype=jnp.float64),
+                             NamedSharding(mesh, P(axis_name, None)))
+        out = jax.jit(lambda p: function(p, data))(pts)
+        return np.asarray(jax.device_put(out, NamedSharding(mesh, P())))
+    return wrapped
+
+
+def eval_batch_dp(tensor, nodes, weights, diff_matrices, points,
+                  mesh: Mesh, orders: Tuple[int, ...],
+                  axis_name: str = "dp") -> jax.Array:
+    """Data-parallel batched evaluation: points shard over ``axis_name``,
+    grid data replicate, result stays sharded over ``axis_name``."""
+    replicate = NamedSharding(mesh, P())
+    tensor = jax.device_put(tensor, replicate)
+    nodes = tuple(jax.device_put(n, replicate) for n in nodes)
+    weights = tuple(jax.device_put(w, replicate) for w in weights)
+    diffs = tuple(jax.device_put(d, replicate) for d in diff_matrices)
+    points = jax.device_put(jnp.asarray(points, dtype=jnp.float64),
+                            NamedSharding(mesh, P(axis_name, None)))
+    return eval_ops.eval_batch(tensor, nodes, weights, diffs, points,
+                               orders)
+
+
+def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
+                  mesh: Mesh, orders: Tuple[int, ...] = None,
+                  dp_axis: str = "dp", tp_axis: str = "tp") -> jax.Array:
+    """Tensor-parallel + data-parallel batched evaluation.
+
+    The value tensor shards along grid axis 0 over ``tp_axis`` (for
+    grids too large for one chip's HBM); queries shard over ``dp_axis``.
+    Each device contracts its tensor slab with its slice of the dim-0
+    barycentric rows, and a ``psum`` over ``tp_axis`` completes the dim-0
+    reduction.  Derivative passes along axis 0 are not supported in TP
+    mode (the differentiation matrix couples all slabs); pass orders with
+    ``orders[0] == 0``.
+    """
+    from jax import shard_map
+
+    d = len(nodes)
+    if orders is None:
+        orders = (0,) * d
+    if orders[0] != 0:
+        raise ValueError(
+            "eval_batch_tp does not support derivatives along the "
+            "tensor-sharded axis 0; use eval_batch_dp for that."
+        )
+
+    tensor = jnp.asarray(tensor, dtype=jnp.float64)
+    points = jnp.asarray(points, dtype=jnp.float64)
+    nodes = tuple(jnp.asarray(n) for n in nodes)
+    weights = tuple(jnp.asarray(w) for w in weights)
+    diffs = tuple(jnp.asarray(m) for m in diff_matrices)
+
+    tensor_spec = P(tp_axis, *([None] * (d - 1)))
+    in_specs = (
+        tensor_spec,                      # tensor slab
+        P(tp_axis),                       # nodes[0] slice
+        P(tp_axis),                       # weights[0] slice
+        P(None),                          # other nodes (stacked pytree)
+        P(None),
+        P(None),
+        P(dp_axis, None),                 # points
+    )
+
+    other_nodes = nodes[1:]
+    other_weights = weights[1:]
+    other_diffs = diffs[1:]
+
+    def _kernel(tensor_slab, nodes0, weights0, o_nodes, o_weights,
+                o_diffs, pts):
+        # Derivative passes on non-sharded dims only.
+        t = tensor_slab
+        for k, order in enumerate(orders[1:], start=1):
+            if order > 0:
+                d_t = o_diffs[k - 1].T
+                moved = jnp.moveaxis(t, k, -1)
+                for _ in range(order):
+                    moved = moved @ d_t
+                t = jnp.moveaxis(moved, -1, k)
+
+        # Dim-0 rows need GLOBAL normalization: compute the unnormalized
+        # w/(x - node) terms on the local slice, psum the denominator.
+        x0 = pts[:, 0]
+        diff0 = x0[:, None] - nodes0[None, :]
+        exact_local = jnp.abs(diff0) < 1e-14
+        safe = jnp.where(exact_local, 1.0, diff0)
+        w_over_diff = weights0[None, :] / safe
+        local_denom = jnp.sum(w_over_diff, axis=1)
+        denom = jax.lax.psum(local_denom, tp_axis)
+        has_exact = jax.lax.psum(
+            exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
+        one_hot = exact_local.astype(jnp.float64)
+        c0 = jnp.where(has_exact[:, None], one_hot,
+                       w_over_diff / denom[:, None])
+
+        rows = [c0] + [
+            eval_ops.barycentric_coefficients(pts[:, k], o_nodes[k - 1],
+                                              o_weights[k - 1])
+            for k in range(1, d)
+        ]
+        local = eval_ops._contract(t, rows)
+        return jax.lax.psum(local, tp_axis)
+
+    sharded = shard_map(
+        _kernel, mesh=mesh, in_specs=in_specs, out_specs=P(dp_axis),
+        check_vma=False,
+    )
+    return sharded(tensor, nodes[0], weights[0], other_nodes,
+                   other_weights, other_diffs, points)

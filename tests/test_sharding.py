@@ -1,0 +1,102 @@
+"""Multi-device sharding paths on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pychebyshev_tpu import ChebyshevApproximation
+from pychebyshev_tpu.parallel import sharding as sh
+
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def f_vec(points, _):
+    points = jnp.asarray(points)
+    return jnp.sin(points[:, 0]) + jnp.cos(points[:, 1]) * points[:, 2]
+
+
+DOMAIN = [[-1.0, 1.0], [0.0, 2.0], [-3.0, 1.0]]
+
+
+@requires_8_devices
+class TestShardedBuild:
+    def test_build_matches_unsharded(self):
+        mesh = sh.make_mesh(8)
+        tensor = sh.build_tensor_sharded(f_vec, DOMAIN, [8, 8, 8], mesh)
+        cheb = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [8, 8, 8], vectorized=True)
+        cheb.build(verbose=False)
+        np.testing.assert_allclose(np.asarray(tensor),
+                                   np.asarray(cheb.tensor_values),
+                                   atol=1e-14)
+
+    def test_sharded_vectorized_ctor_path(self):
+        mesh = sh.make_mesh(8)
+        wrapped = sh.sharded_vectorized(f_vec, mesh)
+        cheb = ChebyshevApproximation(wrapped, 3, DOMAIN, [8, 8, 8],
+                                      vectorized=True)
+        cheb.build(verbose=False)
+        pt = [0.3, 1.2, -1.5]
+        expected = float(np.asarray(f_vec(np.asarray([pt]), None))[0])
+        assert abs(cheb.vectorized_eval(pt, [0, 0, 0]) - expected) < 1e-8
+
+
+@requires_8_devices
+class TestShardedEval:
+    @pytest.fixture(scope="class")
+    def cheb(self):
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [8, 8, 8], vectorized=True)
+        c.build(verbose=False)
+        return c
+
+    def test_eval_batch_dp(self, cheb):
+        mesh = sh.make_mesh(8)
+        rng = np.random.default_rng(0)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        pts = lo + (hi - lo) * rng.uniform(0, 1, size=(64, 3))
+        nodes, weights, diffs = cheb._grid_tuples()
+        out = sh.eval_batch_dp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh, (0, 0, 0))
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_eval_batch_tp(self, cheb):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        rng = np.random.default_rng(1)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        pts = lo + (hi - lo) * rng.uniform(0, 1, size=(32, 3))
+        nodes, weights, diffs = cheb._grid_tuples()
+        out = sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh)
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_eval_batch_tp_exact_node(self, cheb):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        nodes, weights, diffs = cheb._grid_tuples()
+        node_val = float(np.asarray(nodes[0])[3])
+        pts = np.tile([[node_val, 1.0, -1.0]], (8, 1))
+        out = sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh)
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_eval_batch_tp_derivative_orders(self, cheb):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        nodes, weights, diffs = cheb._grid_tuples()
+        pts = np.tile([[0.4, 1.1, -0.7]], (8, 1))
+        out = sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh, orders=(0, 1, 0))
+        expected = cheb.vectorized_eval_batch(pts, [0, 1, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-11)
+        with pytest.raises(ValueError):
+            sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                             pts, mesh, orders=(1, 0, 0))
