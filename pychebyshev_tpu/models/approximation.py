@@ -489,6 +489,35 @@ class ChebyshevApproximation:
             self.tensor_values, nodes, weights, diffs, pts,
             tuple(int(o) for o in derivative_order))
 
+    def eval_batch_f32(self, points, derivative_order=None) -> jax.Array:
+        """Throughput-mode batched evaluation (float32).
+
+        Uses the fully-fused Pallas kernel (``ops.pallas_eval``) when the
+        configuration supports it — on TPU this keeps the entire
+        contraction in VMEM and is MXU-bound — otherwise the XLA f32
+        path.  Delivered accuracy equals the interpolation error for
+        typical grids (see docs/performance.md).
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        if derivative_order is None:
+            derivative_order = [0] * self.num_dimensions
+        orders = tuple(int(o) for o in derivative_order)
+        from pychebyshev_tpu.ops import pallas_eval
+
+        nodes, weights, diffs = self._grid_tuples()
+        if pallas_eval.supports_fused(self.tensor_values.shape,
+                                      jnp.float32):
+            return pallas_eval.fused_eval_batch(
+                self.tensor_values, nodes, weights, diffs, points, orders)
+        pts = jnp.asarray(points, dtype=jnp.float32)
+        return eval_ops.eval_batch(
+            self.tensor_values.astype(jnp.float32),
+            tuple(a.astype(jnp.float32) for a in nodes),
+            tuple(a.astype(jnp.float32) for a in weights),
+            tuple(a.astype(jnp.float32) for a in diffs),
+            pts, orders)
+
     def vectorized_eval_multi(self, point, derivative_orders):
         """Multiple derivative specs at one point, sharing barycentric rows."""
         if self.tensor_values is None:

@@ -1,0 +1,110 @@
+"""Fused Pallas evaluation kernel (interpreter mode on CPU)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import ChebyshevApproximation
+from pychebyshev_tpu.ops.pallas_eval import fused_eval_batch, supports_fused
+
+
+def f3(x, _):
+    return math.sin(x[0]) + math.cos(x[1]) * x[2] + 0.2 * x[0] * x[2]
+
+
+@pytest.fixture(scope="module")
+def cheb():
+    c = ChebyshevApproximation(f3, 3, [[-1, 1], [0, 2], [-3, 1]],
+                               [8, 9, 7])
+    c.build(verbose=False)
+    return c
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(0)
+    return np.column_stack([rng.uniform(-1, 1, 700),
+                            rng.uniform(0, 2, 700),
+                            rng.uniform(-3, 1, 700)])
+
+
+class TestFusedKernel:
+    def test_matches_xla_values(self, cheb, pts):
+        nodes, weights, diffs = cheb._grid_tuples()
+        out = np.asarray(fused_eval_batch(
+            cheb.tensor_values, nodes, weights, diffs, pts))
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=5e-5)
+
+    def test_matches_xla_derivatives(self, cheb, pts):
+        nodes, weights, diffs = cheb._grid_tuples()
+        out = np.asarray(fused_eval_batch(
+            cheb.tensor_values, nodes, weights, diffs, pts, (0, 1, 0)))
+        expected = cheb.vectorized_eval_batch(pts, [0, 1, 0])
+        np.testing.assert_allclose(out, expected, atol=5e-4)
+
+    def test_exact_node(self, cheb):
+        nodes, weights, diffs = cheb._grid_tuples()
+        node_pt = np.array([[float(np.asarray(cheb.nodes[0])[2]), 0.5,
+                             -1.0]])
+        out = np.asarray(fused_eval_batch(
+            cheb.tensor_values, nodes, weights, diffs, node_pt))
+        expected = cheb.vectorized_eval_batch(node_pt, [0, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_non_multiple_batch_padding(self, cheb):
+        nodes, weights, diffs = cheb._grid_tuples()
+        pts = np.random.default_rng(1).uniform(-1, 1, size=(13, 3))
+        pts[:, 1] = np.abs(pts[:, 1]) * 2
+        pts[:, 2] = pts[:, 2] * 2 - 1
+        out = np.asarray(fused_eval_batch(
+            cheb.tensor_values, nodes, weights, diffs, pts))
+        assert out.shape == (13,)
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=5e-5)
+
+    def test_5d(self):
+        from conftest import BS_DOMAIN_5D, bs_price_vectorized
+        c = ChebyshevApproximation(bs_price_vectorized, 5, BS_DOMAIN_5D,
+                                   [7] * 5, vectorized=True)
+        c.build(verbose=False)
+        rng = np.random.default_rng(2)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.1, 0.9, size=(300, 5))
+        nodes, weights, diffs = c._grid_tuples()
+        out = np.asarray(fused_eval_batch(
+            c.tensor_values, nodes, weights, diffs, pts))
+        expected = c.vectorized_eval_batch(pts, [0] * 5)
+        scale = np.abs(expected).max()
+        np.testing.assert_allclose(out / scale, expected / scale,
+                                   atol=2e-6)
+
+    def test_supports_fused(self, cheb):
+        import jax.numpy as jnp
+        assert supports_fused((11, 11, 11, 11, 11), jnp.float32)
+        assert not supports_fused((11, 11, 11, 11, 11), jnp.float64)
+        assert not supports_fused((64, 64, 64, 64), jnp.float32)  # too big
+        assert not supports_fused((11, 11), jnp.float32)  # too small
+
+
+class TestClassIntegration:
+    def test_eval_batch_f32(self, cheb, pts):
+        out = np.asarray(cheb.eval_batch_f32(pts))
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=5e-5)
+
+    def test_eval_batch_f32_derivative(self, cheb, pts):
+        out = np.asarray(cheb.eval_batch_f32(pts, [1, 0, 0]))
+        expected = cheb.vectorized_eval_batch(pts, [1, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-3)
+
+    def test_eval_batch_f32_fallback_2d(self):
+        c = ChebyshevApproximation(lambda x, _: x[0] * x[1], 2,
+                                   [[-1, 1], [-1, 1]], [5, 5])
+        c.build(verbose=False)
+        pts = np.random.default_rng(3).uniform(-1, 1, (50, 2))
+        out = np.asarray(c.eval_batch_f32(pts))
+        expected = c.vectorized_eval_batch(pts, [0, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-5)
