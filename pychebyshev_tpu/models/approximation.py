@@ -378,6 +378,10 @@ class ChebyshevApproximation:
         return flat.reshape(shape)
 
     def _build_fixed_grid(self, verbose: bool | int = True) -> None:
+        with jax.profiler.TraceAnnotation("chebyshev:build_fixed_grid"):
+            self._build_fixed_grid_impl(verbose)
+
+    def _build_fixed_grid_impl(self, verbose: bool | int = True) -> None:
         total = int(np.prod(self.n_nodes))
         if verbose:
             print(f"Building {self.num_dimensions}D Chebyshev approximation "

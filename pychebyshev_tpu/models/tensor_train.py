@@ -110,6 +110,10 @@ class ChebyshevTT:
                 "This object was created via from_values() or load()."
             )
         self.method = method
+        import jax
+        profile_scope = jax.profiler.TraceAnnotation(
+            f"chebyshev:tt_build_{method}")
+        profile_scope.__enter__()
         start = time.time()
         self._cached_error_estimate = None
 
@@ -156,6 +160,7 @@ class ChebyshevTT:
         self._tt_ranks = [1] + [c.shape[2] for c in self._coeff_cores]
         self._build_time = time.time() - start
         self._built = True
+        profile_scope.__exit__(None, None, None)
 
         if verbose:
             tt_storage = sum(c.size for c in self._coeff_cores)

@@ -30,6 +30,10 @@ __all__ = [
     "barycentric_weights",
     "differentiation_matrix",
     "chebyshev_polynomial_matrix",
+    "barycentric_interpolate",
+    "barycentric_derivative_analytical",
+    "compute_barycentric_weights",
+    "compute_differentiation_matrix",
 ]
 
 
@@ -82,6 +86,51 @@ def differentiation_matrix(nodes: jax.Array, weights: jax.Array) -> jax.Array:
     d = jnp.where(eye, 0.0, d)
     row_sum = jnp.sum(d, axis=1)
     return jnp.where(eye, -row_sum[:, None], d)
+
+
+def barycentric_interpolate(x, nodes, values, weights,
+                            skip_check: bool = False) -> float:
+    """1-D barycentric evaluation at a scalar point (reference-surface
+    convenience; the batched kernels in ``ops.eval`` are the hot path).
+
+    ``skip_check=True`` skips the node-coincidence test (reference
+    ``barycentric.py:80-106`` semantics).
+    """
+    from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+    import numpy as np
+
+    nodes = np.asarray(nodes, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if not skip_check:
+        diffs = np.abs(nodes - x)
+        if np.any(diffs < NODE_COINCIDENCE_TOL):
+            return float(values[np.argmin(diffs)])
+    w_over = weights / (x - nodes)
+    return float(np.sum(w_over * values) / np.sum(w_over))
+
+
+def barycentric_derivative_analytical(x, nodes, values, weights,
+                                      diff_matrix, order: int = 1) -> float:
+    """1-D analytic derivative via the spectral differentiation matrix
+    (order 1 or 2; reference ``barycentric.py:109-146``)."""
+    import numpy as np
+
+    if order not in (1, 2):
+        raise ValueError(
+            f"Derivative order {order} not supported (use 1 or 2)"
+        )
+    diff_matrix = np.asarray(diff_matrix, dtype=np.float64)
+    deriv_values = diff_matrix @ np.asarray(values, dtype=np.float64)
+    if order == 2:
+        deriv_values = diff_matrix @ deriv_values
+    return barycentric_interpolate(x, nodes, deriv_values, weights)
+
+
+# Reference-name aliases (drop-in for the NumPy implementation's
+# module-level helpers).
+compute_barycentric_weights = barycentric_weights
+compute_differentiation_matrix = differentiation_matrix
 
 
 @functools.partial(jax.jit, static_argnums=1)
