@@ -415,34 +415,55 @@ class ChebyshevApproximation:
     # Evaluation
     # ------------------------------------------------------------------
 
-    def eval(self, point, derivative_order=None, *, derivative_id=None):
-        """Reference-path evaluation (host, dimension-by-dimension loop).
+    def _host_arrays(self):
+        """Cached NumPy copies of the grid data for single-point paths.
 
-        Kept as the slow-but-transparent cross-check against the jitted
-        kernels (the reference keeps its naive ``eval`` for the same
-        reason, ``barycentric.py:717-787``).
+        Single queries through the device would pay jit dispatch (and, on
+        remote TPUs, tunnel round-trips) per call; the reference's
+        single-query contract is ~65 us, so single-point eval runs on
+        host BLAS against these cached copies.  The cache keys on the
+        identity of ``tensor_values`` — device arrays are immutable, and
+        every mutating operation rebinds the attribute, so a stale cache
+        is unrepresentable.
         """
-        derivative_order = self._resolve_derivative_args(
-            derivative_order, derivative_id)
-        if self.tensor_values is None:
-            raise RuntimeError("Call build() first")
+        key = id(self.tensor_values)
+        cache = getattr(self, "_host_cache", None)
+        if cache is None or cache[0] != key:
+            cache = (key, {
+                "tensor": np.asarray(self.tensor_values),
+                "nodes": [np.asarray(a) for a in self.nodes],
+                "weights": [np.asarray(a) for a in self.weights],
+                "diffs_t": [np.asarray(a).T for a in self.diff_matrices],
+            })
+            self._host_cache = cache
+        return cache[1]
 
-        current = np.asarray(self.tensor_values)
+    def _host_single_eval(self, point, derivative_order) -> float:
+        """Host GEMV chain for one point (reference ``vectorized_eval``
+        semantics, ``barycentric.py:885-949``)."""
+        h = self._host_arrays()
+        current = h["tensor"]
         for d in range(self.num_dimensions - 1, -1, -1):
             x = float(point[d])
-            nodes = np.asarray(self.nodes[d])
-            weights = np.asarray(self.weights[d])
             values = current
             for _ in range(int(derivative_order[d])):
-                values = values @ np.asarray(self.diff_matrices[d]).T
-            diff = x - nodes
+                values = values @ h["diffs_t"][d]
+            diff = x - h["nodes"][d]
             exact = np.abs(diff) < NODE_COINCIDENCE_TOL
             if exact.any():
                 current = values[..., int(np.argmax(exact))]
             else:
-                w_over_diff = weights / diff
+                w_over_diff = h["weights"][d] / diff
                 current = (values @ w_over_diff) / np.sum(w_over_diff)
         return float(current)
+
+    def eval(self, point, derivative_order=None, *, derivative_id=None):
+        """Reference-path single-point evaluation (host GEMV chain)."""
+        derivative_order = self._resolve_derivative_args(
+            derivative_order, derivative_id)
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        return self._host_single_eval(point, derivative_order)
 
     def fast_eval(self, point, derivative_order=None, *, derivative_id=None):
         """Deprecated alias for :meth:`vectorized_eval`."""
@@ -458,16 +479,14 @@ class ChebyshevApproximation:
 
     def vectorized_eval(self, point, derivative_order=None, *,
                         derivative_id=None) -> float:
-        """Single-point evaluation through the jitted batch kernel."""
+        """Single-point evaluation (host GEMV chain against cached grid
+        copies — ~tens of microseconds; batched queries belong on the
+        device via :meth:`vectorized_eval_batch`)."""
         derivative_order = self._resolve_derivative_args(
             derivative_order, derivative_id)
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
-        nodes, weights, diffs = self._grid_tuples()
-        pts = jnp.asarray(point, dtype=jnp.float64).reshape(1, -1)
-        out = eval_ops.eval_batch(self.tensor_values, nodes, weights, diffs,
-                                  pts, tuple(int(o) for o in derivative_order))
-        return float(out[0])
+        return self._host_single_eval(point, derivative_order)
 
     def vectorized_eval_batch(self, points, derivative_order=None, *,
                               derivative_id=None):
@@ -523,16 +542,37 @@ class ChebyshevApproximation:
             pts, orders)
 
     def vectorized_eval_multi(self, point, derivative_orders):
-        """Multiple derivative specs at one point, sharing barycentric rows."""
+        """Multiple derivative specs at one point, sharing the normalized
+        barycentric rows (host; reference ``barycentric.py:1049-1112``)."""
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
-        nodes, weights, diffs = self._grid_tuples()
-        pt = jnp.asarray(point, dtype=jnp.float64)
-        orders_list = tuple(tuple(int(o) for o in orders)
-                            for orders in derivative_orders)
-        out = eval_ops.eval_multi(self.tensor_values, nodes, weights, diffs,
-                                  pt, orders_list)
-        return [float(v) for v in np.asarray(out)]
+        h = self._host_arrays()
+
+        dim_info = []
+        for d in range(self.num_dimensions):
+            diff = float(point[d]) - h["nodes"][d]
+            abs_diff = np.abs(diff)
+            min_idx = int(np.argmin(abs_diff))
+            if abs_diff[min_idx] < NODE_COINCIDENCE_TOL:
+                dim_info.append((True, min_idx, None))
+            else:
+                w_over_diff = h["weights"][d] / diff
+                dim_info.append(
+                    (False, None, w_over_diff / np.sum(w_over_diff)))
+
+        results = []
+        for deriv_order in derivative_orders:
+            current = h["tensor"]
+            for d in range(self.num_dimensions - 1, -1, -1):
+                for _ in range(int(deriv_order[d])):
+                    current = current @ h["diffs_t"][d]
+                is_exact, exact_idx, w_norm = dim_info[d]
+                if is_exact:
+                    current = current[..., exact_idx]
+                else:
+                    current = current @ w_norm
+            results.append(float(current))
+        return results
 
     # ------------------------------------------------------------------
     # Derivative-id registry + ergonomics surface

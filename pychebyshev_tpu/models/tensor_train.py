@@ -603,13 +603,26 @@ class ChebyshevTT:
 
     def _eval_storage_frame(self, point_storage, derivative_order_storage
                             ) -> float:
-        """Evaluate at a storage-frame point (value or FD derivative)."""
+        """Evaluate at a storage-frame point (value or FD derivative).
+
+        Single points run the contraction chain on host (tens of
+        microseconds; the device path would pay a dispatch per call —
+        batches belong in :meth:`eval_batch`).
+        """
         if all(o == 0 for o in derivative_order_storage):
-            pts = np.asarray(point_storage, dtype=np.float64)[None, :]
-            out = tt_eval_batch(self._coeff_cores,
-                                np.asarray(self.domain, dtype=np.float64),
-                                pts)
-            return float(np.asarray(out)[0])
+            row = np.ones((1, 1))
+            for d, core in enumerate(self._coeff_cores):
+                a, b = self.domain[d]
+                scaled = 2.0 * (point_storage[d] - a) / (b - a) - 1.0
+                n = core.shape[1]
+                q = np.empty(n)
+                q[0] = 1.0
+                if n > 1:
+                    q[1] = scaled
+                for k in range(2, n):
+                    q[k] = 2.0 * scaled * q[k - 1] - q[k - 2]
+                row = row @ np.einsum("j,ijk->ik", q, core)
+            return float(row[0, 0])
         return self._fd_derivative(point_storage, derivative_order_storage)
 
     def eval_batch(self, points) -> np.ndarray:
