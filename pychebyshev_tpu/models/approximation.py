@@ -415,6 +415,19 @@ class ChebyshevApproximation:
     # Evaluation
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _matmul_last_axis(current: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        """Contract the last axis of an N-D array with a vector/matrix as
+        ONE BLAS call (NumPy would otherwise loop tiny batched GEMMs over
+        the leading axes)."""
+        if current.ndim > 2:
+            lead = current.shape[:-1]
+            flat = current.reshape(-1, current.shape[-1]) @ rhs
+            if rhs.ndim == 1:
+                return flat.reshape(lead)
+            return flat.reshape(lead + (rhs.shape[-1],))
+        return current @ rhs
+
     def _host_arrays(self):
         """Cached NumPy copies of the grid data for single-point paths.
 
@@ -447,14 +460,15 @@ class ChebyshevApproximation:
             x = float(point[d])
             values = current
             for _ in range(int(derivative_order[d])):
-                values = values @ h["diffs_t"][d]
+                values = self._matmul_last_axis(values, h["diffs_t"][d])
             diff = x - h["nodes"][d]
             exact = np.abs(diff) < NODE_COINCIDENCE_TOL
             if exact.any():
                 current = values[..., int(np.argmax(exact))]
             else:
                 w_over_diff = h["weights"][d] / diff
-                current = (values @ w_over_diff) / np.sum(w_over_diff)
+                current = (self._matmul_last_axis(values, w_over_diff)
+                           / np.sum(w_over_diff))
         return float(current)
 
     def eval(self, point, derivative_order=None, *, derivative_id=None):
@@ -565,12 +579,13 @@ class ChebyshevApproximation:
             current = h["tensor"]
             for d in range(self.num_dimensions - 1, -1, -1):
                 for _ in range(int(deriv_order[d])):
-                    current = current @ h["diffs_t"][d]
+                    current = self._matmul_last_axis(current,
+                                                     h["diffs_t"][d])
                 is_exact, exact_idx, w_norm = dim_info[d]
                 if is_exact:
                     current = current[..., exact_idx]
                 else:
-                    current = current @ w_norm
+                    current = self._matmul_last_axis(current, w_norm)
             results.append(float(current))
         return results
 
