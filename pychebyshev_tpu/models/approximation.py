@@ -526,14 +526,18 @@ class ChebyshevApproximation:
             self.tensor_values, nodes, weights, diffs, pts,
             tuple(int(o) for o in derivative_order))
 
-    def eval_batch_f32(self, points, derivative_order=None) -> jax.Array:
+    def eval_batch_f32(self, points, derivative_order=None, *,
+                       use_fused: bool = False) -> jax.Array:
         """Throughput-mode batched evaluation (float32).
 
-        Uses the fully-fused Pallas kernel (``ops.pallas_eval``) when the
-        configuration supports it — on TPU this keeps the entire
-        contraction in VMEM and is MXU-bound — otherwise the XLA f32
-        path.  Delivered accuracy equals the interpolation error for
-        typical grids (see docs/performance.md).
+        Default is the XLA f32 path (HIGHEST-precision matmuls; measured
+        ~40M queries/s per v5e chip on the 11^5 benchmark).
+        ``use_fused=True`` routes through the Pallas kernel
+        (``ops.pallas_eval``) instead, which keeps the whole contraction
+        in VMEM — within ~20% of the XLA path on the benchmark shape and
+        a better fit when HBM bandwidth is contended.  Delivered accuracy
+        equals the interpolation error for typical grids
+        (see docs/performance.md).
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
@@ -543,8 +547,8 @@ class ChebyshevApproximation:
         from pychebyshev_tpu.ops import pallas_eval
 
         nodes, weights, diffs = self._grid_tuples()
-        if pallas_eval.supports_fused(self.tensor_values.shape,
-                                      jnp.float32):
+        if use_fused and pallas_eval.supports_fused(
+                self.tensor_values.shape, jnp.float32):
             return pallas_eval.fused_eval_batch(
                 self.tensor_values, nodes, weights, diffs, points, orders)
         pts = jnp.asarray(points, dtype=jnp.float32)

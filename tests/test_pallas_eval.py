@@ -92,6 +92,8 @@ class TestFusedKernel:
 class TestClassIntegration:
     def test_eval_batch_f32(self, cheb, pts):
         out = np.asarray(cheb.eval_batch_f32(pts))
+        fused = np.asarray(cheb.eval_batch_f32(pts, use_fused=True))
+        np.testing.assert_allclose(fused, out, atol=5e-5)
         expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
         np.testing.assert_allclose(out, expected, atol=5e-5)
 
