@@ -24,6 +24,13 @@ import pychebyshev_tpu  # noqa: F401  (x64 on)
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: repeat bench runs skip the (remote,
+# slow) TPU compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/pychebyshev_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 BASELINE_SINGLE_QUERY_S = 0.065e-3  # reference vectorized_eval, CPU
 
 
@@ -129,6 +136,20 @@ def main() -> None:
     log(f"f32 batched: {dt32 * 1e3:.2f} ms / {n:,} pts -> "
         f"{qps32:,.0f} queries/s (max rel err vs analytic "
         f"{rel32.max():.2e} on |price|>1; dev from f64 {dev32:.1e})")
+
+    # ---- Fused Pallas kernel (diagnostic) ----
+    try:
+        from pychebyshev_tpu.ops.pallas_eval import fused_eval_batch
+
+        def run_fused(p):
+            return fused_eval_batch(cheb.tensor_values, nodes, weights,
+                                    diffs, p, orders, block=1024)
+
+        dt_fused = time_fn(run_fused, pts32, iters=5)
+        log(f"pallas fused f32: {dt_fused * 1e3:.2f} ms -> "
+            f"{n / dt_fused:,.0f} queries/s")
+    except Exception as e:  # kernel is an optional fast path
+        log(f"pallas fused f32: unavailable ({type(e).__name__})")
 
     # ---- Greeks (derivative pass) ----
     def run_delta(p):
