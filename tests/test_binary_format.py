@@ -1,0 +1,231 @@
+"""Byte-level .pcb format tests: header constants, size accounting,
+adversarial corrupt inputs, dtype strictness, round-trips."""
+
+import io
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import ChebyshevApproximation, ChebyshevSpline
+from pychebyshev_tpu.utils import binary
+
+
+def build_approx_2d():
+    cheb = ChebyshevApproximation(
+        lambda x, _: math.sin(x[0]) + x[1] ** 2, 2,
+        [[-1.0, 1.0], [0.0, 2.0]], [5, 7])
+    cheb.build(verbose=False)
+    return cheb
+
+
+def build_spline_1d():
+    sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1.0, 1.0]], [5],
+                         [[0.0]])
+    sp.build(verbose=False)
+    return sp
+
+
+def approx_bytes(cheb=None):
+    cheb = cheb or build_approx_2d()
+    buf = io.BytesIO()
+    binary.write_approx(buf, cheb)
+    return bytearray(buf.getvalue())
+
+
+def spline_bytes():
+    buf = io.BytesIO()
+    binary.write_spline(buf, build_spline_1d())
+    return bytearray(buf.getvalue())
+
+
+class TestHeader:
+    def test_constants(self):
+        raw = approx_bytes()
+        assert raw[:4] == b"PCB\x00"
+        assert raw[4] == 1 and raw[5] == 0            # major.minor
+        assert struct.unpack("<H", raw[6:8])[0] == 1  # class tag
+        assert raw[8:12] == b"\x00\x00\x00\x00"       # reserved
+
+    def test_spline_class_tag(self):
+        raw = spline_bytes()
+        assert struct.unpack("<H", raw[6:8])[0] == 2
+
+    def test_exact_size_approx(self):
+        raw = approx_bytes()
+        d = 2
+        expected = 12 + 4 + 8 * d + 8 * d + 4 * d + 8 * (5 * 7)
+        assert len(raw) == expected
+
+    def test_exact_size_spline(self):
+        raw = spline_bytes()
+        # header + d + lo + hi + n_nodes + num_knots + knots + num_pieces
+        # + 2 pieces of 5 floats
+        expected = 12 + 4 + 8 + 8 + 4 + 4 + 8 + 4 + 2 * 5 * 8
+        assert len(raw) == expected
+
+    def test_peek_format_version(self, tmp_path):
+        p = tmp_path / "x.pcb"
+        p.write_bytes(bytes(approx_bytes()))
+        assert binary.peek_format_version(str(p)) == 1
+        short = tmp_path / "short.pcb"
+        short.write_bytes(b"PCB\x00\x01")
+        with pytest.raises(ValueError, match="header"):
+            binary.peek_format_version(str(short))
+        bad = tmp_path / "bad.pcb"
+        bad.write_bytes(b"XXXX" + b"\x00" * 20)
+        with pytest.raises(ValueError, match="magic"):
+            binary.peek_format_version(str(bad))
+
+    def test_detect_format(self, tmp_path):
+        p = tmp_path / "b.pcb"
+        p.write_bytes(bytes(approx_bytes()))
+        assert binary.detect_format(p) == "binary"
+        q = tmp_path / "p.pkl"
+        q.write_bytes(b"\x80\x05 pickle-ish")
+        assert binary.detect_format(q) == "pickle"
+        tiny = tmp_path / "tiny"
+        tiny.write_bytes(b"ab")
+        assert binary.detect_format(tiny) == "pickle"
+
+
+class TestAdversarialInputs:
+    def _read(self, raw):
+        return binary.read_approx(io.BytesIO(bytes(raw)))
+
+    def test_bad_magic(self):
+        raw = approx_bytes()
+        raw[0] = ord("X")
+        with pytest.raises(ValueError, match="magic"):
+            self._read(raw)
+
+    def test_unsupported_major(self):
+        raw = approx_bytes()
+        raw[4] = 9
+        with pytest.raises(ValueError, match="major"):
+            self._read(raw)
+
+    def test_nonzero_reserved(self):
+        raw = approx_bytes()
+        raw[10] = 1
+        with pytest.raises(ValueError, match="reserved"):
+            self._read(raw)
+
+    def test_wrong_class_tag(self):
+        raw = approx_bytes()
+        with pytest.raises(ValueError, match="class_tag"):
+            binary.read_spline(io.BytesIO(bytes(raw)))
+        raw2 = spline_bytes()
+        with pytest.raises(ValueError, match="class_tag"):
+            binary.read_approx(io.BytesIO(bytes(raw2)))
+
+    def test_truncated_header(self):
+        with pytest.raises(ValueError, match="EOF"):
+            self._read(approx_bytes()[:8])
+
+    def test_truncated_body(self):
+        raw = approx_bytes()
+        with pytest.raises(ValueError, match="EOF"):
+            self._read(raw[:-17])
+
+    def test_zero_dimensions(self):
+        raw = bytearray(b"PCB\x00\x01\x00\x01\x00\x00\x00\x00\x00")
+        raw += struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="num_dimensions"):
+            self._read(raw)
+
+    def test_inverted_domain(self):
+        raw = bytearray(b"PCB\x00\x01\x00\x01\x00\x00\x00\x00\x00")
+        raw += struct.pack("<I", 1)
+        raw += struct.pack("<d", 1.0)   # lo
+        raw += struct.pack("<d", -1.0)  # hi (inverted)
+        raw += struct.pack("<I", 3)
+        raw += struct.pack("<3d", 0.0, 0.0, 0.0)
+        with pytest.raises(ValueError, match="lo"):
+            self._read(raw)
+
+    def test_zero_n_nodes(self):
+        raw = bytearray(b"PCB\x00\x01\x00\x01\x00\x00\x00\x00\x00")
+        raw += struct.pack("<I", 1)
+        raw += struct.pack("<d", -1.0)
+        raw += struct.pack("<d", 1.0)
+        raw += struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="n_nodes"):
+            self._read(raw)
+
+    def test_unsorted_spline_knots(self):
+        raw = bytearray(b"PCB\x00\x01\x00\x02\x00\x00\x00\x00\x00")
+        raw += struct.pack("<I", 1)
+        raw += struct.pack("<d", -1.0)
+        raw += struct.pack("<d", 1.0)
+        raw += struct.pack("<I", 3)        # n_nodes
+        raw += struct.pack("<I", 2)        # num_knots
+        raw += struct.pack("<2d", 0.5, -0.5)  # unsorted
+        with pytest.raises(ValueError, match="ascending"):
+            binary.read_spline(io.BytesIO(bytes(raw)))
+
+    def test_piece_count_mismatch(self):
+        raw = bytearray(b"PCB\x00\x01\x00\x02\x00\x00\x00\x00\x00")
+        raw += struct.pack("<I", 1)
+        raw += struct.pack("<d", -1.0)
+        raw += struct.pack("<d", 1.0)
+        raw += struct.pack("<I", 3)
+        raw += struct.pack("<I", 1)
+        raw += struct.pack("<d", 0.0)
+        raw += struct.pack("<I", 5)   # should be 2
+        with pytest.raises(ValueError, match="num_pieces"):
+            binary.read_spline(io.BytesIO(bytes(raw)))
+
+
+class TestWriterStrictness:
+    def test_u32_dtype_strict(self):
+        with pytest.raises(TypeError, match="uint32"):
+            binary._write_u32_array(io.BytesIO(),
+                                    np.array([1, 2], dtype=np.int64))
+
+    def test_f64_dtype_strict(self):
+        with pytest.raises(TypeError, match="float64"):
+            binary._write_f64_array(io.BytesIO(),
+                                    np.array([1.0], dtype=np.float32))
+
+    def test_additional_data_rejected(self):
+        cheb = build_approx_2d()
+        cheb.additional_data = {"x": 1}
+        with pytest.raises(NotImplementedError, match="additional_data"):
+            binary.write_approx(io.BytesIO(), cheb)
+
+    def test_unbuilt_rejected(self):
+        cheb = ChebyshevApproximation(lambda x, _: x[0], 1, [[-1, 1]],
+                                      [5])
+        with pytest.raises(RuntimeError):
+            binary.write_approx(io.BytesIO(), cheb)
+
+
+class TestRoundTrip:
+    def test_values_bit_exact(self):
+        cheb = build_approx_2d()
+        loaded = binary.read_approx(io.BytesIO(bytes(approx_bytes(cheb))))
+        np.testing.assert_array_equal(np.asarray(loaded.tensor_values),
+                                      np.asarray(cheb.tensor_values))
+        assert loaded.n_nodes == cheb.n_nodes
+        assert [list(b) for b in loaded.domain] == \
+            [list(b) for b in cheb.domain]
+        assert loaded.function is None
+
+    def test_metadata_drops(self):
+        """Binary format drops descriptor / derivative-id registry /
+        max_derivative_order (reloads at default)."""
+        cheb = build_approx_2d()
+        cheb.set_descriptor("will be dropped")
+        cheb.get_derivative_id([1, 0])
+        loaded = binary.read_approx(io.BytesIO(bytes(approx_bytes(cheb))))
+        assert loaded.get_descriptor() == ""
+        assert loaded._derivative_id_to_orders == []
+        assert loaded.max_derivative_order == 2
+
+    def test_spline_round_trip_eval(self):
+        sp = build_spline_1d()
+        loaded = binary.read_spline(io.BytesIO(bytes(spline_bytes())))
+        for x in [-0.8, -0.1, 0.0, 0.4, 0.99]:
+            assert abs(loaded.eval([x], [0]) - sp.eval([x], [0])) < 1e-14
