@@ -1,0 +1,83 @@
+"""Concurrent evaluation safety.
+
+The reference fixed a race where ``eval_multi`` temporarily mutated the
+TT ``_dim_order`` (issue #19 / v0.20.1); the design contract here is
+stronger: no eval path mutates shared state, so concurrent evaluation
+from threads must produce bit-identical results to sequential calls.
+"""
+
+import concurrent.futures
+import math
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import ChebyshevApproximation, ChebyshevTT
+
+
+def f3(x, _):
+    return math.sin(x[0]) + math.cos(x[1]) * x[2]
+
+
+@pytest.fixture(scope="module")
+def reordered_tt():
+    tt = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6)
+    tt.build(verbose=False, seed=0)
+    return tt.reorder([2, 0, 1])  # non-identity dim_order
+
+
+class TestConcurrentEval:
+    def test_tt_eval_multi_threads(self, reordered_tt):
+        rng = np.random.default_rng(0)
+        points = [list(rng.uniform(-1, 1, 3)) for _ in range(40)]
+        orders = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+        sequential = [reordered_tt.eval_multi(pt, orders)
+                      for pt in points]
+
+        def work(pt):
+            return reordered_tt.eval_multi(pt, orders)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            concurrent_results = list(pool.map(work, points))
+
+        for seq, conc in zip(sequential, concurrent_results):
+            assert seq == conc  # bit-identical: no state was touched
+        # dim_order untouched
+        assert reordered_tt.dim_order == [2, 0, 1]
+
+    def test_dense_eval_threads(self):
+        cheb = ChebyshevApproximation(f3, 3, [[-1, 1]] * 3, [9] * 3)
+        cheb.build(verbose=False)
+        rng = np.random.default_rng(1)
+        points = [list(rng.uniform(-1, 1, 3)) for _ in range(60)]
+        sequential = [cheb.vectorized_eval(pt, [1, 0, 0])
+                      for pt in points]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            concurrent_results = list(pool.map(
+                lambda pt: cheb.vectorized_eval(pt, [1, 0, 0]), points))
+
+        assert sequential == concurrent_results
+
+    def test_mixed_batch_and_single_threads(self):
+        cheb = ChebyshevApproximation(f3, 3, [[-1, 1]] * 3, [9] * 3)
+        cheb.build(verbose=False)
+        rng = np.random.default_rng(2)
+        batch = rng.uniform(-1, 1, size=(256, 3))
+        expected_batch = cheb.vectorized_eval_batch(batch, [0, 0, 0])
+        pt = [0.3, -0.2, 0.5]
+        expected_single = cheb.vectorized_eval(pt, [0, 0, 0])
+
+        def batch_work(_):
+            return cheb.vectorized_eval_batch(batch, [0, 0, 0])
+
+        def single_work(_):
+            return cheb.vectorized_eval(pt, [0, 0, 0])
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            batch_futs = [pool.submit(batch_work, i) for i in range(8)]
+            single_futs = [pool.submit(single_work, i) for i in range(8)]
+            for f in batch_futs:
+                np.testing.assert_array_equal(f.result(), expected_batch)
+            for f in single_futs:
+                assert f.result() == expected_single
