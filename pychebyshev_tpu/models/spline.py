@@ -335,6 +335,11 @@ class ChebyshevSpline:
                     f"register via get_derivative_id() first"
                 )
             return list(self._derivative_id_to_orders[derivative_id])
+        if len(derivative_order) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(derivative_order)} does "
+                f"not match num_dimensions {self.num_dimensions}"
+            )
         return derivative_order
 
     def _check_knot_boundary(self, point, derivative_order) -> None:
