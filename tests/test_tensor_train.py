@@ -436,3 +436,46 @@ class TestErgonomics:
         tt_sin3d.set_descriptor("")
         info = ChebyshevTT.nodes(3, [[-1, 1]] * 3, [11] * 3)
         assert len(info["nodes_per_dim"]) == 3
+
+
+class TestAnalyticDifferentiate:
+    def test_matches_dense_analytic(self, tt_sin3d):
+        from pychebyshev_tpu import ChebyshevApproximation
+        dense = ChebyshevApproximation.from_values(
+            tt_sin3d.to_dense(), 3, [[-1, 1]] * 3, [11] * 3)
+        d_tt = tt_sin3d.differentiate([1, 0, 0])
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, size=(20, 3))
+        got = d_tt.eval_batch(pts)
+        expected = dense.vectorized_eval_batch(pts, [1, 0, 0])
+        np.testing.assert_allclose(got, expected, atol=1e-9)
+
+    def test_beats_fd_accuracy(self, tt_sin3d):
+        pt = [0.3, -0.2, 0.5]
+        exact = math.cos(0.3)
+        analytic = tt_sin3d.differentiate([1, 0, 0]).eval(pt)
+        fd = tt_sin3d.eval_multi(pt, [[1, 0, 0]])[0]
+        assert abs(analytic - exact) < abs(fd - exact)
+        assert abs(analytic - exact) < 1e-9
+
+    def test_second_and_mixed_orders(self, tt_sin3d):
+        pt = [0.3, -0.2, 0.5]
+        d2 = tt_sin3d.differentiate([2, 0, 0]).eval(pt)
+        assert abs(d2 + math.sin(0.3)) < 1e-7
+        # additive function: mixed partial is ~0
+        mixed = tt_sin3d.differentiate([1, 1, 0]).eval(pt)
+        assert abs(mixed) < 1e-7
+
+    def test_reordered_frame(self, tt_sin3d):
+        rt = tt_sin3d.reorder([2, 0, 1])
+        pt = [0.3, -0.2, 0.5]
+        a = rt.differentiate([0, 1, 0]).eval(pt)
+        b = tt_sin3d.differentiate([0, 1, 0]).eval(pt)
+        assert abs(a - b) < 1e-9
+        assert abs(a - math.cos(-0.2)) < 1e-8
+
+    def test_validation(self, tt_sin3d):
+        with pytest.raises(ValueError):
+            tt_sin3d.differentiate([1, 0])
+        with pytest.raises(ValueError):
+            tt_sin3d.differentiate([-1, 0, 0])
