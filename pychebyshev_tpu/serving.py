@@ -1,0 +1,167 @@
+"""Serving-grade batched query engine.
+
+Production query streams have ragged batch sizes; jit recompiles per
+shape.  :class:`BatchedEvaluator` snapshots an interpolant's arrays at a
+chosen dtype, compiles a small ladder of fixed bucket sizes up front,
+and answers any batch by padding to the next bucket — so a serving loop
+never recompiles and never leaves the device hot path.
+
+Covers dense :class:`ChebyshevApproximation` (value or fixed derivative
+spec; XLA or fused-Pallas kernel) and :class:`ChebyshevTT`.
+
+Example
+-------
+>>> engine = BatchedEvaluator(cheb, dtype=jnp.float32)
+>>> engine.warmup()                  # compile all buckets once
+>>> values = engine(points)          # any N; no recompiles
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BatchedEvaluator"]
+
+_DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
+
+
+class BatchedEvaluator:
+    """Precompiled, bucket-padded batch evaluation of an interpolant.
+
+    Parameters
+    ----------
+    interpolant : ChebyshevApproximation or ChebyshevTT (built).
+    dtype : jnp.float32 (throughput) or jnp.float64 (parity).
+    derivative_order : fixed per-dim derivative spec (dense only);
+        None = values.
+    bucket_sizes : ascending compile sizes; batches beyond the largest
+        are processed in largest-bucket chunks.
+    use_fused : route dense f32 through the fused Pallas kernel.
+    """
+
+    def __init__(self, interpolant, dtype=jnp.float32,
+                 derivative_order: Optional[Sequence[int]] = None,
+                 bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS,
+                 use_fused: bool = False):
+        from pychebyshev_tpu.models.approximation import (
+            ChebyshevApproximation,
+        )
+        from pychebyshev_tpu.models.tensor_train import ChebyshevTT
+
+        if not isinstance(interpolant, (ChebyshevApproximation,
+                                        ChebyshevTT)):
+            raise TypeError(
+                f"BatchedEvaluator supports ChebyshevApproximation and "
+                f"ChebyshevTT, got {type(interpolant).__name__}"
+            )
+        self.dtype = jnp.dtype(dtype)
+        self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
+        self.num_dimensions = interpolant.num_dimensions
+        self._use_fused = use_fused
+
+        if isinstance(interpolant, ChebyshevApproximation):
+            if interpolant.tensor_values is None:
+                raise RuntimeError("interpolant is not built")
+            self._kind = "dense"
+            orders = tuple(int(o) for o in (
+                derivative_order or [0] * self.num_dimensions))
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+            nodes, weights, diffs = interpolant._grid_tuples()
+            from pychebyshev_tpu.ops.eval import apply_derivative_passes
+            tensor = jnp.asarray(interpolant.tensor_values, self.dtype)
+            self._nodes = tuple(jnp.asarray(a, self.dtype) for a in nodes)
+            self._weights = tuple(jnp.asarray(a, self.dtype)
+                                  for a in weights)
+            self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
+            # Hoist derivative passes once: the engine serves ONE spec.
+            self._tensor = apply_derivative_passes(tensor, self._diffs,
+                                                   orders)
+            self._orders = (0,) * self.num_dimensions
+        else:
+            interpolant._check_built()
+            if derivative_order is not None and any(
+                    o != 0 for o in derivative_order):
+                # Analytic derivative TT evaluates at full speed.
+                interpolant = interpolant.differentiate(derivative_order)
+            self._kind = "tt"
+            self._cores = tuple(jnp.asarray(c, self.dtype)
+                                for c in interpolant._coeff_cores)
+            self._domain = np.asarray(interpolant.domain,
+                                      dtype=np.float64)
+            self._dim_order = list(interpolant._dim_order)
+
+    # ------------------------------------------------------------------
+
+    def _run(self, points: jax.Array) -> jax.Array:
+        if self._kind == "dense":
+            if self._use_fused and self.dtype == jnp.float32:
+                from pychebyshev_tpu.ops.pallas_eval import (
+                    fused_eval_batch,
+                    supports_fused,
+                )
+                if supports_fused(self._tensor.shape, self.dtype):
+                    return fused_eval_batch(
+                        self._tensor, self._nodes, self._weights,
+                        self._diffs, points, self._orders)
+            from pychebyshev_tpu.ops.eval import eval_batch
+            return eval_batch(self._tensor, self._nodes, self._weights,
+                              self._diffs, points, self._orders)
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        return tt_eval_batch(self._cores, self._domain, points)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.bucket_sizes[-1]
+
+    def warmup(self) -> None:
+        """Compile every bucket size up front."""
+        for b in self.bucket_sizes:
+            pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
+            if self._kind == "tt":
+                # keep warmup points inside the domain
+                lo = self._domain[:, 0]
+                hi = self._domain[:, 1]
+                pts = jnp.asarray(
+                    (lo + 0.5 * (hi - lo))[None, :].repeat(b, axis=0),
+                    self.dtype)
+            jax.block_until_ready(self._run(pts))
+
+    def __call__(self, points) -> np.ndarray:
+        """Evaluate at (N, d) points; pads N to a compiled bucket."""
+        points = np.asarray(points)
+        n = points.shape[0]
+        if points.ndim != 2 or points.shape[1] != self.num_dimensions:
+            raise ValueError(
+                f"points must have shape (N, {self.num_dimensions}); "
+                f"got {points.shape}"
+            )
+        if self._kind == "tt" and self._dim_order != list(
+                range(self.num_dimensions)):
+            points = points[:, self._dim_order]
+
+        max_bucket = self.bucket_sizes[-1]
+        out = np.empty(n, dtype=self.dtype)
+        start = 0
+        while start < n:
+            stop = min(start + max_bucket, n)
+            chunk = points[start:stop]
+            bucket = self._bucket_for(stop - start)
+            if chunk.shape[0] < bucket:
+                # Pad with the first row (always a valid in-domain point).
+                pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
+                                                 self.num_dimensions))
+                chunk = np.concatenate([chunk, pad], axis=0)
+            result = self._run(jnp.asarray(chunk, self.dtype))
+            out[start:stop] = np.asarray(result)[:stop - start]
+            start = stop
+        return out
