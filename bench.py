@@ -185,6 +185,17 @@ def main() -> None:
         f"{n / dt_tt32:,.0f} queries/s "
         f"(reference ~0.004 ms/pt = 250,000 queries/s)")
 
+    # ---- TT analytic delta (beyond-reference: Greeks at batch speed) --
+    delta_tt = tt.differentiate([1, 0, 0, 0, 0])
+    delta_cores = tuple(jnp.asarray(c) for c in delta_tt._coeff_cores)
+
+    def run_tt_delta(p):
+        return tt_eval_batch(delta_cores, dom_arr, p)
+
+    dt_tt_delta = time_fn(run_tt_delta, pts32, iters=5)
+    log(f"TT analytic delta batched (f32): {dt_tt_delta * 1e3:.2f} ms -> "
+        f"{n / dt_tt_delta:,.0f} queries/s")
+
     vs_baseline = qps32 * BASELINE_SINGLE_QUERY_S
     print(json.dumps({
         "metric": "bs5d_11n_f32_batched_queries_per_sec",

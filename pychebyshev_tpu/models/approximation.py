@@ -28,7 +28,7 @@ import os
 import pickle
 import time
 import warnings
-from typing import Callable, List, Tuple
+from typing import List
 
 import numpy as np
 import jax
@@ -38,8 +38,11 @@ import pychebyshev_tpu.config  # noqa: F401  (enables x64)
 from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 from pychebyshev_tpu.ops.chebyshev import (
     barycentric_weights,
+    barycentric_weights_np,
     differentiation_matrix,
+    differentiation_matrix_np,
     nodes_for_dim,
+    nodes_for_dim_np,
 )
 from pychebyshev_tpu.ops.dct import _coeff_matrix_np, values_to_coeffs
 from pychebyshev_tpu.ops import eval as eval_ops
@@ -234,18 +237,26 @@ class ChebyshevApproximation:
     # ------------------------------------------------------------------
 
     def _generate_nodes(self) -> None:
-        """Populate ``self.nodes`` (ascending Chebyshev grid per dim)."""
+        """Populate ``self.nodes`` (ascending Chebyshev grid per dim).
+
+        Grid metadata is computed on host (tiny arrays, build-time only)
+        and placed on device — avoids a device compile per node count.
+        """
         self.nodes = [
-            nodes_for_dim(self.domain[d][0], self.domain[d][1],
-                          int(self.n_nodes[d]))
+            jnp.asarray(nodes_for_dim_np(self.domain[d][0],
+                                         self.domain[d][1],
+                                         int(self.n_nodes[d])))
             for d in range(self.num_dimensions)
         ]
 
     def _compute_grid_data(self) -> None:
         """Populate barycentric weights + differentiation matrices."""
-        self.weights = [barycentric_weights(nd) for nd in self.nodes]
+        host_nodes = [np.asarray(nd) for nd in self.nodes]
+        host_weights = [barycentric_weights_np(nd) for nd in host_nodes]
+        self.weights = [jnp.asarray(w) for w in host_weights]
         self.diff_matrices = [
-            differentiation_matrix(self.nodes[d], self.weights[d])
+            jnp.asarray(differentiation_matrix_np(host_nodes[d],
+                                                  host_weights[d]))
             for d in range(self.num_dimensions)
         ]
 

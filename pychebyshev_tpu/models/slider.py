@@ -18,7 +18,7 @@ import os
 import pickle
 import time
 import warnings
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import numpy as np
 

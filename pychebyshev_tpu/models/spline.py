@@ -21,7 +21,7 @@ import os
 import pickle
 import time
 import warnings
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import os
 import pickle
 import time
 import warnings
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 

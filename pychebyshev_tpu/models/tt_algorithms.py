@@ -31,7 +31,7 @@ Algorithmic parity targets (behavior, not code):
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 

@@ -37,6 +37,44 @@ __all__ = [
 ]
 
 
+@functools.lru_cache(maxsize=None)
+def _chebpts1_np(n: int):
+    import numpy as np
+    k = np.arange(n, dtype=np.float64)
+    return -np.cos(np.pi * (2.0 * k + 1.0) / (2.0 * n))
+
+
+def nodes_for_dim_np(lo, hi, n: int):
+    """Host-side :func:`nodes_for_dim` (build-time metadata — computing
+    these tiny arrays on host avoids a device compile per node count)."""
+    import numpy as np
+    return np.ascontiguousarray(
+        0.5 * (lo + hi) + 0.5 * (hi - lo) * _chebpts1_np(n))
+
+
+def barycentric_weights_np(nodes):
+    """Host-side :func:`barycentric_weights`."""
+    import numpy as np
+    nodes = np.asarray(nodes, dtype=np.float64)
+    n = nodes.shape[0]
+    diff = nodes[:, None] - nodes[None, :]
+    np.fill_diagonal(diff, 1.0)
+    return 1.0 / np.prod(diff, axis=1)
+
+
+def differentiation_matrix_np(nodes, weights):
+    """Host-side :func:`differentiation_matrix`."""
+    import numpy as np
+    nodes = np.asarray(nodes, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    c = nodes[:, None] - nodes[None, :]
+    np.fill_diagonal(c, 1.0)
+    d = weights[None, :] / (c * weights[:, None])
+    np.fill_diagonal(d, 0.0)
+    np.fill_diagonal(d, -np.sum(d, axis=1))
+    return d
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def chebpts1(n: int) -> jax.Array:
     """Type-I Chebyshev points on [-1, 1], ascending.

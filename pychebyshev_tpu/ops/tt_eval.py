@@ -17,7 +17,6 @@ footprint stays bounded for any N.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np

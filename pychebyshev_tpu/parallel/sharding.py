@@ -23,8 +23,7 @@ when the mesh maps onto a physical torus.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
