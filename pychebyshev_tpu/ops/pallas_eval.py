@@ -35,7 +35,10 @@ from pychebyshev_tpu.ops.eval import _split_index, apply_derivative_passes
 
 __all__ = ["fused_eval_batch", "supports_fused"]
 
-_BLOCK = 512  # points per tile
+# Points per tile.  1024 is the smallest block that satisfies the XLA
+# 1-D output tiling on TPU (f32 tile = 1024) and fits VMEM comfortably;
+# larger blocks exceeded VMEM on v5e for the 11^5 benchmark shape.
+_BLOCK = 1024
 
 
 def _selection_matrix(n_pad: int, n_d: int, group_shape: Sequence[int],
