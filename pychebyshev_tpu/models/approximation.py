@@ -44,6 +44,12 @@ from pychebyshev_tpu.ops.chebyshev import (
     nodes_for_dim,
     nodes_for_dim_np,
 )
+from pychebyshev_tpu.ops.chebyshev import (  # noqa: F401  (compat re-exports)
+    barycentric_derivative_analytical,
+    barycentric_interpolate,
+    compute_barycentric_weights,
+    compute_differentiation_matrix,
+)
 from pychebyshev_tpu.ops.dct import _coeff_matrix_np, values_to_coeffs
 from pychebyshev_tpu.ops import eval as eval_ops
 
@@ -468,7 +474,9 @@ class ChebyshevApproximation:
         h = self._host_arrays()
         current = h["tensor"]
         for d in range(self.num_dimensions - 1, -1, -1):
-            x = float(point[d])
+            # np scalar/array coordinate: broadcasting matches the
+            # reference's tolerance for array-like entries
+            x = np.asarray(point[d], dtype=np.float64)
             values = current
             for _ in range(int(derivative_order[d])):
                 values = self._matmul_last_axis(values, h["diffs_t"][d])
@@ -579,7 +587,7 @@ class ChebyshevApproximation:
 
         dim_info = []
         for d in range(self.num_dimensions):
-            diff = float(point[d]) - h["nodes"][d]
+            diff = np.asarray(point[d], dtype=np.float64) - h["nodes"][d]
             abs_diff = np.abs(diff)
             min_idx = int(np.argmin(abs_diff))
             if abs_diff[min_idx] < NODE_COINCIDENCE_TOL:
@@ -937,8 +945,7 @@ class ChebyshevApproximation:
                 f"must both equal num_dimensions={num_dimensions}"
             )
         nodes_per_dim = [
-            np.asarray(nodes_for_dim(domain[d][0], domain[d][1],
-                                     int(n_nodes[d])))
+            nodes_for_dim_np(domain[d][0], domain[d][1], int(n_nodes[d]))
             for d in range(num_dimensions)
         ]
         grids = np.meshgrid(*nodes_per_dim, indexing="ij")
@@ -1062,12 +1069,12 @@ class ChebyshevApproximation:
 
         for dim_idx, (lo, hi), n in sorted_params:
             tensor = extrude_tensor(tensor, dim_idx, n)
-            new_nodes = nodes_for_dim(lo, hi, int(n))
-            new_weights = barycentric_weights(new_nodes)
-            nodes.insert(dim_idx, new_nodes)
-            weights.insert(dim_idx, new_weights)
-            diffs.insert(dim_idx,
-                         differentiation_matrix(new_nodes, new_weights))
+            new_nodes = nodes_for_dim_np(lo, hi, int(n))
+            new_weights = barycentric_weights_np(new_nodes)
+            new_diff = differentiation_matrix_np(new_nodes, new_weights)
+            nodes.insert(dim_idx, jnp.asarray(new_nodes))
+            weights.insert(dim_idx, jnp.asarray(new_weights))
+            diffs.insert(dim_idx, jnp.asarray(new_diff))
             domain.insert(dim_idx, [lo, hi])
             n_nodes.insert(dim_idx, int(n))
 

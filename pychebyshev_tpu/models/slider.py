@@ -728,11 +728,11 @@ class ChebyshevSlider:
     def _to_1d_chebyshev(self, sliced_1d: "ChebyshevSlider"):
         """Re-sample a 1-D slider at its Chebyshev nodes into a dense
         1-D approximation."""
-        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
         assert sliced_1d.num_dimensions == 1
         n = sliced_1d.n_nodes[0]
         a, b = sliced_1d.domain[0]
-        cheb_nodes = np.asarray(nodes_for_dim(a, b, int(n)))
+        cheb_nodes = nodes_for_dim_np(a, b, int(n))
         values = sliced_1d.eval_batch(cheb_nodes[:, None])
         return ChebyshevApproximation.from_values(
             values, num_dimensions=1, domain=[(float(a), float(b))],

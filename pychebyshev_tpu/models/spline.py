@@ -637,7 +637,8 @@ class ChebyshevSpline:
                 "ChebyshevSpline.nodes() accepts only flat n_nodes "
                 "(one int per dim, shared across pieces). Nested "
                 "per-sub-interval n_nodes is supported via __init__ "
-                "but not via the nodes()/from_values() workflow."
+                "but not via the nodes()/from_values() workflow. "
+                "See docs/user-guide/special-points.md."
             )
         ChebyshevSpline._validate_domain_knots(num_dimensions, domain, knots)
 
@@ -705,7 +706,8 @@ class ChebyshevSpline:
                 "ChebyshevSpline.from_values() accepts only flat n_nodes "
                 "(one int per dim, shared across pieces). Nested "
                 "per-sub-interval n_nodes is supported via __init__ "
-                "but not via the nodes()/from_values() workflow."
+                "but not via the nodes()/from_values() workflow. "
+                "See docs/user-guide/special-points.md."
             )
         cls._validate_domain_knots(num_dimensions, domain, knots)
 
@@ -1283,3 +1285,7 @@ class ChebyshevSpline:
                   knots=knots, additional_data=additional_data)
         spl.build(verbose=False)
         return spl
+
+
+# Reference-name compat alias.
+_is_nested_n_nodes = is_nested_n_nodes

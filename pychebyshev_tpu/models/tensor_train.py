@@ -89,10 +89,10 @@ class ChebyshevTT:
 
     def _storage_grids(self) -> List[np.ndarray]:
         """Per-storage-position Chebyshev node arrays (ascending)."""
-        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
         return [
-            np.asarray(nodes_for_dim(self.domain[d][0], self.domain[d][1],
-                                     self.n_nodes[d]))
+            nodes_for_dim_np(self.domain[d][0], self.domain[d][1],
+                             self.n_nodes[d])
             for d in range(self.num_dimensions)
         ]
 
@@ -515,8 +515,8 @@ class ChebyshevTT:
             normalize_slicing_params,
         )
         from pychebyshev_tpu.ops.chebyshev import (
-            barycentric_weights,
-            nodes_for_dim,
+            barycentric_weights_np,
+            nodes_for_dim_np,
         )
         from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 
@@ -541,8 +541,7 @@ class ChebyshevTT:
                       for dim_idx, value in norm_params]
         for storage_pos, value in sorted(translated, key=lambda t: -t[0]):
             lo, hi = new_domain[storage_pos]
-            nodes = np.asarray(nodes_for_dim(lo, hi,
-                                             new_n_nodes[storage_pos]))
+            nodes = nodes_for_dim_np(lo, hi, new_n_nodes[storage_pos])
             value_core = tta.coeff_core_to_value_core(
                 new_cores[storage_pos])
 
@@ -551,7 +550,7 @@ class ChebyshevTT:
             if np.abs(diff[exact_idx]) < NODE_COINCIDENCE_TOL:
                 m = value_core[:, exact_idx, :]
             else:
-                w = np.asarray(barycentric_weights(nodes))
+                w = barycentric_weights_np(nodes)
                 w_over_diff = w / diff
                 w_norm = w_over_diff / np.sum(w_over_diff)
                 m = np.einsum("rjs,j->rs", value_core, w_norm)
@@ -766,9 +765,9 @@ class ChebyshevTT:
                 f"not match num_dimensions {self.num_dimensions}"
             )
         from pychebyshev_tpu.ops.chebyshev import (
-            barycentric_weights,
-            differentiation_matrix,
-            nodes_for_dim,
+            barycentric_weights_np,
+            differentiation_matrix_np,
+            nodes_for_dim_np,
         )
 
         new_cores = []
@@ -782,9 +781,9 @@ class ChebyshevTT:
                     f"derivative order must be >= 0, got {order}"
                 )
             lo, hi = self.domain[sp]
-            nodes = nodes_for_dim(lo, hi, self.n_nodes[sp])
-            d_mat = np.asarray(differentiation_matrix(
-                nodes, barycentric_weights(nodes)))
+            nodes = nodes_for_dim_np(lo, hi, self.n_nodes[sp])
+            d_mat = differentiation_matrix_np(
+                nodes, barycentric_weights_np(nodes))
             value_core = tta.coeff_core_to_value_core(core)
             for _ in range(order):
                 value_core = np.einsum("ij,ajb->aib", d_mat, value_core)
@@ -1097,7 +1096,7 @@ class ChebyshevTT:
     def nodes(num_dimensions, domain, n_nodes) -> dict:
         """Per-dim Chebyshev node arrays (no function evaluation)."""
         from pychebyshev_tpu import Domain, Ns
-        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
         if isinstance(domain, Domain):
             domain = list(domain.bounds)
         if isinstance(n_nodes, Ns):
@@ -1107,8 +1106,7 @@ class ChebyshevTT:
                 f"domain and n_nodes must have length {num_dimensions}"
             )
         nodes_per_dim = [
-            np.asarray(nodes_for_dim(domain[d][0], domain[d][1],
-                                     int(n_nodes[d])))
+            nodes_for_dim_np(domain[d][0], domain[d][1], int(n_nodes[d]))
             for d in range(num_dimensions)
         ]
         return {"nodes_per_dim": nodes_per_dim}
@@ -1301,3 +1299,25 @@ class ChebyshevTT:
         from pychebyshev_tpu.utils.viz import plot_2d_contour_impl
         return plot_2d_contour_impl(self, ax=ax, n_points=n_points,
                                     n_levels=n_levels, fixed=fixed)
+
+
+# ----------------------------------------------------------------------
+# Reference-name compat aliases (`from pychebyshev.tensor_train import ...`)
+# ----------------------------------------------------------------------
+
+_value_core_to_coeff_core = tta.value_core_to_coeff_core
+_coeff_core_to_value_core = tta.coeff_core_to_value_core
+_maxvol = tta.maxvol
+_tt_svd_from_tensor = tta.tt_svd_from_tensor
+
+
+def _als_fixed_rank_sweeps(cores, evals_at, n_nodes, tolerance, max_iter,
+                           verbose=False):
+    """Reference-signature compat wrapper: materializes the target tensor
+    from the ``evals_at(grid_index_tuple)`` callable, then runs the
+    projection-based fixed-rank sweeps."""
+    target = np.empty(tuple(n_nodes), dtype=np.float64)
+    for idx in np.ndindex(*tuple(n_nodes)):
+        target[idx] = evals_at(idx)
+    return tta.als_fixed_rank_sweeps(cores, target, tolerance=tolerance,
+                                     max_iter=max_iter, verbose=verbose)

@@ -51,3 +51,23 @@ def check_compatible(a, b) -> None:
             f"max_derivative_order mismatch: "
             f"{a.max_derivative_order} vs {b.max_derivative_order}"
         )
+
+
+# Reference-name compat aliases (`from pychebyshev._algebra import ...`)
+def _tt_add_cores(cores_a, cores_b):
+    from pychebyshev_tpu.models.tt_algorithms import tt_add_cores
+    return tt_add_cores(cores_a, cores_b)
+
+
+def _tt_round_cores(cores, max_rank, tolerance=1e-12):
+    from pychebyshev_tpu.models.tt_algorithms import tt_round_cores
+    return tt_round_cores(cores, max_rank, tolerance)
+
+
+def _tt_swap_adjacent(cores, i, max_rank, tolerance=1e-12):
+    from pychebyshev_tpu.models.tt_algorithms import tt_swap_adjacent
+    return tt_swap_adjacent(cores, i, max_rank, tolerance)
+
+
+_is_scalar = is_scalar
+_check_compatible = check_compatible

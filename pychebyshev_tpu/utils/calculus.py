@@ -176,3 +176,31 @@ def slider_partition_intersect(group_dims, integrate_dims):
     if overlap == group_set:
         return "full", []
     return "partial", [d for d in group_dims if d not in overlap]
+
+
+# ----------------------------------------------------------------------
+# Reference-name compat aliases (`from pychebyshev._calculus import ...`)
+# ----------------------------------------------------------------------
+
+def _integrate_tt_along_dim(core, weights):
+    """Contract a (r_l, n, r_r) TT core's node axis with quadrature
+    weights -> (r_l, r_r)."""
+    import numpy as _np
+    return _np.einsum("rjs,j->rs", core, weights)
+
+
+def _compute_fejer1_weights(n):
+    from pychebyshev_tpu.ops.quadrature import fejer1_weights
+    return fejer1_weights(n)
+
+
+def _compute_sub_interval_weights(n, t_lo, t_hi):
+    from pychebyshev_tpu.ops.quadrature import sub_interval_weights
+    return sub_interval_weights(n, t_lo, t_hi)
+
+
+_slider_partition_intersect = slider_partition_intersect
+_normalize_bounds = normalize_bounds
+_roots_1d = roots_1d
+_optimize_1d = optimize_1d
+_validate_calculus_args = validate_calculus_args

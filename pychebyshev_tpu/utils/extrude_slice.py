@@ -87,3 +87,14 @@ def normalize_slicing_params(params, ndim):
 def extrude_tensor(tensor, axis, n_new):
     """Insert a new axis of size ``n_new`` replicating values (constant dim)."""
     return jnp.repeat(jnp.expand_dims(tensor, axis=axis), n_new, axis=axis)
+
+
+def _make_nodes_for_dim(lo, hi, n):
+    """Reference-name compat alias: host Chebyshev nodes on [lo, hi]."""
+    from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
+    return nodes_for_dim_np(lo, hi, int(n))
+
+
+_normalize_extrusion_params = normalize_extrusion_params
+_normalize_slicing_params = normalize_slicing_params
+_extrude_tensor = extrude_tensor

@@ -26,7 +26,8 @@ def normalize_n_workers(n_workers: Optional[int]) -> Optional[int]:
     """
     if n_workers is None:
         return None
-    if not isinstance(n_workers, (int, np.integer)):
+    if isinstance(n_workers, bool) or not isinstance(
+            n_workers, (int, np.integer)):
         raise ValueError(
             f"n_workers must be int or None, got {type(n_workers).__name__}"
         )
@@ -60,9 +61,13 @@ def evaluate_in_parallel(function: Callable, points: List[List[float]],
     from concurrent.futures import ProcessPoolExecutor
 
     worker = _Worker(function, additional_data)
-    # spawn (not fork): the parent process runs a multithreaded JAX
-    # runtime, and forking a threaded process can deadlock.
-    ctx = multiprocessing.get_context("spawn")
+    # Default spawn (not fork): the parent process runs a multithreaded
+    # JAX runtime, and forking a threaded process can deadlock.  Set
+    # PYCHEBYSHEV_MP_CONTEXT=fork for reference-compatible fork
+    # semantics (children inherit module state; needed when the build
+    # function's module is not importable from a fresh interpreter).
+    method = os.environ.get("PYCHEBYSHEV_MP_CONTEXT", "spawn")
+    ctx = multiprocessing.get_context(method)
     with ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx) as pool:
         results = list(pool.map(worker, points, chunksize=max(
             1, len(points) // (n_workers * 4) if n_workers else 1)))

@@ -26,3 +26,8 @@ def progress_iter(iterable, total=None, enabled=False, desc=None):
         )
         return iterable
     return tqdm(iterable, total=total, desc=desc)
+
+
+def _maybe_progress(iterable, desc=None, verbose=False):
+    """Reference-name compat alias: tqdm wrapper active at verbose=2."""
+    return progress_iter(iterable, enabled=(verbose == 2), desc=desc)

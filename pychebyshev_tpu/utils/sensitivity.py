@@ -169,3 +169,12 @@ def sobol_from_tt_cores(cores) -> dict:
 
     return {"first_order": first_order, "total_order": total_order,
             "variance": float(variance)}
+
+
+# Reference-name compat aliases (`from pychebyshev._sensitivity import ...`)
+_compute_chebyshev_coefficients = (
+    lambda tensor_values, num_dimensions=None:
+    chebyshev_coefficient_tensor(tensor_values))
+_compute_sobol_from_coeffs = sobol_from_coeffs
+_compute_sobol_from_tt_cores = (
+    lambda cores: sobol_from_tt_cores(cores))
