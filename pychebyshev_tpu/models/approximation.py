@@ -578,6 +578,30 @@ class ChebyshevApproximation:
             tuple(a.astype(jnp.float32) for a in diffs),
             pts, orders)
 
+    def vectorized_eval_batch_multi(self, points, derivative_orders):
+        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
+
+        One fused device call computing e.g. price + all Greeks for the
+        whole batch, sharing the per-point barycentric rows across specs
+        (TPU extension of the reference's single-point
+        ``vectorized_eval_multi``).
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        nodes, weights, diffs = self._grid_tuples()
+        pts = jnp.asarray(points, dtype=jnp.float64)
+        orders_list = tuple(tuple(int(o) for o in orders)
+                            for orders in derivative_orders)
+        for orders in orders_list:
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+        out = eval_ops.eval_batch_multi(
+            self.tensor_values, nodes, weights, diffs, pts, orders_list)
+        return np.asarray(out).T
+
     def vectorized_eval_multi(self, point, derivative_orders):
         """Multiple derivative specs at one point, sharing the normalized
         barycentric rows (host; reference ``barycentric.py:1049-1112``)."""

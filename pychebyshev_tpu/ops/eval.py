@@ -37,6 +37,7 @@ __all__ = [
     "barycentric_coefficients",
     "apply_derivative_passes",
     "eval_batch",
+    "eval_batch_multi",
     "eval_multi",
     "contract_dim_at_value",
 ]
@@ -154,21 +155,32 @@ def _contract(tensor: jax.Array, coeff_rows: Sequence[jax.Array]) -> jax.Array:
 _MAX_INTERMEDIATE_ELEMS = 1 << 23
 
 
-def _contract_batched(tensor: jax.Array,
-                      coeff_fn, points: jax.Array) -> jax.Array:
-    """Apply coeff_fn + _contract, chunking very large batches."""
+def _contract_batched(tensors, coeff_fn, points: jax.Array) -> jax.Array:
+    """Shared coefficient rows contracted against one or more tensors.
+
+    ``tensors`` may be a single array (returns (N,)) or a sequence of
+    same-shape arrays (returns (len(tensors), N) — the Khatri-Rao rows
+    are built once per chunk and reused across tensors, so evaluating a
+    price plus M Greeks costs one row build + M+1 GEMMs, not M+1 full
+    passes).  Very large batches chunk via ``lax.map``.
+    """
+    single = not isinstance(tensors, (list, tuple))
+    tensor_list = [tensors] if single else list(tensors)
+    shape = tensor_list[0].shape
     n = points.shape[0]
-    d = tensor.ndim
+    d = len(shape)
     if d == 1:
-        per_point = tensor.shape[0]
+        per_point = shape[0]
     else:
-        s = _split_index(tensor.shape)
-        per_point = max(int(np.prod(tensor.shape[s:])),
-                        2 * int(np.prod(tensor.shape[:s])))
+        s = _split_index(shape)
+        per_point = max(int(np.prod(shape[s:])),
+                        2 * int(np.prod(shape[:s])))
     chunk = max(256, _MAX_INTERMEDIATE_ELEMS // max(per_point, 1))
 
     def _one(pts):
-        return _contract(tensor, coeff_fn(pts))
+        rows = coeff_fn(pts)
+        outs = [_contract(t, rows) for t in tensor_list]
+        return outs[0] if single else jnp.stack(outs)
 
     if n <= chunk:
         return _one(points)
@@ -176,7 +188,11 @@ def _contract_batched(tensor: jax.Array,
     padded = jnp.pad(points, ((0, pad), (0, 0)))
     chunks = padded.reshape(-1, chunk, points.shape[1])
     out = jax.lax.map(_one, chunks)
-    return out.reshape(-1)[:n]
+    if single:
+        return out.reshape(-1)[:n]
+    # out: (num_chunks, M, chunk) -> (M, N)
+    out = jnp.moveaxis(out, 1, 0).reshape(len(tensor_list), -1)
+    return out[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("orders",))
@@ -245,3 +261,26 @@ def contract_dim_at_value(tensor: jax.Array, axis: int, nodes: jax.Array,
     row = barycentric_coefficients(jnp.asarray(value, dtype=tensor.dtype)[None],
                                    nodes, weights)[0]
     return jnp.tensordot(tensor, row, axes=([axis], [0]))
+
+
+@functools.partial(jax.jit, static_argnames=("orders_list",))
+def eval_batch_multi(tensor: jax.Array,
+                     nodes: Tuple[jax.Array, ...],
+                     weights: Tuple[jax.Array, ...],
+                     diff_matrices: Tuple[jax.Array, ...],
+                     points: jax.Array,
+                     orders_list: Tuple[Tuple[int, ...], ...]) -> jax.Array:
+    """Batch x multi-derivative-spec evaluation -> (len(orders_list), N).
+
+    The production Greeks primitive: derivative passes are hoisted once
+    per spec (point-independent), and the per-point barycentric rows are
+    built once per chunk and shared across all specs.
+    """
+    tensors = [apply_derivative_passes(tensor, diff_matrices, orders)
+               for orders in orders_list]
+
+    def coeff_fn(pts):
+        return [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
+                for d in range(len(nodes))]
+
+    return _contract_batched(tensors, coeff_fn, points)

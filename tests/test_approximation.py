@@ -619,3 +619,27 @@ class TestParallelBuild:
 
 def _module_f(x, _):
     return x[0] * x[1] + x[0] ** 2
+
+
+class TestBatchMulti:
+    def test_matches_per_spec_batches(self, cheb_sin3d):
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-1, 1, size=(700, 3))
+        orders_list = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [2, 0, 0]]
+        out = cheb_sin3d.vectorized_eval_batch_multi(pts, orders_list)
+        assert out.shape == (700, 4)
+        for j, orders in enumerate(orders_list):
+            expected = cheb_sin3d.vectorized_eval_batch(pts, orders)
+            np.testing.assert_allclose(out[:, j], expected, atol=1e-12)
+
+    def test_matches_single_point_multi(self, cheb_sin3d):
+        pt = [0.2, -0.5, 0.8]
+        orders_list = [[0, 0, 0], [1, 1, 0]]
+        batch = cheb_sin3d.vectorized_eval_batch_multi([pt], orders_list)
+        single = cheb_sin3d.vectorized_eval_multi(pt, orders_list)
+        np.testing.assert_allclose(batch[0], single, atol=1e-12)
+
+    def test_validation(self, cheb_sin3d):
+        with pytest.raises(ValueError):
+            cheb_sin3d.vectorized_eval_batch_multi(
+                np.zeros((3, 3)), [[0, 0]])
