@@ -111,9 +111,10 @@ class ChebyshevTT:
             )
         self.method = method
         import jax
-        profile_scope = jax.profiler.TraceAnnotation(
-            f"chebyshev:tt_build_{method}")
-        profile_scope.__enter__()
+        with jax.profiler.TraceAnnotation(f"chebyshev:tt_build_{method}"):
+            self._build_impl(verbose, seed, method)
+
+    def _build_impl(self, verbose, seed, method) -> None:
         start = time.time()
         self._cached_error_estimate = None
 
@@ -160,7 +161,6 @@ class ChebyshevTT:
         self._tt_ranks = [1] + [c.shape[2] for c in self._coeff_cores]
         self._build_time = time.time() - start
         self._built = True
-        profile_scope.__exit__(None, None, None)
 
         if verbose:
             tt_storage = sum(c.size for c in self._coeff_cores)

@@ -38,7 +38,6 @@ __all__ = [
     "apply_derivative_passes",
     "eval_batch",
     "eval_batch_multi",
-    "eval_multi",
     "contract_dim_at_value",
 ]
 
@@ -222,31 +221,6 @@ def eval_batch(tensor: jax.Array,
                 for d in range(len(nodes))]
 
     return _contract_batched(t, coeff_fn, points)
-
-
-@functools.partial(jax.jit, static_argnames=("orders_list",))
-def eval_multi(tensor: jax.Array,
-               nodes: Tuple[jax.Array, ...],
-               weights: Tuple[jax.Array, ...],
-               diff_matrices: Tuple[jax.Array, ...],
-               point: jax.Array,
-               orders_list: Tuple[Tuple[int, ...], ...]) -> jax.Array:
-    """Evaluate several derivative specs at one point, sharing coefficients.
-
-    The normalized barycentric rows depend only on the point, so they are
-    computed once and reused across all ``orders_list`` entries (the
-    reference's ``vectorized_eval_multi`` weight-sharing,
-    ``barycentric.py:1049-1112``).  Returns shape ``(len(orders_list),)``.
-    """
-    coeff_rows = [
-        barycentric_coefficients(point[d][None], nodes[d], weights[d])
-        for d in range(len(nodes))
-    ]
-    results = []
-    for orders in orders_list:
-        t = apply_derivative_passes(tensor, diff_matrices, orders)
-        results.append(_contract(t, coeff_rows)[0])
-    return jnp.stack(results)
 
 
 def contract_dim_at_value(tensor: jax.Array, axis: int, nodes: jax.Array,
