@@ -67,6 +67,42 @@ class TestBuild:
             results.append(tt.eval([0.3, -0.2, 0.8]))
         assert results[0] == results[1]
 
+    def test_warm_start_enrichment_grows_ranks(self):
+        # With init_rank + kick, bond ranks climb past the per-dim node
+        # count (impossible for the default full-size start, whose
+        # pivot sets bound every SVD rank).
+        tt = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D, [11] * 5,
+                         max_rank=15, vectorized=True)
+        tt.build(verbose=False, seed=0, init_rank=4, kick=3)
+        assert max(tt.tt_ranks) > 11
+        rng = np.random.default_rng(3)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.05, 0.95, size=(50, 5))
+        rel = np.abs(tt.eval_batch(pts) - bs_price_vectorized(pts)) / \
+            np.maximum(np.abs(bs_price_vectorized(pts)), 1e-10)
+        assert np.max(rel) < 5e-3
+
+    def test_warm_start_without_kick_keeps_small_ranks(self):
+        tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3, max_rank=8)
+        tt.build(verbose=False, seed=0, init_rank=2, kick=0)
+        assert max(tt.tt_ranks) <= 2
+
+    def test_stagnation_stop_keeps_best_cores(self):
+        # The BS build stalls above tol; the early stop must return the
+        # best half-sweep's cores, so accuracy matches a long run.
+        tt = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D, [11] * 5,
+                         max_rank=15, vectorized=True)
+        tt.build(verbose=False, seed=0)
+        assert tt.total_build_evals < 11 ** 5 / 10
+        rng = np.random.default_rng(4)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.05, 0.95, size=(50, 5))
+        rel = np.abs(tt.eval_batch(pts) - bs_price_vectorized(pts)) / \
+            np.maximum(np.abs(bs_price_vectorized(pts)), 1e-10)
+        assert np.max(rel) < 5e-3
+
     def test_svd_matches_cross(self):
         pt = [0.3, -0.5, 0.7]
         tc = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3, max_rank=8)
