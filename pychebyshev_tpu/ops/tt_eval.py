@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pychebyshev_tpu.ops.chebyshev import chebyshev_polynomial_matrix
+from pychebyshev_tpu.ops.eval import _gemm_precision
 
 __all__ = ["tt_eval_batch"]
 
@@ -38,7 +39,7 @@ def _chain(cores, lo, hi, points):
         q = chebyshev_polynomial_matrix(scaled, core.shape[1])  # (N, n_d)
         r_l, n_d, r_r = core.shape
         a = jnp.matmul(row, core.reshape(r_l, n_d * r_r),
-                       precision=jax.lax.Precision.HIGHEST)  # MXU GEMM
+                       precision=_gemm_precision(core.dtype))  # MXU GEMM
         a = a.reshape(-1, n_d, r_r)
         row = jnp.einsum("nj,njk->nk", q, a)                    # VPU
     return row[:, 0]
