@@ -7,7 +7,9 @@ and answers any batch by padding to the next bucket — so a serving loop
 never recompiles and never leaves the device hot path.
 
 Covers dense :class:`ChebyshevApproximation` (value or fixed derivative
-spec; XLA or fused-Pallas kernel) and :class:`ChebyshevTT`.
+spec; XLA or fused-Pallas kernel), :class:`ChebyshevSpline` (host piece
+routing + one shared compiled kernel when ``n_nodes`` is flat), and
+:class:`ChebyshevTT`.
 
 Example
 -------
@@ -50,13 +52,15 @@ class BatchedEvaluator:
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
+        from pychebyshev_tpu.models.spline import ChebyshevSpline
         from pychebyshev_tpu.models.tensor_train import ChebyshevTT
 
         if not isinstance(interpolant, (ChebyshevApproximation,
-                                        ChebyshevTT)):
+                                        ChebyshevSpline, ChebyshevTT)):
             raise TypeError(
-                f"BatchedEvaluator supports ChebyshevApproximation and "
-                f"ChebyshevTT, got {type(interpolant).__name__}"
+                f"BatchedEvaluator supports ChebyshevApproximation, "
+                f"ChebyshevSpline, and ChebyshevTT, got "
+                f"{type(interpolant).__name__}"
             )
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -84,6 +88,36 @@ class BatchedEvaluator:
             # Hoist derivative passes once: the engine serves ONE spec.
             self._tensor = apply_derivative_passes(tensor, self._diffs,
                                                    orders)
+            self._orders = (0,) * self.num_dimensions
+        elif isinstance(interpolant, ChebyshevSpline):
+            if not interpolant._built:
+                raise RuntimeError("interpolant is not built")
+            self._kind = "spline"
+            orders = tuple(int(o) for o in (
+                derivative_order or [0] * self.num_dimensions))
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+            self._spline_orders = orders
+            self._knots = [np.asarray(k, dtype=np.float64)
+                           for k in interpolant.knots]
+            self._pshape = tuple(interpolant._shape)
+            from pychebyshev_tpu.ops.eval import apply_derivative_passes
+            self._piece_arrays = []
+            for piece in interpolant._pieces:
+                nodes, weights, diffs = piece._grid_tuples()
+                diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
+                tensor = apply_derivative_passes(
+                    jnp.asarray(piece.tensor_values, self.dtype), diffs,
+                    orders)
+                self._piece_arrays.append((
+                    tensor,
+                    tuple(jnp.asarray(a, self.dtype) for a in nodes),
+                    tuple(jnp.asarray(a, self.dtype) for a in weights),
+                    diffs,
+                ))
             self._orders = (0,) * self.num_dimensions
         else:
             interpolant._check_built()
@@ -114,8 +148,72 @@ class BatchedEvaluator:
             from pychebyshev_tpu.ops.eval import eval_batch
             return eval_batch(self._tensor, self._nodes, self._weights,
                               self._diffs, points, self._orders)
+        if self._kind == "spline":
+            return self._run_piece(points, 0)
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
         return tt_eval_batch(self._cores, self._domain, points)
+
+    def _run_piece(self, points: jax.Array, piece_idx: int) -> jax.Array:
+        """One padded bucket through one spline piece's dense kernel.
+
+        With flat ``n_nodes`` every piece shares array shapes, so all
+        pieces reuse the same compiled executable per bucket size.
+        """
+        tensor, nodes, weights, diffs = self._piece_arrays[piece_idx]
+        from pychebyshev_tpu.ops.eval import eval_batch
+        return eval_batch(tensor, nodes, weights, diffs, points,
+                          self._orders)
+
+    def _route_pieces(self, points: np.ndarray) -> np.ndarray:
+        """Flat piece index per point (searchsorted, reference routing)."""
+        n = points.shape[0]
+        multi = np.zeros((n, self.num_dimensions), dtype=np.intp)
+        for d in range(self.num_dimensions):
+            if len(self._knots[d]) > 0:
+                multi[:, d] = np.clip(
+                    np.searchsorted(self._knots[d], points[:, d],
+                                    side="right"),
+                    0, self._pshape[d] - 1)
+        return np.ravel_multi_index(multi.T, self._pshape)
+
+    def _check_knot_boundary_batch(self, points: np.ndarray) -> None:
+        from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+        for d, order in enumerate(self._spline_orders):
+            if order > 0 and len(self._knots[d]) > 0:
+                dist = np.abs(points[:, d][:, None]
+                              - self._knots[d][None, :])
+                if np.any(dist < NODE_COINCIDENCE_TOL):
+                    i, k = np.argwhere(dist < NODE_COINCIDENCE_TOL)[0]
+                    raise ValueError(
+                        f"Derivative w.r.t. dimension {d} is not defined "
+                        f"at knot x[{d}]={self._knots[d][k]} "
+                        f"(point {i}). The left and right derivatives "
+                        f"may differ at this point."
+                    )
+
+    def _call_spline(self, points: np.ndarray) -> np.ndarray:
+        self._check_knot_boundary_batch(points)
+        flat = self._route_pieces(points)
+        out = np.empty(points.shape[0], dtype=self.dtype)
+        max_bucket = self.bucket_sizes[-1]
+        for piece_idx in np.unique(flat):
+            sel = np.flatnonzero(flat == piece_idx)
+            group = points[sel]
+            start = 0
+            while start < group.shape[0]:
+                stop = min(start + max_bucket, group.shape[0])
+                chunk = group[start:stop]
+                bucket = self._bucket_for(stop - start)
+                if chunk.shape[0] < bucket:
+                    pad = np.broadcast_to(
+                        chunk[0], (bucket - chunk.shape[0],
+                                   self.num_dimensions))
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                result = self._run_piece(
+                    jnp.asarray(chunk, self.dtype), int(piece_idx))
+                out[sel[start:stop]] = np.asarray(result)[:stop - start]
+                start = stop
+        return out
 
     def _bucket_for(self, n: int) -> int:
         for b in self.bucket_sizes:
@@ -145,6 +243,8 @@ class BatchedEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        if self._kind == "spline":
+            return self._call_spline(np.asarray(points, dtype=np.float64))
         if self._kind == "tt" and self._dim_order != list(
                 range(self.num_dimensions)):
             points = points[:, self._dim_order]

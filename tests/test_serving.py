@@ -112,3 +112,75 @@ class TestTT:
         out = engine(pts)
         expected = tt.eval_batch(pts)
         np.testing.assert_allclose(out, expected, atol=1e-9)
+
+
+class TestSpline:
+    @pytest.fixture(scope="class")
+    def spline(self):
+        from pychebyshev_tpu import ChebyshevSpline
+
+        def kinked(x, _):
+            return abs(x[0] - 0.3) * (1.0 + 0.5 * x[1])
+
+        sp = ChebyshevSpline(kinked, 2, [[-1, 1], [-1, 1]], [9, 9],
+                             [[0.3], []])
+        sp.build(verbose=False)
+        return sp
+
+    @pytest.fixture(scope="class")
+    def pts2(self):
+        return np.random.default_rng(7).uniform(-1, 1, size=(555, 2))
+
+    def test_values_match_spline_batch(self, spline, pts2):
+        engine = BatchedEvaluator(spline, dtype=jnp.float64,
+                                  bucket_sizes=(128, 512))
+        engine.warmup()
+        out = engine(pts2)
+        expected = spline.eval_batch(pts2, [0, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-13)
+
+    def test_f32_mode(self, spline, pts2):
+        engine = BatchedEvaluator(spline, dtype=jnp.float32,
+                                  bucket_sizes=(1024,))
+        out = engine(pts2)
+        expected = spline.eval_batch(pts2, [0, 0])
+        np.testing.assert_allclose(out, expected, atol=5e-5)
+
+    def test_derivative_spec(self, spline, pts2):
+        engine = BatchedEvaluator(spline, dtype=jnp.float64,
+                                  derivative_order=[1, 0],
+                                  bucket_sizes=(1024,))
+        out = engine(pts2)
+        expected = spline.eval_batch(pts2, [1, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-12)
+
+    def test_derivative_sign_flips_at_kink(self, spline):
+        engine = BatchedEvaluator(spline, dtype=jnp.float64,
+                                  derivative_order=[1, 0],
+                                  bucket_sizes=(128,))
+        out = engine(np.array([[0.1, 0.0], [0.5, 0.0]]))
+        assert out[0] < 0 < out[1]
+
+    def test_knot_boundary_derivative_raises(self, spline):
+        engine = BatchedEvaluator(spline, dtype=jnp.float64,
+                                  derivative_order=[1, 0],
+                                  bucket_sizes=(128,))
+        with pytest.raises(ValueError, match="knot"):
+            engine(np.array([[0.3, 0.0]]))
+
+    def test_knot_boundary_value_ok(self, spline):
+        engine = BatchedEvaluator(spline, dtype=jnp.float64,
+                                  bucket_sizes=(128,))
+        out = engine(np.array([[0.3, 0.25]]))
+        assert abs(out[0] - spline.eval([0.3, 0.25], [0, 0])) < 1e-13
+
+    def test_piece_group_sizes_irrelevant(self, spline):
+        # all points in one piece; then all in the other
+        left = np.column_stack([np.linspace(-0.9, 0.2, 300),
+                                np.zeros(300)])
+        right = np.column_stack([np.linspace(0.4, 0.9, 300),
+                                 np.zeros(300)])
+        engine = BatchedEvaluator(spline, bucket_sizes=(512,))
+        for grp in (left, right):
+            np.testing.assert_allclose(
+                engine(grp), spline.eval_batch(grp, [0, 0]), atol=5e-5)
