@@ -6,10 +6,14 @@ chosen dtype, compiles a small ladder of fixed bucket sizes up front,
 and answers any batch by padding to the next bucket — so a serving loop
 never recompiles and never leaves the device hot path.
 
-Covers dense :class:`ChebyshevApproximation` (value or fixed derivative
-spec; XLA or fused-Pallas kernel), :class:`ChebyshevSpline` (host piece
-routing + one shared compiled kernel when ``n_nodes`` is flat), and
-:class:`ChebyshevTT`.
+Covers all four interpolant families: dense
+:class:`ChebyshevApproximation` (value or fixed derivative spec; XLA or
+fused-Pallas kernel), :class:`ChebyshevSpline` (host piece routing +
+one shared compiled kernel when ``n_nodes`` is flat),
+:class:`ChebyshevSlider` (per-slide kernels summed; derivative specs
+route to the owning slide, cross-group partials short-circuit to zero),
+and :class:`ChebyshevTT` (analytic-derivative TT swapped in for
+derivative specs).
 
 Example
 -------
@@ -52,14 +56,16 @@ class BatchedEvaluator:
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
+        from pychebyshev_tpu.models.slider import ChebyshevSlider
         from pychebyshev_tpu.models.spline import ChebyshevSpline
         from pychebyshev_tpu.models.tensor_train import ChebyshevTT
 
         if not isinstance(interpolant, (ChebyshevApproximation,
-                                        ChebyshevSpline, ChebyshevTT)):
+                                        ChebyshevSlider, ChebyshevSpline,
+                                        ChebyshevTT)):
             raise TypeError(
                 f"BatchedEvaluator supports ChebyshevApproximation, "
-                f"ChebyshevSpline, and ChebyshevTT, got "
+                f"ChebyshevSpline, ChebyshevSlider, and ChebyshevTT, got "
                 f"{type(interpolant).__name__}"
             )
         self.dtype = jnp.dtype(dtype)
@@ -119,6 +125,55 @@ class BatchedEvaluator:
                     diffs,
                 ))
             self._orders = (0,) * self.num_dimensions
+        elif isinstance(interpolant, ChebyshevSlider):
+            if not interpolant._built:
+                raise RuntimeError("interpolant is not built")
+            self._kind = "slider"
+            orders = tuple(int(o) for o in (
+                derivative_order or [0] * self.num_dimensions))
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+            from pychebyshev_tpu.ops.eval import apply_derivative_passes
+
+            def _snapshot(slide, sub_orders):
+                nodes, weights, diffs = slide._grid_tuples()
+                diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
+                tensor = apply_derivative_passes(
+                    jnp.asarray(slide.tensor_values, self.dtype), diffs,
+                    tuple(sub_orders))
+                return (tensor,
+                        tuple(jnp.asarray(a, self.dtype) for a in nodes),
+                        tuple(jnp.asarray(a, self.dtype) for a in weights),
+                        diffs)
+
+            active = {interpolant._dim_to_slide[d]
+                      for d, o in enumerate(orders) if o > 0}
+            if len(active) > 1:
+                # Cross-group mixed partials of an additive model are
+                # identically zero: serve without touching the device.
+                self._slider_mode = "zero"
+            elif len(active) == 1:
+                idx = active.pop()
+                group = list(interpolant.partition[idx])
+                self._slider_mode = "derivative"
+                self._slider_groups = [np.asarray(group, dtype=np.intp)]
+                self._slide_arrays = [
+                    _snapshot(interpolant.slides[idx],
+                              [orders[d] for d in group])]
+            else:
+                self._slider_mode = "value"
+                self._slider_groups = [
+                    np.asarray(g, dtype=np.intp)
+                    for g in interpolant.partition]
+                self._slide_arrays = [
+                    _snapshot(s, [0] * len(g))
+                    for s, g in zip(interpolant.slides,
+                                    interpolant.partition)]
+                self._pivot_value = float(interpolant.pivot_value)
+            self._orders = None  # per-slide zero orders set in _run
         else:
             interpolant._check_built()
             if derivative_order is not None and any(
@@ -150,8 +205,29 @@ class BatchedEvaluator:
                               self._diffs, points, self._orders)
         if self._kind == "spline":
             return self._run_piece(points, 0)
+        if self._kind == "slider":
+            return self._run_slider(points)
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
         return tt_eval_batch(self._cores, self._domain, points)
+
+    def _run_slider(self, points: jax.Array) -> jax.Array:
+        from pychebyshev_tpu.ops.eval import eval_batch
+        if self._slider_mode == "zero":
+            return jnp.zeros(points.shape[0], self.dtype)
+        if self._slider_mode == "derivative":
+            tensor, nodes, weights, diffs = self._slide_arrays[0]
+            group = self._slider_groups[0]
+            return eval_batch(tensor, nodes, weights, diffs,
+                              points[:, group], (0,) * len(group))
+        total = None
+        for (tensor, nodes, weights, diffs), group in zip(
+                self._slide_arrays, self._slider_groups):
+            vals = eval_batch(tensor, nodes, weights, diffs,
+                              points[:, group], (0,) * len(group))
+            total = vals if total is None else total + vals
+        k = len(self._slide_arrays)
+        return total - (k - 1) * jnp.asarray(self._pivot_value,
+                                             self.dtype)
 
     def _run_piece(self, points: jax.Array, piece_idx: int) -> jax.Array:
         """One padded bucket through one spline piece's dense kernel.

@@ -184,3 +184,57 @@ class TestSpline:
         for grp in (left, right):
             np.testing.assert_allclose(
                 engine(grp), spline.eval_batch(grp, [0, 0]), atol=5e-5)
+
+
+class TestSlider:
+    @pytest.fixture(scope="class")
+    def slider(self):
+        from pychebyshev_tpu import ChebyshevSlider
+
+        def f(x, _):
+            return (math.sin(x[0]) * math.cos(x[1])
+                    + math.exp(-x[2]) + 0.5 * x[3])
+
+        sl = ChebyshevSlider(f, 4, [[-1, 1]] * 4, [9] * 4,
+                             [[0, 1], [2], [3]], [0.0, 0.0, 0.0, 0.0])
+        sl.build(verbose=False)
+        return sl
+
+    @pytest.fixture(scope="class")
+    def pts4(self):
+        return np.random.default_rng(11).uniform(-1, 1, size=(333, 4))
+
+    def test_values_match_slider_batch(self, slider, pts4):
+        engine = BatchedEvaluator(slider, dtype=jnp.float64,
+                                  bucket_sizes=(128, 512))
+        engine.warmup()
+        np.testing.assert_allclose(engine(pts4),
+                                   slider.eval_batch(pts4), atol=1e-13)
+
+    def test_derivative_routes_to_owning_slide(self, slider, pts4):
+        engine = BatchedEvaluator(slider, dtype=jnp.float64,
+                                  derivative_order=[0, 0, 1, 0],
+                                  bucket_sizes=(512,))
+        np.testing.assert_allclose(
+            engine(pts4), slider.eval_batch(pts4, [0, 0, 1, 0]),
+            atol=1e-12)
+
+    def test_in_group_mixed_partial(self, slider, pts4):
+        engine = BatchedEvaluator(slider, dtype=jnp.float64,
+                                  derivative_order=[1, 1, 0, 0],
+                                  bucket_sizes=(512,))
+        np.testing.assert_allclose(
+            engine(pts4), slider.eval_batch(pts4, [1, 1, 0, 0]),
+            atol=1e-12)
+
+    def test_cross_group_partial_is_zero(self, slider, pts4):
+        engine = BatchedEvaluator(slider, dtype=jnp.float64,
+                                  derivative_order=[1, 0, 1, 0],
+                                  bucket_sizes=(512,))
+        assert np.all(engine(pts4) == 0.0)
+
+    def test_f32_mode(self, slider, pts4):
+        engine = BatchedEvaluator(slider, dtype=jnp.float32,
+                                  bucket_sizes=(512,))
+        np.testing.assert_allclose(engine(pts4),
+                                   slider.eval_batch(pts4), atol=5e-6)
