@@ -238,3 +238,20 @@ class TestSlider:
                                   bucket_sizes=(512,))
         np.testing.assert_allclose(engine(pts4),
                                    slider.eval_batch(pts4), atol=5e-6)
+
+
+class TestSplineNestedNodes:
+    def test_nested_n_nodes_pieces_compile_per_shape(self):
+        from pychebyshev_tpu import ChebyshevSpline
+
+        def kinked(x, _):
+            return abs(x[0]) + 0.1 * x[0] ** 2
+
+        # different node counts per piece -> distinct kernel shapes
+        sp = ChebyshevSpline(kinked, 1, [[-1, 1]], [[7, 11]], [[0.0]])
+        sp.build(verbose=False)
+        engine = BatchedEvaluator(sp, dtype=jnp.float64,
+                                  bucket_sizes=(128,))
+        pts = np.linspace(-0.95, 0.95, 301).reshape(-1, 1)
+        np.testing.assert_allclose(engine(pts),
+                                   sp.eval_batch(pts, [0]), atol=1e-13)
