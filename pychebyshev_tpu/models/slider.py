@@ -391,18 +391,38 @@ class ChebyshevSlider:
         """Whether this class supports ``num_dimensions`` (any >= 1)."""
         return isinstance(num_dimensions, int) and num_dimensions >= 1
 
-    def save(self, path: str | os.PathLike) -> None:
-        """Save to pickle (function excluded)."""
+    def save(self, path: str | os.PathLike,
+             format: str = "pickle") -> None:
+        """Save to pickle (default, reference parity) or pickle-free
+        ``.npz`` (slide tensors + metadata; function excluded)."""
         if not self._built:
             raise RuntimeError(
                 "Cannot save an unbuilt slider. Call build() first."
             )
-        with open(os.fspath(path), "wb") as f:
-            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+        if format == "pickle":
+            with open(os.fspath(path), "wb") as f:
+                pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+        elif format == "npz":
+            from pychebyshev_tpu.utils.native_save import write_npz
+            write_npz(path, self)
+        else:
+            raise ValueError(
+                f"format must be 'pickle' or 'npz', got {format!r}"
+            )
 
     @classmethod
     def load(cls, path: str | os.PathLike) -> "ChebyshevSlider":
-        """Load from pickle (only load trusted files)."""
+        """Load from pickle or ``.npz`` (magic-sniffed); only load
+        trusted pickle files."""
+        from pychebyshev_tpu.utils import native_save
+        if native_save.detect_npz(path):
+            obj = native_save.read_npz(path)
+            if not isinstance(obj, cls):
+                raise TypeError(
+                    f"Expected a {cls.__name__} checkpoint, got "
+                    f"{type(obj).__name__}"
+                )
+            return obj
         with open(os.fspath(path), "rb") as f:
             obj = pickle.load(f)  # noqa: S301
         if not isinstance(obj, cls):

@@ -604,18 +604,31 @@ class ChebyshevSpline:
             from pychebyshev_tpu.utils import binary
             with open(path, "wb") as f:
                 binary.write_spline(f, self)
+        elif format == "npz":
+            from pychebyshev_tpu.utils.native_save import write_npz
+            write_npz(path, self)
         else:
             raise ValueError(
-                f"format must be 'pickle' or 'binary', got {format!r}"
+                f"format must be 'pickle', 'binary', or 'npz'; "
+                f"got {format!r}"
             )
 
     @classmethod
     def load(cls, path: str | os.PathLike) -> "ChebyshevSpline":
-        """Load from pickle or .pcb (magic-sniffed)."""
+        """Load from pickle, .pcb, or .npz (magic-sniffed)."""
         from pychebyshev_tpu.utils import binary
+        from pychebyshev_tpu.utils import native_save
         if binary.detect_format(path) == "binary":
             with open(path, "rb") as f:
                 return binary.read_spline(f)
+        if native_save.detect_npz(path):
+            obj = native_save.read_npz(path)
+            if not isinstance(obj, cls):
+                raise TypeError(
+                    f"Expected a {cls.__name__} checkpoint, got "
+                    f"{type(obj).__name__}"
+                )
+            return obj
         with open(path, "rb") as f:
             obj = pickle.load(f)  # noqa: S301
         if not isinstance(obj, cls):
