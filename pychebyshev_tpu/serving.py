@@ -40,10 +40,11 @@ class BatchedEvaluator:
 
     Parameters
     ----------
-    interpolant : ChebyshevApproximation or ChebyshevTT (built).
+    interpolant : any of the four interpolant classes (built).
     dtype : jnp.float32 (throughput) or jnp.float64 (parity).
-    derivative_order : fixed per-dim derivative spec (dense only);
-        None = values.
+    derivative_order : fixed per-dim derivative spec; None = values.
+        Dense/spline hoist the spectral passes; TT swaps in the
+        analytic derivative TT; slider routes to the owning slide.
     bucket_sizes : ascending compile sizes; batches beyond the largest
         are processed in largest-bucket chunks.
     use_fused : route dense f32 through the fused Pallas kernel.
