@@ -15,8 +15,12 @@ per batch tile in VMEM and packs the per-dim work to use the hardware:
 - **Khatri-Rao via selection matmuls** for the small side groups, and a
   **middle-dim loop** ``Y += C_m[:, i] * (W_R' @ T_i)`` so every MXU
   operand keeps K <= max(W, prod(R')) — no padded expansion GEMMs.
-- HIGHEST precision on every matmul touching data (TPU f32 matmuls are
-  otherwise single-pass bf16).
+- HIGHEST precision on every matmul touching data: Mosaic lowers only
+  DEFAULT (single-pass bf16, too coarse) and HIGHEST (true f32) dot
+  precisions — the bf16x3 ``HIGH`` tier the XLA path uses is
+  unsupported in-kernel, which is why the XLA path currently leads
+  this kernel ~20% on the benchmark shape despite the extra HBM
+  traffic.  Kept opt-in for grids where that traffic dominates.
 
 Scope: float32, value tensors that fit VMEM alongside tile
 intermediates (grids to ~11^5-13^5); derivative passes are pre-applied
