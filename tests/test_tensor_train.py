@@ -515,3 +515,51 @@ class TestAnalyticDifferentiate:
             tt_sin3d.differentiate([1, 0])
         with pytest.raises(ValueError):
             tt_sin3d.differentiate([-1, 0, 0])
+
+
+class TestMaskedRefinement:
+    def test_refinement_improves_bs_accuracy(self):
+        # Full-range sampling (edges included): this is where the raw
+        # cross has its worst tails (seed 42: ~8% max rel), which the
+        # least-squares refinement attacks.  On already-good interior
+        # points refinement is roughly neutral.
+        rng = np.random.default_rng(3)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.0, 1.0, size=(500, 5))
+        exact = bs_price_vectorized(pts)
+
+        def max_rel(tt):
+            rel = np.abs(tt.eval_batch(pts) - exact) / np.abs(exact)
+            return np.max(rel[np.abs(exact) > 1])
+
+        plain = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D,
+                            [11] * 5, max_rank=15, vectorized=True)
+        plain.build(verbose=False, seed=42)
+        refined = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D,
+                              [11] * 5, max_rank=15, vectorized=True)
+        refined.build(verbose=False, seed=42, refine_sweeps=2)
+        # Zero extra evaluations, strictly better off-pivot accuracy.
+        assert refined.total_build_evals == plain.total_build_evals
+        assert max_rel(refined) < 0.6 * max_rel(plain)
+
+    def test_refine_samples_counted(self):
+        tt = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D, [11] * 5,
+                         max_rank=15, vectorized=True)
+        tt.build(verbose=False, seed=0, refine_sweeps=2,
+                 refine_samples=2000)
+        base = ChebyshevTT(bs_price_vectorized, 5, BS_DOMAIN_5D,
+                           [11] * 5, max_rank=15, vectorized=True)
+        base.build(verbose=False, seed=0)
+        assert tt.total_build_evals > base.total_build_evals
+        assert tt.total_build_evals < 11 ** 5 / 8  # still far from full
+
+    def test_refinement_deterministic(self):
+        vals = []
+        for _ in range(2):
+            tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3,
+                             max_rank=6)
+            tt.build(verbose=False, seed=5, refine_sweeps=2,
+                     refine_samples=100)
+            vals.append(tt.eval([0.3, -0.2, 0.8]))
+        assert vals[0] == vals[1]
