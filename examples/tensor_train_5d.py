@@ -47,6 +47,17 @@ def main():
     print(f"1000-point batch in {dt * 1e3:.1f} ms; "
           f"mean rel err {rel.mean():.2e}, max {rel.max():.2e}")
 
+    # Masked-ALS refinement: least-squares sweeps over the entries the
+    # cross already evaluated — zero extra function evaluations, lower
+    # worst-case error.
+    ttr = ChebyshevTT(bs_price, 5, DOMAIN, [11] * 5, max_rank=15,
+                      vectorized=True)
+    ttr.build(verbose=False, seed=42, refine_sweeps=2)
+    rel_r = np.abs(ttr.eval_batch(pts) - exact)[liquid] \
+        / np.abs(exact)[liquid]
+    print(f"with refine_sweeps=2 (same {ttr.total_build_evals:,} evals): "
+          f"mean rel err {rel_r.mean():.2e}, max {rel_r.max():.2e}")
+
     # FD Greeks.
     atm = [100.0, 100.0, 1.0, 0.2, 0.03]
     vals = tt.eval_multi(atm, [[0] * 5, [1, 0, 0, 0, 0],
