@@ -233,6 +233,32 @@ def eval_batch(tensor: jax.Array,
     return _contract_batched(t, coeff_fn, points)
 
 
+@functools.partial(jax.jit, static_argnames=("orders",))
+def eval_batch_models(tensors: Tuple[jax.Array, ...],
+                      nodes: Tuple[jax.Array, ...],
+                      weights: Tuple[jax.Array, ...],
+                      diff_matrices: Tuple[jax.Array, ...],
+                      points: jax.Array,
+                      orders: Tuple[int, ...]) -> jax.Array:
+    """Evaluate M same-grid value tensors at N points -> (M, N).
+
+    The book-of-models primitive: the per-point barycentric rows depend
+    only on the grid, so M models sharing one grid cost one row build
+    plus M GEMMs per chunk — far cheaper than M independent
+    ``eval_batch`` calls.  Beyond the reference surface (which has no
+    multi-model path); the natural fit is a portfolio of products
+    approximated over a common market-state domain.
+    """
+    ts = [apply_derivative_passes(t, diff_matrices, orders)
+          for t in tensors]
+
+    def coeff_fn(pts):
+        return [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
+                for d in range(len(nodes))]
+
+    return _contract_batched(ts, coeff_fn, points)
+
+
 def contract_dim_at_value(tensor: jax.Array, axis: int, nodes: jax.Array,
                           weights: jax.Array, value) -> jax.Array:
     """Contract one tensor axis at a fixed coordinate (slice operation).

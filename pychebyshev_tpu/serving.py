@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BatchedEvaluator"]
+__all__ = ["BatchedEvaluator", "MultiModelEvaluator"]
 
 _DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
 
@@ -340,5 +340,123 @@ class BatchedEvaluator:
                 chunk = np.concatenate([chunk, pad], axis=0)
             result = self._run(jnp.asarray(chunk, self.dtype))
             out[start:stop] = np.asarray(result)[:stop - start]
+            start = stop
+        return out
+
+
+class MultiModelEvaluator:
+    """One query batch against a *book* of same-grid interpolants.
+
+    M dense interpolants sharing one grid (identical ``domain`` and
+    ``n_nodes``) evaluate at N points for the cost of one barycentric
+    row build plus M GEMMs per chunk (``ops.eval.eval_batch_models``) —
+    the per-point row work amortizes across the whole book.  Beyond the
+    reference surface; the natural fit is a portfolio of products
+    approximated over a common market-state domain.
+
+    Same bucket-padding discipline as :class:`BatchedEvaluator`; one
+    fixed derivative spec, hoisted per model at construction.
+
+    Example
+    -------
+    >>> book = MultiModelEvaluator(models, dtype=jnp.float32)
+    >>> book.warmup()
+    >>> values = book(points)        # (M, N)
+    """
+
+    def __init__(self, interpolants, dtype=jnp.float32,
+                 derivative_order: Optional[Sequence[int]] = None,
+                 bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS):
+        from pychebyshev_tpu.models.approximation import (
+            ChebyshevApproximation,
+        )
+
+        interpolants = list(interpolants)
+        if not interpolants:
+            raise ValueError("interpolants must be a non-empty sequence")
+        for m in interpolants:
+            if not isinstance(m, ChebyshevApproximation):
+                raise TypeError(
+                    f"MultiModelEvaluator supports ChebyshevApproximation "
+                    f"models, got {type(m).__name__}"
+                )
+            if m.tensor_values is None:
+                raise RuntimeError("all interpolants must be built")
+        first = interpolants[0]
+        for i, m in enumerate(interpolants[1:], start=1):
+            if (list(m.n_nodes) != list(first.n_nodes)
+                    or [list(b) for b in m.domain]
+                    != [list(b) for b in first.domain]):
+                raise ValueError(
+                    f"interpolants[{i}] grid (n_nodes/domain) differs "
+                    f"from interpolants[0]; multi-model evaluation "
+                    f"requires one shared grid"
+                )
+
+        self.dtype = jnp.dtype(dtype)
+        self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
+        self.num_dimensions = first.num_dimensions
+        self.num_models = len(interpolants)
+        orders = tuple(int(o) for o in (
+            derivative_order or [0] * self.num_dimensions))
+        if len(orders) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(orders)} does not match "
+                f"num_dimensions {self.num_dimensions}"
+            )
+
+        from pychebyshev_tpu.ops.eval import apply_derivative_passes
+        nodes, weights, diffs = first._grid_tuples()
+        self._nodes = tuple(jnp.asarray(a, self.dtype) for a in nodes)
+        self._weights = tuple(jnp.asarray(a, self.dtype)
+                              for a in weights)
+        self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
+        self._tensors = tuple(
+            apply_derivative_passes(
+                jnp.asarray(m.tensor_values, self.dtype), self._diffs,
+                orders)
+            for m in interpolants)
+        self._orders = (0,) * self.num_dimensions
+
+    def _run(self, points: jax.Array) -> jax.Array:
+        from pychebyshev_tpu.ops.eval import eval_batch_models
+        return eval_batch_models(self._tensors, self._nodes,
+                                 self._weights, self._diffs, points,
+                                 self._orders)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.bucket_sizes[-1]
+
+    def warmup(self) -> None:
+        """Compile every bucket size up front."""
+        for b in self.bucket_sizes:
+            pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
+            jax.block_until_ready(self._run(pts))
+
+    def __call__(self, points) -> np.ndarray:
+        """Evaluate every model at (N, d) points -> (M, N)."""
+        points = np.asarray(points)
+        n = points.shape[0]
+        if points.ndim != 2 or points.shape[1] != self.num_dimensions:
+            raise ValueError(
+                f"points must have shape (N, {self.num_dimensions}); "
+                f"got {points.shape}"
+            )
+        max_bucket = self.bucket_sizes[-1]
+        out = np.empty((self.num_models, n), dtype=self.dtype)
+        start = 0
+        while start < n:
+            stop = min(start + max_bucket, n)
+            chunk = points[start:stop]
+            bucket = self._bucket_for(stop - start)
+            if chunk.shape[0] < bucket:
+                pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
+                                                 self.num_dimensions))
+                chunk = np.concatenate([chunk, pad], axis=0)
+            result = self._run(jnp.asarray(chunk, self.dtype))
+            out[:, start:stop] = np.asarray(result)[:, :stop - start]
             start = stop
         return out

@@ -255,3 +255,62 @@ class TestSplineNestedNodes:
         pts = np.linspace(-0.95, 0.95, 301).reshape(-1, 1)
         np.testing.assert_allclose(engine(pts),
                                    sp.eval_batch(pts, [0]), atol=1e-13)
+
+
+class TestMultiModel:
+    @pytest.fixture(scope="class")
+    def book(self):
+        models = []
+        for kcoef in (0.5, 1.0, 2.0):
+            c = ChebyshevApproximation(
+                lambda x, _, k=kcoef: math.sin(k * x[0]) + k * x[1],
+                2, [[-1, 1], [-1, 1]], [9, 9])
+            c.build(verbose=False)
+            models.append(c)
+        return models
+
+    def test_matches_individual_evals(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        engine = MultiModelEvaluator(book, dtype=jnp.float64,
+                                     bucket_sizes=(256, 1024))
+        engine.warmup()
+        pts = np.random.default_rng(0).uniform(-1, 1, (777, 2))
+        out = engine(pts)
+        assert out.shape == (3, 777)
+        for i, m in enumerate(book):
+            np.testing.assert_allclose(
+                out[i], m.vectorized_eval_batch(pts, [0, 0]), atol=1e-13)
+
+    def test_derivative_spec(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        engine = MultiModelEvaluator(book, dtype=jnp.float64,
+                                     derivative_order=[1, 0],
+                                     bucket_sizes=(1024,))
+        pts = np.random.default_rng(1).uniform(-1, 1, (100, 2))
+        out = engine(pts)
+        for i, m in enumerate(book):
+            np.testing.assert_allclose(
+                out[i], m.vectorized_eval_batch(pts, [1, 0]), atol=1e-12)
+
+    def test_mismatched_grid_rejected(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        other = ChebyshevApproximation(
+            lambda x, _: x[0], 2, [[-1, 1], [0, 2]], [9, 9])
+        other.build(verbose=False)
+        with pytest.raises(ValueError, match="shared grid"):
+            MultiModelEvaluator(book + [other])
+        other2 = ChebyshevApproximation(
+            lambda x, _: x[0], 2, [[-1, 1], [-1, 1]], [9, 7])
+        other2.build(verbose=False)
+        with pytest.raises(ValueError, match="shared grid"):
+            MultiModelEvaluator(book + [other2])
+
+    def test_validation(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        with pytest.raises(ValueError, match="non-empty"):
+            MultiModelEvaluator([])
+        with pytest.raises(TypeError):
+            MultiModelEvaluator(["nope"])
+        engine = MultiModelEvaluator(book)
+        with pytest.raises(ValueError, match="shape"):
+            engine(np.zeros((5, 3)))
