@@ -81,3 +81,41 @@ class TestConcurrentEval:
                 np.testing.assert_array_equal(f.result(), expected_batch)
             for f in single_futs:
                 assert f.result() == expected_single
+
+
+class TestServingConcurrency:
+    def test_batched_evaluator_thread_safe(self):
+        import math
+        import threading
+
+        import jax.numpy as jnp
+        from pychebyshev_tpu import ChebyshevApproximation
+        from pychebyshev_tpu.serving import BatchedEvaluator
+
+        c = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) + x[1], 2, [[-1, 1]] * 2, [9, 9])
+        c.build(verbose=False)
+        engine = BatchedEvaluator(c, dtype=jnp.float64,
+                                  bucket_sizes=(256,))
+        engine.warmup()
+        pts = np.random.default_rng(0).uniform(-1, 1, (500, 2))
+        expected = engine(pts)
+
+        results = [None] * 8
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = engine(pts)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for r in results:
+            np.testing.assert_array_equal(r, expected)
