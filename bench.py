@@ -221,6 +221,21 @@ def main() -> None:
     log(f"TT analytic delta batched (f32): {dt_tt_delta * 1e3:.2f} ms -> "
         f"{n / dt_tt_delta:,.0f} queries/s")
 
+    # ---- Multi-model book (beyond-reference: M models, one row build) -
+    from pychebyshev_tpu.ops.eval import eval_batch_models
+    m_models = 8
+    book = tuple(tensor32 * (1.0 + 0.1 * i) for i in range(m_models))
+
+    def run_book(p):
+        return eval_batch_models(book, nodes32, weights32, diffs32, p,
+                                 (0, 0, 0, 0, 0))
+
+    dt_book = time_fn(run_book, pts32, iters=3)
+    log(f"{m_models}-model book batched (f32): {dt_book * 1e3:.2f} ms -> "
+        f"{m_models * n / dt_book:,.0f} model-evals/s "
+        f"({dt_book / (m_models * dt32):.2f}x the per-model cost of "
+        f"{m_models} separate passes)")
+
     vs_baseline = qps32 * BASELINE_SINGLE_QUERY_S
     print(json.dumps({
         "metric": "bs5d_11n_f32_batched_queries_per_sec",
