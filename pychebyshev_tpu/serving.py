@@ -53,7 +53,8 @@ class BatchedEvaluator:
     def __init__(self, interpolant, dtype=jnp.float32,
                  derivative_order: Optional[Sequence[int]] = None,
                  bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS,
-                 use_fused: bool = False):
+                 use_fused: bool = False, mesh=None,
+                 data_axis: str = "dp"):
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
@@ -73,6 +74,22 @@ class BatchedEvaluator:
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
         self._use_fused = use_fused
+        self._mesh = mesh
+        self._data_axis = data_axis
+        if mesh is not None:
+            axis_size = mesh.shape[data_axis]
+            for b in self.bucket_sizes:
+                if b % axis_size != 0:
+                    raise ValueError(
+                        f"bucket size {b} is not divisible by mesh axis "
+                        f"{data_axis!r} (size {axis_size}); pick bucket "
+                        f"sizes that shard evenly"
+                    )
+            if use_fused:
+                raise ValueError(
+                    "use_fused and mesh are mutually exclusive (the "
+                    "Pallas kernel is single-device)"
+                )
 
         if isinstance(interpolant, ChebyshevApproximation):
             if interpolant.tensor_values is None:
@@ -292,6 +309,19 @@ class BatchedEvaluator:
                 start = stop
         return out
 
+    def _place(self, chunk: jax.Array) -> jax.Array:
+        """Shard a bucket over the data axis when a mesh is set.
+
+        The grid arrays are small and replicate implicitly; sharded
+        query points make XLA partition every kernel in the engine
+        across the mesh (dp serving — one engine, many chips).
+        """
+        if self._mesh is None:
+            return chunk
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(chunk, NamedSharding(
+            self._mesh, PartitionSpec(self._data_axis, None)))
+
     def _bucket_for(self, n: int) -> int:
         for b in self.bucket_sizes:
             if n <= b:
@@ -309,7 +339,7 @@ class BatchedEvaluator:
                 pts = jnp.asarray(
                     (lo + 0.5 * (hi - lo))[None, :].repeat(b, axis=0),
                     self.dtype)
-            jax.block_until_ready(self._run(pts))
+            jax.block_until_ready(self._run(self._place(pts)))
 
     def __call__(self, points) -> np.ndarray:
         """Evaluate at (N, d) points; pads N to a compiled bucket."""
@@ -338,7 +368,8 @@ class BatchedEvaluator:
                 pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
                                                  self.num_dimensions))
                 chunk = np.concatenate([chunk, pad], axis=0)
-            result = self._run(jnp.asarray(chunk, self.dtype))
+            result = self._run(self._place(jnp.asarray(chunk,
+                                                        self.dtype)))
             out[start:stop] = np.asarray(result)[:stop - start]
             start = stop
         return out

@@ -314,3 +314,36 @@ class TestMultiModel:
         engine = MultiModelEvaluator(book)
         with pytest.raises(ValueError, match="shape"):
             engine(np.zeros((5, 3)))
+
+
+class TestMeshServing:
+    def test_dp_sharded_engine_matches_single_device(self, cheb, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        engine = BatchedEvaluator(cheb, dtype=jnp.float64,
+                                  bucket_sizes=(256, 1024), mesh=mesh)
+        engine.warmup()
+        out = engine(pts)
+        expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(out, expected, atol=1e-13)
+
+    def test_tt_dp_sharded(self, tt, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(4, axis_names=("dp",))
+        engine = BatchedEvaluator(tt, dtype=jnp.float64,
+                                  bucket_sizes=(256,), mesh=mesh)
+        out = engine(pts)
+        np.testing.assert_allclose(out, tt.eval_batch(pts), atol=1e-13)
+
+    def test_indivisible_bucket_rejected(self, cheb):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        with pytest.raises(ValueError, match="divisible"):
+            BatchedEvaluator(cheb, bucket_sizes=(100,), mesh=mesh)
+
+    def test_fused_with_mesh_rejected(self, cheb):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            BatchedEvaluator(cheb, bucket_sizes=(256,), mesh=mesh,
+                             use_fused=True)
