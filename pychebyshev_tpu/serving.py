@@ -385,6 +385,11 @@ class MultiModelEvaluator:
     reference surface; the natural fit is a portfolio of products
     approximated over a common market-state domain.
 
+    TT books stack rank-padded cores and run one vmapped chain
+    (derivative specs swap in each model's analytic-derivative TT).
+    Every model pays the book-wide max-rank chain cost — split a book
+    with one high-rank outlier into rank-homogeneous sub-books.
+
     Same bucket-padding discipline as :class:`BatchedEvaluator`; one
     fixed derivative spec, hoisted per model at construction.
 
@@ -401,19 +406,27 @@ class MultiModelEvaluator:
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
+        from pychebyshev_tpu.models.tensor_train import ChebyshevTT
 
         interpolants = list(interpolants)
         if not interpolants:
             raise ValueError("interpolants must be a non-empty sequence")
-        for m in interpolants:
-            if not isinstance(m, ChebyshevApproximation):
-                raise TypeError(
-                    f"MultiModelEvaluator supports ChebyshevApproximation "
-                    f"models, got {type(m).__name__}"
-                )
-            if m.tensor_values is None:
-                raise RuntimeError("all interpolants must be built")
+        kinds = {type(m) for m in interpolants}
+        if len(kinds) > 1 or kinds - {ChebyshevApproximation,
+                                      ChebyshevTT}:
+            raise TypeError(
+                f"MultiModelEvaluator supports a homogeneous book of "
+                f"ChebyshevApproximation or ChebyshevTT models, got "
+                f"{sorted(t.__name__ for t in kinds)}"
+            )
         first = interpolants[0]
+        self._kind = ("tt" if isinstance(first, ChebyshevTT)
+                      else "dense")
+        for m in interpolants:
+            if self._kind == "tt":
+                m._check_built()
+            elif m.tensor_values is None:
+                raise RuntimeError("all interpolants must be built")
         for i, m in enumerate(interpolants[1:], start=1):
             if (list(m.n_nodes) != list(first.n_nodes)
                     or [list(b) for b in m.domain]
@@ -436,6 +449,40 @@ class MultiModelEvaluator:
                 f"num_dimensions {self.num_dimensions}"
             )
 
+        if self._kind == "tt":
+            if any(list(m._dim_order) != list(first._dim_order)
+                   for m in interpolants):
+                raise ValueError(
+                    "all TT models must share one dim_order; reorder() "
+                    "them to a common storage frame first"
+                )
+            if any(o != 0 for o in orders):
+                # Analytic derivative TTs evaluate at full speed.
+                interpolants = [m.differentiate(list(orders))
+                                for m in interpolants]
+            # Zero-pad every bond to the book-wide max rank and stack:
+            # one (M, r, n, r) array per dim, vmapped through the chain.
+            d = self.num_dimensions
+            r_max = [1] * (d + 1)
+            for m in interpolants:
+                for k, c in enumerate(m._coeff_cores):
+                    r_max[k] = max(r_max[k], c.shape[0])
+                    r_max[k + 1] = max(r_max[k + 1], c.shape[2])
+            stacked = []
+            for k in range(d):
+                n_k = first.n_nodes[k]
+                block = np.zeros(
+                    (self.num_models, r_max[k], n_k, r_max[k + 1]),
+                    dtype=np.dtype(self.dtype))
+                for i, m in enumerate(interpolants):
+                    c = np.asarray(m._coeff_cores[k])
+                    block[i, :c.shape[0], :, :c.shape[2]] = c
+                stacked.append(jnp.asarray(block))
+            self._tt_cores = tuple(stacked)
+            self._tt_domain = np.asarray(first.domain, dtype=np.float64)
+            self._dim_order = list(first._dim_order)
+            return
+
         from pychebyshev_tpu.ops.eval import apply_derivative_passes
         nodes, weights, diffs = first._grid_tuples()
         self._nodes = tuple(jnp.asarray(a, self.dtype) for a in nodes)
@@ -450,6 +497,12 @@ class MultiModelEvaluator:
         self._orders = (0,) * self.num_dimensions
 
     def _run(self, points: jax.Array) -> jax.Array:
+        if self._kind == "tt":
+            from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+            return jax.vmap(
+                lambda *cores: tt_eval_batch(cores, self._tt_domain,
+                                             points)
+            )(*self._tt_cores)
         from pychebyshev_tpu.ops.eval import eval_batch_models
         return eval_batch_models(self._tensors, self._nodes,
                                  self._weights, self._diffs, points,
@@ -476,6 +529,9 @@ class MultiModelEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        if self._kind == "tt" and self._dim_order != list(
+                range(self.num_dimensions)):
+            points = points[:, self._dim_order]
         max_bucket = self.bucket_sizes[-1]
         out = np.empty((self.num_models, n), dtype=self.dtype)
         start = 0

@@ -347,3 +347,51 @@ class TestMeshServing:
         with pytest.raises(ValueError, match="mutually exclusive"):
             BatchedEvaluator(cheb, bucket_sizes=(256,), mesh=mesh,
                              use_fused=True)
+
+
+class TestMultiModelTT:
+    @pytest.fixture(scope="class")
+    def tt_book(self):
+        defs = [lambda x, _: math.sin(x[0]) + math.cos(x[1]) * x[2],
+                lambda x, _: math.exp(-x[0]) * x[1] + x[2] ** 2,
+                lambda x, _: x[0] * x[1] * x[2] + math.sin(x[2])]
+        book = []
+        for f in defs:
+            t = ChebyshevTT(f, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6)
+            t.build(verbose=False, seed=0)
+            book.append(t)
+        return book
+
+    def test_matches_individual_tt_evals(self, tt_book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        engine = MultiModelEvaluator(tt_book, dtype=jnp.float64,
+                                     bucket_sizes=(256, 1024))
+        engine.warmup()
+        pts = np.random.default_rng(0).uniform(-1, 1, (555, 3))
+        out = engine(pts)
+        assert out.shape == (3, 555)
+        for i, m in enumerate(tt_book):
+            np.testing.assert_allclose(out[i], m.eval_batch(pts),
+                                       atol=1e-12)
+
+    def test_tt_analytic_derivative_book(self, tt_book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        engine = MultiModelEvaluator(tt_book, dtype=jnp.float64,
+                                     derivative_order=[1, 0, 0],
+                                     bucket_sizes=(1024,))
+        pts = np.random.default_rng(1).uniform(-1, 1, (100, 3))
+        out = engine(pts)
+        for i, m in enumerate(tt_book):
+            expected = m.differentiate([1, 0, 0]).eval_batch(pts)
+            np.testing.assert_allclose(out[i], expected, atol=1e-11)
+
+    def test_mixed_kind_book_rejected(self, tt_book, cheb):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        with pytest.raises(TypeError, match="homogeneous"):
+            MultiModelEvaluator([tt_book[0], cheb])
+
+    def test_mismatched_dim_order_rejected(self, tt_book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        reordered = tt_book[1].reorder([2, 0, 1])
+        with pytest.raises(ValueError, match="dim_order"):
+            MultiModelEvaluator([tt_book[0], reordered])
