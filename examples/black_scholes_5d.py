@@ -6,6 +6,12 @@ grid, with analytical Greeks from spectral differentiation matrices.
 Run:  python examples/black_scholes_5d.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -8,6 +8,12 @@ orthogonalization sweeps, inner products, and slicing out a risk factor.
 Run:  python examples/portfolio_proxy.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 from pychebyshev_tpu import ChebyshevTT

@@ -9,6 +9,12 @@ recompiles after warmup.
 Run:  python examples/serving_engine.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import tempfile
 import time
 

@@ -6,6 +6,12 @@ A near-separable 10-D function builds from ~100 evaluations instead of
 Run:  python examples/slider_10d.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

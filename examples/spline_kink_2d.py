@@ -7,6 +7,12 @@ restores it.
 Run:  python examples/spline_kink_2d.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import math
 
 import numpy as np

@@ -3,6 +3,12 @@
 Run:  python examples/tensor_train_5d.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
