@@ -95,13 +95,7 @@ class BatchedEvaluator:
             if interpolant.tensor_values is None:
                 raise RuntimeError("interpolant is not built")
             self._kind = "dense"
-            orders = tuple(int(o) for o in (
-                derivative_order or [0] * self.num_dimensions))
-            if len(orders) != self.num_dimensions:
-                raise ValueError(
-                    f"derivative_order length {len(orders)} does not "
-                    f"match num_dimensions {self.num_dimensions}"
-                )
+            orders = self._validated_orders(derivative_order)
             nodes, weights, diffs = interpolant._grid_tuples()
             from pychebyshev_tpu.ops.eval import apply_derivative_passes
             tensor = jnp.asarray(interpolant.tensor_values, self.dtype)
@@ -117,13 +111,7 @@ class BatchedEvaluator:
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
             self._kind = "spline"
-            orders = tuple(int(o) for o in (
-                derivative_order or [0] * self.num_dimensions))
-            if len(orders) != self.num_dimensions:
-                raise ValueError(
-                    f"derivative_order length {len(orders)} does not "
-                    f"match num_dimensions {self.num_dimensions}"
-                )
+            orders = self._validated_orders(derivative_order)
             self._spline_orders = orders
             self._knots = [np.asarray(k, dtype=np.float64)
                            for k in interpolant.knots]
@@ -147,13 +135,7 @@ class BatchedEvaluator:
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
             self._kind = "slider"
-            orders = tuple(int(o) for o in (
-                derivative_order or [0] * self.num_dimensions))
-            if len(orders) != self.num_dimensions:
-                raise ValueError(
-                    f"derivative_order length {len(orders)} does not "
-                    f"match num_dimensions {self.num_dimensions}"
-                )
+            orders = self._validated_orders(derivative_order)
             from pychebyshev_tpu.ops.eval import apply_derivative_passes
 
             def _snapshot(slide, sub_orders):
@@ -206,6 +188,16 @@ class BatchedEvaluator:
             self._dim_order = list(interpolant._dim_order)
 
     # ------------------------------------------------------------------
+
+    def _validated_orders(self, derivative_order):
+        orders = tuple(int(o) for o in (
+            derivative_order or [0] * self.num_dimensions))
+        if len(orders) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(orders)} does not "
+                f"match num_dimensions {self.num_dimensions}"
+            )
+        return orders
 
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "dense":
