@@ -394,7 +394,8 @@ class MultiModelEvaluator:
 
     def __init__(self, interpolants, dtype=jnp.float32,
                  derivative_order: Optional[Sequence[int]] = None,
-                 bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS):
+                 bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS,
+                 mesh=None, data_axis: str = "dp"):
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
@@ -433,6 +434,17 @@ class MultiModelEvaluator:
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = first.num_dimensions
         self.num_models = len(interpolants)
+        self._mesh = mesh
+        self._data_axis = data_axis
+        if mesh is not None:
+            axis_size = mesh.shape[data_axis]
+            for b in self.bucket_sizes:
+                if b % axis_size != 0:
+                    raise ValueError(
+                        f"bucket size {b} is not divisible by mesh axis "
+                        f"{data_axis!r} (size {axis_size}); pick bucket "
+                        f"sizes that shard evenly"
+                    )
         orders = tuple(int(o) for o in (
             derivative_order or [0] * self.num_dimensions))
         if len(orders) != self.num_dimensions:
@@ -510,7 +522,8 @@ class MultiModelEvaluator:
         """Compile every bucket size up front."""
         for b in self.bucket_sizes:
             pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
-            jax.block_until_ready(self._run(pts))
+            jax.block_until_ready(self._run(
+                BatchedEvaluator._place(self, pts)))
 
     def __call__(self, points) -> np.ndarray:
         """Evaluate every model at (N, d) points -> (M, N)."""
@@ -535,7 +548,9 @@ class MultiModelEvaluator:
                 pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
                                                  self.num_dimensions))
                 chunk = np.concatenate([chunk, pad], axis=0)
-            result = self._run(jnp.asarray(chunk, self.dtype))
+            result = self._run(
+                BatchedEvaluator._place(self, jnp.asarray(chunk,
+                                                          self.dtype)))
             out[:, start:stop] = np.asarray(result)[:, :stop - start]
             start = stop
         return out

@@ -395,3 +395,27 @@ class TestMultiModelTT:
         reordered = tt_book[1].reorder([2, 0, 1])
         with pytest.raises(ValueError, match="dim_order"):
             MultiModelEvaluator([tt_book[0], reordered])
+
+
+class TestMultiModelMesh:
+    def test_dp_sharded_book(self, cheb):
+        import math
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        models = []
+        for k in (0.5, 2.0):
+            c = ChebyshevApproximation(
+                lambda x, _, kk=k: math.sin(kk * x[0]) + x[1] * x[2],
+                3, [[-1, 1]] * 3, [9] * 3)
+            c.build(verbose=False)
+            models.append(c)
+        mesh = make_mesh(8, axis_names=("dp",))
+        engine = MultiModelEvaluator(models, dtype=jnp.float64,
+                                     bucket_sizes=(256,), mesh=mesh)
+        engine.warmup()
+        pts = np.random.default_rng(0).uniform(-1, 1, (700, 3))
+        out = engine(pts)
+        for i, m in enumerate(models):
+            np.testing.assert_allclose(
+                out[i], m.vectorized_eval_batch(pts, [0, 0, 0]),
+                atol=1e-13)
