@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 from pychebyshev_tpu.ops.chebyshev import nodes_for_dim
 from pychebyshev_tpu.ops import eval as eval_ops
 
@@ -179,7 +180,7 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         # w/(x - node) terms on the local slice, psum the denominator.
         x0 = pts[:, 0]
         diff0 = x0[:, None] - nodes0[None, :]
-        exact_local = jnp.abs(diff0) < 1e-14
+        exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
         safe = jnp.where(exact_local, 1.0, diff0)
         w_over_diff = weights0[None, :] / safe
         local_denom = jnp.sum(w_over_diff, axis=1)
