@@ -151,3 +151,31 @@ class TestSniffing:
                  meta=np.asarray(json.dumps({})))
         with pytest.raises(ValueError, match="newer"):
             ChebyshevApproximation.load(p)
+
+
+class TestEdgeCases:
+    def test_1d_approx_round_trip(self, tmp_path):
+        c = ChebyshevApproximation(lambda x, _: math.exp(x[0]), 1,
+                                   [[-2, 1]], [13])
+        c.build(verbose=False)
+        p = tmp_path / "one.npz"
+        c.save(p, format="npz")
+        loaded = ChebyshevApproximation.load(p)
+        assert loaded.vectorized_eval([0.4], [0]) == \
+            c.vectorized_eval([0.4], [0])
+        assert loaded.vectorized_eval([0.4], [1]) == \
+            c.vectorized_eval([0.4], [1])
+
+    def test_refined_tt_round_trip(self, tmp_path):
+        def f(x, _):
+            return math.sin(x[0]) * x[1]
+
+        tt = ChebyshevTT(f, 2, [[-1, 1]] * 2, [9] * 2, max_rank=5)
+        tt.build(verbose=False, seed=0, refine_sweeps=2,
+                 refine_samples=50)
+        p = tmp_path / "r.npz"
+        tt.save(p, format="npz")
+        loaded = ChebyshevTT.load(p)
+        pts = np.random.default_rng(0).uniform(-1, 1, (20, 2))
+        np.testing.assert_array_equal(loaded.eval_batch(pts),
+                                      tt.eval_batch(pts))

@@ -563,3 +563,17 @@ class TestMaskedRefinement:
                      refine_samples=100)
             vals.append(tt.eval([0.3, -0.2, 0.8]))
         assert vals[0] == vals[1]
+
+
+class TestRefineBlackBox:
+    def test_refinement_with_scalar_callable(self):
+        # Non-vectorized (black-box) oracle path through refinement.
+        def f(x, _):
+            return math.sin(x[0]) + math.cos(x[1]) * x[2]
+
+        tt = ChebyshevTT(f, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6,
+                         vectorized=False)
+        tt.build(verbose=False, seed=0, refine_sweeps=2,
+                 refine_samples=100)
+        pt = [0.3, -0.2, 0.8]
+        assert abs(tt.eval(pt) - f(pt, None)) < 1e-7

@@ -67,3 +67,13 @@ def test_pp_axis_in_larger_mesh(tt5, reference):
     out = tt_eval_batch_pp([jnp.asarray(c) for c in tt5._coeff_cores],
                            tt5.domain, pts, mesh, axis="pp")
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-13)
+
+
+def test_f32_cores(tt5, reference):
+    pts, ref = reference
+    mesh = make_mesh(4, axis_names=("pp",))
+    cores32 = [jnp.asarray(c, jnp.float32) for c in tt5._coeff_cores]
+    out = tt_eval_batch_pp(cores32, tt5.domain, pts, mesh)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                               atol=5e-5)
