@@ -7,6 +7,7 @@
 
 #include <cstdio>
 #include <cstdlib>
+#include <exception>
 #include <vector>
 
 #include "pcb_reader.hpp"
@@ -31,6 +32,11 @@ int main(int argc, char** argv) {
     std::printf("%.17g\n", pcb::eval(f, pt));
     return 0;
   } catch (const pcb::PcbError& e) {
+    std::fprintf(stderr, "error: %s\n", e.what());
+    return 1;
+  } catch (const std::exception& e) {
+    // e.g. bad_alloc/length_error from a hostile file: fail cleanly
+    // instead of std::terminate.
     std::fprintf(stderr, "error: %s\n", e.what());
     return 1;
   }

@@ -60,6 +60,10 @@ class Cursor {
   }
 
   std::vector<double> f64_array(size_t count, const char* what) {
+    if (count > size_ / 8) {  // also guards the count*8 multiply
+      throw PcbError(ErrorCode::Truncated,
+                     std::string("unexpected EOF reading ") + what);
+    }
     require(count * 8, what);
     std::vector<double> out(count);
     for (size_t i = 0; i < count; i++) out[i] = f64(what);
@@ -67,6 +71,10 @@ class Cursor {
   }
 
   std::vector<uint32_t> u32_array(size_t count, const char* what) {
+    if (count > size_ / 4) {  // also guards the count*4 multiply
+      throw PcbError(ErrorCode::Truncated,
+                     std::string("unexpected EOF reading ") + what);
+    }
     require(count * 4, what);
     std::vector<uint32_t> out(count);
     for (size_t i = 0; i < count; i++) out[i] = u32(what);
@@ -128,8 +136,17 @@ void read_common(Cursor& c, uint32_t& d, std::vector<double>& lo,
 }
 
 size_t tensor_size(const std::vector<uint32_t>& n_nodes) {
+  // ~1 GiB of f64: rejects wrapped products (and absurd allocations)
+  // as a format error instead of letting std::vector throw later.
+  constexpr size_t kMaxElems = size_t{1} << 27;
   size_t total = 1;
-  for (uint32_t n : n_nodes) total *= n;
+  for (uint32_t n : n_nodes) {
+    if (n == 0 || total > kMaxElems / n) {
+      throw PcbError(ErrorCode::InvalidField,
+                     "tensor size overflows sane limits");
+    }
+    total *= n;
+  }
   return total;
 }
 

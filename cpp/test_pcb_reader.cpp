@@ -136,6 +136,18 @@ void test_synthetic_errors() {
     CHECK_THROWS_CODE(pcb::read_pcb_from_bytes(b.data(), b.size()),
                       pcb::ErrorCode::InvalidField);
   }
+  // tensor-size product overflows size_t (8 dims x 100000 nodes):
+  // must be rejected as InvalidField, not under-allocated or thrown
+  // from the allocator.
+  {
+    auto b = header(1, 1);
+    push_u32(b, 8);
+    for (int i = 0; i < 8; i++) push_f64(b, -1.0);
+    for (int i = 0; i < 8; i++) push_f64(b, 1.0);
+    for (int i = 0; i < 8; i++) push_u32(b, 100000);
+    CHECK_THROWS_CODE(pcb::read_pcb_from_bytes(b.data(), b.size()),
+                      pcb::ErrorCode::InvalidField);
+  }
   // spline with unsorted knots
   {
     auto b = header(1, 2);

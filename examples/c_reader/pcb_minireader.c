@@ -35,6 +35,9 @@
 #endif
 
 #define PCB_TOL 1e-14 /* node-coincidence tolerance, matches Python */
+/* Hard cap on tensor elements (~1 GiB of f64): keeps every size_t
+ * product and byte count in this file overflow-free by construction. */
+#define PCB_MAX_TENSOR_ELEMS ((size_t)1 << 27)
 
 enum pcb_status {
     PCB_OK = 0,
@@ -165,6 +168,12 @@ static enum pcb_status pcb_load(const char *path, struct pcb_approx *a) {
         if (rd_u32(f, &a->n[k]))                 { st = PCB_ERR_TRUNCATED; goto done; }
         if (a->n[k] < 1 || a->n[k] > 100000)     { st = PCB_ERR_FIELD; goto done; }
         if (a->lo[k] >= a->hi[k])                { st = PCB_ERR_FIELD; goto done; }
+        /* Reject before multiplying: the per-dim guards alone still
+         * allow the size_t product (and the later *8 byte count) to
+         * wrap, which would under-allocate and let file bytes be
+         * written past the block.  Cap total elements so total*8 can
+         * never overflow and allocations stay sane. */
+        if (total > PCB_MAX_TENSOR_ELEMS / a->n[k]) { st = PCB_ERR_FIELD; goto done; }
         total *= a->n[k];
     }
     a->tensor = malloc(total * sizeof *a->tensor);
@@ -204,7 +213,10 @@ static double pcb_eval(const struct pcb_approx *a, const double *x,
         const double *xs = a->nodes[k], *ws = a->weights[k];
         double coef[4096]; /* n <= 100000 guarded; stack for n<=4096 */
         double *c = coef;
-        if (n > 4096) c = malloc(n * sizeof *c);
+        if (n > 4096) {
+            c = malloc(n * sizeof *c);
+            if (!c) return NAN; /* allocation failure surfaces as nan */
+        }
 
         int exact = -1;
         for (uint32_t i = 0; i < n; i++)
@@ -255,9 +267,14 @@ int main(int argc, char **argv) {
     }
 
     size_t total = 1;
-    for (uint32_t k = 0; k < a.d; k++) total *= a.n[k];
+    for (uint32_t k = 0; k < a.d; k++) total *= a.n[k]; /* validated by pcb_load */
     double *scratch = malloc(total * sizeof *scratch);
     double *pt = malloc(a.d * sizeof *pt);
+    if (!scratch || !pt) {
+        fprintf(stderr, "%s: %s\n", argv[1], pcb_strerror(PCB_ERR_OOM));
+        free(scratch); free(pt); pcb_free(&a);
+        return 1;
+    }
     int rc = 0;
 
     if (strcmp(argv[2], "--info") == 0) {

@@ -97,6 +97,25 @@ class TestErrors:
         assert r.returncode == 1
         assert "magic" in r.stderr
 
+    def test_tensor_size_overflow_rejected(self, minireader, tmp_path):
+        # 61 dims of n=2: the element count is 2^61, so count*8 wraps
+        # size_t to 0 — a crafted file must be rejected as a format
+        # error, never under-allocated (ASan-confirmed overflow before
+        # the guard existed).
+        import struct
+
+        d = 61
+        body = struct.pack("<I", d)
+        body += struct.pack(f"<{d}d", *([-1.0] * d))
+        body += struct.pack(f"<{d}d", *([1.0] * d))
+        body += struct.pack(f"<{d}I", *([2] * d))
+        body += b"\x00" * 64  # a few fake tensor bytes
+        bad = tmp_path / "overflow.pcb"
+        bad.write_bytes(b"PCB\x00\x01\x00\x01\x00\x00\x00\x00\x00" + body)
+        r = _run(minireader, bad, *([0.0] * d))
+        assert r.returncode == 1
+        assert "invalid field" in r.stderr or "field" in r.stderr
+
     def test_usage_without_args(self, minireader):
         r = subprocess.run([str(minireader)], capture_output=True, text=True)
         assert r.returncode == 2
