@@ -248,16 +248,36 @@ class ChebyshevApproximation:
         Grid metadata is computed on host (tiny arrays, build-time only)
         and placed on device — avoids a device compile per node count.
         """
-        self.nodes = [
-            jnp.asarray(nodes_for_dim_np(self.domain[d][0],
-                                         self.domain[d][1],
-                                         int(self.n_nodes[d])))
+        host = [
+            nodes_for_dim_np(self.domain[d][0], self.domain[d][1],
+                             int(self.n_nodes[d]))
             for d in range(self.num_dimensions)
         ]
+        self.nodes = [jnp.asarray(h) for h in host]
+        # Seed the host-side node cache: build-time consumers (grid
+        # enumeration, weight computation) are host code, and reading
+        # device arrays back through a remote-TPU tunnel costs ~30 ms
+        # per round trip — more than the entire rest of the build.
+        self._host_nodes_cache = (tuple(id(a) for a in self.nodes), host)
+
+    def _nodes_np(self) -> list[np.ndarray]:
+        """Host NumPy copies of ``self.nodes``, cached by array identity.
+
+        Device arrays are immutable and every mutating operation rebinds
+        ``self.nodes``, so identity keying can never serve stale data;
+        paths that construct nodes on host seed the cache to avoid any
+        device readback at build time.
+        """
+        key = tuple(id(a) for a in self.nodes)
+        cache = getattr(self, "_host_nodes_cache", None)
+        if cache is None or cache[0] != key:
+            cache = (key, [np.asarray(a) for a in self.nodes])
+            self._host_nodes_cache = cache
+        return cache[1]
 
     def _compute_grid_data(self) -> None:
         """Populate barycentric weights + differentiation matrices."""
-        host_nodes = [np.asarray(nd) for nd in self.nodes]
+        host_nodes = self._nodes_np()
         host_weights = [barycentric_weights_np(nd) for nd in host_nodes]
         self.weights = [jnp.asarray(w) for w in host_weights]
         self.diff_matrices = [
@@ -371,9 +391,13 @@ class ChebyshevApproximation:
         if self.vectorized:
             grid = self.get_evaluation_points()
             vals = self.function(grid, self.additional_data)
+            if isinstance(vals, np.ndarray):
+                # Host oracle: stay on host so the NaN guard and the
+                # single device transfer happen without readbacks.
+                return np.asarray(vals, dtype=np.float64).reshape(shape)
             return jnp.asarray(vals, dtype=jnp.float64).reshape(shape)
 
-        host_nodes = [np.asarray(nd) for nd in self.nodes]
+        host_nodes = self._nodes_np()
         if self.n_workers is None or self.n_workers == 1:
             from pychebyshev_tpu.utils.progress import progress_iter
             out = np.zeros(shape)
@@ -410,7 +434,12 @@ class ChebyshevApproximation:
         values = self._evaluate_on_grid(verbose)
         self.n_evaluations = total
 
-        finite = bool(np.isfinite(np.asarray(values)).all())
+        if isinstance(values, np.ndarray):
+            finite = bool(np.isfinite(values).all())
+        else:
+            # Device result: reduce to one scalar on device — a single
+            # tiny readback instead of pulling the whole tensor back.
+            finite = bool(jnp.isfinite(values).all())
         if not finite:
             n_bad = int(np.sum(~np.isfinite(np.asarray(values))))
             raise ValueError(
@@ -784,7 +813,7 @@ class ChebyshevApproximation:
 
     def get_evaluation_points(self) -> np.ndarray:
         """(N, d) grid of evaluation points in C-order."""
-        host_nodes = [np.asarray(nd) for nd in self.nodes]
+        host_nodes = self._nodes_np()
         grids = np.meshgrid(*host_nodes, indexing="ij")
         return np.stack([g.ravel() for g in grids], axis=-1).astype(np.float64)
 
