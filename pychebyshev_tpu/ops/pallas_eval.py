@@ -3,28 +3,49 @@
 The XLA path (``ops.eval``) materializes the Khatri-Rao factor
 ``W_R (N, prod(right dims))`` in HBM between the row build and the GEMM
 — ~12 KB of HBM traffic per query point on an 11^5 grid, which bounds
-throughput at memory bandwidth.  This kernel keeps the whole pipeline
-per batch tile in VMEM and packs the per-dim work to use the hardware:
+throughput at memory bandwidth.  This kernel streams 6 bytes/point/dim
+(pre-split coordinates) and keeps the entire pipeline — row build,
+Khatri-Rao, tensor contraction — in VMEM.
 
-- **Lane-packed rows**: all dims' nodes/weights concatenate into one
-  (1, W) vector (W = sum n_d), so the barycentric row build is a single
-  chain of VPU ops on one (B, W) array instead of d lane-padded ones.
-  Per-dim reductions (denominators, exact-hit flags) are block-sum
-  *selection matmuls* against a (W, d) 0/1 matrix — no reshapes,
-  gathers, or boolean reductions (all Mosaic-hostile).
-- **Khatri-Rao via selection matmuls** for the small side groups, and a
-  **middle-dim loop** ``Y += C_m[:, i] * (W_R' @ T_i)`` so every MXU
-  operand keeps K <= max(W, prod(R')) — no padded expansion GEMMs.
-- HIGHEST precision on every matmul touching data: Mosaic lowers only
-  DEFAULT (single-pass bf16, too coarse) and HIGHEST (true f32) dot
-  precisions — the bf16x3 ``HIGH`` tier the XLA path uses is
-  unsupported in-kernel, which is why the XLA path currently leads
-  this kernel ~20% on the benchmark shape despite the extra HBM
-  traffic.  Kept opt-in for grids where that traffic dominates.
+Design notes (v4; the round-1 kernel lost to the XLA path ~2.5x):
 
-Scope: float32, value tensors that fit VMEM alongside tile
-intermediates (grids to ~11^5-13^5); derivative passes are pre-applied
-to the tensor.  f64 falls back to the XLA path (f64 is software on TPU).
+1. **Mosaic exposes only DEFAULT/HIGHEST dot precisions**, so the
+   round-1 kernel paid 6 bf16 MXU passes per f32 GEMM while XLA paid 3
+   via ``Precision.HIGH``.  All dots here are *single-pass bf16* with
+   manually split operands:
+
+   - 0/1 selection/broadcast matmuls are **exact** when the data side
+     is split into bf16 components that the f32 accumulator re-sums
+     (3 splits reconstruct all 24 f32 mantissa bits);
+   - the value-tensor contraction uses the 3-product bf16x3 scheme
+     ``hi@hi + lo@hi + hi@lo`` (= ``Precision.HIGH`` arithmetic,
+     ~1e-5 relative — an order below f32 interpolation error).
+
+2. **One mega-dot per tile**: ``[rp_hi | rp_lo | rp_hi] @
+   [T_hi; T_hi; T_lo]`` over all middle-dim slices at once — the full
+   tensor contraction as a single (B, 3*padRp) x (3*padRp, n_mid*padL)
+   MXU dispatch, with 128-aligned column blocks so the per-mid slices
+   and Khatri-Rao factors slice out without relayouts.
+
+3. **The row build lives in-kernel** on (B, W) VMEM tiles: an XLA
+   prologue pays lane-padded (N, n_d) elementwise chains plus concat
+   relayouts plus an HBM round-trip (measured ~9.6 ms/1M pts — half
+   the budget).  Exact-node coincidence uses the clamp trick:
+   ``safe = where(|x-node| < tol, tol, x-node)`` makes the row
+   converge to the one-hot limit with O(tol) error — invisible in f32
+   — with no boolean reductions (Mosaic-hostile) and no extra passes.
+
+Numerical trap worth remembering: ``x.astype(bf16).astype(f32)`` is
+NOT a safe Dekker split under jit on TPU — XLA's excess-precision pass
+folds the convert pair into an identity, zeroing the residual
+(measured 7.6e-3 vs 1.5e-5 reconstruction error).  XLA-side splits use
+``lax.reduce_precision``; Mosaic applies no such folding, so in-kernel
+splits may use plain converts.
+
+Scope: float32, >=3 dims, grids whose working set fits VMEM (see
+``supports_fused``); derivative passes are pre-applied to the tensor.
+f64 falls back to the XLA path (f64 is software on TPU).  Reference
+hot path being replaced: ``barycentric.py:885-949``.
 """
 
 from __future__ import annotations
@@ -43,18 +64,25 @@ from pychebyshev_tpu.ops.eval import _split_index, apply_derivative_passes
 
 __all__ = ["fused_eval_batch", "supports_fused"]
 
-# Points per tile.  1024 is the smallest block that satisfies the XLA
-# 1-D output tiling on TPU (f32 tile = 1024) and fits VMEM comfortably;
-# larger blocks exceeded VMEM on v5e for the 11^5 benchmark shape.
-_BLOCK = 1024
+# Points per tile: the f32 1-D output tile on TPU is 1024 (so blocks
+# are multiples of it); 2048 is fastest where the (B, n_mid*padL)
+# mega-dot result still fits VMEM, 1024 covers larger grids.
+_BLOCK_CANDIDATES = (2048, 1024)
+
+_LANE = 128
 
 
-def _block_selection(shape: Sequence[int], group: Sequence[int],
-                     group_shape: Sequence[int], pos: int,
-                     offsets: Sequence[int]) -> np.ndarray:
-    """E (W, prod(group_shape)) mapping packed-row lanes to a Khatri-Rao
-    group column: ``E[offsets[dim] + i, m] = 1`` iff digit ``pos`` of the
-    C-order multi-index ``m`` equals ``i`` for ``dim = group[pos]``."""
+def _rup(n: int, m: int = _LANE) -> int:
+    return -(-n // m) * m
+
+
+def _selection_matrix(shape: Sequence[int], group: Sequence[int],
+                      group_shape: Sequence[int], pos: int,
+                      offsets: Sequence[int]) -> np.ndarray:
+    """0/1 matrix (W, prod(group_shape)) mapping packed-row lanes to a
+    Khatri-Rao group column: entry ``[offsets[dim] + i, m]`` is 1 iff
+    digit ``pos`` of the C-order multi-index ``m`` equals ``i`` for
+    ``dim = group[pos]``."""
     w = sum(shape)
     total = int(np.prod(group_shape))
     e = np.zeros((w, total), dtype=np.float32)
@@ -64,115 +92,179 @@ def _block_selection(shape: Sequence[int], group: Sequence[int],
     return e
 
 
+def _round_to_bf16_in_f32(x: jax.Array) -> jax.Array:
+    """Round f32 to bf16 precision while STAYING f32 (optimizer-opaque;
+    see the module docstring for why ``astype`` chains are unsafe under
+    jit on TPU)."""
+    return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+
+
+def _split2_bf16(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """hi/lo bf16 split of f32 (captures the top 16 mantissa bits).
+    XLA-side (jit-safe)."""
+    hi32 = _round_to_bf16_in_f32(x)
+    lo32 = _round_to_bf16_in_f32(x - hi32)
+    return hi32.astype(jnp.bfloat16), lo32.astype(jnp.bfloat16)
+
+
+def _split3_bf16(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Three-way bf16 split of f32 — the components sum back to the
+    f32 value exactly (3x8 mantissa bits >= f32's 24).  XLA-side."""
+    hi32 = _round_to_bf16_in_f32(x)
+    r = x - hi32
+    mid32 = _round_to_bf16_in_f32(r)
+    lo32 = _round_to_bf16_in_f32(r - mid32)
+    return (hi32.astype(jnp.bfloat16), mid32.astype(jnp.bfloat16),
+            lo32.astype(jnp.bfloat16))
+
+
+def _ksplit2(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """In-kernel hi/lo bf16 split (Mosaic does not fold the converts)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _ksplit3(x: jax.Array):
+    """In-kernel three-way bf16 split (exact f32 reconstruction)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _geometry(shape: Tuple[int, ...]):
+    """Static block geometry shared by the kernel builder and callers."""
+    d = len(shape)
+    s = _split_index(shape)
+    left_dims = tuple(range(s))
+    rp_dims = tuple(range(s + 1, d))
+    left_shape = shape[:s]
+    rp_shape = shape[s + 1:]
+    n_mid = shape[s]
+    n_left = int(np.prod(left_shape)) if left_shape else 1
+    n_rp = int(np.prod(rp_shape)) if rp_shape else 1
+    pad_l = _rup(n_left)
+    pad_rp = _rup(n_rp)
+    offsets = np.concatenate([[0], np.cumsum(shape)]).astype(int)
+    w_total = int(offsets[-1])
+    return (s, left_dims, rp_dims, left_shape, rp_shape, n_mid, n_left,
+            n_rp, pad_l, pad_rp, offsets, w_total)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool):
     """Compile a fused evaluator specialized to a grid shape."""
+    (s, left_dims, rp_dims, left_shape, rp_shape, n_mid, n_left, n_rp,
+     pad_l, pad_rp, offsets, w_total) = _geometry(shape)
+    mid_off = int(offsets[s])
     d = len(shape)
-    s = _split_index(shape)
-    left_dims = list(range(s))
-    mid = s
-    rp_dims = list(range(s + 1, d))
-    left_shape = shape[:s]
-    n_mid = shape[mid]
-    rp_shape = shape[s + 1:]
-    n_left = int(np.prod(left_shape)) if left_shape else 1
-    n_rp = int(np.prod(rp_shape)) if rp_shape else 1
-    offsets = np.concatenate([[0], np.cumsum(shape)]).astype(int)
-    w_total = int(offsets[-1])
-    mid_off = int(offsets[mid])
-    hi = jax.lax.Precision.HIGHEST
+    n_lb = len(left_dims)
+    n_rb = len(rp_dims)
 
-    # Packed constants.
-    # s_x (d, W): X = pts @ s_x broadcasts each point coord over its
-    # dim's lane block; s_x.T block-sums a (B, W) array per dim.
-    s_x = np.zeros((d, w_total), dtype=np.float32)
+    # Broadcast matrix: coordinate d -> its dim's lane block, stacked
+    # x3 so one bf16 dot against 3-way-split points reconstructs the
+    # exact f32 coordinates.
+    sx = np.zeros((d, w_total), dtype=np.float32)
     for dim in range(d):
-        s_x[dim, offsets[dim]:offsets[dim + 1]] = 1.0
+        sx[dim, offsets[dim]:offsets[dim + 1]] = 1.0
+    sx3 = np.vstack([sx] * 3).astype(jnp.bfloat16)      # (3d, W)
+    # Per-dim block-sum (W, d) and its broadcast-back (d, W), consumed
+    # with 2-/3-way-split data operands respectively.
+    sxt2 = np.vstack([sx.T] * 2).astype(jnp.bfloat16)   # (2W, d)
+    sx3b = np.vstack([sx] * 3).astype(jnp.bfloat16)     # (3d, W)
 
-    e_left = [_block_selection(shape, left_dims, left_shape, k, offsets)
-              for k in range(len(left_dims))]
-    e_rp = [_block_selection(shape, rp_dims, rp_shape, k, offsets)
-            for k in range(len(rp_dims))]
-    n_groups = len(e_left) + len(e_rp)
+    # Merged Khatri-Rao selection matrix: one 128-aligned column block
+    # per group dim (zero pad columns -> zero factor lanes downstream),
+    # stacked x2: the rows are split hi/lo in-kernel, and 16 row bits
+    # put the factor error at ~2^-17 — the Precision.HIGH tier.
+    blocks = []
+    for k in range(n_lb):
+        e = _selection_matrix(shape, left_dims, left_shape, k, offsets)
+        blocks.append(np.pad(e, ((0, 0), (0, pad_l - n_left))))
+    for k in range(n_rb):
+        e = _selection_matrix(shape, rp_dims, rp_shape, k, offsets)
+        blocks.append(np.pad(e, ((0, 0), (0, pad_rp - n_rp))))
+    e_cat = np.concatenate(blocks, axis=1)
+    e_cat2 = np.vstack([e_cat] * 2).astype(jnp.bfloat16)  # (2W, kE)
+    l_off = 0
+    r_off = n_lb * pad_l
 
-    def kernel(points_ref, nodes_ref, weights_ref, valid_ref, sx_ref,
-               t3_ref, *rest):
-        e_refs = rest[:n_groups]
-        out_ref = rest[n_groups]
-        pts = points_ref[:]                          # (B, d)
-        sx = sx_ref[:]                               # (d, W)
+    tol = np.float32(NODE_COINCIDENCE_TOL)
 
-        # Broadcast coords over lane blocks: one GEMM, exact under
-        # HIGHEST (selection matrix is 0/1).
-        x_cat = jnp.dot(pts, sx, precision=hi,
-                        preferred_element_type=jnp.float32)  # (B, W)
+    def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sx3_ref,
+               sxt2_ref, sx3b_ref, ecat2_ref, out_ref):
+        # --- Row build (all dims lane-packed, VPU + tiny exact dots) --
+        x_cat = jnp.dot(pts3_ref[:], sx3_ref[:],
+                        preferred_element_type=jnp.float32)   # (B, W)
+        diff = x_cat - nodes_ref[:]
+        # Clamp trick: as |diff| -> 0 the normalized row converges to
+        # the one-hot exact-node answer; clamping at tol keeps the
+        # division finite and lands within O(tol) of it — far below
+        # f32 resolution.  No booleans leave the VPU.
+        safe = jnp.where(jnp.abs(diff) < tol, tol, diff)
+        w_over = weights_ref[:] / safe                        # (B, W)
+        wh, wl = _ksplit2(w_over)
+        sums = (jnp.dot(jnp.concatenate([wh, wl], axis=1), sxt2_ref[:],
+                        preferred_element_type=jnp.float32))  # (B, d)
+        rinv = 1.0 / sums
+        r3 = jnp.concatenate(_ksplit3(rinv), axis=1)          # (B, 3d)
+        rinv_cat = jnp.dot(r3, sx3b_ref[:],
+                           preferred_element_type=jnp.float32)
+        rows = w_over * rinv_cat                              # (B, W) f32
 
-        nd = nodes_ref[:]                            # (1, W)
-        wt = weights_ref[:]
-        vd = valid_ref[:]                            # 1.0 on real lanes
+        # --- Khatri-Rao group factors: one merged selection dot ------
+        rh, rl = _ksplit2(rows)
+        kr = jnp.dot(jnp.concatenate([rh, rl], axis=1), ecat2_ref[:],
+                     preferred_element_type=jnp.float32)      # (B, kE)
 
-        diff = x_cat - nd
-        tol = jnp.float32(NODE_COINCIDENCE_TOL)
-        exact_f = jnp.where(jnp.abs(diff) < tol, vd, 0.0)
-        safe = jnp.where((exact_f > 0) | (vd == 0), 1.0, diff)
-        w_over = jnp.where((vd > 0) & (exact_f == 0), wt / safe, 0.0)
-
-        # Per-dim block sums -> broadcast back over the blocks.
-        sums = jnp.dot(w_over, sx.T, precision=hi,
-                       preferred_element_type=jnp.float32)   # (B, d)
-        hits = jnp.dot(exact_f, sx.T, precision=hi,
-                       preferred_element_type=jnp.float32)   # (B, d)
-        denom_cat = jnp.dot(sums, sx, precision=hi,
-                            preferred_element_type=jnp.float32)
-        hit_cat = jnp.dot(hits, sx, precision=hi,
-                          preferred_element_type=jnp.float32)
-
-        rows = jnp.where(
-            hit_cat > 0, exact_f,
-            w_over / jnp.where(hit_cat > 0, 1.0, denom_cat))  # (B, W)
-
-        def kr(e_list):
+        def factor(base, width, count):
             acc = None
-            for e_ref in e_list:
-                term = jnp.dot(rows, e_ref[:], precision=hi,
-                               preferred_element_type=jnp.float32)
-                acc = term if acc is None else acc * term
+            for j in range(count):
+                t = kr[:, base + j * width: base + (j + 1) * width]
+                acc = t if acc is None else acc * t
             return acc
 
-        w_left = kr(e_refs[:len(e_left)])            # (B, nL) | None
-        w_rp = kr(e_refs[len(e_left):])              # (B, nRp) | None
+        w_left = factor(l_off, pad_l, n_lb)                   # (B, padL)
+        w_rp = factor(r_off, pad_rp, n_rb)                    # | None
 
-        y = None
-        for i in range(n_mid):
-            c_i = rows[:, mid_off + i][:, None]      # (B, 1)
-            if w_rp is None:
-                contrib = c_i * jnp.broadcast_to(
-                    t3_ref[i][0][None, :], (block, n_left))
-            else:
-                contrib = c_i * jax.lax.dot_general(
-                    w_rp, t3_ref[i],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=hi, preferred_element_type=jnp.float32)
-            y = contrib if y is None else y + contrib  # (B, nL)
+        c = rows[:, mid_off:mid_off + n_mid]                  # (B, n_mid)
 
-        if w_left is None:
-            out_ref[:] = y[:, 0]
+        # --- Value-tensor contraction: one mega-dot -------------------
+        if w_rp is None:
+            t_rows = tmega_ref[:]                    # (n_mid, padL) f32
+            y = None
+            for i in range(n_mid):
+                contrib = c[:, i:i + 1] * t_rows[i][None, :]
+                y = contrib if y is None else y + contrib
         else:
-            out_ref[:] = jnp.sum(w_left * y, axis=1)
+            rp_hi, rp_lo = _ksplit2(w_rp)
+            a_cat = jnp.concatenate([rp_hi, rp_lo, rp_hi], axis=1)
+            z = jnp.dot(a_cat, tmega_ref[:],
+                        preferred_element_type=jnp.float32)
+            y = None
+            for i in range(n_mid):
+                contrib = c[:, i:i + 1] * z[:, i * pad_l:(i + 1) * pad_l]
+                y = contrib if y is None else y + contrib
 
-    def run(points_padded, nodes_cat, weights_cat, valid_cat, sx, t3):
-        n_padded = points_padded.shape[0]
+        out_ref[:] = jnp.sum(w_left * y, axis=1)
+
+    def run(pts3, nodes_cat, weights_cat, tmega):
+        n_padded = pts3.shape[0]
         grid = (n_padded // block,)
         const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = [
-            pl.BlockSpec((block, d), lambda i: (i, 0),
+            pl.BlockSpec((block, 3 * d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            const_spec,  # nodes_cat
-            const_spec,  # weights_cat
-            const_spec,  # valid_cat
-            const_spec,  # s_x
-            const_spec,  # t3
-        ] + [const_spec] * n_groups
+            const_spec,  # nodes_cat (1, W)
+            const_spec,  # weights_cat (1, W)
+            const_spec,  # tmega
+            const_spec,  # sx3
+            const_spec,  # sxt2
+            const_spec,  # sx3b
+            const_spec,  # e_cat2
+        ]
         out_spec = pl.BlockSpec((block,), lambda i: (i,),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -182,11 +274,42 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool):
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((n_padded,), jnp.float32),
             interpret=interpret,
-        )(points_padded, nodes_cat, weights_cat, valid_cat, sx, t3,
-          *[jnp.asarray(e) for e in (e_left + e_rp)])
+        )(pts3, nodes_cat, weights_cat, tmega, jnp.asarray(sx3),
+          jnp.asarray(sxt2), jnp.asarray(sx3b), jnp.asarray(e_cat2))
 
-    meta = (s, n_left, n_mid, n_rp, offsets, w_total)
-    return jax.jit(run), np.asarray(s_x), meta
+    return jax.jit(run)
+
+
+def _vmem_estimate(shape: Tuple[int, ...], block: int) -> int:
+    """Rough VMEM bytes for one tile of the kernel.
+
+    A gate, not a spec: calibrated against v5e compile outcomes
+    (11^5 at block 2048 -> ~24 MB, compiles; 13^5 at 1024 -> ~26 MB,
+    compiles; 11^5 at 4096 -> ~47 MB, Mosaic rejects).
+    """
+    (_, _, rp_dims, _, _, n_mid, _, _, pad_l, pad_rp, _,
+     w_total) = _geometry(shape)
+    b = block
+    w_pad = _rup(w_total)
+    est = 4 * b * w_pad * 4                      # row-build live tiles
+    est += b * (len(shape) - 1) * pad_l * 4      # kr blocks upper bound
+    est += 3 * _rup(pad_rp) * n_mid * pad_l * 2  # tmega
+    if rp_dims:
+        est += b * 3 * pad_rp * 2                # a_cat
+        est += b * n_mid * pad_l * 4             # z
+    est += 2 * b * pad_l * 4                     # y, w_left*y
+    return est
+
+
+_VMEM_CAP = 30 * 1024 * 1024
+
+
+def _pick_block(shape: Tuple[int, ...]):
+    """Largest supported tile for this grid, or None if none fits."""
+    for b in _BLOCK_CANDIDATES:
+        if _vmem_estimate(shape, b) <= _VMEM_CAP:
+            return b
+    return None
 
 
 def supports_fused(shape: Sequence[int], dtype) -> bool:
@@ -195,13 +318,44 @@ def supports_fused(shape: Sequence[int], dtype) -> bool:
         return False
     if len(shape) < 3:
         return False
-    total = int(np.prod(shape))
-    return total * 4 <= 2 * 1024 * 1024  # tensor fits VMEM comfortably
+    return _pick_block(tuple(int(n) for n in shape)) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _tensor_mega(tensor32: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """Value tensor -> the kernel's stacked bf16 mega operand.
+
+    Layout (rp group present): rows are [T_hi; T_hi; T_lo] over the
+    padded right-prime index, columns are n_mid blocks of the padded
+    left index — so ``[rp_hi | rp_lo | rp_hi] @ tmega`` performs
+    bf16x3 for every middle slice in one MXU dispatch.
+    """
+    (s, _, rp_dims, _, _, n_mid, n_left, n_rp, pad_l, pad_rp, _,
+     _) = _geometry(shape)
+    t3 = jnp.transpose(tensor32.reshape(n_left, n_mid, n_rp), (1, 2, 0))
+    if not rp_dims:
+        # (n_mid, padL) f32 row vectors.
+        return jnp.pad(t3[:, 0, :], ((0, 0), (0, pad_l - n_left)))
+    t3 = jnp.pad(t3, ((0, 0), (0, pad_rp - n_rp), (0, pad_l - n_left)))
+    hi, lo = _split2_bf16(t3)                        # (n_mid, padRp, padL)
+
+    def cols(x):
+        return jnp.transpose(x, (1, 0, 2)).reshape(pad_rp, n_mid * pad_l)
+
+    return jnp.concatenate([cols(hi), cols(hi), cols(lo)], axis=0)
+
+
+@jax.jit
+def _points3(points32: jax.Array) -> jax.Array:
+    """(N, 3d) bf16: 3-way split coordinates — the kernel's only
+    per-point stream (6 bytes/point/dim)."""
+    hi, mid, lo = _split3_bf16(points32)
+    return jnp.concatenate([hi, mid, lo], axis=1)
 
 
 def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
                      orders: Tuple[int, ...] = None, *,
-                     block: int = _BLOCK,
+                     block: int = None,
                      interpret: bool = None) -> jax.Array:
     """Fused f32 batched evaluation (drop-in for ``ops.eval.eval_batch``).
 
@@ -215,6 +369,13 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
     d = len(shape)
     if orders is None:
         orders = (0,) * d
+    if block is None:
+        block = _pick_block(shape)
+        if block is None:
+            raise ValueError(
+                f"grid shape {shape} exceeds the fused kernel's VMEM "
+                f"budget; use ops.eval.eval_batch"
+            )
 
     tensor = jnp.asarray(tensor, jnp.float32)
     if any(o > 0 for o in orders):
@@ -222,31 +383,29 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
                         for m in diff_matrices)
         tensor = apply_derivative_passes(tensor, diffs32, tuple(orders))
 
-    run, s_x, (s, n_left, n_mid, n_rp, offsets, w_total) = _build_kernel(
-        shape, block, bool(interpret))
+    run = _build_kernel(shape, block, bool(interpret))
 
+    w_total = int(sum(shape))
     nodes_cat = np.zeros((1, w_total), dtype=np.float32)
     weights_cat = np.zeros((1, w_total), dtype=np.float32)
-    valid_cat = np.zeros((1, w_total), dtype=np.float32)
+    off = 0
     for k in range(d):
-        lo, hi_off = offsets[k], offsets[k + 1]
-        nodes_cat[0, lo:hi_off] = np.asarray(nodes[k], dtype=np.float32)
-        weights_cat[0, lo:hi_off] = np.asarray(weights[k],
-                                               dtype=np.float32)
-        valid_cat[0, lo:hi_off] = 1.0
-
-    # (n_mid, nRp, nL): slice i is the GEMM operand of mid index i.
-    t3 = jnp.transpose(tensor.reshape(n_left, n_mid, n_rp), (1, 2, 0))
+        nodes_cat[0, off:off + shape[k]] = np.asarray(nodes[k],
+                                                      dtype=np.float32)
+        weights_cat[0, off:off + shape[k]] = np.asarray(weights[k],
+                                                        dtype=np.float32)
+        off += shape[k]
 
     points = jnp.asarray(points, jnp.float32)
     n = points.shape[0]
     pad = (-n) % block
     padded = jnp.pad(points, ((0, pad), (0, 0)))
 
-    # The kernel is pure f32; with global x64 on, index arithmetic would
-    # otherwise trace as i64, which Mosaic rejects.
+    # The kernel is pure f32/bf16; with global x64 on, index arithmetic
+    # would otherwise trace as i64, which Mosaic rejects.
     with jax.enable_x64(False):
-        out = run(padded, jnp.asarray(nodes_cat),
-                  jnp.asarray(weights_cat), jnp.asarray(valid_cat),
-                  jnp.asarray(s_x), t3)
+        tmega = _tensor_mega(tensor, shape)
+        pts3 = _points3(padded)
+        out = run(pts3, jnp.asarray(nodes_cat), jnp.asarray(weights_cat),
+                  tmega)
     return out[:n]
