@@ -127,6 +127,20 @@ def main() -> None:
     log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
         f"{qps64:,.0f} queries/s (software f64 on TPU)")
 
+    # ---- Digit-GEMM near-f64 mode (the north-star accuracy mode) ----
+    from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+
+    def run_dd(p):
+        return eval_batch_dd(cheb.tensor_values, nodes, weights, diffs, p,
+                             orders)
+
+    dt_dd = time_fn(run_dd, pts64, iters=5)
+    dd_check = np.asarray(run_dd(jnp.asarray(pts_check)))
+    dev_dd = np.abs(dd_check - approx64).max() / scale
+    log(f"digit-GEMM (dd) batched: {dt_dd * 1e3:.2f} ms -> "
+        f"{n / dt_dd:,.0f} queries/s (dev from f64 {dev_dd:.1e}; "
+        f"f64-class accuracy at {dt64 / dt_dd:.0f}x the f64 path)")
+
     # ---- f32 throughput mode ----
     tensor32 = cheb.tensor_values.astype(jnp.float32)
     nodes32 = tuple(a.astype(jnp.float32) for a in nodes)

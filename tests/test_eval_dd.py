@@ -1,0 +1,110 @@
+"""Digit-GEMM near-f64 evaluation mode (``ops.eval_dd``).
+
+The accuracy contract this mode exists for: deviation from the true
+f64 path at most 1e-10 scale-normalized (the BASELINE north-star needs
+f64-class answers at multi-M queries/s on f64-less TPU hardware).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import BS_DOMAIN_5D, bs_price_vectorized
+
+from pychebyshev_tpu import ChebyshevApproximation
+from pychebyshev_tpu.ops.eval_dd import dd_plan, eval_batch_dd, supports_dd
+
+
+@pytest.fixture(scope="module")
+def bs5():
+    c = ChebyshevApproximation(bs_price_vectorized, 5, BS_DOMAIN_5D,
+                               [11] * 5, vectorized=True)
+    c.build(verbose=False)
+    return c
+
+
+@pytest.fixture(scope="module")
+def pts5():
+    rng = np.random.default_rng(11)
+    lo = np.array([b[0] for b in BS_DOMAIN_5D])
+    hi = np.array([b[1] for b in BS_DOMAIN_5D])
+    return lo + (hi - lo) * rng.uniform(0.02, 0.98, size=(700, 5))
+
+
+class TestAccuracy:
+    def test_value_within_1e10_of_f64(self, bs5, pts5):
+        f64 = np.asarray(bs5.vectorized_eval_batch(pts5, [0] * 5))
+        nodes, weights, diffs = bs5._grid_tuples()
+        dd = np.asarray(eval_batch_dd(bs5.tensor_values, nodes, weights,
+                                      diffs, pts5))
+        scale = np.abs(f64).max()
+        assert np.abs(dd - f64).max() / scale < 1e-10
+
+    def test_derivative_within_1e10(self, bs5, pts5):
+        f64 = np.asarray(bs5.vectorized_eval_batch(pts5, [1, 0, 0, 0, 0]))
+        nodes, weights, diffs = bs5._grid_tuples()
+        dd = np.asarray(eval_batch_dd(bs5.tensor_values, nodes, weights,
+                                      diffs, pts5, (1, 0, 0, 0, 0)))
+        scale = np.abs(f64).max()
+        assert np.abs(dd - f64).max() / scale < 1e-10
+
+    def test_exact_node_point(self, bs5):
+        # A query sitting exactly on grid nodes must reproduce the
+        # nodal value (the f64 row build one-hots it).
+        node_pt = np.array([[float(np.asarray(bs5.nodes[d])[3])
+                             for d in range(5)]])
+        f64 = np.asarray(bs5.vectorized_eval_batch(node_pt, [0] * 5))
+        nodes, weights, diffs = bs5._grid_tuples()
+        dd = np.asarray(eval_batch_dd(bs5.tensor_values, nodes, weights,
+                                      diffs, node_pt))
+        np.testing.assert_allclose(dd, f64, rtol=1e-12)
+
+    def test_3d_grid(self):
+        c = ChebyshevApproximation(
+            lambda p, _: np.sin(p[:, 0]) * np.exp(p[:, 1]) + p[:, 2] ** 3,
+            3, [[-1, 1], [0, 2], [-2, 2]], [9, 8, 7], vectorized=True)
+        c.build(verbose=False)
+        rng = np.random.default_rng(3)
+        pts = np.column_stack([rng.uniform(-1, 1, 300),
+                               rng.uniform(0, 2, 300),
+                               rng.uniform(-2, 2, 300)])
+        f64 = np.asarray(c.vectorized_eval_batch(pts, [0] * 3))
+        nodes, weights, diffs = c._grid_tuples()
+        dd = np.asarray(eval_batch_dd(c.tensor_values, nodes, weights,
+                                      diffs, pts))
+        assert np.abs(dd - f64).max() / np.abs(f64).max() < 1e-10
+
+
+class TestPlanAndAPI:
+    def test_plan_respects_exactness_bound(self):
+        for shape in [(11,) * 5, (13,) * 5, (7,) * 4, (21, 21, 21)]:
+            plan = dd_plan(shape)
+            if not plan["ok"]:
+                continue
+            # MXU-exactness: K * 2^(b_r + b_t) must stay under 2^24.
+            assert plan["n_right"] * 2 ** (plan["b_r"] + plan["b_t"]) \
+                <= 2 ** 24
+            assert plan["pairs"]
+
+    def test_unsupported_shape_raises(self):
+        import jax.numpy as jnp
+        big = jnp.zeros((200, 200, 200))  # right group 40000 > budget
+        if supports_dd(big.shape):
+            pytest.skip("plan unexpectedly supports this")
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            eval_batch_dd(big, (), (), (), np.zeros((4, 4)))
+
+    def test_class_method(self, bs5, pts5):
+        f64 = np.asarray(bs5.vectorized_eval_batch(pts5, [0] * 5))
+        dd = np.asarray(bs5.eval_batch_dd(pts5))
+        assert np.abs(dd - f64).max() / np.abs(f64).max() < 1e-10
+
+    def test_class_method_fallback(self):
+        # 2-D grid: n_right small, still supported -> should just work.
+        c = ChebyshevApproximation(lambda p, _: p[:, 0] * p[:, 1], 2,
+                                   [[-1, 1], [-1, 1]], [6, 6],
+                                   vectorized=True)
+        c.build(verbose=False)
+        pts = np.random.default_rng(5).uniform(-1, 1, (50, 2))
+        f64 = np.asarray(c.vectorized_eval_batch(pts, [0, 0]))
+        dd = np.asarray(c.eval_batch_dd(pts))
+        assert np.abs(dd - f64).max() < 1e-10
