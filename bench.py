@@ -203,13 +203,49 @@ def main() -> None:
         f"(reference vectorized_eval_multi ~0.29 ms/point = "
         f"3,448 sets/s)")
 
-    # ---- TT (rank-15 cross) ----
-    tt = ChebyshevTT(bs_price_np, 5, DOMAIN, [11] * 5, max_rank=15,
-                     vectorized=True)
+    # ---- TT (rank-15 cross) on the REFERENCE's own benchmark config --
+    # BASELINE.md's 0.002%/0.014% comes from the reference's
+    # compare_tensor_train.py: a NARROWER domain (T<=1.0,
+    # sigma in [0.15,0.35], r<=0.08), a q=2% dividend yield,
+    # tolerance=1e-6/max_sweeps=10, and a 50-point uniform test set
+    # (seed 42) filtered at |price| >= $0.50.  Round 1 benchmarked a
+    # harder config and reported a phantom 70x accuracy gap.
+    TT_DOMAIN = [[80.0, 120.0], [90.0, 110.0], [0.25, 1.0],
+                 [0.15, 0.35], [0.01, 0.08]]
+    TT_Q = 0.02
+
+    def bs_div_np(points, _data=None):
+        points = np.asarray(points, dtype=np.float64)
+        s, k, t, sigma, r = (points[:, i] for i in range(5))
+        sqrt_t = np.sqrt(t)
+        d1 = (np.log(s / k) + (r - TT_Q + 0.5 * sigma ** 2) * t) \
+            / (sigma * sqrt_t)
+        d2 = d1 - sigma * sqrt_t
+        return (s * np.exp(-TT_Q * t) * norm.cdf(d1)
+                - k * np.exp(-r * t) * norm.cdf(d2))
+
+    t0 = time.time()
+    tt = ChebyshevTT(bs_div_np, 5, TT_DOMAIN, [11] * 5, max_rank=15,
+                     max_sweeps=10, tolerance=1e-6, vectorized=True)
     tt.build(verbose=False, seed=42)
-    dom_arr = np.asarray(DOMAIN)
+    tt_build = time.time() - t0
+    dom_arr = np.asarray(TT_DOMAIN)
     cores64 = tuple(jnp.asarray(c) for c in tt._coeff_cores)
     cores32 = tuple(c.astype(jnp.float32) for c in cores64)
+
+    rng_tt = np.random.default_rng(42)
+    tt_pts = np.stack([rng_tt.uniform(lo, hi, 50) for lo, hi in TT_DOMAIN],
+                      axis=1)
+    tt_exact = bs_div_np(tt_pts)
+    tt_keep = np.abs(tt_exact) >= 0.50
+    tt_vals = np.asarray(tt_eval_batch(cores64, dom_arr,
+                                       jnp.asarray(tt_pts)))
+    tt_err = np.abs((tt_vals - tt_exact) / tt_exact)[tt_keep] * 100
+    log(f"TT (reference benchmark config): build {tt_build:.3f}s, "
+        f"ranks={tt.tt_ranks}, unique evals={tt.total_build_evals:,} "
+        f"(reference 7,419), price err mean {tt_err.mean():.4f}% / "
+        f"max {tt_err.max():.4f}% over 50 pts "
+        f"(reference 0.002% / 0.014%)")
 
     def run_tt64(p):
         return tt_eval_batch(cores64, dom_arr, p)
@@ -219,26 +255,32 @@ def main() -> None:
 
     dt_tt64 = time_fn(run_tt64, pts64, iters=3)
     dt_tt32 = time_fn(run_tt32, pts32, iters=5)
-    tt_check = np.asarray(run_tt64(jnp.asarray(pts_check)))
-    tt_rel = np.abs(tt_check - exact)[liquid] / np.abs(exact)[liquid]
-    log(f"TT: ranks={tt.tt_ranks}, unique evals={tt.total_build_evals:,} "
-        f"(reference ~7.4k), max rel err {tt_rel.max():.2e} on |price|>1")
-
-    # Masked-ALS refinement diagnostic: same eval budget, lower error.
-    ttr = ChebyshevTT(bs_price_np, 5, DOMAIN, [11] * 5, max_rank=15,
-                      vectorized=True)
-    ttr.build(verbose=False, seed=42, refine_sweeps=2)
-    coresr = tuple(jnp.asarray(c) for c in ttr._coeff_cores)
-    ttr_check = np.asarray(tt_eval_batch(coresr, dom_arr,
-                                         jnp.asarray(pts_check)))
-    ttr_rel = np.abs(ttr_check - exact)[liquid] / np.abs(exact)[liquid]
-    log(f"TT + masked-ALS refine (2 sweeps, same {ttr.total_build_evals:,} "
-        f"evals): max rel err {ttr_rel.max():.2e} on |price|>1")
     log(f"TT f64 batched: {dt_tt64 * 1e3:.2f} ms -> "
         f"{n / dt_tt64:,.0f} queries/s; "
         f"TT f32 batched: {dt_tt32 * 1e3:.2f} ms -> "
         f"{n / dt_tt32:,.0f} queries/s "
         f"(reference ~0.004 ms/pt = 250,000 queries/s)")
+
+    # Masked-ALS refinement diagnostic on the HARD config (wide domain,
+    # no dividend), where the raw cross degrades and refinement pays:
+    tth = ChebyshevTT(bs_price_np, 5, DOMAIN, [11] * 5, max_rank=15,
+                      vectorized=True)
+    tth.build(verbose=False, seed=42)
+    ch = tuple(jnp.asarray(c) for c in tth._coeff_cores)
+    h_val = np.asarray(tt_eval_batch(ch, np.asarray(DOMAIN),
+                                     jnp.asarray(pts_check)))
+    h_rel = np.abs(h_val - exact)[liquid] / np.abs(exact)[liquid]
+    ttr = ChebyshevTT(bs_price_np, 5, DOMAIN, [11] * 5, max_rank=15,
+                      vectorized=True)
+    ttr.build(verbose=False, seed=42, refine_sweeps=4, refine_samples=8000)
+    cr = tuple(jnp.asarray(c) for c in ttr._coeff_cores)
+    r_val = np.asarray(tt_eval_batch(cr, np.asarray(DOMAIN),
+                                     jnp.asarray(pts_check)))
+    r_rel = np.abs(r_val - exact)[liquid] / np.abs(exact)[liquid]
+    log(f"TT hard config (wide domain): raw cross max rel "
+        f"{h_rel.max():.2e} ({tth.total_build_evals:,} evals) -> "
+        f"masked-ALS refined {r_rel.max():.2e} "
+        f"({ttr.total_build_evals:,} evals)")
 
     # ---- TT analytic delta (beyond-reference: Greeks at batch speed) --
     delta_tt = tt.differentiate([1, 0, 0, 0, 0])
