@@ -461,19 +461,6 @@ class ChebyshevApproximation:
     # Evaluation
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _matmul_last_axis(current: np.ndarray, rhs: np.ndarray) -> np.ndarray:
-        """Contract the last axis of an N-D array with a vector/matrix as
-        ONE BLAS call (NumPy would otherwise loop tiny batched GEMMs over
-        the leading axes)."""
-        if current.ndim > 2:
-            lead = current.shape[:-1]
-            flat = current.reshape(-1, current.shape[-1]) @ rhs
-            if rhs.ndim == 1:
-                return flat.reshape(lead)
-            return flat.reshape(lead + (rhs.shape[-1],))
-        return current @ rhs
-
     def _host_arrays(self):
         """Cached NumPy copies of the grid data for single-point paths.
 
@@ -497,27 +484,53 @@ class ChebyshevApproximation:
             self._host_cache = cache
         return cache[1]
 
-    def _host_single_eval(self, point, derivative_order) -> float:
-        """Host GEMV chain for one point (reference ``vectorized_eval``
-        semantics, ``barycentric.py:885-949``)."""
+    def _host_coeff_rows(self, point):
+        """Per-dim normalized barycentric coefficient rows on host.
+
+        The host mirror of ``ops.eval.barycentric_coefficients`` for one
+        point: row ``r_d`` satisfies ``r_d . t == interp(t, x_d)`` for any
+        1-D slice ``t`` along dim ``d``; a coordinate coinciding with a
+        node (within 1e-14) yields a one-hot row.
+        """
+        h = self._host_arrays()
+        rows = []
+        for d in range(self.num_dimensions):
+            gap = np.asarray(point[d], dtype=np.float64) - h["nodes"][d]
+            hit = np.abs(gap) < NODE_COINCIDENCE_TOL
+            if hit.any():
+                row = np.zeros(gap.shape[0])
+                row[int(np.argmax(hit))] = 1.0
+            else:
+                row = h["weights"][d] / gap
+                row = row / row.sum()
+            rows.append(row)
+        return rows
+
+    def _host_contract(self, rows) -> float:
+        """Contract the cached host tensor with one coefficient row per
+        dim, highest dim first (each step is a single flattened GEMV)."""
         h = self._host_arrays()
         current = h["tensor"]
-        for d in range(self.num_dimensions - 1, -1, -1):
-            # np scalar/array coordinate: broadcasting matches the
-            # reference's tolerance for array-like entries
-            x = np.asarray(point[d], dtype=np.float64)
-            values = current
-            for _ in range(int(derivative_order[d])):
-                values = self._matmul_last_axis(values, h["diffs_t"][d])
-            diff = x - h["nodes"][d]
-            exact = np.abs(diff) < NODE_COINCIDENCE_TOL
-            if exact.any():
-                current = values[..., int(np.argmax(exact))]
-            else:
-                w_over_diff = h["weights"][d] / diff
-                current = (self._matmul_last_axis(values, w_over_diff)
-                           / np.sum(w_over_diff))
+        for row in reversed(rows):
+            n = current.shape[-1]
+            current = (current.reshape(-1, n) @ row).reshape(
+                current.shape[:-1])
         return float(current)
+
+    def _host_single_eval(self, point, derivative_order) -> float:
+        """Host evaluation of one point (reference ``vectorized_eval``
+        semantics, ``barycentric.py:885-949``).
+
+        Derivatives are folded into the coefficient rows — ``r . (D^k t)
+        == ((D^T)^k r) . t`` — so a derivative pass is an O(n^2) matvec on
+        the row instead of an O(grid.n) pass over the tensor.
+        """
+        h = self._host_arrays()
+        rows = self._host_coeff_rows(point)
+        for d, k in enumerate(derivative_order):
+            for _ in range(int(k)):
+                rows[d] = h["diffs_t"][d] @ rows[d]
+        return self._host_contract(rows)
 
     def eval(self, point, derivative_order=None, *, derivative_id=None):
         """Reference-path single-point evaluation (host GEMV chain)."""
@@ -661,38 +674,34 @@ class ChebyshevApproximation:
         return np.asarray(out).T
 
     def vectorized_eval_multi(self, point, derivative_orders):
-        """Multiple derivative specs at one point, sharing the normalized
-        barycentric rows (host; reference ``barycentric.py:1049-1112``)."""
+        """Multiple derivative specs at one point -> list of floats.
+
+        Builds the normalized barycentric rows once (point-dependent) and
+        derives each spec's rows from them by folding ``(D^T)^k`` into the
+        row — the same sharing the reference achieves by caching per-dim
+        weight vectors (``barycentric.py:1049-1112``), expressed in this
+        repo's row idiom.  Memoizing on (dim, order) means e.g. six Greek
+        specs over 5 dims cost at most a handful of n x n matvecs plus one
+        tensor contraction per spec.
+        """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
         h = self._host_arrays()
+        base = self._host_coeff_rows(point)
 
-        dim_info = []
-        for d in range(self.num_dimensions):
-            diff = np.asarray(point[d], dtype=np.float64) - h["nodes"][d]
-            abs_diff = np.abs(diff)
-            min_idx = int(np.argmin(abs_diff))
-            if abs_diff[min_idx] < NODE_COINCIDENCE_TOL:
-                dim_info.append((True, min_idx, None))
-            else:
-                w_over_diff = h["weights"][d] / diff
-                dim_info.append(
-                    (False, None, w_over_diff / np.sum(w_over_diff)))
+        row_for = {}  # (dim, order) -> derivative-folded row
 
-        results = []
-        for deriv_order in derivative_orders:
-            current = h["tensor"]
-            for d in range(self.num_dimensions - 1, -1, -1):
-                for _ in range(int(deriv_order[d])):
-                    current = self._matmul_last_axis(current,
-                                                     h["diffs_t"][d])
-                is_exact, exact_idx, w_norm = dim_info[d]
-                if is_exact:
-                    current = current[..., exact_idx]
-                else:
-                    current = self._matmul_last_axis(current, w_norm)
-            results.append(float(current))
-        return results
+        def derived_row(d, k):
+            k = int(k)
+            if k == 0:
+                return base[d]
+            if (d, k) not in row_for:
+                row_for[(d, k)] = h["diffs_t"][d] @ derived_row(d, k - 1)
+            return row_for[(d, k)]
+
+        return [self._host_contract(
+                    [derived_row(d, k) for d, k in enumerate(spec)])
+                for spec in derivative_orders]
 
     # ------------------------------------------------------------------
     # Derivative-id registry + ergonomics surface

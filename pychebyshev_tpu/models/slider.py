@@ -606,137 +606,114 @@ class ChebyshevSlider:
     def integrate(self, dims=None, bounds=None):
         """Closed-form integration of the sliding sum.
 
-        Groups are classified "full" / "partial" / "none" against the
-        integration set.  Full groups' integrals are absorbed into the new
-        pivot constant; partial groups contract their integrated local
-        dims; untouched groups are rescaled by the integrated volume.  The
-        unified tensor rule ``new = scale * source + (pv' - pv * vol_T)``
-        keeps the sliding identity exact (reference ``slider.py:881-1136``).
+        With ``F = p + sum_i (s_i - p)`` and integration set ``T`` of
+        measure ``V = prod_{d in T} m_d``, each additive term integrates
+        independently::
+
+            int_T F = p*V + sum_i  V/vol_in(G_i) * (R_i - p*vol_in(G_i))
+
+        where ``vol_in(G_i)`` is the measure of the group's dims that lie
+        in ``T`` and ``R_i`` is the slide reduced over those dims (a
+        scalar when the whole group is integrated, a lower-dim tensor
+        otherwise).  Scalar terms fold into the new pivot constant; tensor
+        terms become the surviving slides, re-centred so the sliding
+        identity holds for the new pivot.  Mirrors reference
+        ``slider.py:881-1136`` semantics with a single vectorized pass.
         """
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.utils.calculus import (
-            normalize_bounds,
-            slider_partition_intersect,
-        )
+        from pychebyshev_tpu.utils.calculus import normalize_bounds
 
         if dims is None:
-            dims_sorted = list(range(self.num_dimensions))
+            integ_dims = list(range(self.num_dimensions))
         elif isinstance(dims, int):
-            dims_sorted = [dims]
+            integ_dims = [dims]
         else:
-            dims_sorted = sorted(set(dims))
-        for d in dims_sorted:
+            integ_dims = sorted(set(dims))
+        for d in integ_dims:
             if d < 0 or d >= self.num_dimensions:
                 raise ValueError(
                     f"dim {d} out-of-range [0, {self.num_dimensions - 1}]"
                 )
+        integ_set = frozenset(integ_dims)
 
-        per_dim_bounds = normalize_bounds(dims_sorted, bounds, self.domain)
-        dim_to_idx = {d: i for i, d in enumerate(dims_sorted)}
+        # Per-dim measure of the integration range; 1.0 off the set, so
+        # products over arbitrary dim subsets are plain slicing.
+        range_by_dim = dict(zip(integ_dims,
+                                normalize_bounds(integ_dims, bounds,
+                                                 self.domain)))
+        measure = np.ones(self.num_dimensions)
+        for d in integ_dims:
+            lo, hi = range_by_dim[d] or self.domain[d]
+            measure[d] = hi - lo
+        total_vol = float(np.prod(measure[integ_dims]))
 
-        widths = {}
-        bounds_for_dim = {}
-        for d in dims_sorted:
-            bd = per_dim_bounds[dim_to_idx[d]]
-            a, b = self.domain[d]
-            widths[d] = (b - a) if bd is None else (bd[1] - bd[0])
-            bounds_for_dim[d] = bd
+        def reduce_slide(slide, group):
+            """Integrate a slide over its in-set local dims.
 
-        vol_t = 1.0
-        for d in dims_sorted:
-            vol_t *= widths[d]
-
-        slide_info = []
-        for group in self.partition:
-            kind, kept = slider_partition_intersect(list(group), dims_sorted)
-            slide_info.append({"kind": kind, "kept": kept,
-                               "group": list(group)})
-
-        # New pivot constant: pv * vol_T plus each full slide's
-        # vol(T \ G_i) * (I_i - pv * vol(G_i)).
-        pv_new = self.pivot_value * vol_t
-        for slide_idx, info in enumerate(slide_info):
-            if info["kind"] != "full":
-                continue
-            slide = self.slides[slide_idx]
-            group = info["group"]
-            local_dims = list(range(len(group)))
-            local_bounds = [bounds_for_dim[g] for g in group]
-            if all(b is None for b in local_bounds):
-                integral = slide.integrate(dims=local_dims)
+            Returns ``(reduced, inner_vol)`` — the contracted slide (float
+            if the group is fully inside ``T``) and the measure of the
+            contracted dims.
+            """
+            local = [i for i, d in enumerate(group) if d in integ_set]
+            sub = [range_by_dim[group[i]] for i in local]
+            if any(b is not None for b in sub):
+                reduced = slide.integrate(dims=local, bounds=sub)
             else:
-                integral = slide.integrate(dims=local_dims,
-                                           bounds=local_bounds)
-            vol_outside = 1.0
-            for d in dims_sorted:
-                if d not in group:
-                    vol_outside *= widths[d]
-            vol_group = 1.0
-            for d in group:
-                vol_group *= widths[d]
-            pv_new += vol_outside * (float(integral)
-                                     - self.pivot_value * vol_group)
+                reduced = slide.integrate(dims=local)
+            return reduced, float(np.prod(measure[
+                [group[i] for i in local]]))
 
-        if len(dims_sorted) == self.num_dimensions:
-            return float(pv_new)
-
-        # Partial integration: new slider over surviving dims.
-        survive = sorted(d for d in range(self.num_dimensions)
-                         if d not in dim_to_idx)
-        old_to_new = {old: new for new, old in enumerate(survive)}
-
-        shift = pv_new - self.pivot_value * vol_t
-        new_partition = []
-        new_slides = []
-        for slide_idx, info in enumerate(slide_info):
-            if info["kind"] == "full":
-                continue
-            group = info["group"]
-            slide = self.slides[slide_idx]
-
-            if info["kind"] == "none":
-                new_tensor = vol_t * slide.tensor_values + shift
-                new_slide = ChebyshevApproximation._from_grid(slide,
-                                                              new_tensor)
-                new_group = [old_to_new[d] for d in group]
+        # One pass: scalars accumulate into the pivot constant, tensors
+        # become surviving slides (recorded before re-centring, since the
+        # final constant isn't known until the pass completes).
+        const = self.pivot_value * total_vol
+        survivors = []  # (scaled tensor values, template, kept global dims)
+        for group, slide in zip(self.partition, self.slides):
+            n_in = sum(d in integ_set for d in group)
+            if n_in == len(group):
+                full_val, inner_vol = reduce_slide(slide, group)
+                const += (total_vol / inner_vol) * (
+                    float(full_val) - self.pivot_value * inner_vol)
+            elif n_in == 0:
+                survivors.append((total_vol * slide.tensor_values,
+                                  slide, list(group)))
             else:
-                local_dims = []
-                local_bounds = []
-                for local_i, gd in enumerate(group):
-                    if gd in dim_to_idx:
-                        local_dims.append(local_i)
-                        local_bounds.append(bounds_for_dim[gd])
-                if all(b is None for b in local_bounds):
-                    reduced = slide.integrate(dims=local_dims)
-                else:
-                    reduced = slide.integrate(dims=local_dims,
-                                              bounds=local_bounds)
-                vol_outside = 1.0
-                for d in dims_sorted:
-                    if d not in group:
-                        vol_outside *= widths[d]
-                new_tensor = vol_outside * reduced.tensor_values + shift
-                new_slide = ChebyshevApproximation._from_grid(reduced,
-                                                              new_tensor)
-                new_group = [old_to_new[d] for d in info["kept"]]
+                part, inner_vol = reduce_slide(slide, group)
+                survivors.append(((total_vol / inner_vol)
+                                  * part.tensor_values, part,
+                                  [d for d in group if d not in integ_set]))
 
-            new_partition.append(new_group)
-            new_slides.append(new_slide)
+        if len(integ_dims) == self.num_dimensions:
+            return float(const)
 
-        if not new_slides:
+        if not survivors:
             raise RuntimeError(
-                "internal error: partial integration produced 0 slides "
-                "with surviving dims"
-            )
+                "internal error: surviving dims but every group was "
+                "integrated away")
 
+        # Renumber surviving global dims: d -> d minus integrated dims
+        # below it.
+        removed_below = np.cumsum(
+            [1 if d in integ_set else 0 for d in
+             range(self.num_dimensions)])
+        remap = [d - int(removed_below[d])
+                 for d in range(self.num_dimensions)]
+        kept_dims = [d for d in range(self.num_dimensions)
+                     if d not in integ_set]
+
+        # Re-centre: F' = const + sum_j (h_j - p*V)  ==>  slide'_j =
+        # h_j + (const - p*V), pivot' = const.
+        recentre = const - self.pivot_value * total_vol
         return ChebyshevSlider._assemble(
-            num_dimensions=len(survive),
-            domain=[list(self.domain[d]) for d in survive],
-            n_nodes=[self.n_nodes[d] for d in survive],
-            partition=new_partition,
-            pivot_point=[self.pivot_point[d] for d in survive],
-            slides=new_slides, pivot_value=pv_new,
+            num_dimensions=len(kept_dims),
+            domain=[list(self.domain[d]) for d in kept_dims],
+            n_nodes=[self.n_nodes[d] for d in kept_dims],
+            partition=[[remap[d] for d in kept] for _, _, kept in survivors],
+            pivot_point=[self.pivot_point[d] for d in kept_dims],
+            slides=[ChebyshevApproximation._from_grid(tmpl, vals + recentre)
+                    for vals, tmpl, _ in survivors],
+            pivot_value=const,
             max_derivative_order=self.max_derivative_order,
             descriptor=self.descriptor,
             additional_data=self.additional_data)

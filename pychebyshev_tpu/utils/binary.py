@@ -1,6 +1,5 @@
 """Portable ``.pcb`` binary serialization, byte-compatible with the
-reference format v1.0 (reference ``_binary.py``; spec:
-``docs/user-guide/binary-format.md`` in the reference repo).
+reference format v1.0 (spec: ``docs/user-guide/binary-format.md``).
 
 Layout: 12-byte header (magic ``PCB\\x00``, major u8, minor u8,
 class_tag u16 LE, 4 reserved zero bytes), then little-endian f64 floats
@@ -8,8 +7,10 @@ and u32 integers, C-order tensors, no padding.  Files written here are
 readable by the reference library, its native readers, and the C++
 reader shipped in ``cpp/`` — and vice versa.
 
-This is deliberately host-side NumPy: serialization is an I/O boundary,
-not a compute path.
+Structure mirrors the repo's own C++ reader (``cpp/pcb_reader.cpp``): a
+``_Cursor`` wraps the stream and owns truncation checking; the
+class-specific readers consume typed fields from it.  Deliberately
+host-side NumPy — serialization is an I/O boundary, not a compute path.
 """
 
 from __future__ import annotations
@@ -28,107 +29,52 @@ CLASS_TAG_SPLINE = 2
 
 _HEADER_SIZE = 12
 
+# Hard ceiling on tensor elements per read (mirrors the C++ reader's
+# overflow guard): a crafted file cannot force a huge allocation.
+_MAX_ELEMENTS = 1 << 31
+
+
+class _Cursor:
+    """Typed little-endian field reader over a binary stream.
+
+    Every read goes through :meth:`take`, so truncated input always
+    surfaces as a single well-formed ValueError naming the field.
+    """
+
+    def __init__(self, f: BinaryIO):
+        self._f = f
+
+    def take(self, nbytes: int, field: str) -> bytes:
+        raw = self._f.read(nbytes)
+        if len(raw) != nbytes:
+            raise ValueError(
+                f"truncated .pcb stream: EOF inside {field} "
+                f"({len(raw)}/{nbytes} bytes present)"
+            )
+        return raw
+
+    def u32(self, field: str) -> int:
+        return struct.unpack("<I", self.take(4, field))[0]
+
+    def u32s(self, count: int, field: str) -> np.ndarray:
+        raw = self.take(4 * count, field)
+        return np.frombuffer(raw, dtype="<u4").astype(np.uint32, copy=True)
+
+    def f64s(self, count: int, field: str) -> np.ndarray:
+        raw = self.take(8 * count, field)
+        return np.frombuffer(raw, dtype="<f8").astype(np.float64, copy=True)
+
 
 def peek_format_version(filename: str) -> int:
-    """Return the major format version from a .pcb header (no body read)."""
+    """Major format version from a .pcb header, without reading the body."""
     with open(filename, "rb") as f:
-        header = f.read(_HEADER_SIZE)
-    if len(header) < _HEADER_SIZE:
-        raise ValueError(
-            f"file {filename!r} is shorter than the {_HEADER_SIZE}-byte "
-            f".pcb header"
-        )
-    if header[:4] != MAGIC:
-        raise ValueError(
-            f"file {filename!r} is not a .pcb file (magic mismatch: "
-            f"got {header[:4]!r}, expected {MAGIC!r})"
-        )
-    return int(header[4])
-
-
-# --- low-level strict-dtype array I/O ------------------------------------
-
-
-def _write_u32(f: BinaryIO, n: int) -> None:
-    f.write(struct.pack("<I", n))
-
-
-def _read_u32(f: BinaryIO) -> int:
-    raw = f.read(4)
-    if len(raw) != 4:
-        raise ValueError("unexpected EOF reading uint32")
-    return struct.unpack("<I", raw)[0]
-
-
-def _write_u32_array(f: BinaryIO, arr) -> None:
-    a = np.asarray(arr)
-    if a.dtype != np.uint32:
-        raise TypeError(
-            f"binary format requires uint32 arrays, got dtype={a.dtype}"
-        )
-    f.write(np.ascontiguousarray(a, dtype="<u4").tobytes())
-
-
-def _read_u32_array(f: BinaryIO, count: int) -> np.ndarray:
-    nbytes = count * 4
-    raw = f.read(nbytes)
-    if len(raw) != nbytes:
-        raise ValueError(
-            f"unexpected EOF reading uint32 array (wanted {nbytes} bytes, "
-            f"got {len(raw)})"
-        )
-    return np.frombuffer(raw, dtype="<u4").astype(np.uint32, copy=True)
-
-
-def _write_f64_array(f: BinaryIO, arr) -> None:
-    a = np.asarray(arr)
-    if a.dtype != np.float64:
-        raise TypeError(
-            f"binary format requires float64 arrays, got dtype={a.dtype}"
-        )
-    f.write(np.ascontiguousarray(a, dtype="<f8").tobytes())
-
-
-def _read_f64_array(f: BinaryIO, count: int) -> np.ndarray:
-    nbytes = count * 8
-    raw = f.read(nbytes)
-    if len(raw) != nbytes:
-        raise ValueError(
-            f"unexpected EOF reading f64 array (wanted {nbytes} bytes, "
-            f"got {len(raw)})"
-        )
-    return np.frombuffer(raw, dtype="<f8").astype(np.float64, copy=True)
-
-
-# --- header --------------------------------------------------------------
-
-
-def _write_header(f: BinaryIO, class_tag: int) -> None:
-    f.write(MAGIC)
-    f.write(struct.pack("<BB", MAJOR, MINOR))
-    f.write(struct.pack("<H", class_tag))
-    f.write(b"\x00\x00\x00\x00")
-
-
-def _read_header(f: BinaryIO) -> int:
-    raw = f.read(_HEADER_SIZE)
-    if len(raw) != _HEADER_SIZE:
-        raise ValueError(
-            f"unexpected EOF reading header (wanted {_HEADER_SIZE} bytes, "
-            f"got {len(raw)})"
-        )
+        raw = _Cursor(f).take(_HEADER_SIZE, f"header of {filename!r}")
     if raw[:4] != MAGIC:
-        raise ValueError("not a PyChebyshev binary file (bad magic)")
-    major, _minor = struct.unpack("<BB", raw[4:6])
-    if major != MAJOR:
         raise ValueError(
-            f"unsupported .pcb major version {major} "
-            f"(this build reads major {MAJOR})"
+            f"{filename!r}: magic bytes {raw[:4]!r} are not the .pcb "
+            f"signature {MAGIC!r}"
         )
-    class_tag = struct.unpack("<H", raw[6:8])[0]
-    if raw[8:12] != b"\x00\x00\x00\x00":
-        raise ValueError("reserved header bytes nonzero — file may be corrupt")
-    return class_tag
+    return raw[4]
 
 
 def detect_format(path) -> str:
@@ -138,31 +84,120 @@ def detect_format(path) -> str:
     return "binary" if head == MAGIC else "pickle"
 
 
-# --- ChebyshevApproximation ----------------------------------------------
+# --- emit side -------------------------------------------------------------
+
+
+def _emit_array(f: BinaryIO, arr, required: type) -> None:
+    """Write an array's raw little-endian bytes; the caller must already
+    hold the spec dtype (no silent casting at the format boundary)."""
+    a = np.asarray(arr)
+    if a.dtype != required:
+        want = "uint32" if required is np.uint32 else "float64"
+        raise TypeError(
+            f".pcb fields are strictly typed: expected {want} data, "
+            f"received dtype={a.dtype}"
+        )
+    wire = "<u4" if required is np.uint32 else "<f8"
+    f.write(np.ascontiguousarray(a, dtype=wire).tobytes())
+
+
+def _emit_header(f: BinaryIO, class_tag: int) -> None:
+    f.write(MAGIC + struct.pack("<BBH", MAJOR, MINOR, class_tag)
+            + bytes(4))
+
+
+def _emit_grid(f: BinaryIO, domain, n_nodes) -> None:
+    """The common grid block: u32 d, f64 lo[d], f64 hi[d], u32 n[d]."""
+    d = len(domain)
+    f.write(struct.pack("<I", d))
+    _emit_array(f, np.array([b[0] for b in domain], dtype=np.float64),
+                np.float64)
+    _emit_array(f, np.array([b[1] for b in domain], dtype=np.float64),
+                np.float64)
+    _emit_array(f, np.array(n_nodes, dtype=np.uint32), np.uint32)
+
+
+# --- parse side ------------------------------------------------------------
+
+
+def _parse_header(cur: _Cursor, want_tag: int, want_cls: str) -> None:
+    raw = cur.take(_HEADER_SIZE, "header")
+    if raw[:4] != MAGIC:
+        raise ValueError(
+            f"magic bytes {raw[:4]!r} are not the .pcb signature "
+            f"{MAGIC!r}"
+        )
+    major, _minor, class_tag = struct.unpack("<BBH", raw[4:8])
+    if major != MAJOR:
+        raise ValueError(
+            f".pcb major version {major} is newer than this build "
+            f"understands (max {MAJOR})"
+        )
+    if raw[8:12] != bytes(4):
+        raise ValueError(
+            "reserved header bytes must be zero in format v1; refusing "
+            "a possibly corrupt file"
+        )
+    if class_tag != want_tag:
+        raise ValueError(
+            f"class_tag {class_tag} in file, but this loader handles "
+            f"class_tag {want_tag} ({want_cls})"
+        )
+
+
+def _parse_grid(cur: _Cursor):
+    """Parse + validate the common grid block -> (d, domain, n_nodes)."""
+    d = cur.u32("num_dimensions")
+    if d < 1:
+        raise ValueError(f"num_dimensions field is {d}; must be >= 1")
+    lo = cur.f64s(d, "domain lower bounds")
+    hi = cur.f64s(d, "domain upper bounds")
+    bad = np.nonzero(~(lo < hi))[0]
+    if bad.size:
+        i = int(bad[0])
+        raise ValueError(
+            f"domain[{i}] is empty or inverted: lo={lo[i]} "
+            f"not below hi={hi[i]}"
+        )
+    counts = cur.u32s(d, "n_nodes")
+    if (counts < 1).any():
+        i = int(np.argmax(counts < 1))
+        raise ValueError(f"n_nodes[{i}] is {counts[i]}; must be >= 1")
+    domain = [[float(lo[i]), float(hi[i])] for i in range(d)]
+    return d, domain, [int(n) for n in counts]
+
+
+def _checked_grid_size(n_nodes) -> int:
+    total = 1
+    for n in n_nodes:
+        total *= int(n)
+        if total > _MAX_ELEMENTS:
+            raise ValueError(
+                f"declared tensor exceeds the {_MAX_ELEMENTS}-element "
+                f"safety cap (n_nodes={list(n_nodes)})"
+            )
+    return total
+
+
+# --- ChebyshevApproximation ------------------------------------------------
 
 
 def write_approx(f: BinaryIO, cheb) -> None:
-    """Write a built approximation: header, u32 d, f64 lo[d], f64 hi[d],
-    u32 n_nodes[d], f64 tensor (C-order)."""
+    """Write a built approximation: header, grid block, f64 tensor
+    (C-order)."""
     if getattr(cheb, "additional_data", None) is not None:
         raise NotImplementedError(
-            "binary format cannot store additional_data; "
-            "pass format='pickle' or set additional_data=None before saving"
+            "the .pcb format has no additional_data field; save with "
+            "format='pickle' or drop additional_data first"
         )
     if cheb.tensor_values is None:
         raise RuntimeError("Cannot save an unbuilt ChebyshevApproximation")
 
-    _write_header(f, CLASS_TAG_APPROX)
-    d = int(cheb.num_dimensions)
-    _write_u32(f, d)
-    _write_f64_array(
-        f, np.array([cheb.domain[i][0] for i in range(d)], dtype=np.float64))
-    _write_f64_array(
-        f, np.array([cheb.domain[i][1] for i in range(d)], dtype=np.float64))
-    _write_u32_array(f, np.array(cheb.n_nodes, dtype=np.uint32))
+    _emit_header(f, CLASS_TAG_APPROX)
+    _emit_grid(f, cheb.domain, cheb.n_nodes)
     tensor = np.ascontiguousarray(
         np.asarray(cheb.tensor_values), dtype=np.float64)
-    _write_f64_array(f, tensor.ravel(order="C"))
+    _emit_array(f, tensor.ravel(order="C"), np.float64)
 
 
 def read_approx(f: BinaryIO):
@@ -170,31 +205,12 @@ def read_approx(f: BinaryIO):
     metadata is recomputed consistently."""
     from pychebyshev_tpu.models.approximation import ChebyshevApproximation
 
-    tag = _read_header(f)
-    if tag != CLASS_TAG_APPROX:
-        raise ValueError(
-            f"file contains class_tag {tag}, expected "
-            f"{CLASS_TAG_APPROX} (ChebyshevApproximation)"
-        )
-
-    d = _read_u32(f)
-    if d < 1:
-        raise ValueError(f"num_dimensions must be >= 1, got {d}")
-
-    domain_lo = _read_f64_array(f, count=d)
-    domain_hi = _read_f64_array(f, count=d)
-    domain = [[float(domain_lo[i]), float(domain_hi[i])] for i in range(d)]
-    for i, (lo, hi) in enumerate(domain):
-        if lo >= hi:
-            raise ValueError(f"domain[{i}]: lo ({lo}) must be < hi ({hi})")
-
-    n_nodes = [int(n) for n in _read_u32_array(f, count=d)]
-    for i, n in enumerate(n_nodes):
-        if n < 1:
-            raise ValueError(f"n_nodes[{i}] must be >= 1, got {n}")
-
-    total = int(np.prod(n_nodes))
-    tensor = _read_f64_array(f, count=total).reshape(tuple(n_nodes), order="C")
+    cur = _Cursor(f)
+    _parse_header(cur, CLASS_TAG_APPROX, "ChebyshevApproximation")
+    d, domain, n_nodes = _parse_grid(cur)
+    total = _checked_grid_size(n_nodes)
+    tensor = cur.f64s(total, "tensor values").reshape(
+        tuple(n_nodes), order="C")
 
     return ChebyshevApproximation.from_values(
         tensor_values=tensor, num_dimensions=d, domain=domain,
@@ -202,106 +218,75 @@ def read_approx(f: BinaryIO):
     )
 
 
-# --- ChebyshevSpline -----------------------------------------------------
+# --- ChebyshevSpline ---------------------------------------------------------
 
 
 def write_spline(f: BinaryIO, spline) -> None:
-    """Write a built spline: header, u32 d, domain, flat n_nodes,
-    u32 num_knots[d], concatenated f64 knots, u32 num_pieces,
-    per-piece C-order tensors."""
+    """Write a built spline: header, grid block, u32 num_knots[d],
+    concatenated f64 knots, u32 num_pieces, per-piece C-order tensors."""
     if any(p is None for p in spline._pieces):
         raise RuntimeError("Cannot save an unbuilt ChebyshevSpline")
     if getattr(spline, "additional_data", None) is not None:
         raise NotImplementedError(
-            "binary format cannot store additional_data; "
-            "pass format='pickle' or set additional_data=None before saving"
+            "the .pcb format has no additional_data field; save with "
+            "format='pickle' or drop additional_data first"
         )
     from pychebyshev_tpu.models.spline import is_nested_n_nodes
     if is_nested_n_nodes(spline.n_nodes):
         raise NotImplementedError(
-            "binary format requires flat n_nodes (shared across pieces); "
-            "use format='pickle' for nested-n_nodes splines"
+            "the .pcb spline record stores one shared n_nodes vector; "
+            "per-piece (nested) n_nodes only round-trips via "
+            "format='pickle'"
         )
 
-    _write_header(f, CLASS_TAG_SPLINE)
+    _emit_header(f, CLASS_TAG_SPLINE)
+    _emit_grid(f, spline.domain, spline.n_nodes)
     d = int(spline.num_dimensions)
-    _write_u32(f, d)
-    _write_f64_array(
-        f, np.array([spline.domain[i][0] for i in range(d)], dtype=np.float64))
-    _write_f64_array(
-        f, np.array([spline.domain[i][1] for i in range(d)], dtype=np.float64))
-    _write_u32_array(f, np.array(spline.n_nodes, dtype=np.uint32))
-    _write_u32_array(
-        f, np.array([len(spline.knots[i]) for i in range(d)], dtype=np.uint32))
+    _emit_array(
+        f, np.array([len(spline.knots[i]) for i in range(d)],
+                    dtype=np.uint32), np.uint32)
+    all_knots = [np.asarray(k, dtype=np.float64) for k in spline.knots]
+    if any(k.size for k in all_knots):
+        _emit_array(f, np.concatenate([k for k in all_knots if k.size]),
+                    np.float64)
 
-    parts = [np.asarray(spline.knots[i], dtype=np.float64)
-             for i in range(d) if len(spline.knots[i]) > 0]
-    if parts:
-        _write_f64_array(f, np.concatenate(parts))
-
-    _write_u32(f, len(spline._pieces))
+    f.write(struct.pack("<I", len(spline._pieces)))
     for piece in spline._pieces:
         flat = np.ascontiguousarray(
             np.asarray(piece.tensor_values), dtype=np.float64).ravel(order="C")
-        _write_f64_array(f, flat)
+        _emit_array(f, flat, np.float64)
 
 
 def read_spline(f: BinaryIO):
     """Read a spline; reconstructs via ``ChebyshevSpline.from_values``."""
     from pychebyshev_tpu.models.spline import ChebyshevSpline
 
-    tag = _read_header(f)
-    if tag != CLASS_TAG_SPLINE:
-        raise ValueError(
-            f"file contains class_tag {tag}, expected "
-            f"{CLASS_TAG_SPLINE} (ChebyshevSpline)"
-        )
+    cur = _Cursor(f)
+    _parse_header(cur, CLASS_TAG_SPLINE, "ChebyshevSpline")
+    d, domain, n_nodes = _parse_grid(cur)
 
-    d = _read_u32(f)
-    if d < 1:
-        raise ValueError(f"num_dimensions must be >= 1, got {d}")
-
-    domain_lo = _read_f64_array(f, count=d)
-    domain_hi = _read_f64_array(f, count=d)
-    domain = [[float(domain_lo[i]), float(domain_hi[i])] for i in range(d)]
-    for i, (lo, hi) in enumerate(domain):
-        if lo >= hi:
-            raise ValueError(f"domain[{i}]: lo ({lo}) must be < hi ({hi})")
-
-    n_nodes = [int(n) for n in _read_u32_array(f, count=d)]
-    for i, n in enumerate(n_nodes):
-        if n < 1:
-            raise ValueError(f"n_nodes[{i}] must be >= 1, got {n}")
-
-    num_knots = [int(k) for k in _read_u32_array(f, count=d)]
-    total_knots = sum(num_knots)
-    flat_knots = (_read_f64_array(f, count=total_knots)
-                  if total_knots > 0 else np.array([], dtype=np.float64))
-
+    knot_counts = [int(k) for k in cur.u32s(d, "knot counts")]
+    flat = cur.f64s(sum(knot_counts), "knot positions")
+    splits = np.cumsum(knot_counts)[:-1]
     knots = []
-    offset = 0
-    for i in range(d):
-        k = num_knots[i]
-        knots_i = [float(x) for x in flat_knots[offset:offset + k]]
-        offset += k
-        if k > 1 and any(knots_i[j] >= knots_i[j + 1] for j in range(k - 1)):
+    for i, seg in enumerate(np.split(flat, splits)):
+        if seg.size > 1 and not (np.diff(seg) > 0).all():
             raise ValueError(f"knots in dim {i} not strictly ascending")
-        knots.append(knots_i)
+        knots.append([float(x) for x in seg])
 
-    num_pieces = _read_u32(f)
-    expected = 1
-    for k in num_knots:
-        expected *= k + 1
+    num_pieces = cur.u32("num_pieces")
+    expected = int(np.prod([k + 1 for k in knot_counts], dtype=np.int64))
     if num_pieces != expected:
         raise ValueError(
-            f"num_pieces={num_pieces} does not match prod(num_knots+1)"
-            f"={expected}"
+            f"num_pieces={num_pieces} inconsistent with knot counts: "
+            f"prod(num_knots+1)={expected}"
         )
 
-    per_piece = int(np.prod(n_nodes))
+    per_piece = _checked_grid_size(n_nodes)
     piece_values = [
-        _read_f64_array(f, count=per_piece).reshape(tuple(n_nodes), order="C")
-        for _ in range(num_pieces)
+        cur.f64s(per_piece, f"piece {p} tensor").reshape(
+            tuple(n_nodes), order="C")
+        for p in range(num_pieces)
     ]
 
     return ChebyshevSpline.from_values(

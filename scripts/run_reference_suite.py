@@ -42,7 +42,9 @@ import pychebyshev_tpu.models.tensor_train as _m3
 sys.modules['pychebyshev.tensor_train'] = _m3
 import pychebyshev_tpu.models.slider as _m4
 sys.modules['pychebyshev.slider'] = _m4
-import pychebyshev_tpu.utils.binary as _b
+sys.path.insert(0, {repo!r} + "/scripts")
+import reference_compat_binary as _rcb
+_b = _rcb.install()
 sys.modules['pychebyshev._binary'] = _b
 pychebyshev_tpu._binary = _b
 import pychebyshev_tpu.utils.calculus as _c

@@ -181,13 +181,13 @@ class TestAdversarialInputs:
 class TestWriterStrictness:
     def test_u32_dtype_strict(self):
         with pytest.raises(TypeError, match="uint32"):
-            binary._write_u32_array(io.BytesIO(),
-                                    np.array([1, 2], dtype=np.int64))
+            binary._emit_array(io.BytesIO(),
+                               np.array([1, 2], dtype=np.int64), np.uint32)
 
     def test_f64_dtype_strict(self):
         with pytest.raises(TypeError, match="float64"):
-            binary._write_f64_array(io.BytesIO(),
-                                    np.array([1.0], dtype=np.float32))
+            binary._emit_array(io.BytesIO(),
+                               np.array([1.0], dtype=np.float32), np.float64)
 
     def test_additional_data_rejected(self):
         cheb = build_approx_2d()
