@@ -128,20 +128,20 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
     grids too large for one chip's HBM); queries shard over ``dp_axis``.
     Each device contracts its tensor slab with its slice of the dim-0
     barycentric rows, and a ``psum`` over ``tp_axis`` completes the dim-0
-    reduction.  Derivative passes along axis 0 are not supported in TP
-    mode (the differentiation matrix couples all slabs); pass orders with
-    ``orders[0] == 0``.
+    reduction.
+
+    Derivatives along the sharded axis fold into the dim-0 coefficient
+    row — ``r . (D^k t) == (r D^k) . t`` — computed distributedly: each
+    device multiplies its local row block by its block of D's rows, one
+    ``psum`` assembles the transformed full row, and the device keeps
+    the slice matching its slab.  D is n0 x n0 (tiny), so replicating
+    it costs nothing; each derivative order costs one (N, n0) psum.
     """
     from jax import shard_map
 
     d = len(nodes)
     if orders is None:
         orders = (0,) * d
-    if orders[0] != 0:
-        raise ValueError(
-            "eval_batch_tp does not support derivatives along the "
-            "tensor-sharded axis 0; use eval_batch_dp for that."
-        )
 
     tensor = jnp.asarray(tensor, dtype=jnp.float64)
     points = jnp.asarray(points, dtype=jnp.float64)
@@ -154,6 +154,7 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         tensor_spec,                      # tensor slab
         P(tp_axis),                       # nodes[0] slice
         P(tp_axis),                       # weights[0] slice
+        P(None, None),                    # dim-0 differentiation matrix
         P(None),                          # other nodes (stacked pytree)
         P(None),
         P(None),
@@ -164,7 +165,7 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
     other_weights = weights[1:]
     other_diffs = diffs[1:]
 
-    def _kernel(tensor_slab, nodes0, weights0, o_nodes, o_weights,
+    def _kernel(tensor_slab, nodes0, weights0, dmat0, o_nodes, o_weights,
                 o_diffs, pts):
         # Derivative passes on non-sharded dims only.
         t = tensor_slab
@@ -191,6 +192,20 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         c0 = jnp.where(has_exact[:, None], one_hot,
                        w_over_diff / denom[:, None])
 
+        # Sharded-axis derivatives: r <- r @ D per order, distributed.
+        # Local contribution is r_loc @ D[block, :]; the psum assembles
+        # the full transformed row, then keep this slab's columns.
+        if orders[0] > 0:
+            blk = nodes0.shape[0]
+            col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
+            zero = jnp.zeros((), jnp.int32)
+            for _ in range(orders[0]):
+                d_rows = jax.lax.dynamic_slice(
+                    dmat0, (col0, zero), (blk, dmat0.shape[1]))
+                full_row = jax.lax.psum(c0 @ d_rows, tp_axis)
+                c0 = jax.lax.dynamic_slice(
+                    full_row, (zero, col0), (full_row.shape[0], blk))
+
         rows = [c0] + [
             eval_ops.barycentric_coefficients(pts[:, k], o_nodes[k - 1],
                                               o_weights[k - 1])
@@ -203,5 +218,5 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         _kernel, mesh=mesh, in_specs=in_specs, out_specs=P(dp_axis),
         check_vma=False,
     )
-    return sharded(tensor, nodes[0], weights[0], other_nodes,
+    return sharded(tensor, nodes[0], weights[0], diffs[0], other_nodes,
                    other_weights, other_diffs, points)

@@ -296,7 +296,8 @@ class BatchedEvaluator:
                                    self.num_dimensions))
                     chunk = np.concatenate([chunk, pad], axis=0)
                 result = self._run_piece(
-                    jnp.asarray(chunk, self.dtype), int(piece_idx))
+                    self._place(jnp.asarray(chunk, self.dtype)),
+                    int(piece_idx))
                 out[sel[start:stop]] = np.asarray(result)[:stop - start]
                 start = stop
         return out

@@ -97,6 +97,33 @@ class TestShardedEval:
                                pts, mesh, orders=(0, 1, 0))
         expected = cheb.vectorized_eval_batch(pts, [0, 1, 0])
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-11)
-        with pytest.raises(ValueError):
-            sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
-                             pts, mesh, orders=(1, 0, 0))
+
+    @pytest.mark.parametrize("orders", [(1, 0, 0), (2, 0, 0), (1, 1, 0),
+                                        (2, 0, 1)])
+    def test_eval_batch_tp_sharded_axis_derivatives(self, cheb, orders):
+        """Derivatives along the tensor-sharded axis match the dp path
+        (distributed row @ D^k fold)."""
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        rng = np.random.default_rng(7)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        pts = lo + (hi - lo) * rng.uniform(0, 1, size=(32, 3))
+        nodes, weights, diffs = cheb._grid_tuples()
+        out = sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh, orders=orders)
+        expected = cheb.vectorized_eval_batch(pts, list(orders))
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10,
+                                   atol=1e-10)
+
+    def test_eval_batch_tp_sharded_axis_derivative_at_node(self, cheb):
+        """Exact-node coordinate + sharded-axis derivative: the one-hot
+        row folds through D^k to select the right derivative stencil."""
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        nodes, weights, diffs = cheb._grid_tuples()
+        node_val = float(np.asarray(nodes[0])[5])
+        pts = np.tile([[node_val, 0.9, -2.0]], (8, 1))
+        out = sh.eval_batch_tp(cheb.tensor_values, nodes, weights, diffs,
+                               pts, mesh, orders=(1, 0, 0))
+        expected = cheb.vectorized_eval_batch(pts, [1, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10,
+                                   atol=1e-10)
