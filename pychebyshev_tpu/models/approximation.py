@@ -276,15 +276,25 @@ class ChebyshevApproximation:
         return cache[1]
 
     def _compute_grid_data(self) -> None:
-        """Populate barycentric weights + differentiation matrices."""
+        """Populate barycentric weights + differentiation matrices.
+
+        Computed on host (tiny O(n^2) arrays) and placed on device; the
+        host copies are kept in ``_host_grid`` so single-point eval never
+        reads grid metadata back through the device (on a tunneled TPU a
+        readback costs far more than the arrays are worth).
+        """
         host_nodes = self._nodes_np()
         host_weights = [barycentric_weights_np(nd) for nd in host_nodes]
+        host_diffs = [differentiation_matrix_np(host_nodes[d],
+                                                host_weights[d])
+                      for d in range(self.num_dimensions)]
         self.weights = [jnp.asarray(w) for w in host_weights]
-        self.diff_matrices = [
-            jnp.asarray(differentiation_matrix_np(host_nodes[d],
-                                                  host_weights[d]))
-            for d in range(self.num_dimensions)
-        ]
+        self.diff_matrices = [jnp.asarray(m) for m in host_diffs]
+        self._host_grid = {
+            "nodes": host_nodes,
+            "weights": host_weights,
+            "diffs_t": [np.ascontiguousarray(m.T) for m in host_diffs],
+        }
 
     def _initialize_grid_only(self) -> None:
         """Grid metadata without function evaluation (``defer_build``)."""
@@ -314,6 +324,7 @@ class ChebyshevApproximation:
         if not np.isfinite(arr).all():
             raise ValueError("values contains NaN or Inf (must be finite)")
         self.tensor_values = jnp.asarray(arr)
+        self._offer_host_tensor(arr)
         self.function = None
 
     # ------------------------------------------------------------------
@@ -450,6 +461,8 @@ class ChebyshevApproximation:
         self.tensor_values = jnp.asarray(values, dtype=jnp.float64)
 
         self._compute_grid_data()
+        if isinstance(values, np.ndarray):
+            self._offer_host_tensor(values)
         self.build_time = time.time() - start
 
         if verbose:
@@ -461,6 +474,24 @@ class ChebyshevApproximation:
     # Evaluation
     # ------------------------------------------------------------------
 
+    def _offer_host_tensor(self, host_values: np.ndarray) -> None:
+        """Seed the host eval cache from values already on host.
+
+        Every construction path whose tensor originates on host (host
+        oracle builds, ``from_values``, deferred fills, host-side
+        algebra) calls this right after binding ``tensor_values``, so
+        the single-point eval path never has to read the tensor back
+        through the device tunnel (a 1.3 MB readback costs seconds on a
+        relayed TPU; the host copy is free — it is the source array).
+        """
+        grid = getattr(self, "_host_grid", None)
+        if grid is None:
+            return
+        self._host_cache = (id(self.tensor_values), {
+            "tensor": np.ascontiguousarray(host_values, dtype=np.float64),
+            **grid,
+        })
+
     def _host_arrays(self):
         """Cached NumPy copies of the grid data for single-point paths.
 
@@ -470,17 +501,20 @@ class ChebyshevApproximation:
         host BLAS against these cached copies.  The cache keys on the
         identity of ``tensor_values`` — device arrays are immutable, and
         every mutating operation rebinds the attribute, so a stale cache
-        is unrepresentable.
+        is unrepresentable.  Host-originating tensors pre-seed the cache
+        (``_offer_host_tensor``); only device-computed tensors pay a
+        one-time readback here.
         """
         key = id(self.tensor_values)
         cache = getattr(self, "_host_cache", None)
         if cache is None or cache[0] != key:
-            cache = (key, {
-                "tensor": np.asarray(self.tensor_values),
+            grid = getattr(self, "_host_grid", None) or {
                 "nodes": [np.asarray(a) for a in self.nodes],
                 "weights": [np.asarray(a) for a in self.weights],
                 "diffs_t": [np.asarray(a).T for a in self.diff_matrices],
-            })
+            }
+            cache = (key, {"tensor": np.asarray(self.tensor_values),
+                           **grid})
             self._host_cache = cache
         return cache[1]
 
@@ -688,6 +722,7 @@ class ChebyshevApproximation:
             raise RuntimeError("Call build() first")
         h = self._host_arrays()
         base = self._host_coeff_rows(point)
+        ndim = self.num_dimensions
 
         row_for = {}  # (dim, order) -> derivative-folded row
 
@@ -699,8 +734,28 @@ class ChebyshevApproximation:
                 row_for[(d, k)] = h["diffs_t"][d] @ derived_row(d, k - 1)
             return row_for[(d, k)]
 
-        return [self._host_contract(
-                    [derived_row(d, k) for d, k in enumerate(spec)])
+        # Specs sharing a trailing (dim, order) pattern share the
+        # partial contraction over those dims — for a Greeks set the
+        # expensive first GEMV (the full tensor) is computed once, not
+        # once per spec.
+        suffix_cache = {}
+
+        def contract_from(spec, d):
+            """Tensor with dims d..ndim-1 contracted away."""
+            if d == ndim:
+                return h["tensor"]
+            key = tuple(int(o) for o in spec[d:])
+            hit = suffix_cache.get(key)
+            if hit is None:
+                inner = contract_from(spec, d + 1)
+                row = derived_row(d, spec[d])
+                n = inner.shape[-1]
+                hit = (inner.reshape(-1, n) @ row).reshape(
+                    inner.shape[:-1])
+                suffix_cache[key] = hit
+            return hit
+
+        return [float(contract_from(spec, 0))
                 for spec in derivative_orders]
 
     # ------------------------------------------------------------------
@@ -927,6 +982,9 @@ class ChebyshevApproximation:
 
         state = self.__dict__.copy()
         state["function"] = None
+        # host-side caches are recomputable, not state
+        for key in ("_host_cache", "_host_grid", "_host_nodes_cache"):
+            state.pop(key, None)
         for key in ("nodes", "weights", "diff_matrices"):
             if state.get(key) is not None:
                 state[key] = [np.asarray(a) for a in state[key]]
@@ -1109,6 +1167,7 @@ class ChebyshevApproximation:
         obj._generate_nodes()
         obj.tensor_values = jnp.asarray(tensor_values, dtype=jnp.float64)
         obj._compute_grid_data()
+        obj._offer_host_tensor(tensor_values)
         obj.build_time = 0.0
         obj.n_evaluations = 0
         obj._cached_error_estimate = None
@@ -1137,7 +1196,12 @@ class ChebyshevApproximation:
         obj.nodes = list(source.nodes)
         obj.weights = list(source.weights)
         obj.diff_matrices = list(source.diff_matrices)
+        src_grid = getattr(source, "_host_grid", None)
+        if src_grid is not None:
+            obj._host_grid = src_grid  # host copies; sharing is free
         obj.tensor_values = jnp.asarray(tensor_values, dtype=jnp.float64)
+        if isinstance(tensor_values, np.ndarray):
+            obj._offer_host_tensor(tensor_values)
         obj.build_time = 0.0
         obj.n_evaluations = 0
         obj._cached_error_estimate = None
