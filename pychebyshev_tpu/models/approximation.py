@@ -530,10 +530,10 @@ class ChebyshevApproximation:
         rows = []
         for d in range(self.num_dimensions):
             gap = np.asarray(point[d], dtype=np.float64) - h["nodes"][d]
-            hit = np.abs(gap) < NODE_COINCIDENCE_TOL
-            if hit.any():
+            nearest = int(np.argmin(np.abs(gap)))
+            if abs(gap[nearest]) < NODE_COINCIDENCE_TOL:
                 row = np.zeros(gap.shape[0])
-                row[int(np.argmax(hit))] = 1.0
+                row[nearest] = 1.0
             else:
                 row = h["weights"][d] / gap
                 row = row / row.sum()

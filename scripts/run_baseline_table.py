@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -107,6 +108,34 @@ def reference_samples(n=200, seed=42):
     return out
 
 
+# Times the reference implementation's host eval paths in a clean
+# subprocess (it must not import jax or this package).
+_REF_SINGLE_SNIPPET = """
+import sys, time
+sys.path.insert(0, {src!r})
+from pychebyshev import ChebyshevApproximation
+from scipy.stats import norm
+from math import log, exp, sqrt
+DOM = [[80.,120.],[90.,110.],[0.25,1.0],[0.15,0.35],[0.01,0.08]]
+def bs(x, _):
+    s,k,t,sg,r = x
+    sq = sqrt(t)
+    d1 = (log(s/k) + (r - 0.02 + 0.5*sg*sg)*t)/(sg*sq); d2 = d1 - sg*sq
+    return s*exp(-0.02*t)*norm.cdf(d1) - k*exp(-r*t)*norm.cdf(d2)
+c = ChebyshevApproximation(bs, 5, DOM, [11]*5)
+c.build(verbose=False)
+pt = [100.,100.,0.5,0.2,0.03]
+specs = [[0]*5,[1,0,0,0,0],[2,0,0,0,0],[0,0,1,0,0],[0,0,0,1,0],[0,0,0,0,1]]
+c.vectorized_eval(pt, [0]*5); c.vectorized_eval_multi(pt, specs)
+t0=time.perf_counter()
+for _ in range({n}): c.vectorized_eval(pt, [0]*5)
+a = (time.perf_counter()-t0)/{n}*1e6
+t0=time.perf_counter()
+for _ in range({n}): c.vectorized_eval_multi(pt, specs)
+b = (time.perf_counter()-t0)/{n}*1e6
+print(a, b)
+"""
+
 ROWS = []  # (config, metric, ours, reference, note)
 
 
@@ -181,6 +210,25 @@ def run_dense(batch_n):
     dt_multi = (time.perf_counter() - t0) / n_single
     row(C, "price + 5 Greeks (vectorized_eval_multi)",
         f"{dt_multi * 1e3:.3f} ms", "~0.29 ms", "BASELINE.md:17")
+
+    # Same-host reference timing: the published 0.065/0.29 ms come from
+    # unspecified hardware; when the reference checkout is present, time
+    # its host paths on THIS machine for an apples-to-apples column.
+    ref_src = os.path.join(
+        os.environ.get("PYCHEBYSHEV_REFERENCE", "/root/reference"), "src")
+    if os.path.isdir(ref_src):
+        out = subprocess.run(
+            [sys.executable, "-c", _REF_SINGLE_SNIPPET.format(
+                src=ref_src, n=n_single)],
+            capture_output=True, text=True, timeout=900)
+        if out.returncode == 0:
+            us_single, us_multi = map(float, out.stdout.split())
+            r1 = us_single * 1e-6 / dt_single
+            r2 = us_multi * 1e-6 / dt_multi
+            row(C, "reference library on THIS host: single / multi",
+                f"{us_single / 1e3:.3f} ms / {us_multi / 1e3:.3f} ms",
+                "0.065 ms / 0.29 ms (their hw)",
+                f"this repo is {r1:.1f}x / {r2:.1f}x faster same-host")
 
     nodes, weights, diffs = cheb._grid_tuples()
     orders = (0,) * 5
