@@ -63,15 +63,43 @@ def sample_points(n, seed=0):
     return lo + (hi - lo) * rng.uniform(0.02, 0.98, size=(n, 5))
 
 
-def time_fn(fn, *args, warmup=1, iters=5):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    start = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+def time_fn(fn, pts, iters=10, reps=3):
+    """Chained-dependency timing, robust to this platform's quirks.
+
+    The tunneled TPU runtime makes naive timing lie in BOTH directions:
+    ``block_until_ready`` can return before device completion (sub-ms
+    readings for 300-GFLOP dispatches), repeated identical executions
+    can be served from a result cache, and a per-call host readback
+    costs a ~40 ms relay round-trip that drowns the kernel.
+
+    Protocol: run a chain of ``m`` calls where each call's input
+    depends on the previous output (forcing device serialization),
+    fence the whole chain with ONE scalar readback, and difference a
+    short chain against a long one so the fixed RPC/readback cost
+    cancels:  t_exec = (T(iters) - T(2)) / (iters - 2), min over reps.
+    """
+    salt_rng = np.random.default_rng()
+
+    def chain(m):
+        # fresh salt per invocation: inputs never repeat across reps,
+        # so no result-cache layer can serve a replayed chain
+        out = fn(pts * pts.dtype.type(1.0 + salt_rng.uniform(0, 1e-9)))
+        for _ in range(m - 1):
+            bump = (1.0 + jnp.ravel(out)[0] * 1e-12
+                    + salt_rng.uniform(0, 1e-9))
+            out = fn(pts * bump.astype(pts.dtype))
+        return float(jnp.ravel(out)[0])
+
+    chain(2)  # compile both the plain and perturbed-input variants
+    best = {}
+    for m in (2, iters):
+        t_best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            chain(m)
+            t_best = min(t_best, time.perf_counter() - start)
+        best[m] = t_best
+    return (best[iters] - best[2]) / (iters - 2)
 
 
 def main() -> None:
@@ -117,31 +145,10 @@ def main() -> None:
     nodes, weights, diffs = cheb._grid_tuples()
     orders = (0, 0, 0, 0, 0)
 
-    # ---- f64 parity mode ----
-    def run64(p):
-        return eval_ops.eval_batch(cheb.tensor_values, nodes, weights,
-                                   diffs, p, orders)
-
-    dt64 = time_fn(run64, pts64, iters=3)
-    qps64 = n / dt64
-    log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
-        f"{qps64:,.0f} queries/s (software f64 on TPU)")
-
-    # ---- Digit-GEMM near-f64 mode (the north-star accuracy mode) ----
-    from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
-
-    def run_dd(p):
-        return eval_batch_dd(cheb.tensor_values, nodes, weights, diffs, p,
-                             orders)
-
-    dt_dd = time_fn(run_dd, pts64, iters=5)
-    dd_check = np.asarray(run_dd(jnp.asarray(pts_check)))
-    dev_dd = np.abs(dd_check - approx64).max() / scale
-    log(f"digit-GEMM (dd) batched: {dt_dd * 1e3:.2f} ms -> "
-        f"{n / dt_dd:,.0f} queries/s (dev from f64 {dev_dd:.1e}; "
-        f"f64-class accuracy at {dt64 / dt_dd:.0f}x the f64 path)")
-
     # ---- f32 throughput mode ----
+    # (All f32/bf16 measurements run BEFORE any sustained software-f64
+    #  chain: long f64 executions measurably degrade subsequent device
+    #  timings in this environment, so slow modes are benched last.)
     tensor32 = cheb.tensor_values.astype(jnp.float32)
     nodes32 = tuple(a.astype(jnp.float32) for a in nodes)
     weights32 = tuple(a.astype(jnp.float32) for a in weights)
@@ -151,7 +158,7 @@ def main() -> None:
         return eval_ops.eval_batch(tensor32, nodes32, weights32, diffs32,
                                    p, orders)
 
-    dt32 = time_fn(run32, pts32, iters=10)
+    dt32 = time_fn(run32, pts32)
     qps32 = n / dt32
     approx32 = np.asarray(run32(jnp.asarray(pts_check,
                                             jnp.float32)), dtype=np.float64)
@@ -170,7 +177,7 @@ def main() -> None:
             return fused_eval_batch(cheb.tensor_values, nodes, weights,
                                     diffs, p, orders)
 
-        dt_fused = time_fn(run_fused, pts32, iters=10)
+        dt_fused = time_fn(run_fused, pts32)
         qps_fused = n / dt_fused
         fz = np.asarray(run_fused(jnp.asarray(pts_check, jnp.float32)),
                         dtype=np.float64)
@@ -185,7 +192,7 @@ def main() -> None:
         return eval_ops.eval_batch(tensor32, nodes32, weights32, diffs32,
                                    p, (1, 0, 0, 0, 0))
 
-    dt_delta = time_fn(run_delta, pts32, iters=5)
+    dt_delta = time_fn(run_delta, pts32)
     log(f"f32 delta batched: {dt_delta * 1e3:.2f} ms -> "
         f"{n / dt_delta:,.0f} queries/s")
 
@@ -197,7 +204,7 @@ def main() -> None:
         return eval_ops.eval_batch_multi(tensor32, nodes32, weights32,
                                          diffs32, p, specs)
 
-    dt_multi = time_fn(run_multi, pts32, iters=3)
+    dt_multi = time_fn(run_multi, pts32, iters=6, reps=2)
     log(f"f32 price+5 Greeks batched: {dt_multi * 1e3:.2f} ms -> "
         f"{n / dt_multi:,.0f} full Greek-sets/s "
         f"(reference vectorized_eval_multi ~0.29 ms/point = "
@@ -253,11 +260,8 @@ def main() -> None:
     def run_tt32(p):
         return tt_eval_batch(cores32, dom_arr, p)
 
-    dt_tt64 = time_fn(run_tt64, pts64, iters=3)
-    dt_tt32 = time_fn(run_tt32, pts32, iters=5)
-    log(f"TT f64 batched: {dt_tt64 * 1e3:.2f} ms -> "
-        f"{n / dt_tt64:,.0f} queries/s; "
-        f"TT f32 batched: {dt_tt32 * 1e3:.2f} ms -> "
+    dt_tt32 = time_fn(run_tt32, pts32)
+    log(f"TT f32 batched: {dt_tt32 * 1e3:.2f} ms -> "
         f"{n / dt_tt32:,.0f} queries/s "
         f"(reference ~0.004 ms/pt = 250,000 queries/s)")
 
@@ -289,7 +293,7 @@ def main() -> None:
     def run_tt_delta(p):
         return tt_eval_batch(delta_cores, dom_arr, p)
 
-    dt_tt_delta = time_fn(run_tt_delta, pts32, iters=5)
+    dt_tt_delta = time_fn(run_tt_delta, pts32)
     log(f"TT analytic delta batched (f32): {dt_tt_delta * 1e3:.2f} ms -> "
         f"{n / dt_tt_delta:,.0f} queries/s")
 
@@ -302,11 +306,37 @@ def main() -> None:
         return eval_batch_models(book, nodes32, weights32, diffs32, p,
                                  (0, 0, 0, 0, 0))
 
-    dt_book = time_fn(run_book, pts32, iters=3)
+    dt_book = time_fn(run_book, pts32, iters=6, reps=2)
     log(f"{m_models}-model book batched (f32): {dt_book * 1e3:.2f} ms -> "
         f"{m_models * n / dt_book:,.0f} model-evals/s "
         f"({dt_book / (m_models * dt32):.2f}x the per-model cost of "
         f"{m_models} separate passes)")
+
+    # ---- Accuracy-tier modes (bench LAST; see note above) ----------
+    from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+
+    def run_dd(p):
+        return eval_batch_dd(cheb.tensor_values, nodes, weights, diffs, p,
+                             orders)
+
+    def run64(p):
+        return eval_ops.eval_batch(cheb.tensor_values, nodes, weights,
+                                   diffs, p, orders)
+
+    dt_dd = time_fn(run_dd, pts64, iters=6, reps=2)
+    dd_check = np.asarray(run_dd(jnp.asarray(pts_check)))
+    dev_dd = np.abs(dd_check - approx64).max() / scale
+    log(f"digit-GEMM (dd) batched: {dt_dd * 1e3:.2f} ms -> "
+        f"{n / dt_dd:,.0f} queries/s (dev from f64 {dev_dd:.1e})")
+
+    dt64 = time_fn(run64, pts64, iters=4, reps=2)
+    log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
+        f"{n / dt64:,.0f} queries/s (software f64 on TPU; digit-GEMM "
+        f"delivers f64-class accuracy at {dt64 / dt_dd:.0f}x this rate)")
+
+    dt_tt64 = time_fn(run_tt64, pts64, iters=3, reps=2)
+    log(f"TT f64 batched: {dt_tt64 * 1e3:.2f} ms -> "
+        f"{n / dt_tt64:,.0f} queries/s")
 
     # Headline: the production f32 serving mode — the fused Pallas
     # kernel where supported (it both out-runs and out-accuracies the

@@ -43,15 +43,45 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 # shared utilities
 # ---------------------------------------------------------------------------
 
-def time_fn(fn, *args, warmup=1, iters=5):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    start = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+def time_fn(fn, pts, iters=10, reps=3):
+    """Chained-dependency timing (same protocol as bench.py): each
+    call's input depends on the previous output so executions serialize
+    on device, one scalar readback fences the chain, fresh salt defeats
+    any result-cache layer, and differencing a short against a long
+    chain cancels the fixed relay round-trip."""
+    pts = jnp.asarray(pts)
+    salt_rng = np.random.default_rng()
+
+    def chain(m):
+        out = fn(pts * pts.dtype.type(1.0 + salt_rng.uniform(0, 1e-9)))
+        for _ in range(m - 1):
+            bump = (1.0 + jnp.ravel(out)[0] * 1e-12
+                    + salt_rng.uniform(0, 1e-9))
+            out = fn(pts * bump.astype(pts.dtype))
+        return float(jnp.ravel(out)[0])
+
+    chain(2)
+    best = {}
+    for m in (2, iters):
+        t_best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            chain(m)
+            t_best = min(t_best, time.perf_counter() - start)
+        best[m] = t_best
+    return (best[iters] - best[2]) / (iters - 2)
+
+
+def time_host(fn, n=200, reps=5):
+    """Min-of-reps per-call time for pure-host paths."""
+    fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def sample_box(domain, n, seed, margin=0.02):
@@ -124,15 +154,17 @@ def bs(x, _):
     return s*exp(-0.02*t)*norm.cdf(d1) - k*exp(-r*t)*norm.cdf(d2)
 c = ChebyshevApproximation(bs, 5, DOM, [11]*5)
 c.build(verbose=False)
-pt = [100.,100.,0.5,0.2,0.03]
+pt = [100.,100.,0.8,0.2,0.03]
 specs = [[0]*5,[1,0,0,0,0],[2,0,0,0,0],[0,0,1,0,0],[0,0,0,1,0],[0,0,0,0,1]]
 c.vectorized_eval(pt, [0]*5); c.vectorized_eval_multi(pt, specs)
-t0=time.perf_counter()
-for _ in range({n}): c.vectorized_eval(pt, [0]*5)
-a = (time.perf_counter()-t0)/{n}*1e6
-t0=time.perf_counter()
-for _ in range({n}): c.vectorized_eval_multi(pt, specs)
-b = (time.perf_counter()-t0)/{n}*1e6
+a = b = 1e30
+for _ in range(5):
+    t0=time.perf_counter()
+    for _ in range({n}): c.vectorized_eval(pt, [0]*5)
+    a = min(a, (time.perf_counter()-t0)/{n}*1e6)
+    t0=time.perf_counter()
+    for _ in range({n}): c.vectorized_eval_multi(pt, specs)
+    b = min(b, (time.perf_counter()-t0)/{n}*1e6)
 print(a, b)
 """
 
@@ -193,21 +225,17 @@ def run_dense(batch_n):
     row(C, "max Greek err (delta/gamma/vega/theta/rho)",
         f"{worst * 100:.3f}%", "1.980%", "BASELINE.md:14")
 
-    pt = [100.0, 100.0, 1.0, 0.2, 0.03]
+    pt = [100.0, 100.0, 0.8, 0.2, 0.03]
     n_single = 200
-    t0 = time.perf_counter()
-    for _ in range(n_single):
-        cheb.vectorized_eval(pt, [0] * 5)
-    dt_single = (time.perf_counter() - t0) / n_single
+    dt_single = time_host(lambda: cheb.vectorized_eval(pt, [0] * 5),
+                          n=n_single)
     row(C, "single query (vectorized_eval)",
         f"{dt_single * 1e3:.3f} ms", "~0.065 ms", "BASELINE.md:16")
 
     multi_specs = [[0] * 5, [1, 0, 0, 0, 0], [2, 0, 0, 0, 0],
                    [0, 0, 1, 0, 0], [0, 0, 0, 1, 0], [0, 0, 0, 0, 1]]
-    t0 = time.perf_counter()
-    for _ in range(n_single):
-        cheb.vectorized_eval_multi(pt, multi_specs)
-    dt_multi = (time.perf_counter() - t0) / n_single
+    dt_multi = time_host(
+        lambda: cheb.vectorized_eval_multi(pt, multi_specs), n=n_single)
     row(C, "price + 5 Greeks (vectorized_eval_multi)",
         f"{dt_multi * 1e3:.3f} ms", "~0.29 ms", "BASELINE.md:17")
 
@@ -237,7 +265,7 @@ def run_dense(batch_n):
 
     dt64 = time_fn(lambda p: eval_ops.eval_batch(
         cheb.tensor_values, nodes, weights, diffs, p, orders),
-        pts64, iters=3)
+        pts64, iters=4, reps=2)
     row(C, "batched f64 throughput", f"{batch_n / dt64:,.0f} q/s",
         "~15,400 q/s single-query", "software f64 on TPU")
 
@@ -245,7 +273,7 @@ def run_dense(batch_n):
     g32 = tuple(tuple(a.astype(jnp.float32) for a in g)
                 for g in (nodes, weights, diffs))
     dt32 = time_fn(lambda p: eval_ops.eval_batch(
-        t32, g32[0], g32[1], g32[2], p, orders), pts32, iters=5)
+        t32, g32[0], g32[1], g32[2], p, orders), pts32)
     row(C, "batched f32 throughput", f"{batch_n / dt32:,.0f} q/s", "—",
         "bf16x3 GEMMs; ~2.6e-5 dev from f64")
 
@@ -256,7 +284,7 @@ def run_dense(batch_n):
             raise RuntimeError("unsupported shape")
         dt_f = time_fn(lambda p: fused_eval_batch(
             cheb.tensor_values, nodes, weights, diffs, p, orders),
-            pts32, iters=5)
+            pts32)
         row(C, "batched f32 fused Pallas throughput",
             f"{batch_n / dt_f:,.0f} q/s", "—", "TPU-only kernel")
     except Exception as e:
@@ -267,7 +295,7 @@ def run_dense(batch_n):
         from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
         dt_dd = time_fn(lambda p: eval_batch_dd(
             cheb.tensor_values, nodes, weights, diffs, p, orders),
-            pts64, iters=3)
+            pts64, iters=6, reps=2)
         dd = np.asarray(eval_batch_dd(cheb.tensor_values, nodes, weights,
                                       diffs, jnp.asarray(pts), orders))
         dev = np.abs(dd - approx).max() / np.abs(exact).max()
@@ -321,7 +349,7 @@ def run_tt(batch_n):
     cores = tuple(jnp.asarray(c) for c in tt._coeff_cores)
     dom = np.asarray(tt_domain)
     ptsq = jnp.asarray(sample_box(tt_domain, batch_n, seed=3))
-    dt = time_fn(lambda p: tt_eval_batch(cores, dom, p), ptsq, iters=3)
+    dt = time_fn(lambda p: tt_eval_batch(cores, dom, p), ptsq)
     row(C, "batched f64 throughput", f"{batch_n / dt:,.0f} q/s",
         "250,000 q/s (0.004 ms/pt)", "BASELINE.md:25")
 
