@@ -508,10 +508,15 @@ class ChebyshevApproximation:
         key = id(self.tensor_values)
         cache = getattr(self, "_host_cache", None)
         if cache is None or cache[0] != key:
+            # contiguity matters: diffs_t must be C-contiguous exactly
+            # like _compute_grid_data's host copies, or BLAS takes a
+            # different kernel path and results drift in the last ulp
+            # (the reference pickle tests pin bitwise reproducibility)
             grid = getattr(self, "_host_grid", None) or {
                 "nodes": [np.asarray(a) for a in self.nodes],
                 "weights": [np.asarray(a) for a in self.weights],
-                "diffs_t": [np.asarray(a).T for a in self.diff_matrices],
+                "diffs_t": [np.ascontiguousarray(np.asarray(a).T)
+                            for a in self.diff_matrices],
             }
             cache = (key, {"tensor": np.asarray(self.tensor_values),
                            **grid})

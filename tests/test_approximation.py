@@ -428,6 +428,19 @@ class TestSerialization:
         assert abs(loaded.vectorized_eval(pt, [1, 0, 0])
                    - cheb_sin3d.vectorized_eval(pt, [1, 0, 0])) < 1e-14
 
+    def test_pickle_roundtrip_bitwise(self, cheb_sin3d, tmp_path):
+        """Bitwise reproducibility across save/load (reference contract):
+        the host eval path must produce identical bits whether its cache
+        was seeded at build time or rebuilt from restored arrays."""
+        p = tmp_path / "bits.pkl"
+        cheb_sin3d.save(p)
+        loaded = ChebyshevApproximation.load(p)
+        for pt in ([0.3, 0.5, -0.1], [-0.9, 0.2, 0.8]):
+            for orders in ([0, 0, 0], [1, 0, 0], [0, 2, 1]):
+                a = cheb_sin3d.vectorized_eval(pt, orders)
+                b = loaded.vectorized_eval(pt, orders)
+                assert a == b, (pt, orders, a - b)
+
     def test_binary_roundtrip(self, cheb_sin3d, tmp_path):
         p = tmp_path / "s.pcb"
         cheb_sin3d.save(p, format="binary")
