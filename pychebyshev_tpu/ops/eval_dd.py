@@ -94,9 +94,14 @@ def dd_plan(shape: Sequence[int]) -> dict:
     p_t = int(_PAIR_CUTOFF // b_t) + 1
     pairs = [(i, j) for i in range(p_r) for j in range(p_t)
              if b_r * i + b_t * j <= _PAIR_CUTOFF]
+    # GEMMs group per row plane i: one dot against the concatenation of
+    # that i's allowed tensor planes — each wide (N, nR) row plane is
+    # read from HBM once instead of once per pair.
+    js_by_i = tuple(tuple(j for i2, j in pairs if i2 == i)
+                    for i in range(p_r))
     return {"ok": True, "s": s, "n_left": n_left, "n_right": n_right,
             "b_r": b_r, "b_t": b_t, "p_r": p_r, "p_t": p_t,
-            "pairs": tuple(pairs)}
+            "pairs": tuple(pairs), "js_by_i": js_by_i}
 
 
 def supports_dd(shape: Sequence[int], max_right: int = 1 << 14) -> bool:
@@ -106,21 +111,76 @@ def supports_dd(shape: Sequence[int], max_right: int = 1 << 14) -> bool:
     return bool(plan["ok"]) and plan["n_right"] <= max_right
 
 
-def _digit_planes_rows(q: jax.Array, bits: int, planes: int) -> list:
-    """Signed digit planes of a f64 array, extracted through an f32
-    pair so the wide (N, nR) arrays stay in fast f32 arithmetic.
+# --- double-f32 (Dekker/Veltkamp) arithmetic --------------------------------
+# The Khatri-Rao row products need ~47-bit precision, but XLA's generic
+# f64 emulation on TPU is ~50x slower than f32 vector ops.  These
+# error-free transformations run entirely in native f32: products of
+# 12-bit Veltkamp halves are exact in f32, so (hi, lo) pairs carry
+# ~2^-48 relative accuracy at a handful of VPU ops per element.
 
-    ``q`` must satisfy |q| <= 1.  Returns ``planes`` bf16 arrays of
-    integer values |p_i| <= 2^bits with
-    ``q ~= sum_i p_i * 2^(-bits*(i+1))`` to ~2^-47.
+_VELTKAMP = np.float32(4097.0)  # 2^12 + 1: splits f32 into 12+12 bits
+
+
+def _two_prod(a: jax.Array, b: jax.Array):
+    """Exact f32 product: returns (p, e) with p + e == a*b exactly."""
+    ca = a * _VELTKAMP
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = b * _VELTKAMP
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    p = a * b
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def _dd_mul(ahi, alo, bhi, blo):
+    """(ahi+alo) * (bhi+blo) in double-f32, renormalized."""
+    p, e = _two_prod(ahi, bhi)
+    e = e + (ahi * blo + alo * bhi)
+    hi = p + e
+    lo = e - (hi - p)
+    return hi, lo
+
+
+def _split_f64(x: jax.Array):
+    """Lossless (hi, lo) f32 pair of a f64 array.
+
+    Safe on TPU (unlike f32->bf16 astype splits, which XLA's
+    excess-precision pass folds): f64 is represented as an f32 pair, so
+    this is word extraction — measured reconstruction error exactly 0.
     """
-    # The f64->f32 astype split is safe here (unlike f32->bf16 splits,
-    # which XLA-TPU's excess-precision pass folds): TPU represents f64
-    # as an (hi, lo) f32 pair, so this is lossless word extraction —
-    # measured reconstruction error exactly 0.0 on v5e.  (f64
-    # reduce_precision is not implemented by the TPU x64 rewrite.)
-    hi = q.astype(jnp.float32)
-    lo = (q - hi.astype(jnp.float64)).astype(jnp.float32)
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _khatri_rao_dd(pairs):
+    """Khatri-Rao product of per-dim (hi, lo) row pairs in double-f32.
+
+    Replaces the f64 KR chain over the wide right group — the dominant
+    cost of this mode under XLA's software f64 (measured ~3x total).
+    """
+    hi, lo = pairs[0]
+    for nhi, nlo in pairs[1:]:
+        n = hi.shape[0]
+        # implicit broadcasting inside the elementwise dd chain — XLA
+        # fuses (N, A, 1) x (N, 1, B) into one loop; explicit
+        # broadcast_to + reshape materializes wide temporaries
+        h3, l3 = _dd_mul(hi[:, :, None], lo[:, :, None],
+                         nhi[:, None, :], nlo[:, None, :])
+        hi = h3.reshape(n, -1)
+        lo = l3.reshape(n, -1)
+    return hi, lo
+
+
+def _digit_planes_pair(hi: jax.Array, lo: jax.Array, bits: int,
+                       planes: int) -> list:
+    """Signed digit planes from a double-f32 pair (|hi+lo| <= 1).
+
+    Returns ``planes`` bf16 arrays of integer values |p_i| <= 2^bits
+    with ``hi+lo ~= sum_i p_i * 2^(-bits*(i+1))`` to ~2^-47.
+    """
     base = np.float32(2.0 ** bits)
     # Fold the low f32 word in once the high word's 24 mantissa bits
     # are consumed; the add rounds at ~2^-45 in q units — inside budget.
@@ -156,6 +216,7 @@ def _compiled(shape: Tuple[int, ...], n_dims: int):
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_r, b_t = plan["b_r"], plan["b_t"]
     pairs = plan["pairs"]
+    js_by_i = plan["js_by_i"]
     p_r = 1 + max(i for i, _ in pairs)
     wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
 
@@ -168,25 +229,36 @@ def _compiled(shape: Tuple[int, ...], n_dims: int):
     def _one(tensor_planes, t_scale, nodes, weights, pts):
         rows = [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
                 for d in range(n_dims)]
-        w_left = _khatri_rao(rows[:s])               # (N, nL) f64
-        w_right = _khatri_rao(rows[s:])              # (N, nR) f64
-        q = w_right * (1.0 / wr_scale)
-        r_planes = _digit_planes_rows(q, b_r, p_r)
+        w_left = _khatri_rao(rows[:s])               # (N, nL) f64, small
+        # Right group: per-dim rows are narrow (N, n_d) f64; everything
+        # WIDE from here on runs in double-f32 — the f64 KR chain over
+        # (N, nR) was this mode's bottleneck under XLA's software f64
+        # (measured ~3x total).  The power-of-two pre-scale is exact.
+        scaled_first = rows[s] * (1.0 / wr_scale)
+        right_pairs = [_split_f64(scaled_first)] + \
+            [_split_f64(r) for r in rows[s + 1:]]
+        qhi, qlo = _khatri_rao_dd(right_pairs)
+        r_planes = _digit_planes_pair(qhi, qlo, b_r, p_r)
 
         # Each GEMM output is an exact integer-valued f32 and the
         # per-pair scale is a power of two, so every term is exactly
-        # representable in f32.  Same-scale pairs pre-sum exactly in
-        # f32 (plan guarantees the integer bound), then the ~25 scaled
-        # terms combine with branch-free TwoSum — a (hi, comp) f32 pair
-        # accurate to ~2^-48, at a fraction of 33 wide f64 scale-adds
-        # (f64 elementwise is ~10x f32 on TPU; measured 123 ms/1M pts
-        # for the f64 version of this combine + final dot).
+        # representable in f32.  GEMMs run one-per-row-plane against the
+        # concatenated allowed tensor planes (HBM reads each wide row
+        # plane once); same-scale outputs pre-sum exactly in f32, then
+        # the ~25 scaled terms combine with branch-free TwoSum — a
+        # (hi, comp) f32 pair accurate to ~2^-48, at a fraction of 33
+        # wide f64 scale-adds.
         by_scale = {}
-        for (i, j) in pairs:
-            g = jnp.dot(r_planes[i], tensor_planes[j],
-                        preferred_element_type=jnp.float32)  # exact ints
-            v = b_r * (i + 1) + b_t * (j + 1)
-            by_scale[v] = g if v not in by_scale else by_scale[v] + g
+        for i, js in enumerate(js_by_i):
+            if not js:
+                continue
+            g_all = jnp.dot(r_planes[i], tensor_planes[i],
+                            preferred_element_type=jnp.float32)
+            for k, j in enumerate(js):
+                g = jax.lax.slice_in_dim(g_all, k * n_left,
+                                         (k + 1) * n_left, axis=1)
+                v = b_r * (i + 1) + b_t * (j + 1)
+                by_scale[v] = g if v not in by_scale else by_scale[v] + g
         acc = None
         comp = None
         for v in sorted(by_scale):                   # largest terms first
@@ -251,12 +323,17 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
     p_t_used = 1 + max(j for _, j in plan["pairs"])
 
     # Tensor digit planes: host-side f64, once per (tensor, orders).
+    # Concatenated per row plane i (its allowed j planes side by side)
+    # so the jitted GEMM loop reads each wide row plane exactly once.
     t_host = np.asarray(tensor, dtype=np.float64).reshape(n_left, n_right)
     t_max = float(np.abs(t_host).max()) or 1.0
     t_scale = 2.0 ** np.ceil(np.log2(t_max))
     planes_host = _digit_planes_tensor(t_host.T / t_scale, b_t, p_t_used)
-    tensor_planes = tuple(jnp.asarray(p, jnp.bfloat16)  # (nR, nL) each
-                          for p in planes_host)
+    tensor_planes = tuple(
+        jnp.asarray(np.concatenate([planes_host[j] for j in js], axis=1),
+                    jnp.bfloat16) if js else jnp.zeros((n_right, 0),
+                                                       jnp.bfloat16)
+        for js in plan["js_by_i"])
 
     pts = jnp.asarray(points, jnp.float64)
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
