@@ -30,7 +30,8 @@ Accuracy: quantization residuals and dropped digit pairs are ~2^-41 of
 the operand scales, so the deviation from the true f64 result is
 ~1e-12 x condition — measured ~2e-12 scale-normalized on the 5-D BS
 benchmark vs the f64 path, i.e. two orders inside the 1e-10 target,
-at >10M queries/s (vs 0.49M for f64 emulation).
+at 4.7-6.1M queries/s (vs 0.49M for f64 emulation) measured
+with the chained-timing protocol.
 
 Everything here is plain XLA (no Pallas): the GEMMs are bf16
 ``dot_general``s that map straight onto the MXU, and the f64 pieces
@@ -221,9 +222,9 @@ def _compiled(shape: Tuple[int, ...], n_dims: int):
     wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
 
     # Bound the (chunk, n_right) working set so the whole chunk
-    # pipeline stays VMEM-resident (measured on v5e/11^5: 4.9M q/s at
-    # chunk 768-2048, 3.2M at 3151, 1.8M at 16384 — larger chunks push
-    # the f64-pair temporaries into HBM round-trips).
+    # pipeline stays cache-friendly (sweeps on v5e/11^5 favored chunks
+    # in the 768-2048 range; larger chunks push the wide pair
+    # temporaries into HBM round-trips).
     chunk = max(512, (1 << 21) // max(n_right, 1))
 
     def _one(tensor_planes, t_scale, nodes, weights, pts):
@@ -299,7 +300,7 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
 
     Same signature family as ``ops.eval.eval_batch``; returns f64
     results deviating ~1e-12 (scale-normalized) from the true f64
-    path at >20x the f64-emulation throughput on v5e.
+    path at ~10x the f64-emulation throughput on v5e.
     """
     shape = tuple(int(n) for n in tensor.shape)
     d = len(shape)
