@@ -131,6 +131,27 @@ class BatchedEvaluator:
                     diffs,
                 ))
             self._orders = (0,) * self.num_dimensions
+            # Uniform piece shapes (flat n_nodes) + small piece count:
+            # serve through the fused masked path (one dispatch/bucket).
+            from pychebyshev_tpu.ops.spline_eval import MASKED_MAX_PIECES
+            shapes = {p[0].shape for p in self._piece_arrays}
+            self._spline_stacked = None
+            if (len(shapes) == 1
+                    and len(self._piece_arrays) <= MASKED_MAX_PIECES):
+                self._spline_stacked = (
+                    jnp.stack([p[0] for p in self._piece_arrays]),
+                    tuple(jnp.stack([p[1][k] for p in self._piece_arrays])
+                          for k in range(self.num_dimensions)),
+                    tuple(jnp.stack([p[2][k] for p in self._piece_arrays])
+                          for k in range(self.num_dimensions)),
+                    tuple(jnp.stack([p[3][k] for p in self._piece_arrays])
+                          for k in range(self.num_dimensions)),
+                )
+                self._knots_dev = tuple(jnp.asarray(k, self.dtype)
+                                        for k in self._knots)
+                self._strides = tuple(
+                    int(np.prod(self._pshape[d + 1:], dtype=np.int64))
+                    for d in range(self.num_dimensions))
         elif isinstance(interpolant, ChebyshevSlider):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
@@ -214,6 +235,8 @@ class BatchedEvaluator:
             return eval_batch(self._tensor, self._nodes, self._weights,
                               self._diffs, points, self._orders)
         if self._kind == "spline":
+            if getattr(self, "_spline_stacked", None) is not None:
+                return self._run_spline_masked(points)
             return self._run_piece(points, 0)
         if self._kind == "slider":
             return self._run_slider(points)
@@ -277,8 +300,37 @@ class BatchedEvaluator:
                         f"may differ at this point."
                     )
 
+    def _run_spline_masked(self, points: jax.Array) -> jax.Array:
+        """One dispatch per bucket: all pieces evaluated, on-device
+        routing selects (``ops.spline_eval``); pieces' derivative
+        passes were hoisted at engine construction."""
+        from pychebyshev_tpu.ops.spline_eval import masked_eval_batch
+        tensors, nodes, weights, diffs = self._spline_stacked
+        return masked_eval_batch(tensors, nodes, weights, diffs,
+                                 self._knots_dev, self._strides, points,
+                                 self._orders)
+
     def _call_spline(self, points: np.ndarray) -> np.ndarray:
         self._check_knot_boundary_batch(points)
+        if getattr(self, "_spline_stacked", None) is not None:
+            out = np.empty(points.shape[0], dtype=self.dtype)
+            max_bucket = self.bucket_sizes[-1]
+            start = 0
+            n = points.shape[0]
+            while start < n:
+                stop = min(start + max_bucket, n)
+                chunk = points[start:stop]
+                bucket = self._bucket_for(stop - start)
+                if chunk.shape[0] < bucket:
+                    pad = np.broadcast_to(
+                        chunk[0], (bucket - chunk.shape[0],
+                                   self.num_dimensions))
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                result = self._run_spline_masked(
+                    self._place(jnp.asarray(chunk, self.dtype)))
+                out[start:stop] = np.asarray(result)[:stop - start]
+                start = stop
+            return out
         flat = self._route_pieces(points)
         out = np.empty(points.shape[0], dtype=self.dtype)
         max_bucket = self.bucket_sizes[-1]
