@@ -272,12 +272,15 @@ class ChebyshevSlider:
             return self.slides[slide_idx].vectorized_eval_batch(
                 points[:, group], sub_deriv)
 
-        result = np.full(n, self.pivot_value)
-        for slide_idx, group in enumerate(self.partition):
-            vals = self.slides[slide_idx].vectorized_eval_batch(
-                points[:, group], [0] * len(group))
-            result += vals - self.pivot_value
-        return result
+        # Value path: every slide's batched kernel in ONE jitted
+        # dispatch (S separate calls would pay S device round-trips).
+        from pychebyshev_tpu.ops.slider_eval import slider_value_batch
+        slide_data = tuple(
+            (s.tensor_values,) + s._grid_tuples() for s in self.slides)
+        groups = tuple(tuple(int(d) for d in g) for g in self.partition)
+        out = slider_value_batch(slide_data, self.pivot_value, groups,
+                                 points)
+        return np.asarray(out)
 
     vectorized_eval_batch = eval_batch
 

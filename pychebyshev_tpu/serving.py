@@ -252,15 +252,12 @@ class BatchedEvaluator:
             group = self._slider_groups[0]
             return eval_batch(tensor, nodes, weights, diffs,
                               points[:, group], (0,) * len(group))
-        total = None
-        for (tensor, nodes, weights, diffs), group in zip(
-                self._slide_arrays, self._slider_groups):
-            vals = eval_batch(tensor, nodes, weights, diffs,
-                              points[:, group], (0,) * len(group))
-            total = vals if total is None else total + vals
-        k = len(self._slide_arrays)
-        return total - (k - 1) * jnp.asarray(self._pivot_value,
-                                             self.dtype)
+        from pychebyshev_tpu.ops.slider_eval import slider_value_batch
+        groups = tuple(tuple(int(d) for d in g)
+                       for g in self._slider_groups)
+        return slider_value_batch(
+            tuple(self._slide_arrays),
+            jnp.asarray(self._pivot_value, self.dtype), groups, points)
 
     def _run_piece(self, points: jax.Array, piece_idx: int) -> jax.Array:
         """One padded bucket through one spline piece's dense kernel.
