@@ -119,3 +119,47 @@ class TestServingConcurrency:
         assert not errors
         for r in results:
             np.testing.assert_array_equal(r, expected)
+
+
+class TestSplineSliderConcurrency:
+    """The masked-spline and fused-slider paths build lazy caches keyed
+    on array identity; concurrent first-use must be benign (worst case:
+    two threads build the same immutable cache entry)."""
+
+    def test_spline_masked_eval_threads(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]) + x[1], 2,
+                             [[-1.0, 1.0], [0.0, 1.0]], [9, 7],
+                             [[0.0], []])
+        sp.build(verbose=False)
+        rng = np.random.default_rng(0)
+        pts = np.column_stack([rng.uniform(-1, 1, 256),
+                               rng.uniform(0, 1, 256)])
+        expected = sp.eval_batch(pts, [0, 0])
+
+        def work(_):
+            return sp.eval_batch(pts, [0, 0])
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(work, range(16)))
+        for r in results:
+            np.testing.assert_array_equal(r, expected)
+
+    def test_slider_fused_eval_threads(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        sl = ChebyshevSlider(
+            lambda x, _: math.sin(x[0]) + x[1] ** 2 + math.cos(x[2]),
+            3, [[-1.0, 1.0]] * 3, [9, 9, 9], [[0], [1], [2]],
+            [0.0, 0.0, 0.0])
+        sl.build(verbose=False)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1, 1, size=(256, 3))
+        expected = sl.eval_batch(pts)
+
+        def work(_):
+            return sl.eval_batch(pts)
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(work, range(16)))
+        for r in results:
+            np.testing.assert_array_equal(r, expected)
