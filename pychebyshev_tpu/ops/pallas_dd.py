@@ -178,7 +178,6 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool):
     w_total = int(offsets[-1])
     wr_scale_inv = np.float32(2.0 ** -_WR_SCALE_LOG2)
     base_r = np.float32(2.0 ** b_r)
-    base_r_inv = np.float32(2.0 ** -b_r)
     i_fold = 24 // b_r - 1
 
     # Static operands -----------------------------------------------------
