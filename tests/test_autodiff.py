@@ -108,6 +108,35 @@ class TestGradMatchesSpectral:
         np.testing.assert_allclose(float(ad), float(num), rtol=1e-5)
 
 
+class TestTTAutodiff:
+    def test_grad_matches_analytic_tt_derivative(self):
+        """jax.grad through the TT chain agrees with the analytic
+        derivative TT (differentiate()) — both beyond-reference."""
+        from pychebyshev_tpu import ChebyshevTT
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+
+        tt = ChebyshevTT(f_np, 3, DOMAIN, [11] * 3, max_rank=8,
+                         vectorized=True)
+        tt.build(verbose=False, seed=0)
+        cores = tuple(jnp.asarray(c) for c in tt._coeff_cores)
+        dom = np.asarray(DOMAIN, dtype=np.float64)
+
+        def value_at(pt):
+            return tt_eval_batch(cores, dom, pt[None, :])[0]
+
+        pts = np.array([[0.3, 1.1, -0.4], [-0.7, 0.6, 0.2]])
+        ad = jax.vmap(jax.grad(value_at))(jnp.asarray(pts))
+        for d in range(3):
+            orders = [0, 0, 0]
+            orders[d] = 1
+            dtt = tt.differentiate(orders)
+            dcores = tuple(jnp.asarray(c) for c in dtt._coeff_cores)
+            analytic = np.asarray(tt_eval_batch(dcores, dom,
+                                                jnp.asarray(pts)))
+            np.testing.assert_allclose(np.asarray(ad)[:, d], analytic,
+                                       rtol=1e-9, atol=1e-10)
+
+
 class TestEndToEndTraceable:
     def test_build_and_eval_inside_jit(self):
         """A traceable oracle interpolant can live entirely inside one
