@@ -920,6 +920,37 @@ class ChebyshevApproximation:
         import copy
         return copy.deepcopy(self)
 
+    def differentiate(self, derivative_order) -> "ChebyshevApproximation":
+        """A first-class interpolant of the given derivative.
+
+        Applies the spectral differentiation matrices to the value
+        tensor ONCE and returns a new approximation whose plain value
+        queries are the requested derivative — the dense counterpart of
+        ``ChebyshevTT.differentiate`` (beyond the reference surface).
+        Useful for serving a fixed Greek as an ordinary object: it
+        evaluates at value-query speed, serializes, combines with
+        algebra, and can itself be differentiated again.
+
+        Note the derivative of the interpolant is exact for the
+        interpolant, not the target function; accuracy follows the usual
+        one-order-per-derivative spectral loss.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        orders = tuple(int(o) for o in derivative_order)
+        if len(orders) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(orders)} does not match "
+                f"num_dimensions {self.num_dimensions}"
+            )
+        if any(o < 0 for o in orders):
+            raise ValueError("derivative orders must be >= 0")
+        from pychebyshev_tpu.ops.eval import apply_derivative_passes
+        _, _, diffs = self._grid_tuples()
+        new_tensor = apply_derivative_passes(self.tensor_values, diffs,
+                                             orders)
+        return ChebyshevApproximation._from_grid(self, new_tensor)
+
     # ------------------------------------------------------------------
     # Plotting (optional host-side extras)
     # ------------------------------------------------------------------

@@ -656,3 +656,50 @@ class TestBatchMulti:
         with pytest.raises(ValueError):
             cheb_sin3d.vectorized_eval_batch_multi(
                 np.zeros((3, 3)), [[0, 0]])
+
+
+class TestDifferentiate:
+    """Dense differentiate(): first-class derivative interpolants (the
+    dense counterpart of ChebyshevTT.differentiate)."""
+
+    def test_matches_derivative_spec(self, cheb_sin3d):
+        delta = cheb_sin3d.differentiate([1, 0, 0])
+        pts = np.random.default_rng(0).uniform(-0.9, 0.9, size=(64, 3))
+        np.testing.assert_allclose(
+            delta.vectorized_eval_batch(pts, [0, 0, 0]),
+            cheb_sin3d.vectorized_eval_batch(pts, [1, 0, 0]),
+            rtol=1e-12, atol=1e-12)
+
+    def test_chains_and_mixed(self, cheb_sin3d):
+        gamma = cheb_sin3d.differentiate([1, 0, 0]).differentiate(
+            [1, 0, 0])
+        pt = [0.3, 0.5, -0.2]
+        assert abs(gamma.vectorized_eval(pt, [0, 0, 0])
+                   - cheb_sin3d.vectorized_eval(pt, [2, 0, 0])) < 1e-10
+        vanna = cheb_sin3d.differentiate([1, 1, 0])
+        assert abs(vanna.vectorized_eval(pt, [0, 0, 0])
+                   - cheb_sin3d.vectorized_eval(pt, [1, 1, 0])) < 1e-10
+
+    def test_is_first_class(self, cheb_sin3d, tmp_path):
+        delta = cheb_sin3d.differentiate([0, 1, 0])
+        # algebra
+        doubled = delta + delta
+        pt = [0.1, 0.2, 0.3]
+        assert abs(doubled.vectorized_eval(pt, [0, 0, 0])
+                   - 2 * delta.vectorized_eval(pt, [0, 0, 0])) < 1e-12
+        # serialization round trip
+        p = tmp_path / "delta.pcb"
+        delta.save(p, format="binary")
+        back = ChebyshevApproximation.load(p)
+        assert abs(back.vectorized_eval(pt, [0, 0, 0])
+                   - delta.vectorized_eval(pt, [0, 0, 0])) < 1e-13
+
+    def test_validation(self, cheb_sin3d):
+        with pytest.raises(ValueError):
+            cheb_sin3d.differentiate([1, 0])          # wrong length
+        with pytest.raises(ValueError):
+            cheb_sin3d.differentiate([-1, 0, 0])      # negative order
+        unbuilt = ChebyshevApproximation(lambda x, _: x[0], 1,
+                                         [[-1, 1]], [5])
+        with pytest.raises(RuntimeError):
+            unbuilt.differentiate([1])
