@@ -8,19 +8,25 @@ bench.py).  Must run before the first ``import jax`` anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may preset a TPU platform
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PYCHEBYSHEV_TPU_TESTS=1 keeps the real backend so the hardware gates
+# in tests/test_tpu_hardware.py can run on an actual chip.
+_keep_tpu = os.environ.get("PYCHEBYSHEV_TPU_TESTS") == "1"
+
+if not _keep_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # env may preset a TPU platform
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
 # The container's sitecustomize may have already registered a TPU plugin
 # and pinned jax_platforms; the config value wins over the env var, so
 # pin it back to CPU explicitly.
-jax.config.update("jax_platforms", "cpu")
+if not _keep_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 import math
 
