@@ -66,7 +66,10 @@ __all__ = ["fused_eval_batch", "supports_fused"]
 
 # Points per tile: the f32 1-D output tile on TPU is 1024 (so blocks
 # are multiples of it); 2048 is fastest where the (B, n_mid*padL)
-# mega-dot result still fits VMEM, 1024 covers larger grids.
+# mega-dot result still fits VMEM, 1024 covers larger grids.  Raising
+# the scoped-VMEM limit (CompilerParams(vmem_limit_bytes=...)) lets
+# 4096/8192 compile too, but both measured SLOWER than 2048 on the
+# 11^5 benchmark (93.8/88.6 vs 106.8M q/s) — bigger tiles spill.
 _BLOCK_CANDIDATES = (2048, 1024)
 
 _LANE = 128
