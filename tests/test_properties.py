@@ -1,0 +1,200 @@
+"""Property-based invariants (hypothesis) over random grids/domains.
+
+Each property is a mathematical identity the implementation must hold
+exactly (or to f64 conditioning), independent of any oracle:
+
+- degree-(n-1) polynomial reproduction (values and derivatives),
+- barycentric partition of unity (the root of extrude's correctness),
+- algebra vs pointwise arithmetic,
+- slice(extrude(c)) identity,
+- interval additivity of integration,
+- DCT round-trip, .pcb byte round-trip, TT from_values/to_dense.
+"""
+
+import io
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pychebyshev_tpu import ChebyshevApproximation, ChebyshevTT
+from pychebyshev_tpu.utils import binary
+
+SETTINGS = dict(max_examples=20, deadline=None)
+
+domains = st.tuples(
+    st.floats(-10, 5), st.floats(0.1, 10)).map(
+        lambda t: (t[0], t[0] + t[1]))
+
+
+def build_from_values(rng_seed, n_nodes, domain):
+    rng = np.random.default_rng(rng_seed)
+    vals = rng.normal(size=tuple(n_nodes))
+    return ChebyshevApproximation.from_values(
+        vals, len(n_nodes), [list(d) for d in domain], list(n_nodes))
+
+
+class TestPolynomialReproduction:
+    @given(n=st.integers(4, 12), dom=domains, seed=st.integers(0, 2**31),
+           order=st.integers(0, 2))
+    @settings(**SETTINGS)
+    def test_1d_poly_exact(self, n, dom, seed, order):
+        rng = np.random.default_rng(seed)
+        coeffs = rng.uniform(-1, 1, n - 1)     # degree n-2 < n
+        poly = np.polynomial.Polynomial(coeffs, domain=list(dom),
+                                        window=list(dom))
+
+        cheb = ChebyshevApproximation(
+            lambda x, _: float(poly(x[0])), 1, [list(dom)], [n])
+        cheb.build(verbose=False)
+        x = dom[0] + 0.37 * (dom[1] - dom[0])
+        want = poly.deriv(order)(x) if order else poly(x)
+        got = cheb.vectorized_eval([x], [order])
+        scale = max(1.0, abs(want))
+        assert abs(got - want) / scale < 1e-9
+
+    @given(n=st.integers(3, 7), dom1=domains, dom2=domains,
+           seed=st.integers(0, 2**31))
+    @settings(**SETTINGS)
+    def test_2d_bilinear_exact(self, n, dom1, dom2, seed):
+        rng = np.random.default_rng(seed)
+        a, b, c, d = rng.uniform(-2, 2, 4)
+
+        def f(x, _):
+            return a + b * x[0] + c * x[1] + d * x[0] * x[1]
+
+        cheb = ChebyshevApproximation(f, 2, [list(dom1), list(dom2)],
+                                      [n, n])
+        cheb.build(verbose=False)
+        x = dom1[0] + 0.61 * (dom1[1] - dom1[0])
+        y = dom2[0] + 0.23 * (dom2[1] - dom2[0])
+        assert abs(cheb.vectorized_eval([x, y], [0, 0])
+                   - f([x, y], None)) < 1e-9 * max(
+                       1.0, abs(f([x, y], None)))
+        # d2/dxdy of a bilinear form is the constant d
+        assert abs(cheb.vectorized_eval([x, y], [1, 1]) - d) < 1e-7
+
+
+class TestPartitionOfUnity:
+    @given(n=st.integers(2, 30), dom=domains,
+           frac=st.floats(0.001, 0.999))
+    @settings(**SETTINGS)
+    def test_rows_sum_to_one(self, n, dom, frac):
+        import jax.numpy as jnp
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np, nodes_for_dim_np)
+        from pychebyshev_tpu.ops.eval import barycentric_coefficients
+        nodes = nodes_for_dim_np(dom[0], dom[1], n)
+        weights = barycentric_weights_np(nodes)
+        x = dom[0] + frac * (dom[1] - dom[0])
+        row = np.asarray(barycentric_coefficients(
+            jnp.asarray([x]), jnp.asarray(nodes), jnp.asarray(weights)))
+        assert abs(row.sum() - 1.0) < 1e-11
+
+
+class TestAlgebraPointwise:
+    @given(seed=st.integers(0, 2**31), dom=domains,
+           op=st.sampled_from(["add", "sub"]),
+           scalar=st.floats(-5, 5).filter(lambda s: abs(s) > 1e-3))
+    @settings(**SETTINGS)
+    def test_matches_pointwise(self, seed, dom, op, scalar):
+        a = build_from_values(seed, [5, 6], [dom, (-1.0, 1.0)])
+        b = build_from_values(seed + 1, [5, 6], [dom, (-1.0, 1.0)])
+        combined = (a + b) if op == "add" else (a - b)
+        x = dom[0] + 0.5 * (dom[1] - dom[0])
+        pt = [x, 0.123]
+        va = a.vectorized_eval(pt, [0, 0])
+        vb = b.vectorized_eval(pt, [0, 0])
+        want = va + vb if op == "add" else va - vb
+        got = combined.vectorized_eval(pt, [0, 0])
+        assert abs(got - want) < 1e-11 * max(1.0, abs(want))
+        # scalar algebra is exact pointwise everywhere (linearity)
+        scaled = (scalar * a) / scalar
+        assert abs(scaled.vectorized_eval(pt, [0, 0]) - va) \
+            < 1e-11 * max(1.0, abs(va))
+
+
+class TestExtrudeSliceRoundTrip:
+    @given(seed=st.integers(0, 2**31), dom=domains,
+           pos=st.integers(0, 2), frac=st.floats(0.01, 0.99),
+           n_new=st.integers(2, 7))
+    @settings(**SETTINGS)
+    def test_slice_of_extrude_is_identity(self, seed, dom, pos, frac,
+                                          n_new):
+        c = build_from_values(seed, [5, 4], [(-1.0, 1.0), (0.0, 2.0)])
+        ext = c.extrude((pos, tuple(dom), n_new))
+        value = dom[0] + frac * (dom[1] - dom[0])
+        back = ext.slice((pos, value))
+        pt = [0.3, 1.1]
+        assert abs(back.vectorized_eval(pt, [0, 0])
+                   - c.vectorized_eval(pt, [0, 0])) < 1e-10
+
+
+class TestIntegrationAdditivity:
+    @given(seed=st.integers(0, 2**31), dom=domains,
+           split=st.floats(0.05, 0.95))
+    @settings(**SETTINGS)
+    def test_interval_additivity(self, seed, dom, split):
+        c = build_from_values(seed, [9], [dom])
+        mid = dom[0] + split * (dom[1] - dom[0])
+        whole = c.integrate(dims=[0], bounds=[(dom[0], dom[1])])
+        left = c.integrate(dims=[0], bounds=[(dom[0], mid)])
+        right = c.integrate(dims=[0], bounds=[(mid, dom[1])])
+        scale = max(1.0, abs(whole))
+        assert abs((left + right) - whole) / scale < 1e-11
+
+
+class TestSerializationProperty:
+    @given(seed=st.integers(0, 2**31),
+           shape=st.lists(st.integers(2, 6), min_size=1, max_size=3))
+    @settings(**SETTINGS)
+    def test_pcb_bytes_roundtrip_bit_exact(self, seed, shape):
+        c = build_from_values(seed, shape,
+                              [(-1.0 - i, 1.0 + i)
+                               for i in range(len(shape))])
+        buf = io.BytesIO()
+        binary.write_approx(buf, c)
+        buf.seek(0)
+        back = binary.read_approx(buf)
+        np.testing.assert_array_equal(np.asarray(back.tensor_values),
+                                      np.asarray(c.tensor_values))
+        # and a second write produces identical bytes (determinism)
+        buf2 = io.BytesIO()
+        binary.write_approx(buf2, back)
+        assert buf.getvalue() == buf2.getvalue()
+
+
+class TestDctRoundTrip:
+    @given(seed=st.integers(0, 2**31), n=st.integers(2, 33),
+           axis=st.integers(0, 1))
+    @settings(**SETTINGS)
+    def test_coeffs_values_inverse(self, seed, n, axis):
+        import jax.numpy as jnp
+        from pychebyshev_tpu.ops.dct import (coeffs_to_values,
+                                             values_to_coeffs)
+        rng = np.random.default_rng(seed)
+        vals = jnp.asarray(rng.normal(size=(n, 5) if axis == 0
+                                      else (5, n)))
+        back = coeffs_to_values(values_to_coeffs(vals, axis=axis),
+                                axis=axis)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(vals),
+                                   atol=1e-12)
+
+
+class TestTTRoundTrip:
+    @given(seed=st.integers(0, 2**31))
+    @settings(max_examples=8, deadline=None)
+    def test_from_values_to_dense(self, seed):
+        rng = np.random.default_rng(seed)
+        # low-rank 3-D tensor: outer sum of two separable terms
+        a, b, c = rng.normal(size=(3, 5))
+        d, e, f = rng.normal(size=(3, 5))
+        tensor = (np.einsum("i,j,k->ijk", a, b, c)
+                  + np.einsum("i,j,k->ijk", d, e, f))
+        tt = ChebyshevTT.from_values(
+            tensor, 3, [[-1, 1]] * 3, [5, 5, 5], max_rank=4)
+        back = np.asarray(tt.to_dense())
+        scale = np.abs(tensor).max()
+        assert np.abs(back - tensor).max() / scale < 1e-10
+        assert max(tt.tt_ranks) <= 2 + 1e-9  # separable sum -> rank 2
