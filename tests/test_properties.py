@@ -198,3 +198,85 @@ class TestTTRoundTrip:
         scale = np.abs(tensor).max()
         assert np.abs(back - tensor).max() / scale < 1e-10
         assert max(tt.tt_ranks) <= 2 + 1e-9  # separable sum -> rank 2
+
+
+class TestSplineProperties:
+    @given(knot=st.floats(-0.8, 0.8), seed=st.integers(0, 2**31))
+    @settings(**SETTINGS)
+    def test_continuity_at_knot(self, knot, seed):
+        from pychebyshev_tpu import ChebyshevSpline
+        rng = np.random.default_rng(seed)
+        a, b = rng.uniform(0.5, 2.0, 2)
+
+        def f(x, _):
+            return a * abs(x[0] - knot) + b * x[0] ** 2
+
+        sp = ChebyshevSpline(f, 1, [[-1.0, 1.0]], [9], [[knot]])
+        sp.build(verbose=False)
+        eps = 1e-9
+        left = sp.eval([knot - eps], [0])
+        right = sp.eval([knot + eps], [0])
+        at = sp.eval([knot], [0])
+        assert abs(left - right) < 1e-6
+        assert abs(at - f([knot], None)) < 1e-9
+
+    @given(knot=st.floats(-0.5, 0.5), seed=st.integers(0, 2**31))
+    @settings(**SETTINGS)
+    def test_piecewise_poly_exact(self, knot, seed):
+        """A piecewise-linear function is reproduced exactly by a
+        spline with its kink as the knot (any n >= 2 per piece)."""
+        from pychebyshev_tpu import ChebyshevSpline
+        rng = np.random.default_rng(seed)
+        sl, sr, c = rng.uniform(-2, 2, 3)
+
+        def f(x, _):
+            t = x[0] - knot
+            return c + (sl * t if t < 0 else sr * t)
+
+        sp = ChebyshevSpline(f, 1, [[-1.0, 1.0]], [4], [[knot]])
+        sp.build(verbose=False)
+        pts = np.linspace(-0.99, 0.99, 41)[:, None]
+        got = sp.eval_batch(pts, [0])
+        want = np.array([f([x], None) for x in pts[:, 0]])
+        assert np.abs(got - want).max() < 1e-10
+
+
+class TestSliderProperties:
+    @given(seed=st.integers(0, 2**31),
+           pivot=st.floats(-0.5, 0.5))
+    @settings(max_examples=10, deadline=None)
+    def test_additive_function_exact(self, seed, pivot):
+        """For genuinely additive f, the slider is exact regardless of
+        pivot location (the decomposition is an identity)."""
+        from pychebyshev_tpu import ChebyshevSlider
+        rng = np.random.default_rng(seed)
+        w = rng.uniform(0.5, 1.5, 3)
+
+        def f(pts, _=None):
+            p = np.asarray(pts)
+            return (w[0] * np.sin(2 * p[:, 0]) + w[1] * p[:, 1] ** 3
+                    + w[2] * np.cos(p[:, 2]))
+
+        sl = ChebyshevSlider(f, 3, [[-1.0, 1.0]] * 3, [11] * 3,
+                             [[0], [1], [2]], [pivot] * 3,
+                             vectorized=True)
+        sl.build(verbose=False)
+        pts = rng.uniform(-1, 1, size=(64, 3))
+        got = sl.eval_batch(pts)
+        want = f(pts)
+        # bound = the 11-node interpolation error of sin(2x) (~5e-8);
+        # the additive decomposition itself contributes nothing
+        assert np.abs(got - want).max() < 1e-6
+
+
+class TestSobolProperties:
+    @given(seed=st.integers(0, 2**31))
+    @settings(max_examples=10, deadline=None)
+    def test_indices_well_formed(self, seed):
+        c = build_from_values(seed, [7, 7], [(-1.0, 1.0), (0.0, 2.0)])
+        s = c.sobol_indices()
+        first = np.array([s["first_order"][d] for d in range(2)])
+        total = np.array([s["total_order"][d] for d in range(2)])
+        assert (first >= -1e-10).all()
+        assert (total + 1e-10 >= first).all()   # S_i <= S_Ti
+        assert first.sum() <= 1.0 + 1e-9        # sum S_i <= 1
