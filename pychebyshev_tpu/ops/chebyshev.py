@@ -56,10 +56,12 @@ def barycentric_weights_np(nodes):
     """Host-side :func:`barycentric_weights`."""
     import numpy as np
     nodes = np.asarray(nodes, dtype=np.float64)
-    n = nodes.shape[0]
     diff = nodes[:, None] - nodes[None, :]
     np.fill_diagonal(diff, 1.0)
-    return 1.0 / np.prod(diff, axis=1)
+    w = 1.0 / np.prod(diff, axis=1)
+    # Power-of-two normalization (see barycentric_weights): exact, and
+    # keeps narrow-domain weights inside f32 range for the device.
+    return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))
 
 
 def differentiation_matrix_np(nodes, weights):
@@ -96,16 +98,29 @@ def nodes_for_dim(lo, hi, n: int) -> jax.Array:
 
 @jax.jit
 def barycentric_weights(nodes: jax.Array) -> jax.Array:
-    """Barycentric weights ``w_i = 1 / prod_{j != i} (x_i - x_j)``.
+    """Barycentric weights, power-of-two normalized.
 
-    Vectorized as a pairwise-difference matrix with unit diagonal; the
-    row-product inverse equals the reference's sequential divisions to
-    within rounding.
+    The raw weights ``1 / prod_{j != i} (x_i - x_j)`` are scaled by
+    ``2^-round(log2 max|w|)`` so max |w| lands in [0.7, 1.42].  Every
+    consumer is scale-invariant — evaluation rows normalize by their
+    sum, and the differentiation matrix uses weight RATIOS — and a
+    power-of-two scale is floating-point-exact, so results are
+    bit-identical to the raw-weight formulation.  The normalization
+    matters on TPU: raw weights grow like ``(2/width)^(n-1)``, and a
+    21-node grid on a width-0.04 domain reaches 4.8e38 — beyond f32
+    range, and TPU's *emulated f64* is an (hi, lo) f32 pair with f32's
+    RANGE, so raw weights overflow to inf on device (f64 included).
+    (Production builds compute grid metadata through the host ``_np``
+    variant and transfer; this traced version serves traceable-pipeline
+    demos and tests, where the pre-scale product must itself fit the
+    backend's range.)
     """
     n = nodes.shape[0]
     diff = nodes[:, None] - nodes[None, :]
     diff = jnp.where(jnp.eye(n, dtype=bool), 1.0, diff)
-    return 1.0 / jnp.prod(diff, axis=1)
+    w = 1.0 / jnp.prod(diff, axis=1)
+    scale = jnp.exp2(-jnp.round(jnp.log2(jnp.max(jnp.abs(w)))))
+    return w * scale
 
 
 @jax.jit

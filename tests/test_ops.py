@@ -47,7 +47,12 @@ def test_barycentric_weights_vs_direct(n):
             if j != i:
                 expected[i] /= nodes[i] - nodes[j]
     ours = np.asarray(barycentric_weights(nodes))
-    np.testing.assert_allclose(ours, expected, rtol=1e-12)
+    # weights are power-of-two normalized: ratios match the raw
+    # definition exactly, and the scale is an exact power of two
+    scale = ours[0] / expected[0]
+    assert scale != 0 and (np.log2(abs(scale)) % 1.0) == 0.0
+    np.testing.assert_allclose(ours, expected * scale, rtol=1e-12)
+    assert 0.7 <= np.abs(ours).max() <= 1.42
 
 
 def test_differentiation_matrix_derivative_accuracy():

@@ -53,8 +53,19 @@ class TestApproximationParity:
         for d in range(2):
             np.testing.assert_allclose(np.asarray(ours.nodes[d]),
                                        theirs.nodes[d], atol=1e-13)
-            np.testing.assert_allclose(np.asarray(ours.weights[d]),
-                                       theirs.weights[d], rtol=1e-11)
+            # Our weights are power-of-two normalized (deliberate
+            # deviation: raw weights overflow the TPU's f32-range
+            # emulated f64 on narrow domains with n >= ~20).  All
+            # consumers are scale-invariant, so parity is up to one
+            # exact power-of-two factor per dim.
+            w_ours = np.asarray(ours.weights[d])
+            w_ref = np.asarray(theirs.weights[d])
+            # (the reference divides sequentially, we invert a product —
+            #  last-ulp differences make the raw ratio inexact, so snap
+            #  the scale to the nearest power of two first)
+            scale = 2.0 ** np.round(np.log2(np.abs(w_ref[0] / w_ours[0])))
+            scale *= np.sign(w_ref[0] / w_ours[0])
+            np.testing.assert_allclose(w_ours * scale, w_ref, rtol=1e-11)
             np.testing.assert_allclose(np.asarray(ours.diff_matrices[d]),
                                        theirs.diff_matrices[d], rtol=1e-9,
                                        atol=1e-11)

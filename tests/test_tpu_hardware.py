@@ -119,3 +119,23 @@ class TestPrecisionTiersOnChip:
         dev = np.abs(out - ref).max() / np.abs(ref).max()
         assert dev < 3e-4, (
             f"f32 deviation {dev:.1e} suggests single-pass bf16 GEMMs")
+
+
+class TestNarrowDomainRangeOnChip:
+    def test_21_node_narrow_domain_finite(self):
+        """Raw barycentric weights on a width-0.04 domain at n=21 exceed
+        f32 range — and the TPU's emulated f64 has f32's RANGE, so
+        without power-of-two weight normalization evaluation returns
+        inf/NaN on device.  Regression gate for that normalization."""
+        cheb = ChebyshevApproximation(bs_price, 5, DOMAIN, [21] * 5,
+                                      vectorized=True)
+        cheb.build(verbose=False)
+        rng = np.random.default_rng(0)
+        pts = np.stack([rng.uniform(lo, hi, 512) for lo, hi in DOMAIN],
+                       axis=1)
+        out = cheb.vectorized_eval_batch(pts, [0] * 5)
+        assert np.isfinite(out).all()
+        exact = bs_price(pts)
+        keep = np.abs(exact) > 1.0
+        rel = np.abs(out - exact)[keep] / np.abs(exact)[keep]
+        assert rel.max() < 1e-6   # 21-node interpolation is ~1e-8
