@@ -280,3 +280,38 @@ class TestSobolProperties:
         assert (first >= -1e-10).all()
         assert (total + 1e-10 >= first).all()   # S_i <= S_Ti
         assert first.sum() <= 1.0 + 1e-9        # sum S_i <= 1
+
+
+class TestDegenerateBatches:
+    """Empty and single-point batches work on every class (shape
+    contract), and NaN coordinates propagate rather than crash."""
+
+    def test_empty_and_single(self, cheb_sin3d):
+        empty = np.zeros((0, 3))
+        assert cheb_sin3d.vectorized_eval_batch(empty, [0] * 3).shape \
+            == (0,)
+        one = cheb_sin3d.vectorized_eval_batch(
+            np.array([[0.1, 0.2, 0.3]]), [0] * 3)
+        assert one.shape == (1,)
+        assert abs(one[0] - cheb_sin3d.vectorized_eval(
+            [0.1, 0.2, 0.3], [0] * 3)) < 1e-12
+
+    def test_nan_coordinates_propagate(self, cheb_sin3d):
+        out = cheb_sin3d.vectorized_eval_batch(
+            np.array([[np.nan, 0.2, 0.3], [0.1, 0.2, 0.3]]), [0] * 3)
+        assert np.isnan(out[0]) and np.isfinite(out[1])
+
+
+class TestWeightRangeRobustness:
+    @given(width=st.floats(1e-6, 1e6), n=st.integers(3, 40))
+    @settings(**SETTINGS)
+    def test_weights_always_order_one(self, width, n):
+        """Power-of-two normalization keeps weights device-safe for any
+        domain width (raw weights span ~(2/width)^(n-1) — e39 at n=21
+        on a width-0.04 domain, which overflows the TPU's f32-range
+        emulated f64)."""
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np, nodes_for_dim_np)
+        w = barycentric_weights_np(nodes_for_dim_np(1.0, 1.0 + width, n))
+        assert np.isfinite(w).all()
+        assert 0.7 <= np.abs(w).max() <= 1.42
