@@ -63,43 +63,7 @@ def sample_points(n, seed=0):
     return lo + (hi - lo) * rng.uniform(0.02, 0.98, size=(n, 5))
 
 
-def time_fn(fn, pts, iters=10, reps=3):
-    """Chained-dependency timing, robust to this platform's quirks.
-
-    The tunneled TPU runtime makes naive timing lie in BOTH directions:
-    ``block_until_ready`` can return before device completion (sub-ms
-    readings for 300-GFLOP dispatches), repeated identical executions
-    can be served from a result cache, and a per-call host readback
-    costs a ~40 ms relay round-trip that drowns the kernel.
-
-    Protocol: run a chain of ``m`` calls where each call's input
-    depends on the previous output (forcing device serialization),
-    fence the whole chain with ONE scalar readback, and difference a
-    short chain against a long one so the fixed RPC/readback cost
-    cancels:  t_exec = (T(iters) - T(2)) / (iters - 2), min over reps.
-    """
-    salt_rng = np.random.default_rng()
-
-    def chain(m):
-        # fresh salt per invocation: inputs never repeat across reps,
-        # so no result-cache layer can serve a replayed chain
-        out = fn(pts * pts.dtype.type(1.0 + salt_rng.uniform(0, 1e-9)))
-        for _ in range(m - 1):
-            bump = (1.0 + jnp.ravel(out)[0] * 1e-12
-                    + salt_rng.uniform(0, 1e-9))
-            out = fn(pts * bump.astype(pts.dtype))
-        return float(jnp.ravel(out)[0])
-
-    chain(2)  # compile both the plain and perturbed-input variants
-    best = {}
-    for m in (2, iters):
-        t_best = float("inf")
-        for _ in range(reps):
-            start = time.perf_counter()
-            chain(m)
-            t_best = min(t_best, time.perf_counter() - start)
-        best[m] = t_best
-    return (best[iters] - best[2]) / (iters - 2)
+from pychebyshev_tpu.utils.benchtime import chained_time_fn as time_fn  # noqa: E402
 
 
 def main() -> None:

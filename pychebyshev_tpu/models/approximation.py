@@ -56,6 +56,18 @@ from pychebyshev_tpu.ops import eval as eval_ops
 __all__ = ["ChebyshevApproximation"]
 
 
+
+def _private_device_f64(values) -> jax.Array:
+    """Transfer to a float64 device array that shares NO memory with the
+    caller.  On CPU backends ``jnp.asarray`` of a NumPy array can be
+    ZERO-COPY, so a caller later mutating its array would silently
+    mutate the "immutable" tensor; copying host inputs first makes the
+    device tensor genuinely private on every backend."""
+    if isinstance(values, np.ndarray):
+        values = np.array(values, dtype=np.float64)
+    return jnp.asarray(values, dtype=jnp.float64)
+
+
 def _validate_special_points_shape(special_points, n_nodes, num_dimensions,
                                    domain) -> None:
     """Shape/content validation before spline dispatch (reference
@@ -258,20 +270,23 @@ class ChebyshevApproximation:
         # enumeration, weight computation) are host code, and reading
         # device arrays back through a remote-TPU tunnel costs ~30 ms
         # per round trip — more than the entire rest of the build.
-        self._host_nodes_cache = (tuple(id(a) for a in self.nodes), host)
+        self._host_nodes_cache = (tuple(self.nodes), host)
 
     def _nodes_np(self) -> list[np.ndarray]:
         """Host NumPy copies of ``self.nodes``, cached by array identity.
 
-        Device arrays are immutable and every mutating operation rebinds
-        ``self.nodes``, so identity keying can never serve stale data;
-        paths that construct nodes on host seed the cache to avoid any
-        device readback at build time.
+        The cache keeps strong references to the keyed arrays and
+        validates with ``is`` comparisons — device arrays are immutable
+        and every mutating operation rebinds ``self.nodes``, and holding
+        the keyed objects alive rules out id-reuse staleness.  Paths
+        that construct nodes on host seed the cache to avoid any device
+        readback at build time.
         """
-        key = tuple(id(a) for a in self.nodes)
         cache = getattr(self, "_host_nodes_cache", None)
-        if cache is None or cache[0] != key:
-            cache = (key, [np.asarray(a) for a in self.nodes])
+        if (cache is None or len(cache[0]) != len(self.nodes)
+                or any(k is not a for k, a in zip(cache[0], self.nodes))):
+            cache = (tuple(self.nodes),
+                     [np.asarray(a) for a in self.nodes])
             self._host_nodes_cache = cache
         return cache[1]
 
@@ -323,7 +338,7 @@ class ChebyshevApproximation:
             )
         if not np.isfinite(arr).all():
             raise ValueError("values contains NaN or Inf (must be finite)")
-        self.tensor_values = jnp.asarray(arr)
+        self.tensor_values = _private_device_f64(arr)
         self._offer_host_tensor(arr)
         self.function = None
 
@@ -458,7 +473,7 @@ class ChebyshevApproximation:
                 f"point(s); build cannot proceed with NaN/Inf in "
                 f"tensor_values"
             )
-        self.tensor_values = jnp.asarray(values, dtype=jnp.float64)
+        self.tensor_values = _private_device_f64(values)
 
         self._compute_grid_data()
         if isinstance(values, np.ndarray):
@@ -487,8 +502,11 @@ class ChebyshevApproximation:
         grid = getattr(self, "_host_grid", None)
         if grid is None:
             return
-        self._host_cache = (id(self.tensor_values), {
-            "tensor": np.ascontiguousarray(host_values, dtype=np.float64),
+        # ALWAYS copy: the source may be a caller-owned array (e.g. the
+        # from_values input) that the caller later mutates — the cache
+        # must match the immutable device tensor, not live user memory.
+        self._host_cache = (self.tensor_values, {
+            "tensor": np.array(host_values, dtype=np.float64, order="C"),
             **grid,
         })
 
@@ -498,16 +516,17 @@ class ChebyshevApproximation:
         Single queries through the device would pay jit dispatch (and, on
         remote TPUs, tunnel round-trips) per call; the reference's
         single-query contract is ~65 us, so single-point eval runs on
-        host BLAS against these cached copies.  The cache keys on the
-        identity of ``tensor_values`` — device arrays are immutable, and
-        every mutating operation rebinds the attribute, so a stale cache
-        is unrepresentable.  Host-originating tensors pre-seed the cache
+        host BLAS against these cached copies.  The cache holds a strong
+        reference to the tensor it was built from and validates with an
+        ``is`` check — device arrays are immutable and every mutating
+        operation rebinds the attribute, and keeping the keyed object
+        alive rules out the id-reuse staleness an id()-keyed cache would
+        allow.  Host-originating tensors pre-seed the cache
         (``_offer_host_tensor``); only device-computed tensors pay a
         one-time readback here.
         """
-        key = id(self.tensor_values)
         cache = getattr(self, "_host_cache", None)
-        if cache is None or cache[0] != key:
+        if cache is None or cache[0] is not self.tensor_values:
             # contiguity matters: diffs_t must be C-contiguous exactly
             # like _compute_grid_data's host copies, or BLAS takes a
             # different kernel path and results drift in the last ulp
@@ -518,8 +537,8 @@ class ChebyshevApproximation:
                 "diffs_t": [np.ascontiguousarray(np.asarray(a).T)
                             for a in self.diff_matrices],
             }
-            cache = (key, {"tensor": np.asarray(self.tensor_values),
-                           **grid})
+            cache = (self.tensor_values,
+                     {"tensor": np.asarray(self.tensor_values), **grid})
             self._host_cache = cache
         return cache[1]
 
@@ -1201,7 +1220,7 @@ class ChebyshevApproximation:
         obj.error_threshold = None
         obj.max_n = 64
         obj._generate_nodes()
-        obj.tensor_values = jnp.asarray(tensor_values, dtype=jnp.float64)
+        obj.tensor_values = _private_device_f64(tensor_values)
         obj._compute_grid_data()
         obj._offer_host_tensor(tensor_values)
         obj.build_time = 0.0
@@ -1235,7 +1254,7 @@ class ChebyshevApproximation:
         src_grid = getattr(source, "_host_grid", None)
         if src_grid is not None:
             obj._host_grid = src_grid  # host copies; sharing is free
-        obj.tensor_values = jnp.asarray(tensor_values, dtype=jnp.float64)
+        obj.tensor_values = _private_device_f64(tensor_values)
         if isinstance(tensor_values, np.ndarray):
             obj._offer_host_tensor(tensor_values)
         obj.build_time = 0.0

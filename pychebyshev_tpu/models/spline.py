@@ -398,17 +398,27 @@ class ChebyshevSpline:
         from pychebyshev_tpu.ops import spline_eval
         if (not is_nested_n_nodes(self.n_nodes)
                 and len(self._pieces) <= spline_eval.MASKED_MAX_PIECES):
-            key = tuple(id(p.tensor_values) for p in self._pieces)
+            # The cache holds strong references to the keyed piece
+            # tensors and validates with `is` — immutable arrays +
+            # attribute rebinding make that sound (id()-keyed caches
+            # could go stale through id reuse after GC).  Knots and
+            # strides are build-time constants cached alongside.
+            key = tuple(p.tensor_values for p in self._pieces)
             cache = getattr(self, "_masked_cache", None)
-            if cache is None or cache[0] != key:
-                cache = (key, spline_eval.stack_pieces(self._pieces))
+            if (cache is None or len(cache[0]) != len(key)
+                    or any(a is not b for a, b in zip(cache[0], key))):
+                cache = (
+                    key,
+                    spline_eval.stack_pieces(self._pieces),
+                    tuple(jnp.asarray(k, jnp.float64)
+                          for k in self.knots),
+                    tuple(int(np.prod(self._shape[d + 1:],
+                                      dtype=np.int64))
+                          for d in range(self.num_dimensions)),
+                )
                 self._masked_cache = cache
-            tensors, nodes, weights, diffs = cache[1]
-            knots = tuple(jnp.asarray(k, jnp.float64)
-                          for k in self.knots)
-            strides = tuple(
-                int(np.prod(self._shape[d + 1:], dtype=np.int64))
-                for d in range(self.num_dimensions))
+            _, stacked, knots, strides = cache
+            tensors, nodes, weights, diffs = stacked
             out = spline_eval.masked_eval_batch(
                 tensors, nodes, weights, diffs, knots, strides,
                 points, tuple(int(o) for o in derivative_order))
@@ -529,6 +539,7 @@ class ChebyshevSpline:
         from pychebyshev_tpu._version import __version__
         state = self.__dict__.copy()
         state["function"] = None
+        state.pop("_masked_cache", None)   # device-array cache, rebuilt
         state["_pychebyshev_version"] = __version__
         return state
 

@@ -294,6 +294,53 @@ def _compiled(shape: Tuple[int, ...], n_dims: int):
     return run, plan
 
 
+# Small strong-reference LRU of prepared tensor digit planes.  Keyed by
+# the identity of the caller's tensor object plus the derivative orders:
+# the class path passes its stable device array, so serving loops hit;
+# holding the keyed tensors alive also makes identity keying sound (no
+# id reuse).  Bounded, so at most _PLANE_CACHE_SLOTS tensors are pinned.
+_PLANE_CACHE_SLOTS = 4
+_plane_cache: list = []
+
+
+def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
+    """(t_scale, per-row-plane concatenated bf16 digit planes), cached.
+
+    Without the cache every call pays a device->host tensor readback
+    (~30 ms over a relayed TPU), the host digit loops, and the re-upload.
+    """
+    for entry in _plane_cache:
+        if entry[0] is tensor and entry[1] == orders:
+            return entry[2], entry[3]
+
+    n_left, n_right = plan["n_left"], plan["n_right"]
+    b_t = plan["b_t"]
+    p_t_used = 1 + max(j for _, j in plan["pairs"])
+
+    t64 = jnp.asarray(tensor, jnp.float64)
+    if any(o > 0 for o in orders):
+        t64 = apply_derivative_passes(
+            t64, tuple(jnp.asarray(m, jnp.float64)
+                       for m in diff_matrices), orders)
+
+    # Host-side plane build, once per (tensor, orders).  Concatenated
+    # per row plane i (its allowed j planes side by side) so the jitted
+    # GEMM loop reads each wide row plane exactly once.
+    t_host = np.asarray(t64, dtype=np.float64).reshape(n_left, n_right)
+    t_max = float(np.abs(t_host).max()) or 1.0
+    t_scale = 2.0 ** np.ceil(np.log2(t_max))
+    planes_host = _digit_planes_tensor(t_host.T / t_scale, b_t, p_t_used)
+    tensor_planes = tuple(
+        jnp.asarray(np.concatenate([planes_host[j] for j in js], axis=1),
+                    jnp.bfloat16) if js else jnp.zeros((n_right, 0),
+                                                       jnp.bfloat16)
+        for js in plan["js_by_i"])
+
+    _plane_cache.insert(0, (tensor, orders, t_scale, tensor_planes))
+    del _plane_cache[_PLANE_CACHE_SLOTS:]
+    return t_scale, tensor_planes
+
+
 def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
                   orders: Tuple[int, ...] = None) -> jax.Array:
     """f64-class batched evaluation via exact integer digit GEMMs.
@@ -312,30 +359,10 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
             f"use ops.eval.eval_batch"
         )
 
-    tensor = jnp.asarray(tensor, jnp.float64)
-    if any(o > 0 for o in orders):
-        tensor = apply_derivative_passes(
-            tensor, tuple(jnp.asarray(m, jnp.float64)
-                          for m in diff_matrices), tuple(orders))
-
     run, plan = _compiled(shape, d)
-    s, n_left, n_right = plan["s"], plan["n_left"], plan["n_right"]
-    b_t, p_t = plan["b_t"], plan["p_t"]
-    p_t_used = 1 + max(j for _, j in plan["pairs"])
-
-    # Tensor digit planes: host-side f64, once per (tensor, orders).
-    # Concatenated per row plane i (its allowed j planes side by side)
-    # so the jitted GEMM loop reads each wide row plane exactly once.
-    t_host = np.asarray(tensor, dtype=np.float64).reshape(n_left, n_right)
-    t_max = float(np.abs(t_host).max()) or 1.0
-    t_scale = 2.0 ** np.ceil(np.log2(t_max))
-    planes_host = _digit_planes_tensor(t_host.T / t_scale, b_t, p_t_used)
-    tensor_planes = tuple(
-        jnp.asarray(np.concatenate([planes_host[j] for j in js], axis=1),
-                    jnp.bfloat16) if js else jnp.zeros((n_right, 0),
-                                                       jnp.bfloat16)
-        for js in plan["js_by_i"])
-
+    t_scale, tensor_planes = _tensor_planes(tensor, diff_matrices,
+                                            tuple(orders), plan)
+    d = len(shape)
     pts = jnp.asarray(points, jnp.float64)
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
     weights64 = tuple(jnp.asarray(weights[k], jnp.float64)

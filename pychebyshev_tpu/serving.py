@@ -307,48 +307,38 @@ class BatchedEvaluator:
                                  self._knots_dev, self._strides, points,
                                  self._orders)
 
+    def _bucketed(self, points: np.ndarray, runner) -> np.ndarray:
+        """Feed ``points`` through ``runner`` in padded compiled buckets
+        (the one bucket/pad/place loop every serving path shares)."""
+        n = points.shape[0]
+        out = np.empty(n, dtype=self.dtype)
+        max_bucket = self.bucket_sizes[-1]
+        start = 0
+        while start < n:
+            stop = min(start + max_bucket, n)
+            chunk = points[start:stop]
+            bucket = self._bucket_for(stop - start)
+            if chunk.shape[0] < bucket:
+                # pad with the first row (always a valid in-domain point)
+                pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
+                                                 self.num_dimensions))
+                chunk = np.concatenate([chunk, pad], axis=0)
+            result = runner(self._place(jnp.asarray(chunk, self.dtype)))
+            out[start:stop] = np.asarray(result)[:stop - start]
+            start = stop
+        return out
+
     def _call_spline(self, points: np.ndarray) -> np.ndarray:
         self._check_knot_boundary_batch(points)
         if getattr(self, "_spline_stacked", None) is not None:
-            out = np.empty(points.shape[0], dtype=self.dtype)
-            max_bucket = self.bucket_sizes[-1]
-            start = 0
-            n = points.shape[0]
-            while start < n:
-                stop = min(start + max_bucket, n)
-                chunk = points[start:stop]
-                bucket = self._bucket_for(stop - start)
-                if chunk.shape[0] < bucket:
-                    pad = np.broadcast_to(
-                        chunk[0], (bucket - chunk.shape[0],
-                                   self.num_dimensions))
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                result = self._run_spline_masked(
-                    self._place(jnp.asarray(chunk, self.dtype)))
-                out[start:stop] = np.asarray(result)[:stop - start]
-                start = stop
-            return out
+            return self._bucketed(points, self._run_spline_masked)
         flat = self._route_pieces(points)
         out = np.empty(points.shape[0], dtype=self.dtype)
-        max_bucket = self.bucket_sizes[-1]
         for piece_idx in np.unique(flat):
             sel = np.flatnonzero(flat == piece_idx)
-            group = points[sel]
-            start = 0
-            while start < group.shape[0]:
-                stop = min(start + max_bucket, group.shape[0])
-                chunk = group[start:stop]
-                bucket = self._bucket_for(stop - start)
-                if chunk.shape[0] < bucket:
-                    pad = np.broadcast_to(
-                        chunk[0], (bucket - chunk.shape[0],
-                                   self.num_dimensions))
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                result = self._run_piece(
-                    self._place(jnp.asarray(chunk, self.dtype)),
-                    int(piece_idx))
-                out[sel[start:stop]] = np.asarray(result)[:stop - start]
-                start = stop
+            out[sel] = self._bucketed(
+                points[sel],
+                lambda p, i=int(piece_idx): self._run_piece(p, i))
         return out
 
     def _place(self, chunk: jax.Array) -> jax.Array:
@@ -397,24 +387,7 @@ class BatchedEvaluator:
         if self._kind == "tt" and self._dim_order != list(
                 range(self.num_dimensions)):
             points = points[:, self._dim_order]
-
-        max_bucket = self.bucket_sizes[-1]
-        out = np.empty(n, dtype=self.dtype)
-        start = 0
-        while start < n:
-            stop = min(start + max_bucket, n)
-            chunk = points[start:stop]
-            bucket = self._bucket_for(stop - start)
-            if chunk.shape[0] < bucket:
-                # Pad with the first row (always a valid in-domain point).
-                pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
-                                                 self.num_dimensions))
-                chunk = np.concatenate([chunk, pad], axis=0)
-            result = self._run(self._place(jnp.asarray(chunk,
-                                                        self.dtype)))
-            out[start:stop] = np.asarray(result)[:stop - start]
-            start = stop
-        return out
+        return self._bucketed(points, self._run)
 
 
 class MultiModelEvaluator:

@@ -29,9 +29,13 @@ CLASS_TAG_SPLINE = 2
 
 _HEADER_SIZE = 12
 
-# Hard ceiling on tensor elements per read (mirrors the C++ reader's
-# overflow guard): a crafted file cannot force a huge allocation.
-_MAX_ELEMENTS = 1 << 31
+# Hard ceiling on tensor elements per read: a crafted file cannot force
+# a huge allocation.  2^27 elements (= 1 GiB of f64) is the agreed bound
+# across ALL .pcb consumers — this module, cpp/pcb_reader.cpp
+# (kMaxElems), examples/c_reader (PCB_MAX_TENSOR_ELEMS),
+# readers/pystdlib, readers/perl — so every consumer accepts exactly the
+# same set of files.
+_MAX_ELEMENTS = 1 << 27
 
 
 class _Cursor:

@@ -22,7 +22,7 @@ use constant {
     TAG_APPROX => 1,
     TAG_SPLINE => 2,
     NODE_TOL  => 1e-14,
-    MAX_TOTAL => 100_000_000,
+    MAX_TOTAL => 134_217_728,   # 1<<27; shared by every .pcb consumer
 };
 
 my $PI = 4 * atan2(1, 1);

@@ -39,7 +39,7 @@ _SUPPORTED_MAJOR = 1
 _TAG_APPROX = 1
 _TAG_SPLINE = 2
 _NODE_TOL = 1e-14
-_MAX_TOTAL = 100_000_000  # element cap against nonsense sizes
+_MAX_TOTAL = 1 << 27  # element cap; shared by every .pcb consumer
 
 
 class PcbError(Exception):

@@ -43,45 +43,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 # shared utilities
 # ---------------------------------------------------------------------------
 
-def time_fn(fn, pts, iters=10, reps=3):
-    """Chained-dependency timing (same protocol as bench.py): each
-    call's input depends on the previous output so executions serialize
-    on device, one scalar readback fences the chain, fresh salt defeats
-    any result-cache layer, and differencing a short against a long
-    chain cancels the fixed relay round-trip."""
-    pts = jnp.asarray(pts)
-    salt_rng = np.random.default_rng()
-
-    def chain(m):
-        out = fn(pts * pts.dtype.type(1.0 + salt_rng.uniform(0, 1e-9)))
-        for _ in range(m - 1):
-            bump = (1.0 + jnp.ravel(out)[0] * 1e-12
-                    + salt_rng.uniform(0, 1e-9))
-            out = fn(pts * bump.astype(pts.dtype))
-        return float(jnp.ravel(out)[0])
-
-    chain(2)
-    best = {}
-    for m in (2, iters):
-        t_best = float("inf")
-        for _ in range(reps):
-            start = time.perf_counter()
-            chain(m)
-            t_best = min(t_best, time.perf_counter() - start)
-        best[m] = t_best
-    return (best[iters] - best[2]) / (iters - 2)
-
-
-def time_host(fn, n=200, reps=5):
-    """Min-of-reps per-call time for pure-host paths."""
-    fn()
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+from pychebyshev_tpu.utils.benchtime import (  # noqa: E402
+    chained_time_fn as time_fn,
+    host_time_fn as time_host,
+)
 
 
 def sample_box(domain, n, seed, margin=0.02):

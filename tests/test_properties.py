@@ -315,3 +315,22 @@ class TestWeightRangeRobustness:
         w = barycentric_weights_np(nodes_for_dim_np(1.0, 1.0 + width, n))
         assert np.isfinite(w).all()
         assert 0.7 <= np.abs(w).max() <= 1.42
+
+
+class TestCallerArrayIsolation:
+    def test_from_values_does_not_alias_caller_memory(self):
+        """Mutating the caller's array after from_values must not change
+        ANY eval path (the host cache copies; the device tensor was
+        always isolated)."""
+        vals = np.arange(20.0).reshape(4, 5)
+        c = ChebyshevApproximation.from_values(
+            vals, 2, [(-1.0, 1.0), (0.0, 2.0)], [4, 5])
+        pt = [0.3, 1.2]
+        before_single = c.vectorized_eval(pt, [0, 0])
+        before_batch = c.vectorized_eval_batch(np.array([pt]), [0, 0])[0]
+        vals[:] = 999.0                       # caller stomps its array
+        after_single = c.vectorized_eval(pt, [0, 0])
+        after_batch = c.vectorized_eval_batch(np.array([pt]), [0, 0])[0]
+        assert after_single == before_single
+        assert after_batch == before_batch
+        assert abs(after_single - after_batch) < 1e-12
