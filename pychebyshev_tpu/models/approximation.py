@@ -688,7 +688,7 @@ class ChebyshevApproximation:
         The accuracy mode for f64-less TPUs (``ops.eval_dd``): operands
         are decomposed into bf16 digit planes whose MXU products
         accumulate exactly, so results deviate ~1e-11 (scale-normalized)
-        from the true f64 path — measured 4.7-6.1M queries/s per v5e chip
+        from the true f64 path — measured ~7.0M queries/s per v5e chip
         on the 11^5 benchmark vs 0.49M for software f64.  Falls back to
         the f64 path for grids outside the digit-plan budget.
         """

@@ -30,8 +30,9 @@ Accuracy: quantization residuals and dropped digit pairs are ~2^-41 of
 the operand scales, so the deviation from the true f64 result is
 ~1e-12 x condition — measured ~2e-12 scale-normalized on the 5-D BS
 benchmark vs the f64 path, i.e. two orders inside the 1e-10 target,
-at 4.7-6.1M queries/s (vs 0.49M for f64 emulation) measured
-with the chained-timing protocol.
+at ~7.0M queries/s (vs 0.49M for f64 emulation; tensor digit planes
+are cached per (tensor, orders)) measured with the chained-timing
+protocol.
 
 Everything here is plain XLA (no Pallas): the GEMMs are bf16
 ``dot_general``s that map straight onto the MXU, and the f64 pieces
@@ -347,7 +348,7 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
 
     Same signature family as ``ops.eval.eval_batch``; returns f64
     results deviating ~1e-12 (scale-normalized) from the true f64
-    path at ~10x the f64-emulation throughput on v5e.
+    path at ~14x the f64-emulation throughput on v5e.
     """
     shape = tuple(int(n) for n in tensor.shape)
     d = len(shape)

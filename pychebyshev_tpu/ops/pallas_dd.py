@@ -20,7 +20,7 @@ wide intermediates in VMEM per tile:
 **Measured outcome (v5e, 11^5, 1M points, chained-timing protocol):**
 accuracy matches the XLA digit-GEMM path exactly (1.67e-11
 scale-normalized deviation from true f64), but throughput does NOT beat
-it — ~4.0-5.3M queries/s (block 256-512) vs ~4.7-6.1M for the XLA
+it — ~4.0-5.3M queries/s (block 256-512) vs ~7.0M for the XLA
 path.  The MXU dot floor for the 31 digit-pair GEMMs (~11 MFLOP/point)
 plus per-tile overhead at the VMEM-feasible block sizes eats the fusion
 win.  Kept as a correct, tested alternative backend and as the
