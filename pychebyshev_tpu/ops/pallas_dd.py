@@ -17,15 +17,15 @@ wide intermediates in VMEM per tile:
    the kernel emits both f32 words; the caller's only f64 work is the
    final cast-add-reduce over the small left group.
 
-**Measured outcome (v5e, 11^5, 1M points, chained-timing protocol):**
-accuracy matches the XLA digit-GEMM path exactly (1.67e-11
-scale-normalized deviation from true f64), but throughput does NOT beat
-it — ~4.0-5.3M queries/s (block 256-512) vs ~7.0M for the XLA
-path.  The MXU dot floor for the 31 digit-pair GEMMs (~11 MFLOP/point)
-plus per-tile overhead at the VMEM-feasible block sizes eats the fusion
-win.  Kept as a correct, tested alternative backend and as the
-committed record of the experiment; the XLA path stays the default
-(``ChebyshevApproximation.eval_batch_dd``).
+**Measured outcome (v5e, 11^5, 1M points, chained-timing protocol,
+with tensor-plane caching):** accuracy matches the XLA digit-GEMM path
+exactly (1.67e-11 scale-normalized deviation from true f64) and
+throughput is at parity — ~6.8M queries/s (blocks 256 and 512) vs
+~7.0M for the XLA path.  The MXU dot floor for the 31 digit-pair GEMMs
+(~11 MFLOP/point) dominates both backends, so keeping the pipeline in
+VMEM buys nothing further on this shape.  Kept as a correct, tested
+alternative backend and as the committed record of the experiment; the
+XLA path stays the default (``ChebyshevApproximation.eval_batch_dd``).
 
 Hard-won Mosaic notes encoded here: wrap ``pallas_call`` in
 ``jax.enable_x64(False)`` (index maps otherwise trace i64);
