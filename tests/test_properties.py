@@ -334,3 +334,31 @@ class TestCallerArrayIsolation:
         assert after_single == before_single
         assert after_batch == before_batch
         assert abs(after_single - after_batch) < 1e-12
+
+
+class TestHighDimensionalTT:
+    def test_10d_cross_build_and_reorder_invariance(self):
+        """A 10-D near-separable function builds from a few hundred
+        evaluations (vs 7^10 = 2.8e8 dense), and a full dim reorder
+        preserves every query (user-frame discipline)."""
+        D = 10
+
+        def f(p, _=None):
+            p = np.asarray(p)
+            return (np.exp(-np.sum(p ** 2, axis=1) / 4)
+                    + 0.1 * np.prod(np.cos(p[:, :3]), axis=1))
+
+        tt = ChebyshevTT(f, D, [[-1, 1]] * D, [7] * D, max_rank=8,
+                         tolerance=1e-8, vectorized=True)
+        tt.build(verbose=False, seed=3)
+        assert tt.total_build_evals < 10_000
+        assert tt.compression_ratio > 1e4
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (500, D))
+        base = tt.eval_batch(pts)
+        assert np.abs(base - f(pts)).max() < 1e-4
+
+        ro = tt.reorder(list(reversed(range(D))))
+        np.testing.assert_allclose(ro.eval_batch(pts), base,
+                                   rtol=1e-10, atol=1e-12)
