@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from pychebyshev_tpu import ChebyshevApproximation, ChebyshevTT
 from pychebyshev_tpu.serving import BatchedEvaluator
 
+from conftest import BS_DOMAIN_5D
+
 
 def f3(x, _):
     return math.sin(x[0]) + math.cos(x[1]) * x[2]
@@ -419,3 +421,29 @@ class TestMultiModelMesh:
             np.testing.assert_allclose(
                 out[i], m.vectorized_eval_batch(pts, [0, 0, 0]),
                 atol=1e-13)
+
+
+class TestMultiSpecEvaluator:
+    def test_matches_per_spec_evals(self, cheb_bs5d):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        import jax.numpy as jnp
+        specs = [[0] * 5, [1, 0, 0, 0, 0], [0, 0, 0, 1, 0],
+                 [2, 0, 0, 0, 0]]
+        engine = MultiSpecEvaluator(cheb_bs5d, specs, dtype=jnp.float64,
+                                    bucket_sizes=(64, 256))
+        engine.warmup()
+        rng = np.random.default_rng(4)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.05, 0.95, size=(77, 5))
+        out = engine(pts)
+        assert out.shape == (77, 4)
+        for m, spec in enumerate(specs):
+            expected = cheb_bs5d.vectorized_eval_batch(pts, list(spec))
+            np.testing.assert_allclose(out[:, m], expected, rtol=1e-11,
+                                       atol=1e-11)
+
+    def test_validation(self, cheb_bs5d):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        with pytest.raises(ValueError):
+            MultiSpecEvaluator(cheb_bs5d, [[0, 0]])   # wrong spec length
