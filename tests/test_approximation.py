@@ -441,6 +441,19 @@ class TestSerialization:
                 b = loaded.vectorized_eval(pt, orders)
                 assert a == b, (pt, orders, a - b)
 
+    def test_pickle_after_host_cache(self):
+        """Pickling AFTER the host eval cache is populated must work and
+        reproduce identical bits (the strong-ref caches are popped by
+        __getstate__ and rebuilt lazily on the loaded object)."""
+        import pickle
+
+        c = ChebyshevApproximation(
+            lambda x, _: x[0] ** 2, 1, [[-1, 1]], [5])
+        c.build(verbose=False)
+        before = c.vectorized_eval([0.3], [0])  # populates _host_cache
+        loaded = pickle.loads(pickle.dumps(c))
+        assert loaded.vectorized_eval([0.3], [0]) == before
+
     def test_binary_roundtrip(self, cheb_sin3d, tmp_path):
         p = tmp_path / "s.pcb"
         cheb_sin3d.save(p, format="binary")

@@ -264,6 +264,23 @@ class TestSerialization:
         assert abs(loaded.eval(pt, [0, 0])
                    - spline_2d.eval(pt, [0, 0])) < 1e-14
 
+    def test_pickle_after_masked_cache(self):
+        # Regression: eval_batch populates the strong-ref _masked_cache,
+        # which must be dropped by __getstate__ (device arrays and
+        # unpicklable handles live in it) and lazily rebuilt after load.
+        import pickle
+
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) + x[1], 2,
+            [[-1, 1], [0, 1]], [7, 7], [[0.0], []])
+        sp.build(verbose=False)
+        pts = np.column_stack(
+            [np.linspace(-0.9, 0.9, 32), np.linspace(0.1, 0.9, 32)])
+        before = sp.eval_batch(pts, [0, 0])
+        loaded = pickle.loads(pickle.dumps(sp))
+        after = loaded.eval_batch(pts, [0, 0])
+        np.testing.assert_array_equal(before, after)
+
     def test_binary_roundtrip(self, spline_2d, tmp_path):
         p = tmp_path / "sp.pcb"
         spline_2d.save(p, format="binary")
