@@ -633,6 +633,10 @@ class ChebyshevApproximation:
             derivative_order, derivative_id)
         return np.asarray(self.eval_batch_device(points, derivative_order))
 
+    # Alias so the batch entry point is spelled identically across all
+    # four interpolant families (spline/TT/slider expose eval_batch).
+    eval_batch = vectorized_eval_batch
+
     def eval_batch_device(self, points, derivative_order=None) -> jax.Array:
         """Device-resident batched evaluation (no host transfer)."""
         if self.tensor_values is None:

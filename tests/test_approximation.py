@@ -584,6 +584,39 @@ class TestErgonomics:
         assert abs(c.vectorized_eval(pt, [0, 0, 0])
                    - 2 * cheb_sin3d.vectorized_eval(pt, [0, 0, 0])) < 1e-12
 
+    def test_eval_batch_alias(self, cheb_sin3d):
+        # Common-surface contract: every family spells the batched entry
+        # point `eval_batch`; on the dense class it is an alias of
+        # vectorized_eval_batch.
+        assert (ChebyshevApproximation.eval_batch
+                is ChebyshevApproximation.vectorized_eval_batch)
+        pts = np.random.default_rng(0).uniform(-1, 1, (8, 3))
+        np.testing.assert_array_equal(
+            cheb_sin3d.eval_batch(pts, [0, 0, 0]),
+            cheb_sin3d.vectorized_eval_batch(pts, [0, 0, 0]))
+
+    def test_clone_inplace_cache_isolation(self):
+        """In-place algebra on a clone (or the original) must never leak
+        into the other object's results, including through the
+        identity-keyed host/device eval caches built before cloning."""
+        cheb = ChebyshevApproximation(
+            lambda x, _: np.sin(x[0]) * x[1], 2, [[-1, 1], [0, 2]], [9, 9])
+        cheb.build(verbose=False)
+        pts = np.column_stack(
+            [np.linspace(-0.9, 0.9, 16), np.linspace(0.1, 1.9, 16)])
+        a0 = cheb.eval_batch(pts, [0, 0])          # seeds device cache
+        h0 = cheb.vectorized_eval([0.3, 0.7], [0, 0])  # seeds host cache
+        other = cheb.clone()
+        other *= 2.0
+        np.testing.assert_array_equal(a0, cheb.eval_batch(pts, [0, 0]))
+        assert h0 == cheb.vectorized_eval([0.3, 0.7], [0, 0])
+        b1 = other.eval_batch(pts, [0, 0])
+        np.testing.assert_allclose(b1, 2 * a0, rtol=0, atol=1e-12)
+        cheb /= 4.0
+        np.testing.assert_array_equal(b1, other.eval_batch(pts, [0, 0]))
+        np.testing.assert_allclose(
+            cheb.eval_batch(pts, [0, 0]), a0 / 4, rtol=0, atol=1e-12)
+
     def test_typed_helpers(self):
         cheb = ChebyshevApproximation(
             sin_sum_3d, 3, Domain(bounds=[(-1, 1)] * 3),
