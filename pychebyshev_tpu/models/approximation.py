@@ -786,6 +786,11 @@ class ChebyshevApproximation:
         return [float(contract_from(spec, 0))
                 for spec in derivative_orders]
 
+    # Alias for cross-family symmetry (spline/TT/slider spell the
+    # multi-spec entry point eval_multi; reference ``barycentric.py``
+    # only has vectorized_eval_multi).
+    eval_multi = vectorized_eval_multi
+
     # ------------------------------------------------------------------
     # Derivative-id registry + ergonomics surface
     # ------------------------------------------------------------------

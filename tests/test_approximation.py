@@ -590,6 +590,8 @@ class TestErgonomics:
         # vectorized_eval_batch.
         assert (ChebyshevApproximation.eval_batch
                 is ChebyshevApproximation.vectorized_eval_batch)
+        assert (ChebyshevApproximation.eval_multi
+                is ChebyshevApproximation.vectorized_eval_multi)
         pts = np.random.default_rng(0).uniform(-1, 1, (8, 3))
         np.testing.assert_array_equal(
             cheb_sin3d.eval_batch(pts, [0, 0, 0]),
