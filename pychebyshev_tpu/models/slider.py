@@ -245,6 +245,11 @@ class ChebyshevSlider:
         """Multiple derivative specs at one point."""
         return [self.eval(point, do) for do in derivative_orders]
 
+    # Cross-family naming symmetry (the dense class spells these
+    # vectorized_*; reference slider.py has neither spelling batched).
+    vectorized_eval = eval
+    vectorized_eval_multi = eval_multi
+
     def eval_batch(self, points, derivative_order=None) -> np.ndarray:
         """Batched evaluation: one fused device call per slide.
 
@@ -298,6 +303,49 @@ class ChebyshevSlider:
         self._cached_error_estimate = sum(
             slide.error_estimate() for slide in self.slides)
         return self._cached_error_estimate
+
+    def sobol_indices(self) -> dict:
+        """Analytic Sobol indices from the additive decomposition.
+
+        Beyond reference (its ``slider.py`` has no sensitivity surface):
+        the slider form f ≈ const + Σ_G g_G(x_G) with independent inputs
+        makes cross-group interactions exactly zero, so the global
+        variance is the sum of per-slide variances and each slide's
+        internal Sobol structure (dense spectral formula,
+        ``utils.sensitivity``) scales by V_G / V_total.  Indices are
+        keyed by original dim index, matching the dense/TT surface.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before sobol_indices().")
+        from pychebyshev_tpu.utils.sensitivity import (
+            chebyshev_coefficient_tensor,
+            sobol_from_coeffs,
+        )
+        per_slide = [
+            sobol_from_coeffs(
+                chebyshev_coefficient_tensor(slide.tensor_values),
+                len(group))
+            for group, slide in zip(self.partition, self.slides)
+        ]
+        # sobol_from_coeffs variances carry the unnormalized Chebyshev
+        # measure mass pi^{ndim of that tensor}; divide it out so slides
+        # over different group sizes combine consistently.
+        v_norm = [res["variance"] / np.pi ** len(group)
+                  for group, res in zip(self.partition, per_slide)]
+        v_total_norm = sum(v_norm)
+        first = {}
+        total = {}
+        for group, res, v in zip(self.partition, per_slide, v_norm):
+            scale = v / v_total_norm if v_total_norm > 0 else 0.0
+            for j, d in enumerate(group):
+                first[d] = res["first_order"][j] * scale
+                total[d] = res["total_order"][j] * scale
+        return {
+            "first_order": dict(sorted(first.items())),
+            "total_order": dict(sorted(total.items())),
+            # report in the dense convention (mass pi^num_dimensions)
+            "variance": v_total_norm * np.pi ** self.num_dimensions,
+        }
 
     @property
     def total_build_evals(self) -> int:
@@ -368,6 +416,14 @@ class ChebyshevSlider:
     def get_max_derivative_order(self) -> int:
         """Maximum queryable derivative order."""
         return self.max_derivative_order
+
+    def get_special_points(self):
+        """Always None — sliders have no special-point surface."""
+        return None
+
+    def get_error_threshold(self):
+        """Always None — slider builds have no auto-N threshold mode."""
+        return None
 
     def get_num_evaluation_points(self) -> int:
         """Slide grid points (pivot singleton excluded)."""

@@ -693,6 +693,11 @@ class ChebyshevTT:
         return [self._eval_storage_frame(point_storage, ds)
                 for ds in derivs_storage]
 
+    # Cross-family naming symmetry with the dense class (reference
+    # tensor_train.py has neither vectorized_* spelling).
+    vectorized_eval = eval
+    vectorized_eval_multi = eval_multi
+
     # --- finite differences (storage frame) ---------------------------
 
     def _fd_step(self, d: int) -> float:
@@ -959,6 +964,15 @@ class ChebyshevTT:
     def get_max_derivative_order(self) -> int:
         """Maximum queryable derivative order (via eval_multi FD)."""
         return self.max_derivative_order
+
+    def get_special_points(self):
+        """Always None — TT grids have no special-point surface."""
+        return None
+
+    def get_error_threshold(self):
+        """Always None — TT builds target ``tolerance``, not the dense
+        auto-N error_threshold mode."""
+        return None
 
     def get_num_evaluation_points(self) -> int:
         """Full Cartesian grid size (TT-Cross samples a sparse subset;

@@ -88,3 +88,40 @@ def test_readme_slider_block():
     slider.build(verbose=False)
     val = slider.eval([0.5] * 10, [0] * 10)
     assert abs(val - f10([0.5] * 10, None)) < 1e-9
+
+
+COMMON_SURFACE = [
+    # docs/api/reference.md "Common surface" table — drift guard: every
+    # member named there must exist on all four interpolant classes.
+    "build", "eval", "vectorized_eval", "eval_batch",
+    "vectorized_eval_batch", "eval_multi", "vectorized_eval_multi",
+    "error_estimate", "sobol_indices", "extrude", "slice", "integrate",
+    "roots", "minimize", "maximize", "save", "load", "clone",
+    "set_descriptor", "get_descriptor", "get_constructor_type",
+    "get_used_ns", "get_max_derivative_order", "is_construction_finished",
+    "is_dimensionality_allowed", "get_special_points",
+    "get_error_threshold", "get_num_evaluation_points",
+    "get_evaluation_points", "get_derivative_id",
+    "plot_1d", "plot_2d_surface", "plot_2d_contour",
+    "__add__", "__sub__", "__mul__",
+    "__iadd__", "__isub__", "__imul__",
+]
+
+# Documented exceptions (see the table's cell notes): TT eval takes no
+# derivative args, so it has no derivative-id registry — reference
+# parity (its tensor_train.py lacks the registry too).
+SURFACE_EXCEPTIONS = {("ChebyshevTT", "get_derivative_id")}
+
+
+def test_common_surface_on_all_families():
+    from pychebyshev_tpu import (ChebyshevApproximation, ChebyshevSpline,
+                                 ChebyshevTT, ChebyshevSlider)
+    missing = [
+        (cls.__name__, name)
+        for cls in (ChebyshevApproximation, ChebyshevSpline,
+                    ChebyshevTT, ChebyshevSlider)
+        for name in COMMON_SURFACE
+        if not hasattr(cls, name)
+        and (cls.__name__, name) not in SURFACE_EXCEPTIONS
+    ]
+    assert not missing, f"docs/api/reference.md drift: {missing}"

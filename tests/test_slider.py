@@ -7,7 +7,7 @@ import pickle
 import numpy as np
 import pytest
 
-from pychebyshev_tpu import ChebyshevSlider
+from pychebyshev_tpu import ChebyshevApproximation, ChebyshevSlider
 
 
 def additive_3d(x, _):
@@ -296,3 +296,42 @@ class TestErgonomics:
         slider_3d.set_descriptor("")
         s = str(slider_3d)
         assert "ChebyshevSlider" in s and "Partition" in s
+
+
+class TestSobol:
+    def test_matches_dense_spectral(self):
+        """Additive structure => slider Sobol must equal the dense
+        spectral computation on the same function (cross-group
+        interactions are exactly zero)."""
+        f = lambda x, _: np.sin(x[0]) + x[1] ** 2 * x[2]
+        dom = [[-1, 1]] * 3
+        dense = ChebyshevApproximation(f, 3, dom, [9] * 3)
+        dense.build(verbose=False)
+        sl = ChebyshevSlider(f, 3, dom, [9] * 3, [[0], [1, 2]], [0.0] * 3)
+        sl.build(verbose=False)
+        ds, ss = dense.sobol_indices(), sl.sobol_indices()
+        for key in ("first_order", "total_order"):
+            for d in range(3):
+                assert abs(ds[key][d] - ss[key][d]) < 1e-10
+        assert abs(ds["variance"] - ss["variance"]) < 1e-9
+
+    def test_uneven_partition_scaled_domains(self):
+        f = lambda x, _: np.exp(x[0] * x[1]) + np.cos(x[2])
+        dom = [[-1, 1], [0, 2], [-0.5, 0.5]]
+        dense = ChebyshevApproximation(f, 3, dom, [11] * 3)
+        dense.build(verbose=False)
+        sl = ChebyshevSlider(f, 3, dom, [11] * 3, [[0, 1], [2]],
+                             [0.0, 1.0, 0.0])
+        sl.build(verbose=False)
+        ds, ss = dense.sobol_indices(), sl.sobol_indices()
+        for key in ("first_order", "total_order"):
+            for d in range(3):
+                assert abs(ds[key][d] - ss[key][d]) < 1e-9
+        assert abs(ds["variance"] - ss["variance"]) \
+            < 1e-8 * abs(ds["variance"])
+
+    def test_requires_build(self):
+        sl = ChebyshevSlider(lambda x, _: x[0], 2, [[-1, 1]] * 2,
+                             [5] * 2, [[0], [1]], [0.0, 0.0])
+        with pytest.raises(RuntimeError, match="build"):
+            sl.sobol_indices()
