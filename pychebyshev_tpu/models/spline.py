@@ -1272,62 +1272,67 @@ class ChebyshevSpline:
                    additional_data=None) -> "ChebyshevSpline":
         """Build a spline with knots auto-placed at detected kinks.
 
-        Scans each dim at midpoints of the others, clusters |second
-        difference| spikes above ``threshold_factor * mean``, keeps the
-        peak per cluster (capped per dim), then builds
-        (reference ``spline.py:2110-2226``).
+        Probes every dim along an axis-aligned line through the domain
+        center, locates |curvature| spikes (``> threshold_factor x`` the
+        dim's mean curvature), collapses each spike run to its strongest
+        sample, and uses the surviving abscissae (capped per dim) as
+        knots.  Behavioral parity target: reference ``spline.py:2110``.
         """
+        lows = np.array([d[0] for d in domain], dtype=np.float64)
+        highs = np.array([d[1] for d in domain], dtype=np.float64)
+        center = 0.5 * (lows + highs)
+
+        # One flat probe set covering all dims: row (d, s) varies dim d
+        # along its linspace abscissa with every other coordinate pinned
+        # at the domain center.
+        steps = np.linspace(0.0, 1.0, n_scan_points)
+        abscissae = lows[:, None] + steps[None, :] * (highs - lows)[:, None]
+        probes = np.broadcast_to(
+            center, (num_dimensions, n_scan_points, num_dimensions)
+        ).copy()
+        diag = np.arange(num_dimensions)
+        probes[diag, :, diag] = abscissae
+
+        samples = np.fromiter(
+            (function([float(c) for c in p], additional_data)
+             for p in probes.reshape(-1, num_dimensions)),
+            dtype=np.float64, count=num_dimensions * n_scan_points,
+        ).reshape(num_dimensions, n_scan_points)
+
+        finite_rows = np.isfinite(samples).all(axis=1)
+        if not finite_rows.all():
+            bad_dim = int(np.flatnonzero(~finite_rows)[0])
+            raise ValueError(
+                f"auto_knots scan produced non-finite samples while "
+                f"probing dim {bad_dim}; the target function must stay "
+                f"finite over the whole domain"
+            )
+
+        # Curvature proxy: |second difference| along each probe line.
+        # Thresholding against the mean (a median would vanish on
+        # piecewise-linear signals whose curvature is mostly exactly 0).
+        curvature = np.abs(np.diff(samples, n=2, axis=1))
+        run_gap = max(1, n_scan_points // (4 * max_knots_per_dim))
+
         knots = []
-        midpoint = [(d[0] + d[1]) / 2.0 for d in domain]
-
-        for dim_idx in range(num_dimensions):
-            lo, hi = domain[dim_idx]
-            xs = np.linspace(lo, hi, n_scan_points)
-            ys = np.empty(n_scan_points)
-            for i, x in enumerate(xs):
-                point = list(midpoint)
-                point[dim_idx] = float(x)
-                ys[i] = float(function(point, additional_data))
-
-            if not np.isfinite(ys).all():
-                raise ValueError(
-                    f"function returned non-finite values during scan on "
-                    f"dim {dim_idx}; auto_knots requires a finite-valued "
-                    f"function over the entire domain"
-                )
-
-            d2 = np.abs(np.diff(ys, n=2))
-            if len(d2) == 0:
+        for d in range(num_dimensions):
+            curv = curvature[d]
+            scale = float(curv.mean()) if curv.size else 0.0
+            spikes = (np.flatnonzero(curv > threshold_factor * scale)
+                      if scale > 0.0 else np.array([], dtype=int))
+            if spikes.size == 0:
                 knots.append([])
                 continue
-            # mean (not median): sparse-signal piecewise-linear inputs have
-            # almost all-zero second differences; median would be 0.
-            mean_d2 = float(np.mean(d2))
-            if mean_d2 == 0:
-                knots.append([])
-                continue
-
-            spike_indices = np.where(d2 > threshold_factor * mean_d2)[0]
-            if len(spike_indices) == 0:
-                knots.append([])
-                continue
-
-            # Cluster nearby spikes; keep the peak of each cluster.
-            cluster_radius = max(1, n_scan_points // (max_knots_per_dim * 4))
-            clusters = []
-            current = [int(spike_indices[0])]
-            for idx in spike_indices[1:]:
-                if int(idx) - current[-1] <= cluster_radius:
-                    current.append(int(idx))
-                else:
-                    clusters.append(current)
-                    current = [int(idx)]
-            clusters.append(current)
-
-            peaks = [max(c, key=lambda i: d2[i]) for c in clusters]
-            peaks.sort(key=lambda i: -d2[i])
-            peaks = peaks[:max_knots_per_dim]
-            knots.append(sorted(float(xs[i + 1]) for i in peaks))
+            # Split the spike indices into runs separated by > run_gap
+            # samples; each run contributes its strongest sample.
+            run_starts = np.flatnonzero(np.diff(spikes) > run_gap) + 1
+            reps = np.array([run[np.argmax(curv[run])]
+                             for run in np.split(spikes, run_starts)])
+            if reps.size > max_knots_per_dim:
+                strongest = np.argsort(curv[reps])[::-1][:max_knots_per_dim]
+                reps = reps[strongest]
+            # A spike at curvature index i peaks at sample i+1.
+            knots.append(sorted(float(x) for x in abscissae[d, reps + 1]))
 
         spl = cls(function, num_dimensions, domain,
                   n_nodes=[n_nodes_per_piece] * num_dimensions,

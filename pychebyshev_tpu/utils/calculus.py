@@ -34,32 +34,38 @@ def normalize_bounds(dims, bounds, domain, dim_labels=None):
     if bounds is None:
         return [None] * len(dims)
 
+    # A bare (lo, hi) pair is shorthand for a one-dim spec.
     if (isinstance(bounds, tuple) and len(bounds) == 2
             and not isinstance(bounds[0], (list, tuple))):
         bounds = [bounds]
 
     if len(bounds) != len(dims):
         raise ValueError(
-            f"bounds length {len(bounds)} != dims length {len(dims)}"
+            f"bounds length {len(bounds)} does not match the "
+            f"{len(dims)} integrated dims"
         )
 
-    result = []
-    for i, bd in enumerate(bounds):
-        if bd is None:
-            result.append(None)
-            continue
-        lo, hi = bd
-        label = dim_labels[i] if dim_labels is not None else dims[i]
-        if lo > hi:
-            raise ValueError(f"bounds lo={lo} > hi={hi} for dim {label}")
-        dom_lo, dom_hi = domain[dims[i]]
-        if lo < dom_lo - 1e-14 or hi > dom_hi + 1e-14:
+    labels = dims if dim_labels is None else dim_labels
+
+    def _one(spec, d, label):
+        if spec is None:
+            return None
+        lo, hi = spec
+        if hi < lo:
             raise ValueError(
-                f"bounds ({lo}, {hi}) outside domain [{dom_lo}, {dom_hi}] "
-                f"for dim {label}"
+                f"invalid sub-interval for dim {label}: lo={lo} > hi={hi}"
             )
-        result.append((max(lo, dom_lo), min(hi, dom_hi)))
-    return result
+        full_lo, full_hi = domain[d]
+        # 1e-14 slack absorbs representation noise at the domain edges.
+        if lo < full_lo - 1e-14 or hi > full_hi + 1e-14:
+            raise ValueError(
+                f"dim {label}: bounds ({lo}, {hi}) extend outside domain "
+                f"[{full_lo}, {full_hi}]"
+            )
+        return (max(lo, full_lo), min(hi, full_hi))
+
+    return [_one(spec, d, label)
+            for spec, d, label in zip(bounds, dims, labels)]
 
 
 def roots_1d(values, domain) -> np.ndarray:
@@ -74,23 +80,27 @@ def roots_1d(values, domain) -> np.ndarray:
     from pychebyshev_tpu.ops.dct import _coeff_matrix_np
 
     values = np.asarray(values, dtype=np.float64)
-    coeffs = _coeff_matrix_np(len(values)) @ values
-    raw = chebroots(coeffs)
+    candidates = np.atleast_1d(
+        chebroots(_coeff_matrix_np(values.size) @ values)
+    )
 
+    # Vectorized filter: nearly-real eigenvalues landing in [-1, 1]
+    # (with tol slack on both tests), snapped onto the interval.
     tol = 1e-10
-    real = [np.clip(r.real, -1.0, 1.0) for r in raw
-            if abs(r.imag) < tol and -1.0 - tol <= r.real <= 1.0 + tol]
-    if not real:
+    keep = ((np.abs(candidates.imag) < tol)
+            & (candidates.real >= -1.0 - tol)
+            & (candidates.real <= 1.0 + tol))
+    t = np.clip(candidates.real[keep], -1.0, 1.0)
+    if t.size == 0:
         return np.array([], dtype=float)
 
     a, b = domain
-    physical = np.sort(0.5 * (a + b) + 0.5 * (b - a) * np.array(real))
-    if len(physical) > 1:
-        mask = np.concatenate(
-            [[True], np.diff(physical) > 1e-10 * (b - a + 1)]
-        )
-        physical = physical[mask]
-    return physical
+    xs = np.sort((a + b + (b - a) * t) / 2.0)
+    # The colleague matrix can report one root twice; collapse
+    # neighbours closer than a domain-scaled tolerance.
+    survivors = np.ones(xs.size, dtype=bool)
+    survivors[1:] = np.diff(xs) > 1e-10 * (abs(b - a) + 1.0)
+    return xs[survivors]
 
 
 def optimize_1d(values, nodes, bary_weights, diff_matrix, domain,
@@ -130,37 +140,36 @@ def validate_calculus_args(ndim, dim, fixed, domain):
     Returns ``(dim, slice_params)`` where slice_params fixes every other
     dimension.
     """
+    fixed = dict(fixed) if fixed else {}
+
     if ndim == 1:
-        dim = 0 if dim is None else dim
-        if dim != 0:
+        if dim not in (None, 0):
             raise ValueError(f"dim must be 0 for 1-D interpolant, got {dim}")
-        if fixed and len(fixed) > 0:
+        if fixed:
             raise ValueError("fixed must be empty for 1-D interpolant")
-        return dim, []
+        return 0, []
 
     if dim is None:
         raise ValueError("dim is required for multi-D interpolant")
-    if dim < 0 or dim >= ndim:
+    if not 0 <= dim < ndim:
         raise ValueError(f"dim {dim} out of range [0, {ndim - 1}]")
 
-    fixed = fixed or {}
-    expected = set(range(ndim)) - {dim}
-    provided = set(fixed.keys())
-    if provided != expected:
-        missing = expected - provided
+    required = set(range(ndim)) - {dim}
+    if set(fixed) != required:
         raise ValueError(
-            f"fixed must specify all dims except {dim}; missing {missing}"
+            f"fixed must pin every dim except {dim}; "
+            f"missing {required - set(fixed)}"
         )
 
-    slice_params = []
-    for d, v in fixed.items():
-        lo, hi = domain[d]
-        if v < lo or v > hi:
-            raise ValueError(
-                f"Fixed value {v} for dim {d} outside domain [{lo}, {hi}]"
-            )
-        slice_params.append((d, v))
-    return dim, slice_params
+    out_of_domain = [(d, v) for d, v in fixed.items()
+                     if not domain[d][0] <= v <= domain[d][1]]
+    if out_of_domain:
+        d, v = out_of_domain[0]
+        raise ValueError(
+            f"Fixed value {v} for dim {d} outside domain "
+            f"[{domain[d][0]}, {domain[d][1]}]"
+        )
+    return dim, list(fixed.items())
 
 
 def slider_partition_intersect(group_dims, integrate_dims):

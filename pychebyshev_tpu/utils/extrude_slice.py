@@ -16,39 +16,48 @@ __all__ = [
 ]
 
 
+def _as_spec_list(params, arity):
+    """Lift a bare ``arity``-tuple into a one-spec list; tuple-ify entries."""
+    if (isinstance(params, tuple) and len(params) == arity
+            and isinstance(params[0], (int, np.integer))):
+        return [tuple(params)]
+    return [tuple(p) for p in params]
+
+
+def _check_dim_indices(indices, upper):
+    """Every index must be an int, lie in ``[0, upper)``, and be unique."""
+    counts = {}
+    for ix in indices:
+        if not isinstance(ix, (int, np.integer)):
+            raise TypeError(
+                f"dim_index must be int, got {type(ix).__name__}"
+            )
+        if not 0 <= ix < upper:
+            raise ValueError(
+                f"dim_index {ix} out of range [0, {upper - 1}]"
+            )
+        counts[ix] = counts.get(ix, 0) + 1
+    for ix, count in counts.items():
+        if count > 1:
+            raise ValueError(f"Duplicate dim_index {ix}")
+
+
 def normalize_extrusion_params(params, ndim):
     """Validate extrusion params; return list sorted ascending by dim_index.
 
     Accepts a single ``(dim_idx, (lo, hi), n)`` tuple or a list of them.
+    Indices refer to positions in the *extruded* (ndim + len) tensor.
     """
-    if (isinstance(params, tuple) and len(params) == 3
-            and isinstance(params[0], (int, np.integer))):
-        params = [params]
-    params = [tuple(p) for p in params]
-
-    new_ndim = ndim + len(params)
-    seen = set()
-    for dim_idx, bounds, n in params:
-        if not isinstance(dim_idx, (int, np.integer)):
-            raise TypeError(
-                f"dim_index must be int, got {type(dim_idx).__name__}"
-            )
-        if dim_idx < 0 or dim_idx >= new_ndim:
+    specs = _as_spec_list(params, 3)
+    _check_dim_indices([s[0] for s in specs], ndim + len(specs))
+    for _ix, (lo, hi), n in specs:
+        if not lo < hi:
             raise ValueError(
-                f"dim_index {dim_idx} out of range [0, {new_ndim - 1}]"
-            )
-        if dim_idx in seen:
-            raise ValueError(f"Duplicate dim_index {dim_idx}")
-        seen.add(dim_idx)
-        lo, hi = bounds
-        if lo >= hi:
-            raise ValueError(
-                f"Domain bounds must satisfy lo < hi, got [{lo}, {hi}]"
+                f"extrusion bounds [{lo}, {hi}] invalid: lo must be < hi"
             )
         if not isinstance(n, (int, np.integer)) or n < 2:
-            raise ValueError(f"n_nodes must be int >= 2, got {n}")
-
-    return sorted(params, key=lambda p: p[0])
+            raise ValueError(f"n_nodes must be an int >= 2, got {n!r}")
+    return sorted(specs, key=lambda s: s[0])
 
 
 def normalize_slicing_params(params, ndim):
@@ -57,31 +66,13 @@ def normalize_slicing_params(params, ndim):
 
     Accepts a single ``(dim_idx, value)`` tuple or a list of them.
     """
-    if (isinstance(params, tuple) and len(params) == 2
-            and isinstance(params[0], (int, np.integer))):
-        params = [params]
-    params = [tuple(p) for p in params]
-
-    if len(params) >= ndim:
+    specs = _as_spec_list(params, 2)
+    if len(specs) >= ndim:
         raise ValueError(
             f"Cannot slice all {ndim} dimensions (would produce 0D result)"
         )
-
-    seen = set()
-    for dim_idx, _value in params:
-        if not isinstance(dim_idx, (int, np.integer)):
-            raise TypeError(
-                f"dim_index must be int, got {type(dim_idx).__name__}"
-            )
-        if dim_idx < 0 or dim_idx >= ndim:
-            raise ValueError(
-                f"dim_index {dim_idx} out of range [0, {ndim - 1}]"
-            )
-        if dim_idx in seen:
-            raise ValueError(f"Duplicate dim_index {dim_idx}")
-        seen.add(dim_idx)
-
-    return sorted(params, key=lambda p: p[0], reverse=True)
+    _check_dim_indices([s[0] for s in specs], ndim)
+    return sorted(specs, key=lambda s: s[0], reverse=True)
 
 
 def extrude_tensor(tensor, axis, n_new):
