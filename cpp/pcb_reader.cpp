@@ -267,6 +267,14 @@ std::vector<double> barycentric_weights(const std::vector<double>& nodes) {
     for (size_t j = 0; j < n; j++) {
       if (j != i) w[i] /= (nodes[i] - nodes[j]);
     }
+    // A crafted/collapsed domain can make nodes coincide in f64; the
+    // weight blows up to inf/NaN (or underflows to 0) and every query
+    // would silently return NaN. Mirror the library's load-time gate.
+    if (!std::isfinite(w[i]) || w[i] == 0.0) {
+      throw PcbError(ErrorCode::InvalidField,
+                     "degenerate grid: coinciding Chebyshev nodes give "
+                     "non-finite barycentric weights");
+    }
   }
   return w;
 }

@@ -130,6 +130,13 @@ static int regen_grid(struct pcb_approx *a) {
             for (uint32_t j = 0; j < n; j++)
                 if (j != i) p *= x[i] - x[j];
             w[i] = 1.0 / p;
+            /* collapsed/crafted domains coincide nodes in f64 and the
+             * weights go inf/NaN (or underflow to 0): reject the file
+             * instead of answering every query with NaN. */
+            if (!isfinite(w[i]) || w[i] == 0.0) {
+                free(x); free(w);
+                return -2;
+            }
         }
         a->nodes[k] = x;
         a->weights[k] = w;
@@ -181,7 +188,11 @@ static enum pcb_status pcb_load(const char *path, struct pcb_approx *a) {
     if (rd_f64_vec(f, a->tensor, total))         { st = PCB_ERR_TRUNCATED; goto done; }
     if (fgetc(f) != EOF)                         { st = PCB_ERR_FIELD; goto done; }
 
-    if (regen_grid(a))                           { st = PCB_ERR_OOM; goto done; }
+    {
+        int rg = regen_grid(a);
+        if (rg == -2)                            { st = PCB_ERR_FIELD; goto done; }
+        if (rg)                                  { st = PCB_ERR_OOM; goto done; }
+    }
 done:
     fclose(f);
     return st;

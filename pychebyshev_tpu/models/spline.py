@@ -394,15 +394,14 @@ class ChebyshevSpline:
             derivative_order, derivative_id)
         points = np.asarray(points, dtype=float)
 
-        import jax.numpy as jnp
         from pychebyshev_tpu.ops import spline_eval
         if (not is_nested_n_nodes(self.n_nodes)
                 and len(self._pieces) <= spline_eval.MASKED_MAX_PIECES):
             # The cache holds strong references to the keyed piece
             # tensors and validates with `is` — immutable arrays +
             # attribute rebinding make that sound (id()-keyed caches
-            # could go stale through id reuse after GC).  Knots and
-            # strides are build-time constants cached alongside.
+            # could go stale through id reuse after GC).  Strides are
+            # build-time constants cached alongside.
             key = tuple(p.tensor_values for p in self._pieces)
             cache = getattr(self, "_masked_cache", None)
             if (cache is None or len(cache[0]) != len(key)
@@ -410,18 +409,17 @@ class ChebyshevSpline:
                 cache = (
                     key,
                     spline_eval.stack_pieces(self._pieces),
-                    tuple(jnp.asarray(k, jnp.float64)
-                          for k in self.knots),
-                    tuple(int(np.prod(self._shape[d + 1:],
-                                      dtype=np.int64))
-                          for d in range(self.num_dimensions)),
+                    spline_eval.piece_strides(
+                        [len(k) for k in self.knots]),
                 )
                 self._masked_cache = cache
-            _, stacked, knots, strides = cache
+            _, stacked, strides = cache
             tensors, nodes, weights, diffs = stacked
+            flat = spline_eval.route_piece_indices(
+                self.knots, strides, points)
             out = spline_eval.masked_eval_batch(
-                tensors, nodes, weights, diffs, knots, strides,
-                points, tuple(int(o) for o in derivative_order))
+                tensors, nodes, weights, diffs, flat, points,
+                tuple(int(o) for o in derivative_order))
             return np.asarray(out)
 
         n = points.shape[0]

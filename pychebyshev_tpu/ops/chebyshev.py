@@ -53,12 +53,26 @@ def nodes_for_dim_np(lo, hi, n: int):
 
 
 def barycentric_weights_np(nodes):
-    """Host-side :func:`barycentric_weights`."""
+    """Host-side :func:`barycentric_weights`.
+
+    Rejects degenerate node sets (coinciding nodes from a crafted or
+    near-collapsed domain, f64 over/underflow of the weight products)
+    with a ValueError instead of silently emitting inf/NaN weights —
+    this is the load-time finiteness gate for ``from_values`` /
+    ``read_approx`` / ``read_spline``.
+    """
     import numpy as np
     nodes = np.asarray(nodes, dtype=np.float64)
     diff = nodes[:, None] - nodes[None, :]
     np.fill_diagonal(diff, 1.0)
-    w = 1.0 / np.prod(diff, axis=1)
+    prod = np.prod(diff, axis=1)
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        w = 1.0 / prod
+    if not np.isfinite(w).all() or (w == 0.0).any():
+        raise ValueError(
+            "degenerate Chebyshev grid: coinciding nodes (collapsed "
+            "domain?) give non-finite barycentric weights"
+        )
     # Power-of-two normalization (see barycentric_weights): exact, and
     # keeps narrow-domain weights inside f32 range for the device.
     return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))

@@ -310,9 +310,15 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
     Without the cache every call pays a device->host tensor readback
     (~30 ms over a relayed TPU), the host digit loops, and the re-upload.
     """
+    # diff_matrices participate in the key (identity-wise): the same
+    # tensor object evaluated under two different grids with orders>0
+    # must not reuse the other grid's pre-differentiated planes.
+    diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
     for entry in _plane_cache:
-        if entry[0] is tensor and entry[1] == orders:
-            return entry[2], entry[3]
+        if (entry[0] is tensor and entry[1] == orders
+                and len(entry[2]) == len(diffs_key)
+                and all(a is b for a, b in zip(entry[2], diffs_key))):
+            return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_t = plan["b_t"]
@@ -337,7 +343,8 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
                                                        jnp.bfloat16)
         for js in plan["js_by_i"])
 
-    _plane_cache.insert(0, (tensor, orders, t_scale, tensor_planes))
+    _plane_cache.insert(0, (tensor, orders, diffs_key, t_scale,
+                            tensor_planes))
     del _plane_cache[_PLANE_CACHE_SLOTS:]
     return t_scale, tensor_planes
 

@@ -309,9 +309,14 @@ _plane_cache: list = []
 def _tensor_planes_padded(tensor, diff_matrices, orders, plan):
     """(t_scale, per-row-plane concatenated bf16 planes with 128-aligned
     column blocks), cached — avoids a per-call tensor readback."""
+    # diff_matrices join the key identity-wise (same tensor under two
+    # grids with orders>0 must not share pre-differentiated planes).
+    diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
     for entry in _plane_cache:
-        if entry[0] is tensor and entry[1] == orders:
-            return entry[2], entry[3]
+        if (entry[0] is tensor and entry[1] == orders
+                and len(entry[2]) == len(diffs_key)
+                and all(a is b for a, b in zip(entry[2], diffs_key))):
+            return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_t = plan["b_t"]
@@ -338,7 +343,7 @@ def _tensor_planes_padded(tensor, diff_matrices, orders, plan):
                                  jnp.bfloat16))
     tcats = tuple(tcats)
 
-    _plane_cache.insert(0, (tensor, orders, t_scale, tcats))
+    _plane_cache.insert(0, (tensor, orders, diffs_key, t_scale, tcats))
     del _plane_cache[_PLANE_CACHE_SLOTS:]
     return t_scale, tcats
 

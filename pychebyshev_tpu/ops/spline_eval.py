@@ -7,21 +7,26 @@ spline throughput craters to ~0.3M queries/s while the dense kernel
 does 60M+.
 
 This path instead evaluates **every piece for every point in one
-vmapped dispatch** and selects by the on-device routing index:
+dispatch** and selects by the routing index:
 
-- cell indices per dim come from ``jnp.searchsorted`` on the knots;
+- piece routing runs on the HOST in full f64 (``np.searchsorted`` per
+  dim over the knots — the reference's own routing rule,
+  ``spline.py:414-445``), so an f32 serving engine can never
+  mis-route a point that sits within f32 eps of a knot;
 - the per-piece grids (nodes / weights / differentiation matrices) are
   stacked once into (P, n) / (P, n, n) arrays;
 - ``vmap`` over the piece axis runs the same fused dense kernel the
-  single-tensor path uses;
-- ``take_along_axis`` picks each point's own piece.
+  single-tensor path uses, in groups of ``MASKED_GROUP`` pieces so the
+  transient (G, N) buffers stay bounded for large piece counts;
+- ``take_along_axis`` + masked accumulation picks each point's piece.
 
-Work is P x one dense evaluation, which for the typical small piece
-counts (a kink or two per dimension) is far cheaper than P dispatches:
-measured ~50-100x over the host-routed path at P = 2.  The host path
-remains for nested ``n_nodes`` and for very large piece counts, where
-masking would waste more than routing costs
-(``_MASKED_MAX_PIECES``).
+Work is P x one dense evaluation in ONE dispatch, vs 1x the work in P
+dispatches for the host-routed path.  On the relayed TPU each dispatch
+costs ~1-2 ms, so masking wins while P x (batch work) is below
+~P_crossover dispatch overheads; measured at the 1M-point bucket the
+masked path stays ahead of host routing up to ``MASKED_MAX_PIECES``
+pieces (see docs/performance.md).  The host path remains for nested
+``n_nodes`` and beyond the crossover.
 
 Results are numerically identical to the routed path: every point's
 value comes from the same per-piece kernel either way.
@@ -30,7 +35,7 @@ value comes from the same per-piece kernel either way.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax
@@ -38,53 +43,95 @@ import jax.numpy as jnp
 
 from pychebyshev_tpu.ops import eval as eval_ops
 
-__all__ = ["masked_eval_batch", "MASKED_MAX_PIECES", "stack_pieces"]
+__all__ = ["masked_eval_batch", "route_piece_indices", "piece_strides",
+           "MASKED_MAX_PIECES", "MASKED_GROUP", "stack_pieces"]
 
-MASKED_MAX_PIECES = 16
+# Crossover vs the host-routed per-piece path (dispatch-bound on the
+# relayed TPU); beyond this the P x work overtakes P dispatch overheads.
+MASKED_MAX_PIECES = 64
+# Pieces evaluated per unrolled vmap group inside the single dispatch.
+MASKED_GROUP = 16
 
 
-def stack_pieces(pieces):
+def stack_pieces(pieces, dtype=None):
     """Stack per-piece grid data: (P, *grid) tensor + per-dim (P, n)
     nodes/weights and (P, n, n) differentiation matrices."""
-    tensors = jnp.stack([p.tensor_values for p in pieces])
+    cast = (lambda a: jnp.asarray(a)) if dtype is None else (
+        lambda a: jnp.asarray(a, dtype))
+    tensors = jnp.stack([cast(p.tensor_values) for p in pieces])
     d = pieces[0].num_dimensions
-    nodes = tuple(jnp.stack([p.nodes[k] for p in pieces])
+    nodes = tuple(jnp.stack([cast(p.nodes[k]) for p in pieces])
                   for k in range(d))
-    weights = tuple(jnp.stack([p.weights[k] for p in pieces])
+    weights = tuple(jnp.stack([cast(p.weights[k]) for p in pieces])
                     for k in range(d))
-    diffs = tuple(jnp.stack([p.diff_matrices[k] for p in pieces])
+    diffs = tuple(jnp.stack([cast(p.diff_matrices[k]) for p in pieces])
                   for k in range(d))
     return tensors, nodes, weights, diffs
 
 
-@functools.partial(jax.jit, static_argnames=("orders", "strides"))
-def masked_eval_batch(tensors, nodes, weights, diffs, knots,
-                      strides: Tuple[int, ...], points,
+def piece_strides(knot_counts: Sequence[int]) -> Tuple[int, ...]:
+    """C-order ravel strides of the piece grid with ``k_d + 1`` pieces
+    per dim."""
+    shape = [k + 1 for k in knot_counts]
+    return tuple(int(np.prod(shape[d + 1:], dtype=np.int64))
+                 for d in range(len(shape)))
+
+
+def route_piece_indices(knots, strides: Sequence[int], points) -> np.ndarray:
+    """Host-side f64 piece routing: flat C-order piece index per point.
+
+    ``side='right'`` matches the reference's ``_find_piece``; points at
+    a knot belong to the right piece, points outside the domain clamp
+    to the boundary pieces naturally (searchsorted saturates).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    flat = np.zeros(pts.shape[0], dtype=np.int32)
+    for d, kn in enumerate(knots):
+        kn = np.asarray(kn, dtype=np.float64)
+        if kn.size:
+            cell = np.searchsorted(kn, pts[:, d], side="right")
+            flat += cell.astype(np.int32) * np.int32(strides[d])
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("orders",))
+def masked_eval_batch(tensors, nodes, weights, diffs, flat, points,
                       orders: Tuple[int, ...]) -> jax.Array:
-    """All-pieces evaluation + on-device routing selection.
+    """All-pieces evaluation + routing selection, one dispatch.
 
     Parameters
     ----------
-    tensors : (P, n_0, ..., n_{d-1}) stacked piece values.
+    tensors : (P, n_0, ..., n_{d-1}) stacked piece values (any float
+        dtype; sets the evaluation dtype).
     nodes/weights : per-dim tuples of (P, n_k) stacked grids.
     diffs : per-dim tuple of (P, n_k, n_k) differentiation matrices.
-    knots : per-dim tuple of (k_d,) knot arrays (empty allowed).
-    strides : C-order ravel strides of the piece grid (static).
-    points : (N, d) queries.
+    flat : (N,) int32 flat piece index per point (host-routed in f64,
+        :func:`route_piece_indices`).
+    points : (N, d) queries (cast to the tensor dtype on device).
     orders : static per-dim derivative orders.
     """
-    pts = jnp.asarray(points)
-    n = pts.shape[0]
-
-    flat = jnp.zeros((n,), dtype=jnp.int32)
-    for dim, kn in enumerate(knots):
-        if kn.shape[0] == 0:
-            continue
-        c = jnp.searchsorted(kn, pts[:, dim], side="right")
-        flat = flat + c.astype(jnp.int32) * np.int32(strides[dim])
+    pts = jnp.asarray(points, dtype=tensors.dtype)
+    flat = jnp.asarray(flat, dtype=jnp.int32)
+    n_pieces = tensors.shape[0]
 
     def one_piece(tensor, nds, ws, ds):
         return eval_ops.eval_batch(tensor, nds, ws, ds, pts, orders)
 
-    per_piece = jax.vmap(one_piece)(tensors, nodes, weights, diffs)
-    return jnp.take_along_axis(per_piece, flat[None, :], axis=0)[0]
+    vm = jax.vmap(one_piece)
+    if n_pieces <= MASKED_GROUP:
+        per_piece = vm(tensors, nodes, weights, diffs)
+        return jnp.take_along_axis(per_piece, flat[None, :], axis=0)[0]
+
+    # Group-chunked accumulation: bounded (G, N) transients, still one
+    # compiled dispatch (the Python loop unrolls under jit).
+    acc = jnp.zeros(pts.shape[0], dtype=tensors.dtype)
+    for lo in range(0, n_pieces, MASKED_GROUP):
+        hi = min(lo + MASKED_GROUP, n_pieces)
+        sub = vm(tensors[lo:hi],
+                 tuple(a[lo:hi] for a in nodes),
+                 tuple(a[lo:hi] for a in weights),
+                 tuple(a[lo:hi] for a in diffs))
+        sel = jnp.clip(flat - lo, 0, hi - lo - 1)
+        vals = jnp.take_along_axis(sub, sel[None, :], axis=0)[0]
+        acc = jnp.where((flat >= lo) & (flat < hi), vals, acc)
+    return acc

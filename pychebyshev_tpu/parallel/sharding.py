@@ -79,6 +79,13 @@ def build_tensor_sharded(function: Callable, domain, n_nodes,
     the (replicated) value tensor.
     """
     grid = full_grid(domain, n_nodes)
+    n = grid.shape[0]
+    pad = -n % mesh.shape[axis_name]
+    if pad:
+        # Grid size rarely divides the mesh axis; replicate the first
+        # point into the tail so the shard split is even, drop after.
+        grid = jnp.concatenate(
+            [grid, jnp.broadcast_to(grid[:1], (pad, grid.shape[1]))])
     grid = jax.device_put(grid, NamedSharding(mesh, P(axis_name, None)))
 
     @jax.jit
@@ -86,7 +93,7 @@ def build_tensor_sharded(function: Callable, domain, n_nodes,
         return function(points, additional_data)
 
     values = _eval(grid)
-    replicated = jax.device_put(values, NamedSharding(mesh, P()))
+    replicated = jax.device_put(values, NamedSharding(mesh, P()))[:n]
     return replicated.reshape(tuple(int(n) for n in n_nodes))
 
 
@@ -113,10 +120,18 @@ def eval_batch_dp(tensor, nodes, weights, diff_matrices, points,
     nodes = tuple(jax.device_put(n, replicate) for n in nodes)
     weights = tuple(jax.device_put(w, replicate) for w in weights)
     diffs = tuple(jax.device_put(d, replicate) for d in diff_matrices)
-    points = jax.device_put(jnp.asarray(points, dtype=jnp.float64),
-                            NamedSharding(mesh, P(axis_name, None)))
-    return eval_ops.eval_batch(tensor, nodes, weights, diffs, points,
-                               orders)
+    points = jnp.asarray(points, dtype=jnp.float64)
+    n = points.shape[0]
+    pad = -n % mesh.shape[axis_name]
+    if pad:
+        # Uneven batches pad with the first point (always valid) so the
+        # dp split is even; the tail is dropped from the result.
+        points = jnp.concatenate(
+            [points, jnp.broadcast_to(points[:1], (pad, points.shape[1]))])
+    points = jax.device_put(points, NamedSharding(mesh, P(axis_name, None)))
+    out = eval_ops.eval_batch(tensor, nodes, weights, diffs, points,
+                              orders)
+    return out[:n] if pad else out
 
 
 def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
@@ -148,6 +163,33 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
     nodes = tuple(jnp.asarray(n) for n in nodes)
     weights = tuple(jnp.asarray(w) for w in weights)
     diffs = tuple(jnp.asarray(m) for m in diff_matrices)
+
+    # Uneven shapes pad transparently (VERDICT r2 #4):
+    # - grid axis 0 pads with zero-weight sentinel nodes: w=0 rows
+    #   contribute exactly 0 to numerator and denominator, a far-away
+    #   sentinel node can never trip the exact-node test, and zero
+    #   rows/cols in D and zero tensor slabs keep derivative passes
+    #   exact — so the padded contraction is bit-identical in effect;
+    # - the query batch pads with the first point, dropped at the end.
+    n0 = tensor.shape[0]
+    pad0 = -n0 % mesh.shape[tp_axis]
+    if pad0:
+        tensor = jnp.concatenate(
+            [tensor, jnp.zeros((pad0,) + tensor.shape[1:], tensor.dtype)])
+        nodes = (jnp.concatenate(
+            [nodes[0], jnp.full((pad0,), 1e300, nodes[0].dtype)]),
+        ) + nodes[1:]
+        weights = (jnp.concatenate(
+            [weights[0], jnp.zeros((pad0,), weights[0].dtype)]),
+        ) + weights[1:]
+        dm = jnp.zeros((n0 + pad0, n0 + pad0), diffs[0].dtype)
+        diffs = (dm.at[:n0, :n0].set(diffs[0]),) + diffs[1:]
+
+    nb = points.shape[0]
+    padb = -nb % mesh.shape[dp_axis]
+    if padb:
+        points = jnp.concatenate(
+            [points, jnp.broadcast_to(points[:1], (padb, d))])
 
     tensor_spec = P(tp_axis, *([None] * (d - 1)))
     in_specs = (
@@ -218,5 +260,6 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         _kernel, mesh=mesh, in_specs=in_specs, out_specs=P(dp_axis),
         check_vma=False,
     )
-    return sharded(tensor, nodes[0], weights[0], diffs[0], other_nodes,
-                   other_weights, other_diffs, points)
+    out = sharded(tensor, nodes[0], weights[0], diffs[0], other_nodes,
+                  other_weights, other_diffs, points)
+    return out[:nb] if padb else out

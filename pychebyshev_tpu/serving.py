@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BatchedEvaluator", "MultiModelEvaluator"]
+__all__ = ["BatchedEvaluator", "MultiModelEvaluator",
+           "MultiSpecEvaluator"]
 
 _DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
 
@@ -147,8 +148,9 @@ class BatchedEvaluator:
                     tuple(jnp.stack([p[3][k] for p in self._piece_arrays])
                           for k in range(self.num_dimensions)),
                 )
-                self._knots_dev = tuple(jnp.asarray(k, self.dtype)
-                                        for k in self._knots)
+                # Routing stays host-side in f64 (route_piece_indices):
+                # an f32 engine must never mis-route a point sitting
+                # within f32 eps of a knot.
                 self._strides = tuple(
                     int(np.prod(self._pshape[d + 1:], dtype=np.int64))
                     for d in range(self.num_dimensions))
@@ -236,7 +238,12 @@ class BatchedEvaluator:
                               self._diffs, points, self._orders)
         if self._kind == "spline":
             if getattr(self, "_spline_stacked", None) is not None:
-                return self._run_spline_masked(points)
+                flat = np.zeros(points.shape[0], dtype=np.int32)
+                if self._mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    flat = jax.device_put(flat, NamedSharding(
+                        self._mesh, PartitionSpec(self._data_axis)))
+                return self._run_spline_masked(points, flat)
             return self._run_piece(points, 0)
         if self._kind == "slider":
             return self._run_slider(points)
@@ -297,19 +304,34 @@ class BatchedEvaluator:
                         f"may differ at this point."
                     )
 
-    def _run_spline_masked(self, points: jax.Array) -> jax.Array:
-        """One dispatch per bucket: all pieces evaluated, on-device
-        routing selects (``ops.spline_eval``); pieces' derivative
+    def _run_spline_masked(self, points: jax.Array,
+                           flat: np.ndarray) -> jax.Array:
+        """One dispatch per bucket: all pieces evaluated, host-routed
+        (f64) indices select (``ops.spline_eval``); pieces' derivative
         passes were hoisted at engine construction."""
         from pychebyshev_tpu.ops.spline_eval import masked_eval_batch
         tensors, nodes, weights, diffs = self._spline_stacked
         return masked_eval_batch(tensors, nodes, weights, diffs,
-                                 self._knots_dev, self._strides, points,
-                                 self._orders)
+                                 flat, points, self._orders)
 
-    def _bucketed(self, points: np.ndarray, runner) -> np.ndarray:
+    def _route_chunk(self, chunk: np.ndarray) -> tuple:
+        """Host f64 piece routing for one padded chunk (spline masked).
+        Under a mesh the indices are sharded like the points so the
+        selection gather stays local to each shard."""
+        from pychebyshev_tpu.ops.spline_eval import route_piece_indices
+        flat = route_piece_indices(self._knots, self._strides, chunk)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            flat = jax.device_put(flat, NamedSharding(
+                self._mesh, PartitionSpec(self._data_axis)))
+        return (flat,)
+
+    def _bucketed(self, points: np.ndarray, runner,
+                  host_aux=None) -> np.ndarray:
         """Feed ``points`` through ``runner`` in padded compiled buckets
-        (the one bucket/pad/place loop every serving path shares)."""
+        (the one bucket/pad/place loop every serving path shares).
+        ``host_aux(chunk)``, when given, contributes extra per-chunk
+        runner args computed host-side from the padded f64 chunk."""
         n = points.shape[0]
         out = np.empty(n, dtype=self.dtype)
         max_bucket = self.bucket_sizes[-1]
@@ -323,7 +345,9 @@ class BatchedEvaluator:
                 pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
                                                  self.num_dimensions))
                 chunk = np.concatenate([chunk, pad], axis=0)
-            result = runner(self._place(jnp.asarray(chunk, self.dtype)))
+            aux = () if host_aux is None else host_aux(chunk)
+            result = runner(self._place(jnp.asarray(chunk, self.dtype)),
+                            *aux)
             out[start:stop] = np.asarray(result)[:stop - start]
             start = stop
         return out
@@ -331,7 +355,8 @@ class BatchedEvaluator:
     def _call_spline(self, points: np.ndarray) -> np.ndarray:
         self._check_knot_boundary_batch(points)
         if getattr(self, "_spline_stacked", None) is not None:
-            return self._bucketed(points, self._run_spline_masked)
+            return self._bucketed(points, self._run_spline_masked,
+                                  host_aux=self._route_chunk)
         flat = self._route_pieces(points)
         out = np.empty(points.shape[0], dtype=self.dtype)
         for piece_idx in np.unique(flat):

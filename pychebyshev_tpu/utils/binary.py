@@ -279,7 +279,11 @@ def read_spline(f: BinaryIO):
         knots.append([float(x) for x in seg])
 
     num_pieces = cur.u32("num_pieces")
-    expected = int(np.prod([k + 1 for k in knot_counts], dtype=np.int64))
+    # Exact Python-int product: adversarial u32 knot counts must not
+    # wrap an int64 accumulator into a spuriously-matching value.
+    expected = 1
+    for k in knot_counts:
+        expected *= k + 1
     if num_pieces != expected:
         raise ValueError(
             f"num_pieces={num_pieces} inconsistent with knot counts: "

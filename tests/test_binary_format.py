@@ -229,3 +229,47 @@ class TestRoundTrip:
         loaded = binary.read_spline(io.BytesIO(bytes(spline_bytes())))
         for x in [-0.8, -0.1, 0.0, 0.4, 0.99]:
             assert abs(loaded.eval([x], [0]) - sp.eval([x], [0])) < 1e-14
+
+
+class TestLoadTimeGates:
+    """Round-3 hardening: exact piece-count accounting + finite-weight
+    rejection of degenerate grids at load."""
+
+    def test_piece_count_int64_wrap_rejected(self):
+        # 64 dims x 2 pieces/dim: prod(k+1) = 2^64 wraps an int64
+        # accumulator to 0, and a crafted num_pieces=0 would pass a
+        # wrapping consistency check.  The reader must account in exact
+        # Python ints and reject.
+        d = 64
+        buf = io.BytesIO()
+        buf.write(binary.MAGIC)
+        buf.write(struct.pack("<BBH", binary.MAJOR, binary.MINOR,
+                              binary.CLASS_TAG_SPLINE))
+        buf.write(b"\x00" * 4)
+        buf.write(struct.pack("<I", d))
+        buf.write(np.zeros(d, dtype="<f8").tobytes())       # lo
+        buf.write(np.ones(d, dtype="<f8").tobytes())        # hi
+        buf.write(np.full(d, 2, dtype="<u4").tobytes())     # n_nodes
+        buf.write(np.ones(d, dtype="<u4").tobytes())        # knot counts
+        buf.write(np.full(d, 0.5, dtype="<f8").tobytes())   # knot positions
+        buf.write(struct.pack("<I", 0))                     # num_pieces
+        buf.seek(0)
+        with pytest.raises(ValueError, match="inconsistent"):
+            binary.read_spline(buf)
+
+    def test_from_values_degenerate_domain_rejected(self):
+        # A 1-ulp-wide domain collapses distinct Chebyshev nodes onto
+        # the same f64 values; the barycentric weights go inf/NaN.  The
+        # load-time gate must reject instead of warning + NaN evals.
+        vals = np.linspace(0.0, 1.0, 5)
+        with pytest.raises(ValueError, match="non-finite"):
+            ChebyshevApproximation.from_values(
+                vals, 1, [[1.0, 1.0 + 2.3e-16]], [5])
+
+    def test_read_approx_degenerate_domain_rejected(self):
+        raw = approx_bytes()
+        # dim-0 domain -> [1.0, 1.0 + 1 ulp]; header(12) + d(4) = 16.
+        struct.pack_into("<d", raw, 16, 1.0)
+        struct.pack_into("<d", raw, 32, 1.0 + 2.3e-16)
+        with pytest.raises(ValueError, match="non-finite"):
+            binary.read_approx(io.BytesIO(bytes(raw)))

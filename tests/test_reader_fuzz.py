@@ -53,6 +53,7 @@ def all_fixture_bytes():
     return out
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 class TestPythonReadersFuzz:
     def test_stdlib_reader_never_crashes(self):
         rng = np.random.default_rng(1234)

@@ -447,3 +447,35 @@ class TestMultiSpecEvaluator:
         from pychebyshev_tpu.serving import MultiSpecEvaluator
         with pytest.raises(ValueError):
             MultiSpecEvaluator(cheb_bs5d, [[0, 0]])   # wrong spec length
+
+
+class TestSplineF32Routing:
+    """f32 serving engines must route by f64: a point within f32 eps of
+    a knot picks the correct side (ADVICE r2; O(1) derivative error
+    otherwise)."""
+
+    def test_knot_adjacent_derivative_routing(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        k = 1.0 / 3.0
+        spl = ChebyshevSpline(lambda x, _: abs(x[0] - k), 1, [[-1, 1]],
+                              [12], [[k]])
+        spl.build(verbose=False)
+        eng = BatchedEvaluator(spl, dtype=jnp.float32,
+                               derivative_order=(1,), bucket_sizes=(64,))
+        pts = np.array([[k - 1e-12], [k + 1e-12], [k - 0.25], [k + 0.25]])
+        got = eng(pts)
+        want = np.array([spl.eval(list(p), [1]) for p in pts])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
+
+    def test_f32_value_engine_accuracy(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        spl = ChebyshevSpline(
+            lambda x, _: abs(x[0]) + 0.3 * x[1] ** 2, 2,
+            [[-1, 1], [-1, 1]], [8, 8], [[0.0], []])
+        spl.build(verbose=False)
+        eng = BatchedEvaluator(spl, dtype=jnp.float32, bucket_sizes=(256,))
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1, 1, (200, 2))
+        got = eng(pts)
+        want = spl.eval_batch(pts, [0, 0])
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)

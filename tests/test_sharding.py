@@ -127,3 +127,75 @@ class TestShardedEval:
         expected = cheb.vectorized_eval_batch(pts, [1, 0, 0])
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10,
                                    atol=1e-10)
+
+
+@requires_8_devices
+class TestUnevenShapes:
+    """Non-divisible shapes pad transparently (round-3 hardening):
+    grid axis 0 with zero-weight sentinel nodes over tp, batches with
+    the first point over dp, grids over the build axis."""
+
+    @pytest.fixture(scope="class")
+    def cheb9(self):
+        # 9 nodes on axis 0: not divisible by tp=4 or dp=8.
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [9, 8, 8], vectorized=True)
+        c.build(verbose=False)
+        return c
+
+    def _pts(self, n, seed=11):
+        rng = np.random.default_rng(seed)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        return lo + (hi - lo) * rng.uniform(0, 1, size=(n, 3))
+
+    def test_dp_odd_batch(self, cheb9):
+        mesh = sh.make_mesh(8)
+        pts = self._pts(61)  # 61 % 8 != 0
+        nodes, weights, diffs = cheb9._grid_tuples()
+        out = sh.eval_batch_dp(cheb9.tensor_values, nodes, weights,
+                               diffs, pts, mesh, (0, 0, 0))
+        expected = cheb9.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_tp_odd_grid_axis(self, cheb9):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        pts = self._pts(32)
+        nodes, weights, diffs = cheb9._grid_tuples()
+        out = sh.eval_batch_tp(cheb9.tensor_values, nodes, weights,
+                               diffs, pts, mesh)
+        expected = cheb9.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_tp_odd_grid_axis_and_batch_with_derivative(self, cheb9):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        pts = self._pts(29)  # 29 % 2 != 0
+        nodes, weights, diffs = cheb9._grid_tuples()
+        out = sh.eval_batch_tp(cheb9.tensor_values, nodes, weights,
+                               diffs, pts, mesh, orders=(1, 0, 0))
+        expected = cheb9.vectorized_eval_batch(pts, [1, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10,
+                                   atol=1e-10)
+
+    def test_tp_exact_node_with_padding(self, cheb9):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        nodes, weights, diffs = cheb9._grid_tuples()
+        node_val = float(np.asarray(nodes[0])[4])
+        pts = np.tile([[node_val, 1.0, -1.0]], (6, 1))  # 6 % 2 == 0
+        out = sh.eval_batch_tp(cheb9.tensor_values, nodes, weights,
+                               diffs, pts, mesh, orders=(1, 0, 0))
+        expected = cheb9.vectorized_eval_batch(pts, [1, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10,
+                                   atol=1e-10)
+
+    def test_sharded_build_odd_grid(self):
+        mesh = sh.make_mesh(8)
+        tensor = sh.build_tensor_sharded(f_vec, DOMAIN, [5, 7, 3], mesh)
+        cheb = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [5, 7, 3], vectorized=True)
+        cheb.build(verbose=False)
+        np.testing.assert_allclose(np.asarray(tensor),
+                                   np.asarray(cheb.tensor_values),
+                                   atol=1e-14)

@@ -381,3 +381,36 @@ class TestAutoKnots:
         assert len(sp.knots[0]) >= 1
         assert min(abs(k - 1.0) for k in sp.knots[0]) < 0.02
         assert sp.knots[1] == []
+
+
+class TestMaskedLargePieceCount:
+    """P > MASKED_GROUP exercises the group-chunked masked path."""
+
+    def test_27_pieces_matches_single_point(self):
+        f = (lambda x, _: abs(x[0]) * abs(x[1] - 0.2)
+             + np.sin(3 * x[2]) * abs(x[2] + 0.4))
+        knots = [[-0.3, 0.0], [-0.5, 0.2], [-0.4, 0.4]]
+        spl = ChebyshevSpline(f, 3, [[-1, 1]] * 3, n_nodes=[6, 6, 6],
+                              knots=knots)
+        spl.build(verbose=False)
+        from pychebyshev_tpu.ops import spline_eval
+        assert len(spl._pieces) == 27 > spline_eval.MASKED_GROUP
+        assert len(spl._pieces) <= spline_eval.MASKED_MAX_PIECES
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (300, 3))
+        batch = spl.eval_batch(pts, [0, 0, 0])
+        single = np.array([spl.eval(list(p), [0, 0, 0]) for p in pts])
+        np.testing.assert_allclose(batch, single, rtol=0, atol=1e-12)
+
+    def test_routing_host_f64(self):
+        # route_piece_indices must agree with the per-point _find_piece
+        # including points exactly at knots (side='right').
+        spl = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [5],
+                              [[0.0, 0.5]])
+        spl.build(verbose=False)
+        from pychebyshev_tpu.ops.spline_eval import (
+            piece_strides, route_piece_indices)
+        strides = piece_strides([2])
+        pts = np.array([[-1.0], [-0.1], [0.0], [0.25], [0.5], [0.9]])
+        flat = route_piece_indices(spl.knots, strides, pts)
+        assert list(flat) == [0, 0, 1, 1, 2, 2]
