@@ -273,3 +273,160 @@ class TestLoadTimeGates:
         struct.pack_into("<d", raw, 32, 1.0 + 2.3e-16)
         with pytest.raises(ValueError, match="non-finite"):
             binary.read_approx(io.BytesIO(bytes(raw)))
+
+
+class TestGoldenBytes:
+    """Exact byte-level golden vectors computed from first principles —
+    guards the format against accidental layout drift (behavioral
+    parity with reference test_binary_format.py golden-vector class)."""
+
+    def test_approx_2x2_exact_bytes(self):
+        cheb = ChebyshevApproximation(
+            lambda x, _: x[0] * x[1], 2, [[0.0, 1.0], [0.0, 2.0]], [2, 2])
+        cheb.build(verbose=False)
+        buf = io.BytesIO()
+        binary.write_approx(buf, cheb)
+        raw = buf.getvalue()
+
+        expected = bytearray()
+        expected += b"PCB\x00" + bytes([1, 0]) + struct.pack("<H", 1)
+        expected += b"\x00" * 4
+        expected += struct.pack("<I", 2)
+        expected += struct.pack("<dd", 0.0, 0.0)     # lo
+        expected += struct.pack("<dd", 1.0, 2.0)     # hi
+        expected += struct.pack("<II", 2, 2)
+        # Type-I nodes for n=2 on [0,1]: 0.5 -/+ 0.5*cos(pi/4)
+        c = math.cos(math.pi / 4.0)
+        x = [0.5 - 0.5 * c, 0.5 + 0.5 * c]
+        y = [1.0 - c, 1.0 + c]
+        vals = [x[0] * y[0], x[0] * y[1], x[1] * y[0], x[1] * y[1]]
+        expected += struct.pack("<4d", *vals)
+        assert raw == bytes(expected)
+
+    def test_round_trip_from_hand_built_bytes(self):
+        # Hand-assemble a 1-D file and check the loaded interpolant
+        # reproduces its (linear) source exactly.
+        n = 3
+        lo, hi = -2.0, 2.0
+        nodes = [(lo + hi) / 2.0 - (hi - lo) / 2.0
+                 * math.cos((2 * k + 1) * math.pi / (2 * n))
+                 for k in range(n)]
+        vals = [3.0 * t + 1.0 for t in nodes]
+        raw = (binary.MAGIC + struct.pack("<BBH", 1, 0, 1) + b"\x00" * 4
+               + struct.pack("<I", 1) + struct.pack("<d", lo)
+               + struct.pack("<d", hi) + struct.pack("<I", n)
+               + struct.pack("<3d", *vals))
+        loaded = binary.read_approx(io.BytesIO(raw))
+        for t in (-1.9, -0.3, 0.0, 1.2):
+            assert abs(loaded.eval([t], [0]) - (3.0 * t + 1.0)) < 1e-14
+
+
+class TestHeaderVersioning:
+    def test_higher_minor_accepted(self):
+        raw = approx_bytes()
+        raw[5] = 9  # minor bump: same major must stay readable
+        loaded = binary.read_approx(io.BytesIO(bytes(raw)))
+        assert loaded.num_dimensions == 2
+
+    def test_zero_dimensions_rejected(self):
+        raw = approx_bytes()
+        struct.pack_into("<I", raw, 12, 0)
+        with pytest.raises(ValueError, match="num_dimensions"):
+            binary.read_approx(io.BytesIO(bytes(raw)))
+
+    def test_zero_n_nodes_rejected(self):
+        raw = approx_bytes()
+        # n_nodes block at header(12)+d(4)+lo(16)+hi(16) = 48
+        struct.pack_into("<I", raw, 48, 0)
+        with pytest.raises(ValueError):
+            binary.read_approx(io.BytesIO(bytes(raw)))
+
+    def test_single_node_dim_accepted(self):
+        cheb = ChebyshevApproximation(
+            lambda x, _: 2.5, 1, [[-1.0, 1.0]], [1])
+        cheb.build(verbose=False)
+        buf = io.BytesIO()
+        binary.write_approx(buf, cheb)
+        buf.seek(0)
+        loaded = binary.read_approx(buf)
+        assert abs(loaded.eval([0.123], [0]) - 2.5) < 1e-15
+
+
+class TestSaveLoadIntegration:
+    def test_save_format_binary_magic(self, tmp_path):
+        p = tmp_path / "m.pcb"
+        build_approx_2d().save(str(p), format="binary")
+        assert p.read_bytes()[:4] == binary.MAGIC
+
+    def test_save_default_pickle(self, tmp_path):
+        p = tmp_path / "d.bin"
+        build_approx_2d().save(str(p))
+        assert p.read_bytes()[:4] != binary.MAGIC
+
+    def test_save_unknown_format_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="format"):
+            build_approx_2d().save(str(tmp_path / "x"), format="msgpack")
+
+    def test_load_autodetect_both(self, tmp_path):
+        cheb = build_approx_2d()
+        b, k = tmp_path / "b.pcb", tmp_path / "k.pkl"
+        cheb.save(str(b), format="binary")
+        cheb.save(str(k), format="pickle")
+        for path in (b, k):
+            loaded = ChebyshevApproximation.load(str(path))
+            assert abs(loaded.eval([0.3, 1.1], [0, 0])
+                       - cheb.eval([0.3, 1.1], [0, 0])) < 1e-14
+
+    def test_unbuilt_binary_save_raises(self, tmp_path):
+        cheb = ChebyshevApproximation(lambda x, _: x[0], 1, [[-1, 1]], [5])
+        with pytest.raises(RuntimeError):
+            cheb.save(str(tmp_path / "u.pcb"), format="binary")
+
+    def test_spline_save_load_autodetect(self, tmp_path):
+        sp = build_spline_1d()
+        p = tmp_path / "s.pcb"
+        sp.save(str(p), format="binary")
+        loaded = ChebyshevSpline.load(str(p))
+        assert abs(loaded.eval([0.4], [0]) - sp.eval([0.4], [0])) < 1e-14
+
+
+class TestCrossFeatureRoundTrips:
+    """Objects produced by every construction path survive the binary
+    format (reference TestCrossFeature behaviors, repo-native)."""
+
+    def _rt(self, cheb):
+        buf = io.BytesIO()
+        binary.write_approx(buf, cheb)
+        buf.seek(0)
+        return binary.read_approx(buf)
+
+    def test_from_values_built(self):
+        src = build_approx_2d()
+        fv = ChebyshevApproximation.from_values(
+            np.asarray(src.tensor_values), 2, src.domain, src.n_nodes)
+        loaded = self._rt(fv)
+        assert abs(loaded.eval([0.2, 0.7], [0, 0])
+                   - src.eval([0.2, 0.7], [0, 0])) < 1e-14
+
+    def test_algebra_derived(self):
+        a = build_approx_2d()
+        loaded = self._rt(a + a)
+        assert abs(loaded.eval([0.5, 1.5], [0, 0])
+                   - 2 * a.eval([0.5, 1.5], [0, 0])) < 1e-13
+
+    def test_extruded(self):
+        a = build_approx_2d()
+        loaded = self._rt(a.extrude((2, (0.0, 1.0), 4)))
+        assert abs(loaded.eval([0.5, 1.5, 0.3], [0, 0, 0])
+                   - a.eval([0.5, 1.5], [0, 0])) < 1e-13
+
+    def test_sliced(self):
+        a = build_approx_2d()
+        loaded = self._rt(a.slice((1, 1.0)))
+        assert abs(loaded.eval([0.5], [0])
+                   - a.eval([0.5, 1.0], [0, 0])) < 1e-13
+
+    def test_error_estimate_recomputed_after_load(self):
+        a = build_approx_2d()
+        est = self._rt(a).error_estimate()
+        assert np.isfinite(est) and abs(est - a.error_estimate()) < 1e-12

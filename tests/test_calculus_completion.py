@@ -186,3 +186,230 @@ class TestSliderRoundTripThroughCalculus:
         assert abs(ext.integrate() - 0.0) < 1e-12
         assert abs(ext.integrate(dims=[1]).eval([0.5], [0])
                    - 2.0 * math.sin(0.5)) < 1e-7
+
+
+def _slider_add(n=9):
+    """Additive 3-D function as a slider: exactly representable."""
+    fn = (lambda x, _: math.sin(x[0]) + 0.5 * x[1] ** 3
+          - math.cos(2 * x[2]))
+    s = ChebyshevSlider(fn, 3, [[-1, 1]] * 3, [n] * 3,
+                        [[0], [1], [2]], [0.0, 0.0, 0.0])
+    s.build(verbose=False)
+    return s, fn
+
+
+class TestSliderRootsMinMax:
+    """_to_1d_chebyshev resampling: every 1-D calculus answer must match
+    a directly-built dense 1-D interpolant of the sliced function."""
+
+    @pytest.fixture(scope="class")
+    def slider(self):
+        return _slider_add()[0]
+
+    def test_multiple_roots(self):
+        fn = lambda x, _: math.sin(3 * x[0]) + 0.0 * x[1]
+        s = ChebyshevSlider(fn, 2, [[-2, 2], [-1, 1]], [16, 4],
+                            [[0], [1]], [0.0, 0.0])
+        s.build(verbose=False)
+        roots = s.roots(dim=0, fixed={1: 0.3})
+        expected = np.array([-math.pi / 3, 0.0, math.pi / 3])
+        np.testing.assert_allclose(np.sort(roots), expected, atol=1e-7)
+
+    def test_roots_match_dense_slice(self, slider):
+        dense = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) + 0.5 * 0.4 ** 3
+            - math.cos(2 * (-0.3)), 1, [[-1, 1]], [9])
+        dense.build(verbose=False)
+        got = slider.roots(dim=0, fixed={1: 0.4, 2: -0.3})
+        want = dense.roots()
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_minimize_interior(self, slider):
+        # d/dx0 sin = 0 at x0 = -pi/2 is outside [-1,1]; min at boundary
+        val, loc = slider.minimize(dim=0, fixed={1: 0.0, 2: 0.0})
+        assert abs(loc - (-1.0)) < 1e-7
+        assert abs(val - (math.sin(-1.0) - math.cos(0.0))) < 1e-6
+
+    def test_maximize_owning_dim2(self, slider):
+        # -cos(2*x2) on [-1,1]: cos(2x) smallest at the boundary
+        # |2x| = 2, so the max sits at x2 = +/-1 with value -cos(2).
+        val, loc = slider.maximize(dim=2, fixed={0: 0.2, 1: 0.1})
+        assert abs(abs(loc) - 1.0) < 1e-7
+        expected = math.sin(0.2) + 0.5 * 0.1 ** 3 - math.cos(2.0)
+        assert abs(val - expected) < 5e-6  # n=9 resample of cos(2x)
+
+    def test_missing_fixed_raises(self, slider):
+        with pytest.raises(ValueError):
+            slider.roots(dim=0, fixed={1: 0.0})
+
+    def test_fixed_out_of_domain_raises(self, slider):
+        with pytest.raises(ValueError, match="outside"):
+            slider.minimize(dim=0, fixed={1: 5.0, 2: 0.0})
+
+    def test_dim_out_of_range_raises(self, slider):
+        with pytest.raises(ValueError, match="out of range"):
+            slider.maximize(dim=7, fixed={0: 0, 1: 0, 2: 0})
+
+    def test_multidim_group_slice_path(self):
+        # Group [1, 2] forces slicing THROUGH a multi-dim slide.
+        fn = lambda x, _: x[0] ** 2 + x[1] * x[2]
+        s = ChebyshevSlider(fn, 3, [[-1, 1]] * 3, [7] * 3,
+                            [[0], [1, 2]], [0.0, 0.0, 0.0])
+        s.build(verbose=False)
+        roots = s.roots(dim=1, fixed={0: 0.5, 2: 0.5})
+        # 0.25 + 0.5*x1 = 0 -> x1 = -0.5
+        np.testing.assert_allclose(roots, [-0.5], atol=1e-8)
+
+
+class TestTTRootsMinMax:
+    @pytest.fixture(scope="class")
+    def tt(self):
+        t = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [11] * 3, max_rank=8)
+        t.build(verbose=False, method="svd")
+        return t
+
+    def test_roots_match_dense(self, tt):
+        dense = dense_f3()
+        got = tt.roots(dim=0, fixed={1: 0.2, 2: 0.9})
+        want = dense.roots(dim=0, fixed={1: 0.2, 2: 0.9})
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_min_max_match_dense(self, tt):
+        # dim 1 (exp factor): strictly monotonic, so the optimum
+        # location is unique (dim 2's cosine ties at +/-1).
+        dense = dense_f3()
+        for mode in ("minimize", "maximize"):
+            vt, lt = getattr(tt, mode)(dim=1, fixed={0: 0.1, 2: -0.6})
+            vd, ld = getattr(dense, mode)(dim=1, fixed={0: 0.1, 2: -0.6})
+            assert abs(vt - vd) < 1e-8 and abs(lt - ld) < 1e-7
+
+    def test_reordered_frame_translation(self, tt):
+        # User-frame dim indices must survive a storage reorder.
+        r = tt.reorder([2, 0, 1])
+        got = r.roots(dim=0, fixed={1: 0.2, 2: 0.9})
+        want = tt.roots(dim=0, fixed={1: 0.2, 2: 0.9})
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_validation(self, tt):
+        with pytest.raises(ValueError):
+            tt.roots(dim=0)            # missing fixed
+        with pytest.raises(ValueError, match="out of range"):
+            tt.minimize(dim=3, fixed={0: 0, 1: 0, 2: 0})
+        with pytest.raises(ValueError, match="outside"):
+            tt.maximize(dim=0, fixed={1: 7.0, 2: 0.0})
+
+
+class TestSliderIntegrateClassification:
+    """Every (group x integrate-set) classification: none / partial /
+    full, against numerically-integrated ground truth."""
+
+    @pytest.fixture(scope="class")
+    def slider(self):
+        fn = lambda x, _: (x[0] ** 2 + math.sin(x[1]) * math.cos(x[2])
+                           + 0.3 * x[3])
+        s = ChebyshevSlider(fn, 4, [[-1, 1]] * 4, [8] * 4,
+                            [[0], [1, 2], [3]], [0.0] * 4)
+        s.build(verbose=False)
+        return s
+
+    def test_full_single_dim_group(self, slider):
+        # integrate dim 0 fully: group [0] is 'full', others 'none'
+        out = slider.integrate(dims=[0])
+        # result is 3-D over (old dims 1,2,3)
+        got = out.eval([0.5, 0.5, 0.5], [0, 0, 0])
+        expect = 2.0 / 3.0 + 2.0 * (math.sin(0.5) * math.cos(0.5)
+                                    + 0.3 * 0.5)
+        assert abs(got - expect) < 1e-6  # n=8 interpolation of sin/cos
+
+    def test_partial_multi_dim_group(self, slider):
+        # integrate dim 1 only: group [1,2] is 'partial'
+        out = slider.integrate(dims=[1])
+        got = out.eval([0.4, 0.7, -0.2], [0, 0, 0])
+        # int_-1^1 sin(y) dy = 0; surviving terms gain the factor 2
+        expect = 2 * 0.4 ** 2 + 0.0 * math.cos(0.7) + 0.6 * (-0.2)
+        assert abs(got - expect) < 1e-6
+
+    def test_full_multi_dim_group(self, slider):
+        out = slider.integrate(dims=[1, 2])
+        got = out.eval([0.4, 0.6], [0, 0])
+        expect = 4 * 0.4 ** 2 + 0.0 + 4 * 0.3 * 0.6
+        # integrate over 2 dims multiplies surviving terms by 2*2 = 4
+        assert abs(got - expect) < 1e-9
+
+    def test_mixed_full_and_partial(self, slider):
+        out = slider.integrate(dims=[0, 2])
+        got = out.eval([0.1, 0.9], [0, 0])
+        sin_int = 2 * math.sin(1.0)  # int_-1^1 cos(z) dz
+        expect = 2.0 / 3.0 * 2 + 2 * (math.sin(0.1) * sin_int / 2) \
+            + 2 * 2 * 0.3 * 0.9 / 2
+        expect = (2.0 / 3.0) * 2 / 2 + math.sin(0.1) * sin_int \
+            + 2 * 0.3 * 0.9
+        # direct: int over x0 and x2 of f = (2/3)*2/2 ... compute
+        # numerically instead:
+        from scipy import integrate as si
+        fn = lambda x0, x2: (x0 ** 2 + math.sin(0.1) * math.cos(x2)
+                             + 0.3 * 0.9)
+        num = si.dblquad(fn, -1, 1, -1, 1)[0]
+        assert abs(got - num) < 1e-8
+
+    def test_sub_bounds_on_group_member(self, slider):
+        out = slider.integrate(dims=[1], bounds=[(0.0, 1.0)])
+        got = out.eval([0.0, 0.5, 0.0], [0, 0, 0])
+        expect = (1.0 - math.cos(1.0)) * math.cos(0.5)
+        assert abs(got - expect) < 1e-6
+
+    def test_bounds_validation(self, slider):
+        with pytest.raises(ValueError, match="outside domain"):
+            slider.integrate(dims=[0], bounds=[(-3.0, 0.0)])
+        with pytest.raises(ValueError, match="bounds length"):
+            slider.integrate(dims=[0, 1], bounds=[(0.0, 1.0)])
+        with pytest.raises(ValueError, match="lo=.*> hi="):
+            slider.integrate(dims=[0], bounds=[(0.5, -0.5)])
+
+
+class TestCrossClassCalculusConsistency:
+    """Dense, TT, and slider built from the same additive function must
+    agree on every calculus answer."""
+
+    @pytest.fixture(scope="class")
+    def trio(self):
+        fn = lambda x, _: math.sin(x[0]) + 0.5 * x[1] ** 3 \
+            - math.cos(2 * x[2])
+        dense = ChebyshevApproximation(fn, 3, [[-1, 1]] * 3, [9] * 3)
+        dense.build(verbose=False)
+        tt = ChebyshevTT(fn, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6)
+        tt.build(verbose=False, method="svd")
+        slider = _slider_add()[0]
+        return dense, tt, slider
+
+    def test_full_integral(self, trio):
+        dense, tt, slider = trio
+        want = dense.integrate()
+        assert abs(tt.integrate() - want) < 1e-9
+        assert abs(slider.integrate() - want) < 1e-9
+
+    def test_roots_consistency(self, trio):
+        dense, tt, slider = trio
+        fixed = {1: 0.25, 2: -0.5}
+        want = dense.roots(dim=0, fixed=fixed)
+        for other in (tt, slider):
+            got = other.roots(dim=0, fixed=fixed)
+            assert len(got) == len(want)
+            np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_minmax_consistency(self, trio):
+        dense, tt, slider = trio
+        fixed = {0: 0.3, 1: 0.3}
+        vw, lw = dense.minimize(dim=2, fixed=fixed)
+        for other in (tt, slider):
+            vo, lo = other.minimize(dim=2, fixed=fixed)
+            assert abs(vo - vw) < 1e-8 and abs(lo - lw) < 1e-7
+
+    def test_partial_integral_then_eval(self, trio):
+        dense, tt, _slider = trio
+        pd = dense.integrate(dims=[1])
+        pt = tt.integrate(dims=[1])
+        for x in ([0.2, 0.8], [-0.9, -0.1]):
+            assert abs(pd.eval(x, [0, 0]) - pt.eval(x)) < 1e-9
