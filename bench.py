@@ -293,6 +293,20 @@ def main() -> None:
     log(f"digit-GEMM (dd) batched: {dt_dd * 1e3:.2f} ms -> "
         f"{n / dt_dd:,.0f} queries/s (dev from f64 {dev_dd:.1e})")
 
+    from pychebyshev_tpu.ops.eval_dd import FAST_PAIR_CUTOFF
+
+    def run_dd_fast(p):
+        return eval_batch_dd(cheb.tensor_values, nodes, weights, diffs,
+                             p, orders, cutoff=FAST_PAIR_CUTOFF)
+
+    dt_ddf = time_fn(run_dd_fast, pts64, iters=6, reps=2)
+    ddf_check = np.asarray(run_dd_fast(jnp.asarray(pts_check)))
+    dev_ddf = np.abs(ddf_check - approx64).max() / scale
+    log(f"digit-GEMM dd(fast, cutoff {FAST_PAIR_CUTOFF}) batched: "
+        f"{dt_ddf * 1e3:.2f} ms -> {n / dt_ddf:,.0f} queries/s "
+        f"(dev from f64 {dev_ddf:.1e}; frontier is flat — see "
+        f"docs/performance.md)")
+
     dt64 = time_fn(run64, pts64, iters=4, reps=2)
     log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
         f"{n / dt64:,.0f} queries/s (software f64 on TPU; digit-GEMM "

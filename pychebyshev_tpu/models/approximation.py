@@ -686,7 +686,8 @@ class ChebyshevApproximation:
             tuple(a.astype(jnp.float32) for a in diffs),
             pts, orders)
 
-    def eval_batch_dd(self, points, derivative_order=None) -> jax.Array:
+    def eval_batch_dd(self, points, derivative_order=None,
+                      mode: str = "accurate") -> jax.Array:
         """Near-f64 batched evaluation via exact integer digit GEMMs.
 
         The accuracy mode for f64-less TPUs (``ops.eval_dd``): operands
@@ -695,6 +696,10 @@ class ChebyshevApproximation:
         from the true f64 path — measured ~7.0M queries/s per v5e chip
         on the 11^5 benchmark vs 0.49M for software f64.  Falls back to
         the f64 path for grids outside the digit-plan budget.
+
+        ``mode``: ``"accurate"`` (default; ~1e-11 deviation) or
+        ``"fast"`` (fewer digit pairs; ~1e-9-class deviation at higher
+        throughput — the measured frontier is in docs/performance.md).
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
@@ -703,10 +708,16 @@ class ChebyshevApproximation:
         orders = tuple(int(o) for o in derivative_order)
         from pychebyshev_tpu.ops import eval_dd
 
+        if mode not in ("accurate", "fast"):
+            raise ValueError(
+                f"mode must be 'accurate' or 'fast', got {mode!r}")
+        cutoff = (eval_dd.FAST_PAIR_CUTOFF if mode == "fast" else None)
+
         nodes, weights, diffs = self._grid_tuples()
         if eval_dd.supports_dd(self.tensor_values.shape):
             return eval_dd.eval_batch_dd(
-                self.tensor_values, nodes, weights, diffs, points, orders)
+                self.tensor_values, nodes, weights, diffs, points,
+                orders, cutoff=cutoff)
         pts = jnp.asarray(points, dtype=jnp.float64)
         return eval_ops.eval_batch(self.tensor_values, nodes, weights,
                                    diffs, pts, orders)

@@ -396,7 +396,8 @@ class ChebyshevSpline:
 
         from pychebyshev_tpu.ops import spline_eval
         if (not is_nested_n_nodes(self.n_nodes)
-                and len(self._pieces) <= spline_eval.MASKED_MAX_PIECES):
+                and len(self._pieces)
+                <= spline_eval.MASKED_MAX_PIECES_F64):
             # The cache holds strong references to the keyed piece
             # tensors and validates with `is` — immutable arrays +
             # attribute rebinding make that sound (id()-keyed caches

@@ -75,14 +75,26 @@ _WR_SCALE_LOG2 = 5          # |WR| / 2^5 <= 1 for groups of <= 3 dims
 # ~64x error).
 _PAIR_CUTOFF = 44
 
+# The "fast" preset for the class-level mode="fast": picked from the
+# measured cutoff frontier on the 11^5 benchmark (docs/performance.md)
+# as the highest-throughput point still comfortably under 1e-8.
+FAST_PAIR_CUTOFF = 36
 
-def dd_plan(shape: Sequence[int]) -> dict:
+
+def dd_plan(shape: Sequence[int], cutoff: int = None) -> dict:
     """Static plan: group split, digit widths, GEMM pair list.
 
     The MXU-exactness constraint is K * 2^(b_r + b_t) < 2^24 where K is
     the contracted (right-group) size; digit widths shrink for larger
     grids and the plane counts grow to keep ~42 quantization bits.
+
+    ``cutoff`` positions the accuracy-throughput tradeoff: digit pairs
+    with b_r*i + b_t*j above it are dropped (entrywise error
+    ~2^-(cutoff+1) x contraction amplification).  The measured frontier
+    on the 11^5 benchmark is in docs/performance.md.
     """
+    if cutoff is None:
+        cutoff = _PAIR_CUTOFF
     shape = tuple(int(n) for n in shape)
     s = _split_index(shape)
     n_left = int(np.prod(shape[:s]))
@@ -92,10 +104,10 @@ def dd_plan(shape: Sequence[int]) -> dict:
     b_r = min(7, bits_budget - b_t)
     if b_t < 4:
         return {"ok": False}
-    p_r = int(_PAIR_CUTOFF // b_r) + 1
-    p_t = int(_PAIR_CUTOFF // b_t) + 1
+    p_r = int(cutoff // b_r) + 1
+    p_t = int(cutoff // b_t) + 1
     pairs = [(i, j) for i in range(p_r) for j in range(p_t)
-             if b_r * i + b_t * j <= _PAIR_CUTOFF]
+             if b_r * i + b_t * j <= cutoff]
     # GEMMs group per row plane i: one dot against the concatenation of
     # that i's allowed tensor planes — each wide (N, nR) row plane is
     # read from HBM once instead of once per pair.
@@ -103,7 +115,8 @@ def dd_plan(shape: Sequence[int]) -> dict:
                     for i in range(p_r))
     return {"ok": True, "s": s, "n_left": n_left, "n_right": n_right,
             "b_r": b_r, "b_t": b_t, "p_r": p_r, "p_t": p_t,
-            "pairs": tuple(pairs), "js_by_i": js_by_i}
+            "pairs": tuple(pairs), "js_by_i": js_by_i,
+            "cutoff": int(cutoff)}
 
 
 def supports_dd(shape: Sequence[int], max_right: int = 1 << 14) -> bool:
@@ -212,8 +225,8 @@ def _digit_planes_tensor(qt: np.ndarray, bits: int, planes: int) -> list:
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled(shape: Tuple[int, ...], n_dims: int):
-    plan = dd_plan(shape)
+def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
+    plan = dd_plan(shape, cutoff)
     s = plan["s"]
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_r, b_t = plan["b_r"], plan["b_t"]
@@ -314,8 +327,9 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
     # tensor object evaluated under two different grids with orders>0
     # must not reuse the other grid's pre-differentiated planes.
     diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
+    plan_key = (plan["cutoff"], plan["b_t"])
     for entry in _plane_cache:
-        if (entry[0] is tensor and entry[1] == orders
+        if (entry[0] is tensor and entry[1] == (orders, plan_key)
                 and len(entry[2]) == len(diffs_key)
                 and all(a is b for a, b in zip(entry[2], diffs_key))):
             return entry[3], entry[4]
@@ -343,19 +357,24 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
                                                        jnp.bfloat16)
         for js in plan["js_by_i"])
 
-    _plane_cache.insert(0, (tensor, orders, diffs_key, t_scale,
-                            tensor_planes))
+    _plane_cache.insert(0, (tensor, (orders, plan_key), diffs_key,
+                            t_scale, tensor_planes))
     del _plane_cache[_PLANE_CACHE_SLOTS:]
     return t_scale, tensor_planes
 
 
 def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
-                  orders: Tuple[int, ...] = None) -> jax.Array:
+                  orders: Tuple[int, ...] = None,
+                  cutoff: int = None) -> jax.Array:
     """f64-class batched evaluation via exact integer digit GEMMs.
 
     Same signature family as ``ops.eval.eval_batch``; returns f64
     results deviating ~1e-12 (scale-normalized) from the true f64
     path at ~14x the f64-emulation throughput on v5e.
+
+    ``cutoff`` (default ``_PAIR_CUTOFF``) trades accuracy for
+    throughput — see ``dd_plan`` and the measured frontier in
+    docs/performance.md.
     """
     shape = tuple(int(n) for n in tensor.shape)
     d = len(shape)
@@ -367,7 +386,7 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
             f"use ops.eval.eval_batch"
         )
 
-    run, plan = _compiled(shape, d)
+    run, plan = _compiled(shape, d, cutoff)
     t_scale, tensor_planes = _tensor_planes(tensor, diff_matrices,
                                             tuple(orders), plan)
     d = len(shape)

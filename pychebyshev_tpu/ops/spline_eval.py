@@ -46,9 +46,15 @@ from pychebyshev_tpu.ops import eval as eval_ops
 __all__ = ["masked_eval_batch", "route_piece_indices", "piece_strides",
            "MASKED_MAX_PIECES", "MASKED_GROUP", "stack_pieces"]
 
-# Crossover vs the host-routed per-piece path (dispatch-bound on the
-# relayed TPU); beyond this the P x work overtakes P dispatch overheads.
-MASKED_MAX_PIECES = 64
+# Crossovers vs the host-routed per-piece path (dispatch-bound, ~1M q/s
+# flat on the relayed TPU).  Measured on the 12^2-nodes/piece 2-D
+# benchmark (scripts/sweep_spline_crossover.py, chained protocol):
+#   f32 masked: 69M (P=2) / 35M (P=16) / 17.6M (P=32) / 8.8M (P=64)
+#   f64 masked: 7.9M (P=2) / 1.34M (P=16) / 0.95M (P=32) / 0.48M (P=64)
+# so software-f64 masking crosses the routed path near P=32 while f32
+# masking still leads ~9x at P=64.
+MASKED_MAX_PIECES = 64       # f32 serving tier
+MASKED_MAX_PIECES_F64 = 32   # class path / f64 engines
 # Pieces evaluated per unrolled vmap group inside the single dispatch.
 MASKED_GROUP = 16
 

@@ -134,11 +134,16 @@ class BatchedEvaluator:
             self._orders = (0,) * self.num_dimensions
             # Uniform piece shapes (flat n_nodes) + small piece count:
             # serve through the fused masked path (one dispatch/bucket).
-            from pychebyshev_tpu.ops.spline_eval import MASKED_MAX_PIECES
+            from pychebyshev_tpu.ops.spline_eval import (
+                MASKED_MAX_PIECES,
+                MASKED_MAX_PIECES_F64,
+            )
+            max_pieces = (MASKED_MAX_PIECES if self.dtype == jnp.float32
+                          else MASKED_MAX_PIECES_F64)
             shapes = {p[0].shape for p in self._piece_arrays}
             self._spline_stacked = None
             if (len(shapes) == 1
-                    and len(self._piece_arrays) <= MASKED_MAX_PIECES):
+                    and len(self._piece_arrays) <= max_pieces):
                 self._spline_stacked = (
                     jnp.stack([p[0] for p in self._piece_arrays]),
                     tuple(jnp.stack([p[1][k] for p in self._piece_arrays])

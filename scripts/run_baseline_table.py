@@ -391,6 +391,23 @@ def run_spline(batch_n):
     row(C, "batched f64 throughput (fused masked pieces)",
         f"{batch_n / best:,.0f} q/s", "—",
         "one dispatch; incl. host<->device transfer")
+
+    # f32 serving story (VERDICT r2 #3): fused masked pieces at f32 with
+    # host-side f64 piece routing, through the bucketed serving engine.
+    import jax.numpy as jnp
+
+    from pychebyshev_tpu.serving import BatchedEvaluator
+    from pychebyshev_tpu.utils.benchtime import chained_time_fn
+
+    eng32 = BatchedEvaluator(spline, dtype=jnp.float32,
+                             bucket_sizes=(batch_n,))
+    eng32.warmup()
+    err32 = np.abs(eng32(pts).astype(np.float64) - exact).max()
+    t32 = chained_time_fn(lambda p: eng32(np.asarray(p)),
+                          jnp.asarray(big), iters=8)
+    row(C, "batched f32 serving engine (masked pieces, f64 routing)",
+        f"{batch_n / t32:,.0f} q/s", "—",
+        f"max abs err {err32:.1e} (f32 regime)")
     return spline
 
 

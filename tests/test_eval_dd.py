@@ -108,3 +108,41 @@ class TestPlanAndAPI:
         f64 = np.asarray(c.vectorized_eval_batch(pts, [0, 0]))
         dd = np.asarray(c.eval_batch_dd(pts))
         assert np.abs(dd - f64).max() < 1e-10
+
+
+class TestCutoffModes:
+    """The cutoff knob positions the accuracy-throughput frontier; the
+    class exposes it as mode="accurate"|"fast"."""
+
+    def test_fast_mode_fewer_pairs(self):
+        from pychebyshev_tpu.ops import eval_dd
+        full = eval_dd.dd_plan((11,) * 5)
+        fast = eval_dd.dd_plan((11,) * 5, eval_dd.FAST_PAIR_CUTOFF)
+        assert len(fast["pairs"]) < len(full["pairs"])
+
+    def test_fast_mode_accuracy_ladder(self):
+        import math
+        from pychebyshev_tpu import ChebyshevApproximation
+        cheb = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) * x[1] + math.exp(0.3 * x[2]),
+            3, [[-1, 1]] * 3, [9, 9, 9])
+        cheb.build(verbose=False)
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-1, 1, (512, 3))
+        truth = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        scale = np.abs(truth).max()
+        acc = np.asarray(cheb.eval_batch_dd(pts, mode="accurate"))
+        fast = np.asarray(cheb.eval_batch_dd(pts, mode="fast"))
+        dev_acc = np.abs(acc - truth).max() / scale
+        dev_fast = np.abs(fast - truth).max() / scale
+        assert dev_acc < 1e-9         # interp-mode slack; TPU ~1e-11
+        assert dev_fast < 1e-6
+        assert dev_acc <= dev_fast + 1e-15
+
+    def test_bad_mode_raises(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        cheb = ChebyshevApproximation(lambda x, _: x[0], 3,
+                                      [[-1, 1]] * 3, [5, 5, 5])
+        cheb.build(verbose=False)
+        with pytest.raises(ValueError, match="mode"):
+            cheb.eval_batch_dd(np.zeros((4, 3)), mode="quick")
