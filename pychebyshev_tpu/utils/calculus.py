@@ -144,13 +144,18 @@ def validate_calculus_args(ndim, dim, fixed, domain):
 
     if ndim == 1:
         if dim not in (None, 0):
-            raise ValueError(f"dim must be 0 for 1-D interpolant, got {dim}")
+            raise ValueError(
+                f"a 1-D interpolant has only dim 0 (dim must be 0 or "
+                f"omitted); got dim={dim}")
         if fixed:
-            raise ValueError("fixed must be empty for 1-D interpolant")
+            raise ValueError(
+                "fixed must be empty on a 1-D interpolant — there are "
+                "no other dims to pin")
         return 0, []
 
     if dim is None:
-        raise ValueError("dim is required for multi-D interpolant")
+        raise ValueError(
+            "dim is required on a multi-dimensional interpolant")
     if not 0 <= dim < ndim:
         raise ValueError(f"dim {dim} out of range [0, {ndim - 1}]")
 
@@ -166,7 +171,7 @@ def validate_calculus_args(ndim, dim, fixed, domain):
     if out_of_domain:
         d, v = out_of_domain[0]
         raise ValueError(
-            f"Fixed value {v} for dim {d} outside domain "
+            f"fixed[{d}] = {v} lies outside that dim's domain "
             f"[{domain[d][0]}, {domain[d][1]}]"
         )
     return dim, list(fixed.items())
