@@ -8,7 +8,9 @@ never recompiles and never leaves the device hot path.
 
 Covers all four interpolant families: dense
 :class:`ChebyshevApproximation` (value or fixed derivative spec; XLA or
-fused-Pallas kernel), :class:`ChebyshevSpline` (host piece routing +
+fused-Pallas kernel, plus ``dtype="dd"`` for the near-f64 digit-GEMM
+tier — ~1e-11 deviation at ~14x software-f64 throughput),
+:class:`ChebyshevSpline` (host f64 piece routing +
 one shared compiled kernel when ``n_nodes`` is flat),
 :class:`ChebyshevSlider` (per-slide kernels summed; derivative specs
 route to the owning slide, cross-group partials short-circuit to zero),
@@ -42,7 +44,9 @@ class BatchedEvaluator:
     Parameters
     ----------
     interpolant : any of the four interpolant classes (built).
-    dtype : jnp.float32 (throughput) or jnp.float64 (parity).
+    dtype : jnp.float32 (throughput), jnp.float64 (parity), or the
+        string ``"dd"`` (dense only: digit-GEMM near-f64 — f64-class
+        accuracy at ~14x the software-f64 rate).
     derivative_order : fixed per-dim derivative spec; None = values.
         Dense/spline hoist the spectral passes; TT swaps in the
         analytic derivative TT; slider routes to the owning slide.
@@ -71,6 +75,30 @@ class BatchedEvaluator:
                 f"ChebyshevSpline, ChebyshevSlider, and ChebyshevTT, got "
                 f"{type(interpolant).__name__}"
             )
+        # dtype="dd" = the near-f64 digit-GEMM tier (dense only):
+        # f64-class accuracy (~1e-11) at ~14x software-f64 throughput.
+        self._dd = (isinstance(dtype, str) and dtype == "dd")
+        if self._dd:
+            if not isinstance(interpolant, ChebyshevApproximation):
+                raise TypeError(
+                    "dtype='dd' (digit-GEMM serving) supports only "
+                    "ChebyshevApproximation"
+                )
+            if interpolant.tensor_values is None:
+                raise RuntimeError("interpolant is not built")
+            from pychebyshev_tpu.ops.eval_dd import supports_dd
+            if not supports_dd(tuple(interpolant.tensor_values.shape)):
+                raise ValueError(
+                    f"grid shape {tuple(interpolant.tensor_values.shape)} "
+                    f"is outside the digit-GEMM plan budget; serve at "
+                    f"dtype=jnp.float64 instead"
+                )
+            if mesh is not None or use_fused:
+                raise ValueError(
+                    "dtype='dd' is single-device XLA; it composes with "
+                    "neither mesh nor use_fused"
+                )
+            dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
@@ -229,6 +257,11 @@ class BatchedEvaluator:
 
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "dense":
+            if self._dd:
+                from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+                return eval_batch_dd(self._tensor, self._nodes,
+                                     self._weights, self._diffs, points,
+                                     self._orders)
             if self._use_fused and self.dtype == jnp.float32:
                 from pychebyshev_tpu.ops.pallas_eval import (
                     fused_eval_batch,

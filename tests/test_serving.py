@@ -479,3 +479,52 @@ class TestSplineF32Routing:
         got = eng(pts)
         want = spl.eval_batch(pts, [0, 0])
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+class TestDigitGemmServing:
+    """dtype='dd': near-f64 serving tier through the bucket engine."""
+
+    @pytest.fixture(scope="class")
+    def cheb3(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        import math
+        c = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) * x[1] + math.exp(0.3 * x[2]),
+            3, [[-1, 1]] * 3, [9, 9, 9])
+        c.build(verbose=False)
+        return c
+
+    def test_matches_f64_path(self, cheb3):
+        eng = BatchedEvaluator(cheb3, dtype="dd", bucket_sizes=(512,))
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-1, 1, (700, 3))   # exercises 2-bucket split
+        got = eng(pts)
+        want = cheb3.vectorized_eval_batch(pts, [0, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-9
+
+    def test_derivative_spec_hoisted(self, cheb3):
+        eng = BatchedEvaluator(cheb3, dtype="dd",
+                               derivative_order=(1, 0, 0),
+                               bucket_sizes=(256,))
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-1, 1, (200, 3))
+        got = eng(pts)
+        want = cheb3.vectorized_eval_batch(pts, [1, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-8
+
+    def test_rejects_non_dense(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        spl = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]],
+                              [5], [[0.0]])
+        spl.build(verbose=False)
+        with pytest.raises(TypeError, match="dd"):
+            BatchedEvaluator(spl, dtype="dd")
+
+    def test_unsupported_grid_detected(self):
+        # Grids whose right group exceeds the digit budget are refused
+        # at the ops level (the engine surfaces the same ValueError).
+        from pychebyshev_tpu.ops.eval_dd import supports_dd
+        assert not supports_dd((4, 1 << 17))
+        assert supports_dd((11, 11, 11, 11, 11))
