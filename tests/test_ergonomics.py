@@ -125,3 +125,142 @@ class TestEvaluationPointValues:
 
     def test_version_string(self):
         assert isinstance(__version__, str) and __version__.count(".") == 2
+
+
+class TestAdditionalData:
+    """additional_data threading, persistence, and the binary-format
+    rejection, across classes."""
+
+    def test_threaded_into_every_build_eval(self):
+        seen = []
+
+        def recorder(point, data):
+            seen.append(data)
+            return point[0] + point[1]
+
+        payload = {"strike": 100.0}
+        c = ChebyshevApproximation(recorder, 2, [[-1, 1]] * 2, [4, 4],
+                                   additional_data=payload)
+        c.build(verbose=False)
+        assert len(seen) == 16 and all(d is payload for d in seen)
+
+    def test_spline_pieces_see_payload(self):
+        seen = []
+        payload = ("spline", 1)
+        spl = ChebyshevSpline(
+            lambda x, d: seen.append(d) or abs(x[0]), 1, [[-1, 1]],
+            [4], [[0.0]], additional_data=payload)
+        spl.build(verbose=False)
+        assert len(seen) == 8 and all(d is payload for d in seen)
+
+    def test_slider_and_tt_threading(self):
+        seen_s, seen_t = [], []
+        payload = object()
+        s = ChebyshevSlider(
+            lambda x, d: seen_s.append(d) or (x[0] + x[1]), 2,
+            [[-1, 1]] * 2, [4, 4], [[0], [1]], [0.0, 0.0],
+            additional_data=payload)
+        s.build(verbose=False)
+        t = ChebyshevTT(
+            lambda x, d: seen_t.append(d) or (x[0] + x[1]), 2,
+            [[-1, 1]] * 2, [4, 4], max_rank=3, additional_data=payload)
+        t.build(verbose=False, seed=0)
+        assert seen_s and all(d is payload for d in seen_s)
+        assert seen_t and all(d is payload for d in seen_t)
+
+    def test_pickle_keeps_binary_rejects(self, tmp_path):
+        payload = {"rate": 0.05}
+        c = ChebyshevApproximation(f2, 2, [[-1, 1]] * 2, [5, 5],
+                                   additional_data=payload)
+        c.build(verbose=False)
+        p = tmp_path / "a.pkl"
+        c.save(str(p))
+        assert ChebyshevApproximation.load(str(p)).additional_data \
+            == payload
+        with pytest.raises(NotImplementedError,
+                           match="additional_data"):
+            c.save(str(tmp_path / "a.pcb"), format="binary")
+
+
+class TestFactoryPathResets:
+    """Derived objects (algebra / extrude / slice) start with fresh
+    metadata — no inherited descriptor, payload, or derivative ids."""
+
+    def _src(self):
+        c = ChebyshevApproximation(f2, 2, [[-1, 1]] * 2, [6, 6])
+        c.build(verbose=False)
+        c.set_descriptor("origin")
+        c.additional_data = {"k": 1}
+        c.get_derivative_id([1, 0])
+        c.get_derivative_id([0, 1])
+        return c
+
+    def test_algebra_result_fresh(self):
+        a = self._src()
+        out = a + a
+        assert out.get_descriptor() == ""
+        assert out.additional_data is None
+        assert out.get_derivative_id([1, 0]) == 0  # registry restarts
+
+    def test_extrude_result_fresh(self):
+        out = self._src().extrude((2, (0.0, 1.0), 4))
+        assert out.get_descriptor() == ""
+        assert out.additional_data is None
+        assert out.get_derivative_id([0, 0, 1]) == 0
+
+    def test_slice_result_fresh(self):
+        out = self._src().slice((0, 0.25))
+        assert out.get_descriptor() == ""
+        assert out.additional_data is None
+        assert out.get_derivative_id([2]) == 0
+
+
+class TestDerivativeIdValidation:
+    @pytest.fixture(scope="class")
+    def objs(self):
+        a = ChebyshevApproximation(f2, 2, [[-1, 1]] * 2, [6, 6])
+        a.build(verbose=False)
+        spl = ChebyshevSpline(f2, 2, [[-1, 1]] * 2, [6, 6], [[0.0], []])
+        spl.build(verbose=False)
+        sl = ChebyshevSlider(f2, 2, [[-1, 1]] * 2, [6, 6],
+                             [[0], [1]], [0.0, 0.0])
+        sl.build(verbose=False)
+        return [a, spl, sl]
+
+    def test_wrong_length(self, objs):
+        for o in objs:
+            with pytest.raises(ValueError,
+                               match="does not match num_dimensions"):
+                o.get_derivative_id([1])
+
+    def test_non_int_entries(self, objs):
+        for o in objs:
+            with pytest.raises(ValueError, match="must be int"):
+                o.get_derivative_id([1.0, 0])
+
+    def test_out_of_range_entries(self, objs):
+        for o in objs:
+            with pytest.raises(ValueError, match="out of range"):
+                o.get_derivative_id([-1, 0])
+            with pytest.raises(ValueError, match="out of range"):
+                o.get_derivative_id([99, 0])
+
+    def test_unknown_id_raises(self, objs):
+        for o in objs:
+            with pytest.raises(KeyError, match="unknown derivative_id"):
+                o.eval([0.1, 0.2], derivative_id=-1)
+
+    def test_ids_stable_and_reusable(self, objs):
+        for o in objs:
+            i1 = o.get_derivative_id([1, 0])
+            i2 = o.get_derivative_id([0, 1])
+            assert o.get_derivative_id([1, 0]) == i1 != i2
+            v_by_id = o.eval([0.1, 0.2], derivative_id=i1)
+            v_by_spec = o.eval([0.1, 0.2], [1, 0])
+            assert abs(v_by_id - v_by_spec) < 1e-14
+
+    def test_both_spec_and_id_raises(self, objs):
+        for o in objs:
+            i = o.get_derivative_id([1, 0])
+            with pytest.raises(ValueError, match="not both"):
+                o.eval([0.1, 0.2], [1, 0], derivative_id=i)
