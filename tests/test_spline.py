@@ -414,3 +414,70 @@ class TestMaskedLargePieceCount:
         pts = np.array([[-1.0], [-0.1], [0.0], [0.25], [0.5], [0.9]])
         flat = route_piece_indices(spl.knots, strides, pts)
         assert list(flat) == [0, 0, 1, 1, 2, 2]
+
+
+class TestSpecialPointsDeeper:
+    """Dispatch parity details: the dispatched object must be
+    indistinguishable from a directly-constructed ChebyshevSpline."""
+
+    def test_matches_direct_spline(self):
+        via = ChebyshevApproximation(
+            abs_kink, 1, [[-1, 1]], n_nodes=[[11, 11]],
+            special_points=[[0.0]])
+        direct = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [[11, 11]],
+                                 [[0.0]])
+        via.build(verbose=False)
+        direct.build(verbose=False)
+        for x in (-0.9, -0.01, 0.01, 0.5):
+            assert via.eval([x], [0]) == direct.eval([x], [0])
+
+    def test_multi_dim_kinks(self):
+        f = lambda x, _: abs(x[0]) + abs(x[1] - 0.5)
+        obj = ChebyshevApproximation(
+            f, 2, [[-1, 1], [-1, 1]],
+            n_nodes=[[8, 8], [8, 8]],
+            special_points=[[0.0], [0.5]])
+        assert isinstance(obj, ChebyshevSpline)
+        obj.build(verbose=False)
+        assert len(obj._pieces) == 4
+        assert abs(obj.eval([0.4, 0.9], [0, 0]) - (0.4 + 0.4)) < 1e-10
+
+    def test_mixed_kink_and_smooth_dims(self):
+        f = lambda x, _: abs(x[0]) + x[1] ** 2
+        obj = ChebyshevApproximation(
+            f, 2, [[-1, 1], [-1, 1]],
+            n_nodes=[[8, 8], [8]], special_points=[[0.0], []])
+        assert isinstance(obj, ChebyshevSpline)
+        obj.build(verbose=False)
+        assert len(obj._pieces) == 2
+        assert abs(obj.eval([-0.3, 0.5], [0, 0]) - 0.55) < 1e-10
+
+    def test_dispatched_object_pickles(self, tmp_path):
+        import pickle
+        obj = ChebyshevApproximation(
+            abs_kink, 1, [[-1, 1]], n_nodes=[[9, 9]],
+            special_points=[[0.0]])
+        obj.build(verbose=False)
+        back = pickle.loads(pickle.dumps(obj))
+        assert isinstance(back, ChebyshevSpline)
+        assert back.eval([0.3], [0]) == obj.eval([0.3], [0])
+
+    def test_dispatched_binary_rejected_nested(self, tmp_path):
+        # dispatch always produces nested n_nodes, and the .pcb spline
+        # record stores one shared n_nodes vector — so a dispatched
+        # object is pickle-only (reference restriction).
+        f = lambda x, _: abs(x[0])
+        obj = ChebyshevApproximation(
+            f, 1, [[-1, 1]], n_nodes=[[9, 9]], special_points=[[0.0]])
+        obj.build(verbose=False)
+        with pytest.raises(NotImplementedError, match="n_nodes"):
+            obj.save(str(tmp_path / "d.pcb"), format="binary")
+
+    def test_per_piece_node_counts(self):
+        # nested n_nodes may differ per sub-interval
+        obj = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [[6, 12]],
+                              [[0.0]])
+        obj.build(verbose=False)
+        assert obj._pieces[0].n_nodes == [6]
+        assert obj._pieces[1].n_nodes == [12]
+        assert abs(obj.eval([0.5], [0]) - 0.5) < 1e-11
