@@ -313,7 +313,10 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
 # the class path passes its stable device array, so serving loops hit;
 # holding the keyed tensors alive also makes identity keying sound (no
 # id reuse).  Bounded, so at most _PLANE_CACHE_SLOTS tensors are pinned.
-_PLANE_CACHE_SLOTS = 4
+# 16 slots: a 16-piece dd-served spline keeps every piece's planes
+# resident (planes are ~tens of MB each on benchmark grids — cheap
+# against 16 GB HBM; the strong refs also keep identity keying sound).
+_PLANE_CACHE_SLOTS = 16
 _plane_cache: list = []
 
 

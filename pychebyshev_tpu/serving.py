@@ -79,19 +79,31 @@ class BatchedEvaluator:
         # f64-class accuracy (~1e-11) at ~14x software-f64 throughput.
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
-            if not isinstance(interpolant, ChebyshevApproximation):
-                raise TypeError(
-                    "dtype='dd' (digit-GEMM serving) supports only "
-                    "ChebyshevApproximation"
-                )
-            if interpolant.tensor_values is None:
-                raise RuntimeError("interpolant is not built")
             from pychebyshev_tpu.ops.eval_dd import supports_dd
-            if not supports_dd(tuple(interpolant.tensor_values.shape)):
+            if isinstance(interpolant, ChebyshevApproximation):
+                if interpolant.tensor_values is None:
+                    raise RuntimeError("interpolant is not built")
+                shape = tuple(interpolant.tensor_values.shape)
+            elif isinstance(interpolant, ChebyshevSpline):
+                if not interpolant._built:
+                    raise RuntimeError("interpolant is not built")
+                shapes = {tuple(np.asarray(p.tensor_values).shape)
+                          for p in interpolant._pieces}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        "dtype='dd' spline serving requires flat "
+                        "n_nodes (all pieces on one grid shape)"
+                    )
+                shape = next(iter(shapes))
+            else:
+                raise TypeError(
+                    "dtype='dd' (digit-GEMM serving) supports "
+                    "ChebyshevApproximation and flat-grid ChebyshevSpline"
+                )
+            if not supports_dd(shape):
                 raise ValueError(
-                    f"grid shape {tuple(interpolant.tensor_values.shape)} "
-                    f"is outside the digit-GEMM plan budget; serve at "
-                    f"dtype=jnp.float64 instead"
+                    f"grid shape {shape} is outside the digit-GEMM "
+                    f"plan budget; serve at dtype=jnp.float64 instead"
                 )
             if mesh is not None or use_fused:
                 raise ValueError(
@@ -162,6 +174,8 @@ class BatchedEvaluator:
             self._orders = (0,) * self.num_dimensions
             # Uniform piece shapes (flat n_nodes) + small piece count:
             # serve through the fused masked path (one dispatch/bucket).
+            # The dd tier instead host-routes each occupied piece
+            # through the digit-GEMM kernel (plane cache per piece).
             from pychebyshev_tpu.ops.spline_eval import (
                 MASKED_MAX_PIECES,
                 MASKED_MAX_PIECES_F64,
@@ -170,7 +184,7 @@ class BatchedEvaluator:
                           else MASKED_MAX_PIECES_F64)
             shapes = {p[0].shape for p in self._piece_arrays}
             self._spline_stacked = None
-            if (len(shapes) == 1
+            if (not self._dd and len(shapes) == 1
                     and len(self._piece_arrays) <= max_pieces):
                 self._spline_stacked = (
                     jnp.stack([p[0] for p in self._piece_arrays]),
@@ -311,6 +325,10 @@ class BatchedEvaluator:
         pieces reuse the same compiled executable per bucket size.
         """
         tensor, nodes, weights, diffs = self._piece_arrays[piece_idx]
+        if self._dd:
+            from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+            return eval_batch_dd(tensor, nodes, weights, diffs, points,
+                                 self._orders)
         from pychebyshev_tpu.ops.eval import eval_batch
         return eval_batch(tensor, nodes, weights, diffs, points,
                           self._orders)

@@ -514,13 +514,9 @@ class TestDigitGemmServing:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-8
 
-    def test_rejects_non_dense(self):
-        from pychebyshev_tpu import ChebyshevSpline
-        spl = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]],
-                              [5], [[0.0]])
-        spl.build(verbose=False)
+    def test_rejects_tt_and_slider(self, tt):
         with pytest.raises(TypeError, match="dd"):
-            BatchedEvaluator(spl, dtype="dd")
+            BatchedEvaluator(tt, dtype="dd")
 
     def test_unsupported_grid_detected(self):
         # Grids whose right group exceeds the digit budget are refused
@@ -528,3 +524,45 @@ class TestDigitGemmServing:
         from pychebyshev_tpu.ops.eval_dd import supports_dd
         assert not supports_dd((4, 1 << 17))
         assert supports_dd((11, 11, 11, 11, 11))
+
+
+class TestDigitGemmSplineServing:
+    def test_spline_dd_matches_class_path(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        import math
+        spl = ChebyshevSpline(
+            lambda x, _: abs(x[0]) * math.exp(0.2 * x[1]) + x[2],
+            3, [[-1, 1]] * 3, [8, 8, 8], [[0.0], [], []])
+        spl.build(verbose=False)
+        eng = BatchedEvaluator(spl, dtype="dd", bucket_sizes=(256,))
+        rng = np.random.default_rng(6)
+        pts = rng.uniform(-1, 1, (600, 3))
+        got = eng(pts)
+        want = spl.eval_batch(pts, [0, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-9
+
+    def test_spline_dd_derivative(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        spl = ChebyshevSpline(
+            lambda x, _: abs(x[0]) + 0.3 * x[1] ** 3 + x[2],
+            3, [[-1, 1]] * 3, [8, 8, 8], [[0.0], [], []])
+        spl.build(verbose=False)
+        eng = BatchedEvaluator(spl, dtype="dd",
+                               derivative_order=(0, 1, 0),
+                               bucket_sizes=(256,))
+        rng = np.random.default_rng(8)
+        pts = rng.uniform(-1, 1, (300, 3))
+        got = eng(pts)
+        want = spl.eval_batch(pts, [0, 1, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-8
+
+    def test_nested_n_nodes_rejected(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        spl = ChebyshevSpline(lambda x, _: abs(x[0]) + x[1] + x[2],
+                              3, [[-1, 1]] * 3,
+                              [[8, 9], [8], [8]], [[0.0], [], []])
+        spl.build(verbose=False)
+        with pytest.raises(ValueError, match="flat"):
+            BatchedEvaluator(spl, dtype="dd")
