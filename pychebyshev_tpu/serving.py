@@ -53,12 +53,14 @@ class BatchedEvaluator:
     bucket_sizes : ascending compile sizes; batches beyond the largest
         are processed in largest-bucket chunks.
     use_fused : route dense f32 through the fused Pallas kernel.
+        ``None`` (default) = auto: fused on a TPU backend, XLA
+        otherwise — same rule as ``eval_batch_f32``.
     """
 
     def __init__(self, interpolant, dtype=jnp.float32,
                  derivative_order: Optional[Sequence[int]] = None,
                  bucket_sizes: Tuple[int, ...] = _DEFAULT_BUCKETS,
-                 use_fused: bool = False, mesh=None,
+                 use_fused: bool = None, mesh=None,
                  data_axis: str = "dp"):
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
@@ -114,6 +116,11 @@ class BatchedEvaluator:
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
+        if use_fused is None:
+            # auto: the Pallas kernel wins ~1.5x on TPU at better
+            # accuracy; it does not lower on CPU and is single-device.
+            use_fused = (jax.default_backend() == "tpu"
+                         and mesh is None and not self._dd)
         self._use_fused = use_fused
         self._mesh = mesh
         self._data_axis = data_axis

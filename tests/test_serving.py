@@ -566,3 +566,20 @@ class TestDigitGemmSplineServing:
         spl.build(verbose=False)
         with pytest.raises(ValueError, match="flat"):
             BatchedEvaluator(spl, dtype="dd")
+
+
+class TestFusedAutoDefault:
+    def test_auto_resolves_by_backend(self, cheb):
+        import jax
+        eng = BatchedEvaluator(cheb, dtype=jnp.float32,
+                               bucket_sizes=(64,))
+        assert eng._use_fused == (jax.default_backend() == "tpu")
+
+    def test_mesh_auto_stays_xla(self, cheb):
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        eng = BatchedEvaluator(cheb, dtype=jnp.float32,
+                               bucket_sizes=(64,), mesh=make_mesh(2))
+        assert eng._use_fused is False
