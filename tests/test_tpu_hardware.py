@@ -139,3 +139,37 @@ class TestNarrowDomainRangeOnChip:
         keep = np.abs(exact) > 1.0
         rel = np.abs(out - exact)[keep] / np.abs(exact)[keep]
         assert rel.max() < 1e-6   # 21-node interpolation is ~1e-8
+
+
+class TestServingTiersOnChip:
+    def test_fused_default_engine_accuracy(self, cheb, check_points):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(cheb, dtype=jnp.float32,
+                               bucket_sizes=(4096,))
+        assert eng._use_fused            # auto-resolved on TPU
+        got = eng(check_points).astype(np.float64)
+        want = np.asarray(cheb.eval_batch_device(
+            jnp.asarray(check_points), (0,) * 5))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 5e-5
+
+    def test_dd_engine_near_f64_on_chip(self, cheb, check_points):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(cheb, dtype="dd", bucket_sizes=(4096,))
+        got = eng(check_points)
+        want = np.asarray(cheb.eval_batch_device(
+            jnp.asarray(check_points), (0,) * 5))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-9
+
+    def test_dd_fast_mode_ladder_on_chip(self, cheb, check_points):
+        acc = np.asarray(cheb.eval_batch_dd(check_points,
+                                            mode="accurate"))
+        fast = np.asarray(cheb.eval_batch_dd(check_points, mode="fast"))
+        want = np.asarray(cheb.eval_batch_device(
+            jnp.asarray(check_points), (0,) * 5))
+        scale = np.abs(want).max()
+        dev_acc = np.abs(acc - want).max() / scale
+        dev_fast = np.abs(fast - want).max() / scale
+        assert dev_acc < 1e-9
+        assert dev_fast < 1e-6
