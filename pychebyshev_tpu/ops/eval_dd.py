@@ -331,10 +331,13 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
     # must not reuse the other grid's pre-differentiated planes.
     diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
     plan_key = (plan["cutoff"], plan["b_t"])
-    for entry in _plane_cache:
+    for i, entry in enumerate(_plane_cache):
         if (entry[0] is tensor and entry[1] == (orders, plan_key)
                 and len(entry[2]) == len(diffs_key)
                 and all(a is b for a, b in zip(entry[2], diffs_key))):
+            # true LRU: refresh on hit so cyclic multi-tensor access
+            # patterns (dd-served splines) keep their working set
+            _plane_cache.insert(0, _plane_cache.pop(i))
             return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]

@@ -312,10 +312,11 @@ def _tensor_planes_padded(tensor, diff_matrices, orders, plan):
     # diff_matrices join the key identity-wise (same tensor under two
     # grids with orders>0 must not share pre-differentiated planes).
     diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
-    for entry in _plane_cache:
+    for i, entry in enumerate(_plane_cache):
         if (entry[0] is tensor and entry[1] == orders
                 and len(entry[2]) == len(diffs_key)
                 and all(a is b for a, b in zip(entry[2], diffs_key))):
+            _plane_cache.insert(0, _plane_cache.pop(i))  # true LRU
             return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]

@@ -96,6 +96,15 @@ class BatchedEvaluator:
                         "dtype='dd' spline serving requires flat "
                         "n_nodes (all pieces on one grid shape)"
                     )
+                from pychebyshev_tpu.ops import eval_dd as _dd_mod
+                if len(interpolant._pieces) > _dd_mod._PLANE_CACHE_SLOTS:
+                    raise ValueError(
+                        f"dtype='dd' spline serving supports at most "
+                        f"{_dd_mod._PLANE_CACHE_SLOTS} pieces (the digit-"
+                        f"plane cache working set); this spline has "
+                        f"{len(interpolant._pieces)} — serve at "
+                        f"dtype=jnp.float64 instead"
+                    )
                 shape = next(iter(shapes))
             else:
                 raise TypeError(
@@ -205,9 +214,9 @@ class BatchedEvaluator:
                 # Routing stays host-side in f64 (route_piece_indices):
                 # an f32 engine must never mis-route a point sitting
                 # within f32 eps of a knot.
-                self._strides = tuple(
-                    int(np.prod(self._pshape[d + 1:], dtype=np.int64))
-                    for d in range(self.num_dimensions))
+                from pychebyshev_tpu.ops.spline_eval import piece_strides
+                self._strides = piece_strides(
+                    [len(k) for k in self._knots])
         elif isinstance(interpolant, ChebyshevSlider):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")

@@ -46,6 +46,10 @@ def normalize_bounds(dims, bounds, domain, dim_labels=None):
         )
 
     labels = dims if dim_labels is None else dim_labels
+    if len(labels) != len(dims):
+        raise ValueError(
+            f"dim_labels length {len(labels)} != dims length {len(dims)}"
+        )
 
     def _one(spec, d, label):
         if spec is None:

@@ -413,3 +413,10 @@ class TestCrossClassCalculusConsistency:
         pt = tt.integrate(dims=[1])
         for x in ([0.2, 0.8], [-0.9, -0.1]):
             assert abs(pd.eval(x, [0, 0]) - pt.eval(x)) < 1e-9
+
+
+def test_normalize_bounds_rejects_short_dim_labels():
+    from pychebyshev_tpu.utils.calculus import normalize_bounds
+    with pytest.raises(ValueError, match="dim_labels length"):
+        normalize_bounds([0, 1], [(0.0, 1.0), (0.0, 1.0)],
+                         [[-1, 1], [-1, 1]], dim_labels=[7])

@@ -583,3 +583,13 @@ class TestFusedAutoDefault:
         eng = BatchedEvaluator(cheb, dtype=jnp.float32,
                                bucket_sizes=(64,), mesh=make_mesh(2))
         assert eng._use_fused is False
+
+
+def test_dd_spline_piece_cap_enforced():
+    from pychebyshev_tpu import ChebyshevSpline
+    knots = list(np.linspace(-1, 1, 19)[1:-1])  # 18 pieces > 16 slots
+    spl = ChebyshevSpline(lambda x, _: abs(np.sin(3 * x[0])) + x[1],
+                          2, [[-1, 1]] * 2, [6, 6], [knots, []])
+    spl.build(verbose=False)
+    with pytest.raises(ValueError, match="at most"):
+        BatchedEvaluator(spl, dtype="dd")
