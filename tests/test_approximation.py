@@ -751,3 +751,73 @@ class TestDifferentiate:
                                          [[-1, 1]], [5])
         with pytest.raises(RuntimeError):
             unbuilt.differentiate([1])
+
+
+class TestAutoNDeeper:
+    """Error-threshold construction details (reference
+    test_error_threshold.py behaviors, repo-native)."""
+
+    def test_worst_dim_doubles_anisotropic(self):
+        # dim 0 is rough, dim 1 nearly linear: auto-N must spend nodes
+        # on dim 0.  (The phase offset breaks odd symmetry — a parity-
+        # symmetric function zeroes the last coefficient and fools the
+        # tail estimate in this AND the reference implementation.)
+        f = lambda x, _: math.sin(8 * x[0] + 0.3) + 0.01 * x[1]
+        cheb = ChebyshevApproximation(
+            f, 2, [[-1, 1]] * 2, error_threshold=1e-9)
+        cheb.build(verbose=False)
+        assert cheb.n_nodes[0] > cheb.n_nodes[1]
+        assert cheb.error_estimate() <= 1e-9
+
+    def test_threshold_getter_and_flag(self):
+        f = lambda x, _: math.sin(x[0])
+        cheb = ChebyshevApproximation(f, 1, [[-1, 1]],
+                                      error_threshold=1e-6)
+        assert cheb.get_error_threshold() == 1e-6
+        fixed = ChebyshevApproximation(f, 1, [[-1, 1]], [9])
+        assert fixed.get_error_threshold() is None
+
+    def test_eval_accuracy_meets_threshold(self):
+        # phase offset: see test_worst_dim_doubles_anisotropic
+        f = lambda x, _: math.exp(x[0]) * math.cos(2 * x[1] + 0.7)
+        thr = 1e-8
+        cheb = ChebyshevApproximation(
+            f, 2, [[-1, 1]] * 2, error_threshold=thr)
+        cheb.build(verbose=False)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (200, 2))
+        got = cheb.vectorized_eval_batch(pts, [0, 0])
+        want = np.array([f(p, None) for p in pts])
+        # the estimate is a sup-norm bound up to a small constant
+        assert np.abs(got - want).max() < 50 * thr
+
+    def test_auto_n_then_binary_round_trip(self, tmp_path):
+        import io
+
+        from pychebyshev_tpu.utils import binary
+        f = lambda x, _: math.sin(2 * x[0])
+        cheb = ChebyshevApproximation(f, 1, [[-1, 1]],
+                                      error_threshold=1e-7)
+        cheb.build(verbose=False)
+        buf = io.BytesIO()
+        binary.write_approx(buf, cheb)
+        buf.seek(0)
+        loaded = binary.read_approx(buf)
+        assert loaded.n_nodes == cheb.n_nodes
+        assert loaded.eval([0.37], [0]) == cheb.eval([0.37], [0])
+
+    def test_build_time_accumulates(self):
+        f = lambda x, _: math.sin(6 * x[0])
+        cheb = ChebyshevApproximation(f, 1, [[-1, 1]],
+                                      error_threshold=1e-10)
+        cheb.build(verbose=False)
+        assert cheb.build_time > 0.0
+
+    def test_mixed_fixed_and_auto_respects_fixed(self):
+        f = lambda x, _: math.sin(5 * x[0]) + math.sin(5 * x[1])
+        cheb = ChebyshevApproximation(
+            f, 2, [[-1, 1]] * 2, n_nodes=[7, None],
+            error_threshold=1e-9)
+        cheb.build(verbose=False)
+        assert cheb.n_nodes[0] == 7
+        assert cheb.n_nodes[1] != 7 or cheb.error_estimate() <= 1e-9
