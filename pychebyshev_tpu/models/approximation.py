@@ -904,8 +904,9 @@ class ChebyshevApproximation:
         values = np.asarray(values, dtype=np.float64)
         return _coeff_matrix_np(len(values)) @ values
 
-    def _error_estimate_per_dim(self) -> List[float]:
-        """Per-dim max |last Chebyshev coefficient| over all 1-D slices.
+    def _error_estimate_per_dim(self, tail: int = 1) -> List[float]:
+        """Per-dim max |coefficient| over the last ``tail`` rows of all
+        1-D slices.
 
         Batched: one cosine-matrix contraction per axis replaces the
         reference's ``np.ndindex`` slice loop (``barycentric.py:1278-1308``).
@@ -915,17 +916,28 @@ class ChebyshevApproximation:
         per_dim = []
         for d in range(self.num_dimensions):
             coeffs = values_to_coeffs(self.tensor_values, axis=d)
-            last = jnp.take(coeffs, coeffs.shape[d] - 1, axis=d)
-            per_dim.append(float(jnp.max(jnp.abs(last))))
+            n = coeffs.shape[d]
+            take = min(max(1, int(tail)), n)
+            rows = jax.lax.slice_in_dim(coeffs, n - take, n, axis=d)
+            per_dim.append(float(jnp.max(jnp.abs(rows))))
         return per_dim
 
-    def error_estimate(self) -> float:
+    def error_estimate(self, tail: int = 1) -> float:
         """Sup-norm error estimate: sum over dims of max |c_{n-1}|
-        (Ruiz & Zeron 2021 §3.4)."""
-        if self._cached_error_estimate is not None:
+        (Ruiz & Zeron 2021 §3.4; the reference rule, and the default).
+
+        ``tail=2`` reads the last TWO coefficient rows per dim — immune
+        to the parity blind spot (an even/odd function about the domain
+        center has alternating zero coefficients, so the single last
+        coefficient can vanish on a badly under-resolved fit; see
+        docs/user-guide/error-driven-construction.md).  Beyond-reference
+        extension; the default matches the reference bit-for-bit.
+        """
+        if tail == 1 and self._cached_error_estimate is not None:
             return self._cached_error_estimate
-        total = float(sum(self._error_estimate_per_dim()))
-        self._cached_error_estimate = total
+        total = float(sum(self._error_estimate_per_dim(tail)))
+        if tail == 1:
+            self._cached_error_estimate = total
         return total
 
     def sobol_indices(self) -> dict:

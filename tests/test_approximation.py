@@ -821,3 +821,30 @@ class TestAutoNDeeper:
         cheb.build(verbose=False)
         assert cheb.n_nodes[0] == 7
         assert cheb.n_nodes[1] != 7 or cheb.error_estimate() <= 1e-9
+
+
+class TestTailEstimate:
+    """error_estimate(tail=2): the parity-robust beyond-reference knob
+    (default tail=1 stays reference-exact)."""
+
+    def test_catches_parity_aliasing(self):
+        f = lambda x, _: math.sin(8 * x[0])
+        c = ChebyshevApproximation(f, 1, [[-1, 1]], [3])
+        c.build(verbose=False)
+        assert c.error_estimate() < 1e-12          # fooled (reference too)
+        assert c.error_estimate(tail=2) > 0.1      # robust knob sees it
+
+    def test_agrees_on_resolved_fits(self):
+        f = lambda x, _: math.exp(x[0]) + 0.3 * x[1]
+        c = ChebyshevApproximation(f, 2, [[-1, 1]] * 2, [14, 6])
+        c.build(verbose=False)
+        e1, e2 = c.error_estimate(), c.error_estimate(tail=2)
+        assert e1 <= e2 < 100 * max(e1, 1e-15)
+
+    def test_default_still_cached(self):
+        f = lambda x, _: x[0] ** 3
+        c = ChebyshevApproximation(f, 1, [[-1, 1]], [6])
+        c.build(verbose=False)
+        assert c.error_estimate() == c.error_estimate()
+        c.error_estimate(tail=3)                   # does not poison cache
+        assert c._cached_error_estimate == c.error_estimate()
