@@ -293,16 +293,20 @@ class ChebyshevSlider:
     # Error estimation + properties
     # ------------------------------------------------------------------
 
-    def error_estimate(self) -> float:
+    def error_estimate(self, tail: int = 1) -> float:
         """Sum of per-slide estimates (every slide contributes to every
-        point; cross-group interaction error is not included)."""
+        point; cross-group interaction error is not included).
+
+        ``tail=2`` threads the parity-robust variant through every
+        slide (see ChebyshevApproximation.error_estimate)."""
         if not self._built:
             raise RuntimeError("Call build() before error_estimate().")
-        if self._cached_error_estimate is not None:
+        if tail == 1 and self._cached_error_estimate is not None:
             return self._cached_error_estimate
-        self._cached_error_estimate = sum(
-            slide.error_estimate() for slide in self.slides)
-        return self._cached_error_estimate
+        est = sum(slide.error_estimate(tail) for slide in self.slides)
+        if tail == 1:
+            self._cached_error_estimate = est
+        return est
 
     def sobol_indices(self) -> dict:
         """Analytic Sobol indices from the additive decomposition.

@@ -449,15 +449,19 @@ class ChebyshevSpline:
     # Error estimation + sensitivity
     # ------------------------------------------------------------------
 
-    def error_estimate(self) -> float:
-        """Max over pieces (disjoint sub-domains -> worst case governs)."""
+    def error_estimate(self, tail: int = 1) -> float:
+        """Max over pieces (disjoint sub-domains -> worst case governs).
+
+        ``tail=2`` threads the parity-robust variant through every
+        piece (see ChebyshevApproximation.error_estimate)."""
         if not self._built:
             raise RuntimeError("Call build() before error_estimate().")
-        if self._cached_error_estimate is not None:
+        if tail == 1 and self._cached_error_estimate is not None:
             return self._cached_error_estimate
-        self._cached_error_estimate = max(
-            piece.error_estimate() for piece in self._pieces)
-        return self._cached_error_estimate
+        est = max(piece.error_estimate(tail) for piece in self._pieces)
+        if tail == 1:
+            self._cached_error_estimate = est
+        return est
 
     def sobol_indices(self) -> dict:
         """Per-piece Sobol indices aggregated by volume x variance."""

@@ -848,3 +848,15 @@ class TestTailEstimate:
         assert c.error_estimate() == c.error_estimate()
         c.error_estimate(tail=3)                   # does not poison cache
         assert c._cached_error_estimate == c.error_estimate()
+
+
+def test_tail_estimate_threads_through_spline_and_slider():
+    from pychebyshev_tpu import ChebyshevSlider, ChebyshevSpline
+    f = lambda x, _: math.sin(8 * x[0])
+    spl = ChebyshevSpline(f, 1, [[-1, 1]], [3], [[0.35]])
+    spl.build(verbose=False)
+    assert spl.error_estimate(tail=2) > spl.error_estimate()
+    sl = ChebyshevSlider(lambda x, _: math.sin(8 * x[0]) + math.sin(
+        8 * x[1]), 2, [[-1, 1]] * 2, [3, 3], [[0], [1]], [0.0, 0.0])
+    sl.build(verbose=False)
+    assert sl.error_estimate(tail=2) > 0.1 > sl.error_estimate()
