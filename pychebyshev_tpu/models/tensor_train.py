@@ -832,14 +832,22 @@ class ChebyshevTT:
         return self._assemble(new_cores, self.domain, self.n_nodes,
                               self._dim_order)
 
-    def error_estimate(self) -> float:
-        """Sum over dims of max |last Chebyshev coefficient| in each core."""
+    def error_estimate(self, tail: int = 1) -> float:
+        """Sum over dims of max |last Chebyshev coefficient| in each core.
+
+        ``tail=2`` reads the last two coefficient slices per core —
+        robust to parity-symmetric functions whose alternating zero
+        coefficients blank the single-slice probe (see
+        ChebyshevApproximation.error_estimate)."""
         self._check_built()
-        if self._cached_error_estimate is not None:
+        if tail == 1 and self._cached_error_estimate is not None:
             return self._cached_error_estimate
-        total = sum(float(np.max(np.abs(core[:, -1, :])))
-                    for core in self._coeff_cores)
-        self._cached_error_estimate = total
+        total = sum(
+            float(np.max(np.abs(core[:, -min(max(1, int(tail)),
+                                             core.shape[1]):, :])))
+            for core in self._coeff_cores)
+        if tail == 1:
+            self._cached_error_estimate = total
         return total
 
     @property
