@@ -124,6 +124,30 @@ def _unwrap_typed(domain, n_nodes, special_points):
     return domain, n_nodes, special_points
 
 
+def _with_padded_rows(grid: dict) -> dict:
+    """Augment a host-grid dict with padded (d, n_max) node/weight
+    mirrors for the vectorized single-point row build.
+
+    Pad lanes carry node +inf (gap -inf, never the argmin) and weight 0
+    (exactly 0.0 contribution to numerator and denominator — appending
+    0.0 terms is bitwise-neutral in the pairwise sum), so one set of
+    array ops covers ragged dims bit-identically to a per-dim loop.
+    Idempotent; mutates and returns *grid*.
+    """
+    if "nodes_pad" not in grid:
+        ns = [len(n) for n in grid["nodes"]]
+        n_max = max(ns)
+        nodes_pad = np.full((len(ns), n_max), np.inf)
+        weights_pad = np.zeros((len(ns), n_max))
+        for d, (nd, wd) in enumerate(zip(grid["nodes"], grid["weights"])):
+            nodes_pad[d, :ns[d]] = nd
+            weights_pad[d, :ns[d]] = wd
+        grid["nodes_pad"] = nodes_pad
+        grid["weights_pad"] = weights_pad
+        grid["n_per_dim"] = ns
+    return grid
+
+
 class ChebyshevApproximation:
     """Full-tensor Chebyshev interpolant on a Type-I node grid.
 
@@ -305,11 +329,11 @@ class ChebyshevApproximation:
                       for d in range(self.num_dimensions)]
         self.weights = [jnp.asarray(w) for w in host_weights]
         self.diff_matrices = [jnp.asarray(m) for m in host_diffs]
-        self._host_grid = {
+        self._host_grid = _with_padded_rows({
             "nodes": host_nodes,
             "weights": host_weights,
             "diffs_t": [np.ascontiguousarray(m.T) for m in host_diffs],
-        }
+        })
 
     def _initialize_grid_only(self) -> None:
         """Grid metadata without function evaluation (``defer_build``)."""
@@ -507,7 +531,7 @@ class ChebyshevApproximation:
         # must match the immutable device tensor, not live user memory.
         self._host_cache = (self.tensor_values, {
             "tensor": np.array(host_values, dtype=np.float64, order="C"),
-            **grid,
+            **_with_padded_rows(grid),
         })
 
     def _host_arrays(self):
@@ -537,6 +561,7 @@ class ChebyshevApproximation:
                 "diffs_t": [np.ascontiguousarray(np.asarray(a).T)
                             for a in self.diff_matrices],
             }
+            grid = _with_padded_rows(grid)
             cache = (self.tensor_values,
                      {"tensor": np.asarray(self.tensor_values), **grid})
             self._host_cache = cache
@@ -551,16 +576,29 @@ class ChebyshevApproximation:
         node (within 1e-14) yields a one-hot row.
         """
         h = self._host_arrays()
+        ns = h["n_per_dim"]
+        pt = np.asarray(point, dtype=np.float64)
+        # One set of array ops across all dims (the per-dim loop paid
+        # ~100 us of numpy call overhead per query at d=5): padded
+        # lanes carry weight 0 / node +inf, which contribute exactly
+        # 0.0 to numerator and denominator, so every real lane is
+        # bit-identical to the per-dim computation.
+        gaps = pt[:, None] - h["nodes_pad"]
+        # errstate: an exact-node coincidence makes one lane inf/nan
+        # here; that dim is replaced by its one-hot row below.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = h["weights_pad"] / gaps
+            scaled = raw / raw.sum(axis=1)[:, None]
+        absg = np.abs(gaps)
+        nearest = absg.argmin(axis=1)
+        exact = absg[np.arange(len(ns)), nearest] < NODE_COINCIDENCE_TOL
         rows = []
         for d in range(self.num_dimensions):
-            gap = np.asarray(point[d], dtype=np.float64) - h["nodes"][d]
-            nearest = int(np.argmin(np.abs(gap)))
-            if abs(gap[nearest]) < NODE_COINCIDENCE_TOL:
-                row = np.zeros(gap.shape[0])
-                row[nearest] = 1.0
+            if exact[d]:
+                row = np.zeros(ns[d])
+                row[nearest[d]] = 1.0
             else:
-                row = h["weights"][d] / gap
-                row = row / row.sum()
+                row = scaled[d, :ns[d]]
             rows.append(row)
         return rows
 
