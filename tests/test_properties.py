@@ -362,3 +362,28 @@ class TestHighDimensionalTT:
         ro = tt.reorder(list(reversed(range(D))))
         np.testing.assert_allclose(ro.eval_batch(pts), base,
                                    rtol=1e-10, atol=1e-12)
+
+
+class TestHostRowBuildConsistency:
+    """The vectorized (padded-lane) single-point row build must agree
+    with the device batch path everywhere, including knife-edge
+    near-node points and ragged dims."""
+
+    @given(seed=st.integers(0, 2**31))
+    @settings(**SETTINGS)
+    def test_single_matches_batch(self, seed):
+        rng = np.random.default_rng(seed)
+        c = build_from_values(seed, [5, 9, 4],
+                              [(-1.0, 1.0), (0.0, 2.0), (-3.0, -1.0)])
+        pts = np.column_stack([rng.uniform(-1, 1, 8),
+                               rng.uniform(0, 2, 8),
+                               rng.uniform(-3, -1, 8)])
+        # splice in exact nodes and near-node offsets on dim 1
+        nodes1 = np.asarray(c.nodes[1])
+        pts[0, 1] = nodes1[3]
+        pts[1, 1] = nodes1[3] + 5e-15   # inside coincidence tol
+        pts[2, 1] = nodes1[3] + 1e-12   # just outside
+        batch = c.vectorized_eval_batch(pts, [0, 0, 0])
+        single = np.array([c.vectorized_eval(list(p), [0, 0, 0])
+                           for p in pts])
+        np.testing.assert_allclose(single, batch, rtol=0, atol=1e-12)
