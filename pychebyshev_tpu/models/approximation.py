@@ -839,6 +839,7 @@ class ChebyshevApproximation:
     # multi-spec entry point eval_multi; reference ``barycentric.py``
     # only has vectorized_eval_multi).
     eval_multi = vectorized_eval_multi
+    eval_batch_multi = vectorized_eval_batch_multi
 
     # ------------------------------------------------------------------
     # Derivative-id registry + ergonomics surface

@@ -289,6 +289,52 @@ class ChebyshevSlider:
 
     vectorized_eval_batch = eval_batch
 
+    def vectorized_eval_batch_multi(self, points, derivative_orders):
+        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
+
+        One jitted dispatch for a whole slider Greek report
+        (``ops.slider_eval.slider_multi_batch``): the additive value
+        sum runs at most once, each derivative spec adds one owning-
+        slide kernel, and cross-group mixed partials are identically
+        zero by the decomposition — vs one dispatch per spec when
+        looping ``eval_batch``.
+        """
+        if not self._built:
+            raise RuntimeError(
+                "Call build() before vectorized_eval_batch_multi()."
+            )
+        points = np.asarray(points, dtype=np.float64)
+        orders_list = tuple(tuple(int(o) for o in orders)
+                            for orders in derivative_orders)
+        plan = []
+        for orders in orders_list:
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+            active = {self._dim_to_slide[d]
+                      for d, o in enumerate(orders) if o > 0}
+            if not active:
+                plan.append(("value",))
+            elif len(active) > 1:
+                plan.append(("zero",))
+            else:
+                idx = active.pop()
+                group = self.partition[idx]
+                plan.append(("slide", idx,
+                             tuple(orders[d] for d in group)))
+
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch
+        slide_data = tuple(
+            (s.tensor_values,) + s._grid_tuples() for s in self.slides)
+        groups = tuple(tuple(int(d) for d in g) for g in self.partition)
+        out = slider_multi_batch(slide_data, self.pivot_value, groups,
+                                 tuple(plan), points)
+        return np.asarray(out).T
+
+    eval_batch_multi = vectorized_eval_batch_multi
+
     # ------------------------------------------------------------------
     # Error estimation + properties
     # ------------------------------------------------------------------

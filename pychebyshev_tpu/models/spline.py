@@ -398,23 +398,7 @@ class ChebyshevSpline:
         if (not is_nested_n_nodes(self.n_nodes)
                 and len(self._pieces)
                 <= spline_eval.MASKED_MAX_PIECES_F64):
-            # The cache holds strong references to the keyed piece
-            # tensors and validates with `is` — immutable arrays +
-            # attribute rebinding make that sound (id()-keyed caches
-            # could go stale through id reuse after GC).  Strides are
-            # build-time constants cached alongside.
-            key = tuple(p.tensor_values for p in self._pieces)
-            cache = getattr(self, "_masked_cache", None)
-            if (cache is None or len(cache[0]) != len(key)
-                    or any(a is not b for a, b in zip(cache[0], key))):
-                cache = (
-                    key,
-                    spline_eval.stack_pieces(self._pieces),
-                    spline_eval.piece_strides(
-                        [len(k) for k in self.knots]),
-                )
-                self._masked_cache = cache
-            _, stacked, strides = cache
+            stacked, strides = self._masked_arrays()
             tensors, nodes, weights, diffs = stacked
             flat = spline_eval.route_piece_indices(
                 self.knots, strides, points)
@@ -425,6 +409,40 @@ class ChebyshevSpline:
 
         n = points.shape[0]
         results = np.empty(n)
+        flat_indices = self._route_batch(points)
+        for piece_idx in np.unique(flat_indices):
+            mask = flat_indices == piece_idx
+            results[mask] = self._pieces[piece_idx].vectorized_eval_batch(
+                points[mask], derivative_order)
+        return results
+
+    def _masked_arrays(self):
+        """Stacked per-piece grid arrays + piece strides, cached.
+
+        The cache holds strong references to the keyed piece tensors
+        and validates with ``is`` — immutable arrays + attribute
+        rebinding make that sound (id()-keyed caches could go stale
+        through id reuse after GC).  Strides are build-time constants
+        cached alongside.
+        """
+        from pychebyshev_tpu.ops import spline_eval
+        key = tuple(p.tensor_values for p in self._pieces)
+        cache = getattr(self, "_masked_cache", None)
+        if (cache is None or len(cache[0]) != len(key)
+                or any(a is not b for a, b in zip(cache[0], key))):
+            cache = (
+                key,
+                spline_eval.stack_pieces(self._pieces),
+                spline_eval.piece_strides(
+                    [len(k) for k in self.knots]),
+            )
+            self._masked_cache = cache
+        _, stacked, strides = cache
+        return stacked, strides
+
+    def _route_batch(self, points: np.ndarray) -> np.ndarray:
+        """Vectorized host routing: flat C-order piece index per point."""
+        n = points.shape[0]
         multi_indices = np.zeros((n, self.num_dimensions), dtype=int)
         for d in range(self.num_dimensions):
             if len(self.knots[d]) > 0:
@@ -432,18 +450,61 @@ class ChebyshevSpline:
                     self.knots[d], points[:, d], side="right")
                 np.clip(multi_indices[:, d], 0, self._shape[d] - 1,
                         out=multi_indices[:, d])
+        return np.ravel_multi_index(multi_indices.T, self._shape)
 
-        flat_indices = np.ravel_multi_index(multi_indices.T, self._shape)
+    def vectorized_eval_batch_multi(self, points, derivative_orders):
+        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
+
+        The spline Greek-set call: flat-grid splines run every piece
+        and every derivative spec in ONE fused dispatch
+        (``ops.spline_eval.masked_eval_batch_multi`` — per-piece rows
+        built once and shared across specs); nested grids and large
+        piece counts group points by piece and run each piece's fused
+        multi-spec kernel.  Knot semantics match ``eval_batch``: points
+        on a knot take the right piece's one-sided derivatives.
+        """
+        if not self._built:
+            raise RuntimeError(
+                "Call build() before vectorized_eval_batch_multi()."
+            )
+        orders_list = tuple(tuple(int(o) for o in orders)
+                            for orders in derivative_orders)
+        for orders in orders_list:
+            if len(orders) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(orders)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+        points = np.asarray(points, dtype=float)
+
+        from pychebyshev_tpu.ops import spline_eval
+        if (not is_nested_n_nodes(self.n_nodes)
+                and len(self._pieces)
+                <= spline_eval.MASKED_MAX_PIECES_F64):
+            stacked, strides = self._masked_arrays()
+            tensors, nodes, weights, diffs = stacked
+            flat = spline_eval.route_piece_indices(
+                self.knots, strides, points)
+            out = spline_eval.masked_eval_batch_multi(
+                tensors, nodes, weights, diffs, flat, points,
+                orders_list)
+            return np.asarray(out).T
+
+        n = points.shape[0]
+        results = np.empty((n, len(orders_list)))
+        flat_indices = self._route_batch(points)
         for piece_idx in np.unique(flat_indices):
             mask = flat_indices == piece_idx
-            results[mask] = self._pieces[piece_idx].vectorized_eval_batch(
-                points[mask], derivative_order)
+            results[mask] = self._pieces[
+                piece_idx].vectorized_eval_batch_multi(
+                    points[mask], orders_list)
         return results
 
     # Reference-compatible aliases matching the Approximation surface.
     vectorized_eval = eval
     vectorized_eval_multi = eval_multi
     vectorized_eval_batch = eval_batch
+    eval_batch_multi = vectorized_eval_batch_multi
 
     # ------------------------------------------------------------------
     # Error estimation + sensitivity

@@ -698,6 +698,92 @@ class ChebyshevTT:
     vectorized_eval = eval
     vectorized_eval_multi = eval_multi
 
+    def vectorized_eval_batch_multi(self, points, derivative_orders
+                                    ) -> np.ndarray:
+        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
+
+        One fused device dispatch for a whole TT Greek report.  Each
+        spec's central-difference stencil (the same per-dim
+        {+h, -h} / {+h, 0, -h} products with boundary nudges that
+        :meth:`eval_multi` applies point-at-a-time, reference
+        ``tensor_train.py:2322-2463``) is expanded into shifted copies
+        of the query batch; every shifted batch from every spec is
+        concatenated and evaluated in ONE ``tt_eval_batch`` call, then
+        recombined with the stencil coefficients on host.  The stencil
+        (points, shifts, coefficients) is identical to the per-point
+        path; only the contraction backend differs (device batch vs
+        host loop), so agreement is to roundoff.
+        """
+        self._check_built()
+        points = np.asarray(points, dtype=np.float64)
+        canonical = list(range(self.num_dimensions))
+        if self._dim_order != canonical:
+            pts = points[:, self._dim_order]
+            derivs = [[do[self._dim_order[k]]
+                       for k in range(self.num_dimensions)]
+                      for do in derivative_orders]
+        else:
+            pts = points.copy()
+            derivs = [list(do) for do in derivative_orders]
+        for do in derivative_orders:
+            if len(do) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(do)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
+
+        n = pts.shape[0]
+        if not derivs:
+            return np.zeros((n, 0))
+        stacks = []       # shifted point batches, one (N, d) per term
+        combine = []      # per spec: list of (stack offset, coeff)
+        for do in derivs:
+            active = [(d, int(o)) for d, o in enumerate(do) if o > 0]
+            if any(o not in (1, 2) for _, o in active):
+                bad = next(o for _, o in active if o not in (1, 2))
+                raise ValueError(
+                    f"Derivative order {bad} not supported (use 1 or 2)")
+            base = pts.copy()
+            steps = {}
+            for d, _ in active:
+                h = self._fd_step(d)
+                a, b = self.domain[d]
+                np.clip(base[:, d], a + 1.5 * h, b - 1.5 * h,
+                        out=base[:, d])
+                steps[d] = h
+            # Tensor-product stencil across the active dims.
+            terms = [({}, 1.0)]
+            for d, order in active:
+                h = steps[d]
+                if order == 1:
+                    stencil = [(h, 0.5 / h), (-h, -0.5 / h)]
+                else:
+                    inv_h2 = 1.0 / (h * h)
+                    stencil = [(h, inv_h2), (0.0, -2.0 * inv_h2),
+                               (-h, inv_h2)]
+                terms = [({**shifts, d: delta}, c * w)
+                         for shifts, c in terms
+                         for delta, w in stencil]
+            spec_terms = []
+            for shifts, coeff in terms:
+                shifted = base.copy()
+                for d, delta in shifts.items():
+                    shifted[:, d] += delta
+                spec_terms.append((len(stacks), coeff))
+                stacks.append(shifted)
+            combine.append(spec_terms)
+
+        all_vals = np.asarray(tt_eval_batch(
+            self._coeff_cores, np.asarray(self.domain, dtype=np.float64),
+            np.concatenate(stacks, axis=0)))
+        out = np.zeros((n, len(derivs)))
+        for j, spec_terms in enumerate(combine):
+            for offset, coeff in spec_terms:
+                out[:, j] += coeff * all_vals[offset * n:(offset + 1) * n]
+        return out
+
+    eval_batch_multi = vectorized_eval_batch_multi
+
     # --- finite differences (storage frame) ---------------------------
 
     def _fd_step(self, d: int) -> float:
@@ -1351,13 +1437,16 @@ class ChebyshevTT:
     # ------------------------------------------------------------------
 
     def vectorized_eval_batch(self, points, derivative_order=None):
-        """Alias matching the Approximation batch surface (values only)."""
+        """Alias matching the Approximation batch surface.
+
+        A derivative spec runs through the fused batch stencil path
+        (:meth:`vectorized_eval_batch_multi`) — one device dispatch
+        for the whole batch instead of a host FD loop per point.
+        """
         if derivative_order is not None and any(
                 o != 0 for o in derivative_order):
-            return np.array([
-                self.eval_multi(list(p), [list(derivative_order)])[0]
-                for p in np.asarray(points)
-            ])
+            return self.vectorized_eval_batch_multi(
+                points, [list(derivative_order)])[:, 0]
         return self.eval_batch(points)
 
     def plot_1d(self, ax=None, n_points=200, fixed=None):

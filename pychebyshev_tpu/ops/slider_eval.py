@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from pychebyshev_tpu.ops import eval as eval_ops
 
-__all__ = ["slider_value_batch"]
+__all__ = ["slider_value_batch", "slider_multi_batch"]
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -46,3 +46,48 @@ def slider_value_batch(slide_data, pivot_value,
                                    (0,) * len(group))
         total = vals if total is None else total + vals
     return total - (len(groups) - 1) * pivot_value
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "spec_plan"))
+def slider_multi_batch(slide_data, pivot_value,
+                       groups: Tuple[Tuple[int, ...], ...],
+                       spec_plan: Tuple, points) -> jax.Array:
+    """Batch x multi-derivative-spec slider evaluation -> (S, N).
+
+    A Greek set on a slider decomposes per spec: the value spec is the
+    additive sum over all slides (Eq 7.5); a derivative spec confined
+    to one group is that slide's batched derivative; a spec crossing
+    groups is exactly zero.  Running them as S separate calls costs S
+    dispatches — this computes the whole report in ONE jitted program,
+    evaluating the all-slides value sum at most once and one extra
+    per-slide kernel per derivative spec.
+
+    Parameters
+    ----------
+    slide_data : tuple of (tensor, nodes, weights, diffs) per slide.
+    pivot_value : traced scalar f(z).
+    groups : static per-slide global dim indices.
+    spec_plan : static per-spec routing, one of
+        ``("value",)`` — additive sum of all slides;
+        ``("slide", idx, sub_orders)`` — owning slide's derivative;
+        ``("zero",)`` — cross-group mixed partial (identically 0).
+    points : (N, d) query points.
+    """
+    pts = jnp.asarray(points)
+    value_sum = None
+    rows = []
+    for plan in spec_plan:
+        if plan[0] == "value":
+            if value_sum is None:
+                value_sum = slider_value_batch(slide_data, pivot_value,
+                                               groups, pts)
+            rows.append(value_sum)
+        elif plan[0] == "slide":
+            _, idx, sub_orders = plan
+            tensor, nodes, weights, diffs = slide_data[idx]
+            sub = pts[:, list(groups[idx])]
+            rows.append(eval_ops.eval_batch(tensor, nodes, weights,
+                                            diffs, sub, sub_orders))
+        else:
+            rows.append(jnp.zeros(pts.shape[0], dtype=pts.dtype))
+    return jnp.stack(rows)

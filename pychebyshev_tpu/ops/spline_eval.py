@@ -43,7 +43,8 @@ import jax.numpy as jnp
 
 from pychebyshev_tpu.ops import eval as eval_ops
 
-__all__ = ["masked_eval_batch", "route_piece_indices", "piece_strides",
+__all__ = ["masked_eval_batch", "masked_eval_batch_multi",
+           "route_piece_indices", "piece_strides",
            "MASKED_MAX_PIECES", "MASKED_GROUP", "stack_pieces"]
 
 # Crossovers vs the host-routed per-piece path (dispatch-bound, ~1M q/s
@@ -140,4 +141,51 @@ def masked_eval_batch(tensors, nodes, weights, diffs, flat, points,
         sel = jnp.clip(flat - lo, 0, hi - lo - 1)
         vals = jnp.take_along_axis(sub, sel[None, :], axis=0)[0]
         acc = jnp.where((flat >= lo) & (flat < hi), vals, acc)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("orders_list",))
+def masked_eval_batch_multi(tensors, nodes, weights, diffs, flat, points,
+                            orders_list: Tuple[Tuple[int, ...], ...]
+                            ) -> jax.Array:
+    """All pieces x all derivative specs in one dispatch -> (S, N).
+
+    The spline Greek-set primitive: each piece builds its barycentric
+    rows once per chunk and shares them across every derivative spec
+    (``ops.eval.eval_batch_multi`` under a piece vmap), and on-device
+    routing selects each point's piece for all specs at once.  S specs
+    over P pieces cost P row builds + P*S GEMMs in ONE dispatch — vs
+    S dispatches (each P x work) for spec-at-a-time masked serving.
+
+    Knot semantics match :func:`masked_eval_batch`: a point sitting on
+    a knot takes the right piece's one-sided derivative (the batched
+    paths never raise; single-point ``eval`` is where the guard lives).
+    """
+    pts = jnp.asarray(points, dtype=tensors.dtype)
+    flat = jnp.asarray(flat, dtype=jnp.int32)
+    n_pieces = tensors.shape[0]
+
+    def one_piece(tensor, nds, ws, ds):
+        return eval_ops.eval_batch_multi(tensor, nds, ws, ds, pts,
+                                         orders_list)      # (S, N)
+
+    vm = jax.vmap(one_piece)
+    # The (G, S, N) transient budget matches masked_eval_batch's
+    # (G_base, N) budget: shrink the piece group by the spec count.
+    group = max(1, MASKED_GROUP // max(1, len(orders_list)))
+    if n_pieces <= group:
+        per_piece = vm(tensors, nodes, weights, diffs)      # (P, S, N)
+        return jnp.take_along_axis(per_piece, flat[None, None, :],
+                                   axis=0)[0]
+
+    acc = jnp.zeros((len(orders_list), pts.shape[0]), dtype=tensors.dtype)
+    for lo in range(0, n_pieces, group):
+        hi = min(lo + group, n_pieces)
+        sub = vm(tensors[lo:hi],
+                 tuple(a[lo:hi] for a in nodes),
+                 tuple(a[lo:hi] for a in weights),
+                 tuple(a[lo:hi] for a in diffs))            # (g, S, N)
+        sel = jnp.clip(flat - lo, 0, hi - lo - 1)
+        vals = jnp.take_along_axis(sub, sel[None, None, :], axis=0)[0]
+        acc = jnp.where(((flat >= lo) & (flat < hi))[None, :], vals, acc)
     return acc

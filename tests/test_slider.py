@@ -120,6 +120,55 @@ class TestAccuracy:
                             pivot_point=[0, 0, 0])
 
 
+class TestBatchMulti:
+    """Fused batch x multi-spec path (vectorized_eval_batch_multi):
+    one jitted dispatch for a whole Greek report."""
+
+    def test_matches_per_spec_batches(self, slider_4d):
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-1, 1, size=(300, 4))
+        orders_list = [[0, 0, 0, 0], [1, 0, 0, 0], [1, 1, 0, 0],
+                       [0, 0, 2, 0], [0, 1, 0, 1]]  # last crosses groups
+        out = slider_4d.vectorized_eval_batch_multi(pts, orders_list)
+        assert out.shape == (300, 5)
+        for j, orders in enumerate(orders_list):
+            expected = slider_4d.eval_batch(pts, orders)
+            np.testing.assert_allclose(out[:, j], expected, atol=1e-12)
+
+    def test_cross_group_partial_exactly_zero(self, slider_4d):
+        pts = np.random.default_rng(1).uniform(-1, 1, size=(16, 4))
+        out = slider_4d.vectorized_eval_batch_multi(
+            pts, [[1, 0, 1, 0]])
+        np.testing.assert_array_equal(out, np.zeros((16, 1)))
+
+    def test_matches_eval_multi_single_point(self, slider_3d):
+        pt = [0.4, -0.2, 0.6]
+        orders_list = [[0, 0, 0], [1, 0, 0], [0, 0, 2]]
+        batch = slider_3d.vectorized_eval_batch_multi([pt], orders_list)
+        single = slider_3d.eval_multi(pt, orders_list)
+        np.testing.assert_allclose(batch[0], single, atol=1e-12)
+
+    def test_value_only_report(self, slider_10d):
+        pts = np.random.default_rng(2).uniform(-1, 1, size=(50, 10))
+        out = slider_10d.vectorized_eval_batch_multi(pts, [[0] * 10])
+        np.testing.assert_allclose(out[:, 0], slider_10d.eval_batch(pts),
+                                   atol=1e-12)
+
+    def test_validation(self, slider_3d):
+        with pytest.raises(ValueError, match="does not match"):
+            slider_3d.vectorized_eval_batch_multi(
+                np.zeros((2, 3)), [[0, 0]])
+        unbuilt = ChebyshevSlider(additive_3d, 3, [[-1, 1]] * 3, [7] * 3,
+                                  partition=[[0], [1], [2]],
+                                  pivot_point=[0.0, 0.0, 0.0])
+        with pytest.raises(RuntimeError, match="build"):
+            unbuilt.vectorized_eval_batch_multi(np.zeros((1, 3)), [[0] * 3])
+
+    def test_alias(self, slider_3d):
+        assert (slider_3d.eval_batch_multi
+                == slider_3d.vectorized_eval_batch_multi)
+
+
 class TestErrorEstimate:
     def test_sum_over_slides(self, slider_3d):
         per_slide = [s.error_estimate() for s in slider_3d.slides]

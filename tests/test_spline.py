@@ -416,6 +416,78 @@ class TestMaskedLargePieceCount:
         assert list(flat) == [0, 0, 1, 1, 2, 2]
 
 
+class TestBatchMulti:
+    """Fused batch x multi-spec path (vectorized_eval_batch_multi)."""
+
+    def test_masked_matches_per_spec(self, spline_2d):
+        rng = np.random.default_rng(7)
+        pts = rng.uniform([0.0, 0.0], [2.0, 1.0], size=(400, 2))
+        orders_list = [[0, 0], [1, 0], [0, 1], [1, 1], [2, 0]]
+        out = spline_2d.vectorized_eval_batch_multi(pts, orders_list)
+        assert out.shape == (400, 5)
+        for j, orders in enumerate(orders_list):
+            expected = spline_2d.eval_batch(pts, orders)
+            np.testing.assert_allclose(out[:, j], expected, atol=1e-12)
+
+    def test_matches_eval_multi_single_point(self, spline_2d):
+        pt = [0.7, 0.4]  # away from the knot
+        orders_list = [[0, 0], [1, 0], [0, 2]]
+        batch = spline_2d.vectorized_eval_batch_multi([pt], orders_list)
+        single = spline_2d.eval_multi(pt, orders_list)
+        np.testing.assert_allclose(batch[0], single, atol=1e-12)
+
+    def test_knot_point_one_sided(self, spline_abs):
+        # Batched multi never raises at knots: points on a knot take
+        # the right piece's one-sided derivative, like eval_batch.
+        out = spline_abs.vectorized_eval_batch_multi(
+            [[0.0]], [[0], [1]])
+        assert abs(out[0, 0]) < 1e-13
+        assert abs(out[0, 1] - 1.0) < 1e-10
+
+    def test_nested_grid_grouped_path(self):
+        sp = ChebyshevSpline(abs_kink, 1, [[-1, 1]],
+                             [[13, 9]], [[0.0]])
+        sp.build(verbose=False)
+        pts = np.linspace(-0.95, 0.95, 41)[:, None]
+        out = sp.vectorized_eval_batch_multi(pts, [[0], [1]])
+        np.testing.assert_allclose(out[:, 0],
+                                   sp.eval_batch(pts, [0]), atol=1e-12)
+        np.testing.assert_allclose(out[:, 1],
+                                   sp.eval_batch(pts, [1]), atol=1e-12)
+
+    def test_many_pieces_grouped_fallback(self):
+        # 4 knots x 2 dims -> 25 pieces <= 32 masked; push past the
+        # f64 masked cap with 6x6=36 pieces to hit the host-grouped
+        # per-piece fallback.
+        f = lambda x, _: abs(np.sin(2.5 * x[0])) + abs(x[1]) * x[0]
+        knots = [[-0.6, -0.2, 0.1, 0.4, 0.7],
+                 [-0.5, -0.1, 0.2, 0.5, 0.8]]
+        spl = ChebyshevSpline(f, 2, [[-1, 1]] * 2, [5, 5], knots)
+        spl.build(verbose=False)
+        from pychebyshev_tpu.ops import spline_eval
+        assert len(spl._pieces) == 36 > spline_eval.MASKED_MAX_PIECES_F64
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1, 1, (200, 2))
+        orders_list = [[0, 0], [1, 0]]
+        out = spl.vectorized_eval_batch_multi(pts, orders_list)
+        for j, orders in enumerate(orders_list):
+            np.testing.assert_allclose(
+                out[:, j], spl.eval_batch(pts, orders), atol=1e-12)
+
+    def test_validation(self, spline_2d):
+        with pytest.raises(ValueError, match="does not match"):
+            spline_2d.vectorized_eval_batch_multi(
+                np.zeros((2, 2)), [[0, 0, 0]])
+        unbuilt = ChebyshevSpline(abs_kink, 1, [[-1, 1]], [7], [[0.0]])
+        with pytest.raises(RuntimeError, match="build"):
+            unbuilt.vectorized_eval_batch_multi(
+                np.zeros((1, 1)), [[0]])
+
+    def test_alias(self, spline_2d):
+        assert (spline_2d.eval_batch_multi
+                == spline_2d.vectorized_eval_batch_multi)
+
+
 class TestSpecialPointsDeeper:
     """Dispatch parity details: the dispatched object must be
     indistinguishable from a directly-constructed ChebyshevSpline."""

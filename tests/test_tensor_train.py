@@ -171,6 +171,67 @@ class TestEval:
         out = tt_sin3d.eval_multi([0.1, 0.2, 0.3], [[1, 1, 0]])[0]
         assert abs(out) < 1e-4
 
+    def test_batch_multi_matches_eval_multi(self, tt_sin3d):
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(-1, 1, size=(25, 3))
+        orders_list = [[0, 0, 0], [1, 0, 0], [2, 0, 0], [1, 1, 0],
+                       [1, 2, 0], [1, 1, 1]]
+        out = tt_sin3d.vectorized_eval_batch_multi(pts, orders_list)
+        assert out.shape == (25, 6)
+        # The stencils are identical; the two contraction backends
+        # (device batch vs host loop) differ by ~1e-13 per eval, and
+        # each spec's stencil divisor amplifies that noise by
+        # prod(1/(2h) per order-1 dim, 1/h^2 per order-2 dim).
+        h = tt_sin3d._fd_step(0)
+        for i, p in enumerate(pts):
+            expected = tt_sin3d.eval_multi(list(p), orders_list)
+            for j, orders in enumerate(orders_list):
+                amp = 1.0
+                for o in orders:
+                    amp *= {0: 1.0, 1: 0.5 / h, 2: 1.0 / h ** 2}[o]
+                assert abs(out[i, j] - expected[j]) < 1e-13 * amp + 1e-12
+
+    def test_batch_multi_near_boundary_nudge(self, tt_sin3d):
+        # Points at the domain edge exercise the boundary clip.
+        pts = np.array([[-1.0, 1.0, 0.99999], [1.0, -1.0, -1.0]])
+        orders_list = [[1, 0, 0], [0, 2, 0]]
+        out = tt_sin3d.vectorized_eval_batch_multi(pts, orders_list)
+        for i, p in enumerate(pts):
+            expected = tt_sin3d.eval_multi(list(p), orders_list)
+            np.testing.assert_allclose(out[i], expected, rtol=0,
+                                       atol=1e-5)
+
+    def test_batch_multi_reordered_frame(self, tt_bs5d):
+        # The user->storage permutation must thread through specs.
+        r = tt_bs5d.reorder([4, 2, 0, 1, 3])
+        pts = np.random.default_rng(3).uniform(
+            [80, 80, 0.3, 0.15, 0.01], [120, 120, 1.8, 0.35, 0.08],
+            size=(8, 5))
+        orders_list = [[0] * 5, [1, 0, 0, 0, 0], [0, 0, 1, 0, 0]]
+        out = r.vectorized_eval_batch_multi(pts, orders_list)
+        for i, p in enumerate(pts):
+            expected = r.eval_multi(list(p), orders_list)
+            np.testing.assert_allclose(out[i], expected, rtol=1e-8)
+
+    def test_batch_with_derivative_routes_fused(self, tt_sin3d):
+        pts = np.random.default_rng(4).uniform(-1, 1, size=(12, 3))
+        out = tt_sin3d.vectorized_eval_batch(pts, [1, 0, 0])
+        expected = [tt_sin3d.eval_multi(list(p), [[1, 0, 0]])[0]
+                    for p in pts]
+        np.testing.assert_allclose(out, expected, rtol=0, atol=1e-9)
+
+    def test_batch_multi_validation(self, tt_sin3d):
+        with pytest.raises(ValueError, match="does not match"):
+            tt_sin3d.vectorized_eval_batch_multi(
+                np.zeros((2, 3)), [[0, 0]])
+        with pytest.raises(ValueError, match="not supported"):
+            tt_sin3d.vectorized_eval_batch_multi(
+                np.zeros((2, 3)), [[3, 0, 0]])
+        assert tt_sin3d.vectorized_eval_batch_multi(
+            np.zeros((4, 3)), []).shape == (4, 0)
+        assert (tt_sin3d.eval_batch_multi
+                == tt_sin3d.vectorized_eval_batch_multi)
+
     def test_unbuilt_raises(self):
         tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3)
         with pytest.raises(RuntimeError):
