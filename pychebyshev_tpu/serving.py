@@ -488,16 +488,28 @@ class BatchedEvaluator:
 
 
 class MultiSpecEvaluator:
-    """One dense interpolant, MANY derivative specs per call.
+    """One interpolant, MANY derivative specs per call.
 
     The production risk-report engine: ``engine(points)`` returns an
     (N, M) array — e.g. price plus five Greeks — from ONE device
-    dispatch per bucket.  The per-spec derivative passes are hoisted at
-    construction (each spec gets its own pre-differentiated tensor) and
-    the per-point barycentric rows are built once per bucket and shared
-    across all specs (``ops.eval.eval_batch_multi``): M specs cost one
-    row build + M GEMMs, not M full evaluations — and 1/M-th the
-    dispatches of M single-spec engines.
+    dispatch per bucket.
+
+    - **Dense**: per-point barycentric rows are built once per bucket
+      and shared across all specs (``ops.eval.eval_batch_multi``): M
+      specs cost one row build + M GEMMs, not M full evaluations — and
+      1/M-th the dispatches of M single-spec engines.
+    - **Spline** (flat grid, small piece count): every piece x every
+      spec in one fused program (``ops.spline_eval.
+      masked_eval_batch_multi``) with host-side f64 piece routing.
+      Derivative specs at a knot raise, matching the single-spec
+      engine's guard.
+    - **Slider**: the additive value sum runs at most once per bucket
+      plus one owning-slide kernel per derivative spec
+      (``ops.slider_eval.slider_multi_batch``); cross-group mixed
+      partials are served as exact zeros without touching the device.
+    - **TT**: rejected — its derivatives are finite differences, whose
+      h ~ 1e-4·range stencils lose most significant digits below f64;
+      use ``differentiate()`` per spec + ``MultiModelEvaluator``.
     """
 
     def __init__(self, interpolant, specs, dtype=jnp.float32,
@@ -506,14 +518,16 @@ class MultiSpecEvaluator:
         from pychebyshev_tpu.models.approximation import (
             ChebyshevApproximation,
         )
-        if not isinstance(interpolant, ChebyshevApproximation):
+        from pychebyshev_tpu.models.slider import ChebyshevSlider
+        from pychebyshev_tpu.models.spline import ChebyshevSpline
+        if not isinstance(interpolant, (ChebyshevApproximation,
+                                        ChebyshevSpline,
+                                        ChebyshevSlider)):
             raise TypeError(
-                "MultiSpecEvaluator serves dense ChebyshevApproximation "
-                "objects (TT models: differentiate() per spec + "
-                "MultiModelEvaluator)"
+                "MultiSpecEvaluator serves ChebyshevApproximation, "
+                "ChebyshevSpline, and ChebyshevSlider objects (TT "
+                "models: differentiate() per spec + MultiModelEvaluator)"
             )
-        if interpolant.tensor_values is None:
-            raise RuntimeError("interpolant is not built")
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
@@ -526,26 +540,127 @@ class MultiSpecEvaluator:
                     f"spec {s} length != num_dimensions "
                     f"{self.num_dimensions}"
                 )
-        nodes, weights, diffs = interpolant._grid_tuples()
-        self._nodes = tuple(jnp.asarray(a, self.dtype) for a in nodes)
-        self._weights = tuple(jnp.asarray(a, self.dtype)
-                              for a in weights)
-        self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
-        self._tensor = jnp.asarray(interpolant.tensor_values, self.dtype)
+        if isinstance(interpolant, ChebyshevApproximation):
+            if interpolant.tensor_values is None:
+                raise RuntimeError("interpolant is not built")
+            self._kind = "dense"
+            nodes, weights, diffs = interpolant._grid_tuples()
+            self._nodes = tuple(jnp.asarray(a, self.dtype) for a in nodes)
+            self._weights = tuple(jnp.asarray(a, self.dtype)
+                                  for a in weights)
+            self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
+            self._tensor = jnp.asarray(interpolant.tensor_values,
+                                       self.dtype)
+        elif isinstance(interpolant, ChebyshevSpline):
+            if not interpolant._built:
+                raise RuntimeError("interpolant is not built")
+            from pychebyshev_tpu.models.spline import is_nested_n_nodes
+            from pychebyshev_tpu.ops.spline_eval import (
+                MASKED_MAX_PIECES,
+                MASKED_MAX_PIECES_F64,
+                piece_strides,
+            )
+            max_pieces = (MASKED_MAX_PIECES if self.dtype == jnp.float32
+                          else MASKED_MAX_PIECES_F64)
+            if (is_nested_n_nodes(interpolant.n_nodes)
+                    or len(interpolant._pieces) > max_pieces):
+                raise ValueError(
+                    f"multi-spec spline serving needs flat n_nodes and "
+                    f"at most {max_pieces} pieces at this dtype; route "
+                    f"larger splines through the class path "
+                    f"(vectorized_eval_batch_multi)"
+                )
+            self._kind = "spline"
+            self._knots = [np.asarray(k, dtype=np.float64)
+                           for k in interpolant.knots]
+            self._strides = piece_strides([len(k) for k in self._knots])
+            stacked, _ = interpolant._masked_arrays()
+            tensors, nodes, weights, diffs = stacked
+            self._spline_stacked = (
+                jnp.asarray(tensors, self.dtype),
+                tuple(jnp.asarray(a, self.dtype) for a in nodes),
+                tuple(jnp.asarray(a, self.dtype) for a in weights),
+                tuple(jnp.asarray(a, self.dtype) for a in diffs),
+            )
+            # Union of dims any spec differentiates: the knot-boundary
+            # guard below mirrors the single-spec engine.
+            self._guard_dims = sorted({
+                d for s in self.specs for d, o in enumerate(s) if o > 0})
+        else:
+            if not interpolant._built:
+                raise RuntimeError("interpolant is not built")
+            self._kind = "slider"
+            self._slider_groups = tuple(
+                tuple(int(d) for d in g) for g in interpolant.partition)
+            self._pivot_value = float(interpolant.pivot_value)
+            plan = []
+            for s in self.specs:
+                active = {interpolant._dim_to_slide[d]
+                          for d, o in enumerate(s) if o > 0}
+                if not active:
+                    plan.append(("value",))
+                elif len(active) > 1:
+                    plan.append(("zero",))
+                else:
+                    idx = active.pop()
+                    group = interpolant.partition[idx]
+                    plan.append(("slide", idx,
+                                 tuple(s[d] for d in group)))
+            self._slider_plan = tuple(plan)
+            self._slide_arrays = tuple(
+                (jnp.asarray(s.tensor_values, self.dtype),)
+                + tuple(tuple(jnp.asarray(a, self.dtype) for a in grp)
+                        for grp in s._grid_tuples())
+                for s in interpolant.slides)
 
-    def _run(self, points: jax.Array) -> jax.Array:
-        from pychebyshev_tpu.ops.eval import eval_batch_multi
-        return eval_batch_multi(self._tensor, self._nodes, self._weights,
-                                self._diffs, points, self.specs)
+    def _run(self, points: jax.Array, *aux) -> jax.Array:
+        if self._kind == "dense":
+            from pychebyshev_tpu.ops.eval import eval_batch_multi
+            return eval_batch_multi(self._tensor, self._nodes,
+                                    self._weights, self._diffs, points,
+                                    self.specs)
+        if self._kind == "spline":
+            from pychebyshev_tpu.ops.spline_eval import (
+                masked_eval_batch_multi,
+            )
+            tensors, nodes, weights, diffs = self._spline_stacked
+            (flat,) = aux
+            return masked_eval_batch_multi(tensors, nodes, weights,
+                                           diffs, flat, points,
+                                           self.specs)
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch
+        return slider_multi_batch(
+            self._slide_arrays, jnp.asarray(self._pivot_value, self.dtype),
+            self._slider_groups, self._slider_plan, points)
 
-    # reuse BatchedEvaluator's bucket machinery
+    # reuse BatchedEvaluator's bucket/routing machinery
     _place = BatchedEvaluator._place
     _bucket_for = BatchedEvaluator._bucket_for
+    _route_chunk = BatchedEvaluator._route_chunk
+
+    def _check_knots(self, points: np.ndarray) -> None:
+        from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+        for d in self._guard_dims:
+            if len(self._knots[d]) == 0:
+                continue
+            dist = np.abs(points[:, d][:, None] - self._knots[d][None, :])
+            if np.any(dist < NODE_COINCIDENCE_TOL):
+                i, k = np.argwhere(dist < NODE_COINCIDENCE_TOL)[0]
+                raise ValueError(
+                    f"Derivative w.r.t. dimension {d} is not defined "
+                    f"at knot x[{d}]={self._knots[d][k]} (point {i}). "
+                    f"The left and right derivatives may differ at "
+                    f"this point."
+                )
 
     def warmup(self) -> None:
         for b in self.bucket_sizes:
             pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
-            jax.block_until_ready(self._run(self._place(pts)))
+            aux = ()
+            if self._kind == "spline":
+                aux = self._route_chunk(np.full(
+                    (b, self.num_dimensions), 0.5))
+            jax.block_until_ready(self._run(self._place(pts), *aux))
 
     def __call__(self, points) -> np.ndarray:
         """(N, d) points -> (N, len(specs)) values."""
@@ -556,6 +671,9 @@ class MultiSpecEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        if self._kind == "spline":
+            points = np.asarray(points, dtype=np.float64)
+            self._check_knots(points)
         out = np.empty((n, len(self.specs)), dtype=self.dtype)
         max_bucket = self.bucket_sizes[-1]
         start = 0
@@ -567,8 +685,11 @@ class MultiSpecEvaluator:
                 pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
                                                  self.num_dimensions))
                 chunk = np.concatenate([chunk, pad], axis=0)
+            aux = (self._route_chunk(chunk) if self._kind == "spline"
+                   else ())
             result = self._run(self._place(jnp.asarray(chunk,
-                                                       self.dtype)))
+                                                       self.dtype)),
+                               *aux)
             out[start:stop] = np.asarray(result).T[:stop - start]
             start = stop
         return out

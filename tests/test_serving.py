@@ -449,6 +449,98 @@ class TestMultiSpecEvaluator:
             MultiSpecEvaluator(cheb_bs5d, [[0, 0]])   # wrong spec length
 
 
+class TestMultiSpecSpline:
+    @pytest.fixture(scope="class")
+    def spline(self):
+        from pychebyshev_tpu import ChebyshevSpline
+
+        def kinked(x, _):
+            return abs(x[0] - 0.3) * (1.0 + 0.5 * x[1])
+
+        sp = ChebyshevSpline(kinked, 2, [[-1, 1], [-1, 1]], [9, 9],
+                             [[0.3], []])
+        sp.build(verbose=False)
+        return sp
+
+    def test_matches_class_batch_multi(self, spline):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [[0, 0], [1, 0], [0, 1], [1, 1]]
+        engine = MultiSpecEvaluator(spline, specs, dtype=jnp.float64,
+                                    bucket_sizes=(64, 256))
+        engine.warmup()
+        pts = np.random.default_rng(5).uniform(-1, 1, size=(177, 2))
+        out = engine(pts)
+        expected = spline.vectorized_eval_batch_multi(pts, specs)
+        np.testing.assert_allclose(out, expected, rtol=0, atol=1e-11)
+
+    def test_f32_mode(self, spline):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [[0, 0], [1, 0]]
+        engine = MultiSpecEvaluator(spline, specs, dtype=jnp.float32,
+                                    bucket_sizes=(256,))
+        pts = np.random.default_rng(6).uniform(-1, 1, size=(100, 2))
+        out = engine(pts)
+        expected = spline.vectorized_eval_batch_multi(pts, specs)
+        np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+    def test_knot_derivative_guard(self, spline):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        engine = MultiSpecEvaluator(spline, [[0, 0], [1, 0]],
+                                    dtype=jnp.float64,
+                                    bucket_sizes=(64,))
+        pts = np.array([[0.3, 0.5]])
+        with pytest.raises(ValueError, match="not defined"):
+            engine(pts)
+        # value-only specs at the knot are fine
+        value_engine = MultiSpecEvaluator(spline, [[0, 0]],
+                                          dtype=jnp.float64,
+                                          bucket_sizes=(64,))
+        out = value_engine(pts)
+        assert abs(out[0, 0]) < 1.0
+
+    def test_nested_rejected(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]],
+                             [[9, 7]], [[0.0]])
+        sp.build(verbose=False)
+        with pytest.raises(ValueError, match="flat n_nodes"):
+            MultiSpecEvaluator(sp, [[0]])
+
+
+class TestMultiSpecSlider:
+    @pytest.fixture(scope="class")
+    def slider(self):
+        from pychebyshev_tpu import ChebyshevSlider
+
+        def f(x, _):
+            return (math.sin(x[0]) * math.cos(x[1])
+                    + math.exp(-x[2]) + 0.5 * x[3])
+
+        sl = ChebyshevSlider(f, 4, [[-1, 1]] * 4, [9] * 4,
+                             [[0, 1], [2], [3]], [0.0, 0.0, 0.0, 0.0])
+        sl.build(verbose=False)
+        return sl
+
+    def test_matches_class_batch_multi(self, slider):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [[0, 0, 0, 0], [1, 0, 0, 0], [1, 1, 0, 0],
+                 [0, 0, 2, 0], [1, 0, 1, 0]]  # last crosses groups
+        engine = MultiSpecEvaluator(slider, specs, dtype=jnp.float64,
+                                    bucket_sizes=(64, 256))
+        engine.warmup()
+        pts = np.random.default_rng(8).uniform(-1, 1, size=(150, 4))
+        out = engine(pts)
+        expected = slider.vectorized_eval_batch_multi(pts, specs)
+        np.testing.assert_allclose(out, expected, rtol=0, atol=1e-11)
+        np.testing.assert_array_equal(out[:, 4], 0.0)
+
+    def test_tt_rejected(self, tt):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        with pytest.raises(TypeError, match="differentiate"):
+            MultiSpecEvaluator(tt, [[0, 0, 0]])
+
+
 class TestSplineF32Routing:
     """f32 serving engines must route by f64: a point within f32 eps of
     a knot picks the correct side (ADVICE r2; O(1) derivative error
