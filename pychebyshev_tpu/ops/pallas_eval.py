@@ -157,8 +157,19 @@ def _geometry(shape: Tuple[int, ...]):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool):
-    """Compile a fused evaluator specialized to a grid shape."""
+def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
+                  stream: bool = False):
+    """Compile a fused evaluator specialized to a grid shape.
+
+    ``stream=True`` builds the two-level variant: the grid gains a
+    second (middle-dim) axis, the tensor mega-operand is blocked one
+    middle slice per step, and the output accumulates across steps —
+    the (B, n_mid*padL) mega-dot transient never exists, extending the
+    envelope past 13^5 (17^5/19^5 stream; the one-level kernel's
+    VMEM budget tops out near 13^5).
+    """
+    if stream:
+        return _build_stream_kernel(shape, block, interpret)
     (s, left_dims, rp_dims, left_shape, rp_shape, n_mid, n_left, n_rp,
      pad_l, pad_rp, offsets, w_total) = _geometry(shape)
     mid_off = int(offsets[s])
@@ -283,6 +294,152 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_stream_kernel(shape: Tuple[int, ...], block: int,
+                         interpret: bool):
+    """Two-level fused evaluator: grid (tiles, n_mid), tmega streamed.
+
+    Step (i, 0) runs the full row build (identical arithmetic to the
+    one-level kernel) and stashes the split right-prime factor, the
+    left factor, and the middle-dim rows in VMEM scratch; every step
+    (i, j) then contracts ONE middle slice of the tensor operand —
+    ``z_j = a_cat @ tmega[:, j]`` — and accumulates
+    ``c_j * sum(w_left * z_j)`` into the output block, which Pallas
+    keeps resident across the inner axis.  The middle row ``c_j`` is
+    selected with a streamed one-hot row (no dynamic lane slicing,
+    which Mosaic lowers poorly).
+    """
+    (s, left_dims, rp_dims, left_shape, rp_shape, n_mid, n_left, n_rp,
+     pad_l, pad_rp, offsets, w_total) = _geometry(shape)
+    mid_off = int(offsets[s])
+    d = len(shape)
+    n_lb = len(left_dims)
+    n_rb = len(rp_dims)
+    if n_rb == 0:
+        raise ValueError("stream kernel requires a right-prime group")
+    pad_m = _rup(n_mid)
+
+    sx = np.zeros((d, w_total), dtype=np.float32)
+    for dim in range(d):
+        sx[dim, offsets[dim]:offsets[dim + 1]] = 1.0
+    sx3 = np.vstack([sx] * 3).astype(jnp.bfloat16)
+    sxt2 = np.vstack([sx.T] * 2).astype(jnp.bfloat16)
+    sx3b = np.vstack([sx] * 3).astype(jnp.bfloat16)
+
+    blocks = []
+    for k in range(n_lb):
+        e = _selection_matrix(shape, left_dims, left_shape, k, offsets)
+        blocks.append(np.pad(e, ((0, 0), (0, pad_l - n_left))))
+    for k in range(n_rb):
+        e = _selection_matrix(shape, rp_dims, rp_shape, k, offsets)
+        blocks.append(np.pad(e, ((0, 0), (0, pad_rp - n_rp))))
+    e_cat = np.concatenate(blocks, axis=1)
+    e_cat2 = np.vstack([e_cat] * 2).astype(jnp.bfloat16)
+    l_off = 0
+    r_off = n_lb * pad_l
+
+    # One-hot middle-row selector, streamed one row per inner step.
+    # Kept 3-D (n_mid, 1, pad_m) so the block's last two dims equal
+    # the array's (Mosaic rejects a (1, pad_m) block of a 2-D array:
+    # sublane block size 1 is neither 8-divisible nor the full dim).
+    sel = np.eye(n_mid, pad_m, dtype=np.float32)[:, None, :]
+
+    tol = np.float32(NODE_COINCIDENCE_TOL)
+
+    def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sel_ref,
+               sx3_ref, sxt2_ref, sx3b_ref, ecat2_ref, out_ref,
+               acat_ref, wleft_ref, c_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _prologue():
+            x_cat = jnp.dot(pts3_ref[:], sx3_ref[:],
+                            preferred_element_type=jnp.float32)
+            diff = x_cat - nodes_ref[:]
+            safe = jnp.where(jnp.abs(diff) < tol, tol, diff)
+            w_over = weights_ref[:] / safe
+            wh, wl = _ksplit2(w_over)
+            sums = jnp.dot(jnp.concatenate([wh, wl], axis=1),
+                           sxt2_ref[:],
+                           preferred_element_type=jnp.float32)
+            rinv = 1.0 / sums
+            r3 = jnp.concatenate(_ksplit3(rinv), axis=1)
+            rinv_cat = jnp.dot(r3, sx3b_ref[:],
+                               preferred_element_type=jnp.float32)
+            rows = w_over * rinv_cat
+
+            rh, rl = _ksplit2(rows)
+            kr = jnp.dot(jnp.concatenate([rh, rl], axis=1),
+                         ecat2_ref[:],
+                         preferred_element_type=jnp.float32)
+
+            def factor(base, width, count):
+                acc = None
+                for k in range(count):
+                    t = kr[:, base + k * width: base + (k + 1) * width]
+                    acc = t if acc is None else acc * t
+                return acc
+
+            wleft_ref[:] = factor(l_off, pad_l, n_lb)
+            rp_hi, rp_lo = _ksplit2(factor(r_off, pad_rp, n_rb))
+            acat_ref[:] = jnp.concatenate([rp_hi, rp_lo, rp_hi], axis=1)
+            c_ref[:] = jnp.pad(rows[:, mid_off:mid_off + n_mid],
+                               ((0, 0), (0, pad_m - n_mid)))
+            out_ref[:] = jnp.zeros((block,), jnp.float32)
+
+        z = jnp.dot(acat_ref[:], tmega_ref[:],
+                    preferred_element_type=jnp.float32)   # (B, padL)
+        s_j = jnp.sum(wleft_ref[:] * z, axis=1)           # (B,)
+        c_j = jnp.sum(c_ref[:] * sel_ref[0], axis=1)      # (B,)
+        out_ref[:] = out_ref[:] + c_j * s_j
+
+    def run(pts3, nodes_cat, weights_cat, tmega):
+        n_padded = pts3.shape[0]
+        grid = (n_padded // block, n_mid)
+        const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((block, 3 * d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec,  # nodes_cat (1, W)
+            const_spec,  # weights_cat (1, W)
+            pl.BlockSpec((3 * pad_rp, pad_l), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # tmega mid slice
+            pl.BlockSpec((1, 1, pad_m), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # one-hot selector
+            const_spec,  # sx3
+            const_spec,  # sxt2
+            const_spec,  # sx3b
+            const_spec,  # e_cat2
+        ]
+        out_spec = pl.BlockSpec((block,), lambda i, j: (i,),
+                                memory_space=pltpu.VMEM)
+        kwargs = {}
+        if not interpret:
+            # The 16 MB scoped-VMEM default rejects block 2048 at 17^5
+            # by ~1 MB; the v5e VMEM is far larger, and _pick_plan's
+            # 30 MB estimate gate bounds the real footprint.
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_padded,), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block, 3 * pad_rp), jnp.bfloat16),
+                pltpu.VMEM((block, pad_l), jnp.float32),
+                pltpu.VMEM((block, pad_m), jnp.float32),
+            ],
+            interpret=interpret,
+            **kwargs,
+        )(pts3, nodes_cat, weights_cat, tmega, jnp.asarray(sel),
+          jnp.asarray(sx3), jnp.asarray(sxt2), jnp.asarray(sx3b),
+          jnp.asarray(e_cat2))
+
+    return jax.jit(run)
+
+
 def _vmem_estimate(shape: Tuple[int, ...], block: int) -> int:
     """Rough VMEM bytes for one tile of the kernel.
 
@@ -304,14 +461,42 @@ def _vmem_estimate(shape: Tuple[int, ...], block: int) -> int:
     return est
 
 
+def _vmem_estimate_stream(shape: Tuple[int, ...], block: int) -> int:
+    """Rough VMEM bytes for one tile of the two-level stream kernel:
+    prologue transients + persistent scratch + one tmega slice."""
+    (_, _, rp_dims, _, _, n_mid, _, _, pad_l, pad_rp, _,
+     w_total) = _geometry(shape)
+    if not rp_dims:
+        return 1 << 62          # no rp group: stream mode undefined
+    b = block
+    w_pad = _rup(w_total)
+    pad_m = _rup(n_mid)
+    est = 4 * b * w_pad * 4                       # row-build live tiles
+    est += b * (len(shape) - 1) * max(pad_l, pad_rp) * 4  # kr blocks
+    est += b * 3 * pad_rp * 2                     # a_cat scratch
+    est += b * pad_l * 4                          # w_left scratch
+    est += b * pad_m * 4                          # c scratch
+    est += 3 * pad_rp * pad_l * 2                 # tmega slice
+    est += b * pad_l * 4                          # z
+    return est
+
+
 _VMEM_CAP = 30 * 1024 * 1024
 
 
-def _pick_block(shape: Tuple[int, ...]):
-    """Largest supported tile for this grid, or None if none fits."""
+def _pick_plan(shape: Tuple[int, ...]):
+    """(block, stream?) for this grid, or None if neither mode fits.
+
+    The one-level mega-dot kernel wins when it fits (fewer, larger MXU
+    dispatches); the stream kernel extends the envelope (17^5/19^5)
+    by never materializing the (B, n_mid*padL) transient.
+    """
     for b in _BLOCK_CANDIDATES:
         if _vmem_estimate(shape, b) <= _VMEM_CAP:
-            return b
+            return b, False
+    for b in _BLOCK_CANDIDATES:
+        if _vmem_estimate_stream(shape, b) <= _VMEM_CAP:
+            return b, True
     return None
 
 
@@ -321,7 +506,7 @@ def supports_fused(shape: Sequence[int], dtype) -> bool:
         return False
     if len(shape) < 3:
         return False
-    return _pick_block(tuple(int(n) for n in shape)) is not None
+    return _pick_plan(tuple(int(n) for n in shape)) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -373,12 +558,15 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
     if orders is None:
         orders = (0,) * d
     if block is None:
-        block = _pick_block(shape)
-        if block is None:
+        plan = _pick_plan(shape)
+        if plan is None:
             raise ValueError(
                 f"grid shape {shape} exceeds the fused kernel's VMEM "
                 f"budget; use ops.eval.eval_batch"
             )
+        block, stream = plan
+    else:
+        stream = _vmem_estimate(shape, block) > _VMEM_CAP
 
     tensor = jnp.asarray(tensor, jnp.float32)
     if any(o > 0 for o in orders):
@@ -386,7 +574,7 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
                         for m in diff_matrices)
         tensor = apply_derivative_passes(tensor, diffs32, tuple(orders))
 
-    run = _build_kernel(shape, block, bool(interpret))
+    run = _build_kernel(shape, block, bool(interpret), stream)
 
     w_total = int(sum(shape))
     nodes_cat = np.zeros((1, w_total), dtype=np.float32)

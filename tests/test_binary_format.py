@@ -430,3 +430,168 @@ class TestCrossFeatureRoundTrips:
         a = build_approx_2d()
         est = self._rt(a).error_estimate()
         assert np.isfinite(est) and abs(est - a.error_estimate()) < 1e-12
+
+
+class TestCursorPrimitives:
+    """Typed field reader primitives: round trips and truncation at
+    every primitive (behavioral parity with the reference low-level
+    helper suite, expressed against this repo's _Cursor idiom)."""
+
+    def test_u32_round_trip(self):
+        buf = io.BytesIO(struct.pack("<I", 3_000_000_000))
+        assert binary._Cursor(buf).u32("x") == 3_000_000_000
+
+    def test_u32s_round_trip(self):
+        arr = np.array([0, 1, 7, 2**32 - 1], dtype=np.uint32)
+        buf = io.BytesIO()
+        binary._emit_array(buf, arr, np.uint32)
+        buf.seek(0)
+        out = binary._Cursor(buf).u32s(4, "x")
+        assert out.dtype == np.uint32
+        np.testing.assert_array_equal(out, arr)
+
+    def test_f64s_round_trip_bit_exact(self):
+        arr = np.array([0.1, -1e300, 5e-324, math.pi], dtype=np.float64)
+        buf = io.BytesIO()
+        binary._emit_array(buf, arr, np.float64)
+        buf.seek(0)
+        out = binary._Cursor(buf).f64s(4, "x")
+        assert out.tobytes() == arr.tobytes()
+
+    def test_u32_truncated(self):
+        with pytest.raises(ValueError, match="EOF"):
+            binary._Cursor(io.BytesIO(b"\x01\x02")).u32("field_name")
+
+    def test_u32s_truncated(self):
+        with pytest.raises(ValueError, match="EOF"):
+            binary._Cursor(io.BytesIO(b"\x00" * 7)).u32s(2, "x")
+
+    def test_f64s_truncated(self):
+        with pytest.raises(ValueError, match="EOF"):
+            binary._Cursor(io.BytesIO(b"\x00" * 15)).f64s(2, "x")
+
+    def test_error_names_field(self):
+        with pytest.raises(ValueError, match="knot positions"):
+            binary._Cursor(io.BytesIO(b"")).f64s(1, "knot positions")
+
+
+class TestDetectFormatEdges:
+    def test_short_file_is_pickle(self, tmp_path):
+        p = tmp_path / "short"
+        p.write_bytes(b"PC")          # shorter than the magic
+        assert binary.detect_format(str(p)) == "pickle"
+
+    def test_empty_file_is_pickle(self, tmp_path):
+        p = tmp_path / "empty"
+        p.write_bytes(b"")
+        assert binary.detect_format(str(p)) == "pickle"
+
+    def test_garbage_is_pickle(self, tmp_path):
+        p = tmp_path / "garbage"
+        p.write_bytes(bytes(np.random.default_rng(0).integers(
+            0, 256, 64, dtype=np.uint8)))
+        assert binary.detect_format(str(p)) == "pickle"
+
+    def test_magic_prefix_is_binary(self, tmp_path):
+        p = tmp_path / "hdr"
+        p.write_bytes(binary.MAGIC + b"anything")
+        assert binary.detect_format(str(p)) == "binary"
+
+
+class TestLoadedDerivatives:
+    def test_loaded_supports_derivatives(self):
+        # Weights/diff matrices are recomputed on load; analytic
+        # derivatives must match the original to machine precision.
+        cheb = build_approx_2d()
+        buf = io.BytesIO(bytes(approx_bytes(cheb)))
+        loaded = binary.read_approx(buf)
+        for orders in ([1, 0], [0, 1], [2, 0], [1, 1]):
+            assert abs(loaded.eval([0.3, 1.2], orders)
+                       - cheb.eval([0.3, 1.2], orders)) < 1e-12
+
+
+class TestSplineGoldenBytes:
+    """Spline byte layout from first principles (reference golden-vector
+    parity for class_tag 2)."""
+
+    def test_exact_size_formula(self):
+        # 1-D |x| spline, 1 knot, 5 nodes/piece, 2 pieces:
+        # header + d + lo/hi + n_nodes + num_knots[d] + knots +
+        # num_pieces + 2 * 5 f64
+        raw = spline_bytes()
+        expected = 12 + 4 + 8 + 8 + 4 + 4 + 8 + 4 + 2 * 5 * 8
+        assert len(raw) == expected
+
+    def test_knot_block_layout(self):
+        raw = bytes(spline_bytes())
+        # num_knots for dim 0 sits right after the grid block.
+        off = 12 + 4 + 8 + 8 + 4
+        assert struct.unpack("<I", raw[off:off + 4])[0] == 1
+        assert struct.unpack("<d", raw[off + 4:off + 12])[0] == 0.0
+        assert struct.unpack("<I", raw[off + 12:off + 16])[0] == 2
+
+    def test_round_trip_from_hand_built_spline_bytes(self):
+        # Hand-assemble a 1-D two-piece spline whose pieces interpolate
+        # x+1 on [-1,0] and 1-x on [0,1] (an upside-down kink).
+        n = 3
+
+        def nodes_on(lo, hi):
+            return [(lo + hi) / 2.0 - (hi - lo) / 2.0
+                    * math.cos((2 * k + 1) * math.pi / (2 * n))
+                    for k in range(n)]
+
+        left = [t + 1.0 for t in nodes_on(-1.0, 0.0)]
+        right = [1.0 - t for t in nodes_on(0.0, 1.0)]
+        raw = (binary.MAGIC + struct.pack("<BBH", 1, 0, 2) + b"\x00" * 4
+               + struct.pack("<I", 1)
+               + struct.pack("<d", -1.0) + struct.pack("<d", 1.0)
+               + struct.pack("<I", n)
+               + struct.pack("<I", 1) + struct.pack("<d", 0.0)
+               + struct.pack("<I", 2)
+               + struct.pack("<3d", *left) + struct.pack("<3d", *right))
+        loaded = binary.read_spline(io.BytesIO(raw))
+        for t in (-0.9, -0.2, 0.3, 0.95):
+            assert abs(loaded.eval([t], [0]) - (1.0 - abs(t))) < 1e-14
+
+    def test_empty_knot_dim_round_trips(self):
+        # One dim kinked, one smooth (zero knots): the knot block for
+        # the smooth dim is empty and must round-trip.
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) * (1.0 + 0.1 * x[1]), 2,
+            [[-1.0, 1.0], [-1.0, 1.0]], [5, 4], [[0.0], []])
+        sp.build(verbose=False)
+        buf = io.BytesIO()
+        binary.write_spline(buf, sp)
+        buf.seek(0)
+        loaded = binary.read_spline(buf)
+        for pt in ([-0.4, 0.2], [0.6, -0.9]):
+            assert abs(loaded.eval(pt, [0, 0])
+                       - sp.eval(pt, [0, 0])) < 1e-14
+
+    def test_truncated_inside_knots(self):
+        raw = spline_bytes()
+        # cut inside the knot positions block
+        cut = 12 + 4 + 8 + 8 + 4 + 4 + 4
+        with pytest.raises(ValueError, match="knot"):
+            binary.read_spline(io.BytesIO(bytes(raw[:cut])))
+
+    def test_truncated_inside_piece_tensor(self):
+        raw = spline_bytes()
+        with pytest.raises(ValueError, match="piece"):
+            binary.read_spline(io.BytesIO(bytes(raw[:-7])))
+
+
+class TestFiveDimRoundTrip:
+    def test_bs5d_binary_round_trip(self, cheb_bs5d):
+        buf = io.BytesIO()
+        binary.write_approx(buf, cheb_bs5d)
+        buf.seek(0)
+        loaded = binary.read_approx(buf)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.tensor_values),
+            np.asarray(cheb_bs5d.tensor_values))
+        pt = [100.0, 100.0, 1.0, 0.2, 0.03]
+        assert abs(loaded.eval(pt, [0] * 5)
+                   - cheb_bs5d.eval(pt, [0] * 5)) < 1e-10
+        assert abs(loaded.eval(pt, [1, 0, 0, 0, 0])
+                   - cheb_bs5d.eval(pt, [1, 0, 0, 0, 0])) < 1e-10

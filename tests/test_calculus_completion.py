@@ -420,3 +420,161 @@ def test_normalize_bounds_rejects_short_dim_labels():
     with pytest.raises(ValueError, match="dim_labels length"):
         normalize_bounds([0, 1], [(0.0, 1.0), (0.0, 1.0)],
                          [[-1, 1], [-1, 1]], dim_labels=[7])
+
+
+class TestTTIntegrateEdges:
+    """Endpoint dims, metadata preservation, frame-correct errors,
+    method coverage (reference calculus-completion edge parity)."""
+
+    @pytest.fixture(scope="class")
+    def tt(self):
+        t = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [11] * 3, max_rank=8)
+        t.build(verbose=False, method="svd")
+        return t
+
+    def test_against_scipy_nquad(self, tt):
+        from scipy.integrate import nquad
+        exact, _ = nquad(lambda a, b, c: f3([a, b, c], None),
+                         [[-1, 1]] * 3)
+        assert abs(tt.integrate() - exact) < 1e-8
+
+    def test_endpoint_dim_left(self, tt):
+        # ∫ f3 dx0 = [−cos]_{-1}^{1} + 2·exp(.5 x1)·cos(x2)
+        #          = 0 + 2·exp(.5 x1)·cos(x2)  (sin integral is odd)
+        r = tt.integrate(dims=[0])
+        assert r.num_dimensions == 2
+        expected = 2.0 * math.exp(0.5 * 0.3) * math.cos(-0.4)
+        assert abs(r.eval([0.3, -0.4]) - expected) < 1e-8
+
+    def test_endpoint_dim_right(self, tt):
+        # ∫ f3 dx2 = 2·sin(x0) + exp(.5 x1)·(sin(1) − sin(−1))
+        r = tt.integrate(dims=[2])
+        assert r.num_dimensions == 2
+        expected = 2.0 * math.sin(0.3) + math.exp(0.5 * -0.4) * (
+            math.sin(1.0) - math.sin(-1.0))
+        assert abs(r.eval([0.3, -0.4]) - expected) < 1e-8
+
+    def test_descriptor_and_additional_data_preserved(self):
+        t = ChebyshevTT(lambda x, d: x[0] + x[1] * d["k"], 2,
+                        [[-1, 1]] * 2, [7] * 2, max_rank=4,
+                        additional_data={"k": 2.0})
+        t.build(verbose=False, method="svd")
+        t.set_descriptor("book-A")
+        r = t.integrate(dims=[0])
+        assert r.get_descriptor() == "book-A"
+        assert r.additional_data == {"k": 2.0}
+
+    def test_dims_order_invariance(self, tt):
+        a = tt.integrate(dims=[0, 2])
+        b = tt.integrate(dims=[2, 0])
+        assert abs(a.eval([0.25]) - b.eval([0.25])) < 1e-12
+
+    def test_works_after_method_als(self):
+        t = ChebyshevTT(lambda x, _: math.sin(x[0]) * math.cos(x[1]), 2,
+                        [[0, math.pi], [-1, 1]], [11, 11], max_rank=6)
+        t.build(verbose=False, method="als", seed=3)
+        # ∫ sin over [0, pi] = 2; ∫ cos over [-1,1] = 2 sin(1)
+        assert abs(t.integrate() - 2.0 * 2.0 * math.sin(1.0)) < 1e-6
+
+    def test_partial_then_serialize_round_trip(self, tt, tmp_path):
+        import pickle
+        r = tt.integrate(dims=[1])
+        p = tmp_path / "partial.pkl"
+        r.save(str(p))
+        with open(p, "rb") as fh:
+            back = pickle.load(fh)
+        pt = [0.2, 0.6]
+        assert abs(back.eval(pt) - r.eval(pt)) < 1e-12
+
+    def test_out_of_domain_bounds_error_names_user_dim(self, tt):
+        r = tt.reorder([2, 0, 1])
+        with pytest.raises(ValueError) as ei:
+            r.integrate(dims=[1], bounds=[(-5.0, 5.0)])
+        assert "1" in str(ei.value)
+
+
+class TestSliderIntegrateEdges:
+    def test_pivot_only_function(self):
+        s = ChebyshevSlider(lambda x, _: 7.5, 2, [[-1, 1]] * 2, [5] * 2,
+                            partition=[[0], [1]], pivot_point=[0.0, 0.0])
+        s.build(verbose=False)
+        assert abs(s.integrate() - 7.5 * 4.0) < 1e-10
+
+    def test_5d_analytic(self):
+        # f5 is additive across the partition, so the slider is exact
+        # and the full integral decomposes into per-group closed forms
+        # times the complementary volumes.
+        def f5(x, _):
+            return (math.sin(x[0]) * math.cos(x[1]) + x[2] ** 2
+                    + math.exp(0.3 * x[3]) + x[4])
+
+        s = ChebyshevSlider(f5, 5, [[-1, 1]] * 5, [9] * 5,
+                            partition=[[0, 1], [2], [3], [4]],
+                            pivot_point=[0.0] * 5)
+        s.build(verbose=False)
+        i_g0 = 0.0                                   # ∫∫ sin·cos: odd
+        i_g1 = 2.0 / 3.0                             # ∫ x^2
+        i_g2 = (math.exp(0.3) - math.exp(-0.3)) / 0.3
+        i_g3 = 0.0                                   # ∫ x: odd
+        expected = (i_g0 * 2.0 ** 3 + i_g1 * 2.0 ** 4
+                    + i_g2 * 2.0 ** 4 + i_g3 * 2.0 ** 4)
+        assert abs(s.integrate() - expected) < 1e-8
+
+    def test_partial_disjoint_group_passes_through(self):
+        s = ChebyshevSlider(lambda x, _: math.sin(x[0]) + x[1] ** 3, 2,
+                            [[-1, 1]] * 2, [9] * 2,
+                            partition=[[0], [1]], pivot_point=[0.0, 0.0])
+        s.build(verbose=False)
+        r = s.integrate(dims=[1])
+        for t in (-0.5, 0.1, 0.7):
+            # ∫ x1^3 over [-1,1] = 0, so only 2*sin(x0) survives
+            expected = 2.0 * math.sin(t)
+            # 9-node interpolation of sin carries ~2e-8 error
+            assert abs(r.eval([t], [0]) - expected) < 1e-7
+
+    def test_descriptor_preserved(self):
+        s = ChebyshevSlider(lambda x, _: x[0] + x[1], 2, [[-1, 1]] * 2,
+                            [5] * 2, partition=[[0], [1]],
+                            pivot_point=[0.0, 0.0])
+        s.build(verbose=False)
+        s.set_descriptor("desk-7")
+        assert s.integrate(dims=[0]).get_descriptor() == "desk-7"
+
+    def test_unbuilt_raises(self):
+        s = ChebyshevSlider(lambda x, _: x[0], 1, [[-1, 1]], [5],
+                            partition=[[0]], pivot_point=[0.0])
+        with pytest.raises(RuntimeError):
+            s.integrate()
+
+    def test_negative_dim_rejected(self):
+        s = ChebyshevSlider(lambda x, _: x[0] + x[1], 2, [[-1, 1]] * 2,
+                            [5] * 2, partition=[[0], [1]],
+                            pivot_point=[0.0, 0.0])
+        s.build(verbose=False)
+        with pytest.raises(ValueError):
+            s.integrate(dims=[-1])
+
+
+class TestUnitVolumeNormalization:
+    """∫ 1 over the domain = volume on every class (constant-preserving
+    quadrature; reference cross-class invariant)."""
+
+    def test_all_classes(self):
+        domain = [[0.0, 2.0], [-1.0, 3.0]]
+        vol = 2.0 * 4.0
+        one = lambda x, _: 1.0
+        dense = ChebyshevApproximation(one, 2, domain, [5, 5])
+        dense.build(verbose=False)
+        assert abs(dense.integrate() - vol) < 1e-12
+        tt = ChebyshevTT(one, 2, domain, [5, 5], max_rank=3)
+        tt.build(verbose=False, method="svd")
+        assert abs(tt.integrate() - vol) < 1e-10
+        sl = ChebyshevSlider(one, 2, domain, [5, 5],
+                             partition=[[0], [1]],
+                             pivot_point=[1.0, 0.0])
+        sl.build(verbose=False)
+        assert abs(sl.integrate() - vol) < 1e-10
+        from pychebyshev_tpu import ChebyshevSpline
+        sp = ChebyshevSpline(one, 2, domain, [5, 5], [[1.0], []])
+        sp.build(verbose=False)
+        assert abs(sp.integrate() - vol) < 1e-10

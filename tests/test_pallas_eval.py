@@ -91,6 +91,70 @@ class TestFusedKernel:
         assert not supports_fused((64, 64, 64, 64), jnp.float32)  # too big
         assert not supports_fused((11, 11), jnp.float32)  # too small
 
+    def test_plan_selection(self):
+        # One-level mega-dot up to 13^5; the two-level stream kernel
+        # extends the envelope (15^5..21^5, 33^4, 9^6).
+        from pychebyshev_tpu.ops.pallas_eval import _pick_plan
+        assert _pick_plan((11,) * 5) == (2048, False)
+        assert _pick_plan((13,) * 5) == (1024, False)
+        for shp in [(15,) * 5, (17,) * 5, (19,) * 5, (21,) * 5,
+                    (33,) * 4, (9,) * 6]:
+            plan = _pick_plan(shp)
+            assert plan is not None and plan[1], shp
+        assert _pick_plan((64,) * 4) is None
+
+
+def _raw_grid(shape, rng):
+    from pychebyshev_tpu.ops.chebyshev import (
+        barycentric_weights_np,
+        differentiation_matrix_np,
+        nodes_for_dim_np,
+    )
+    nodes = [nodes_for_dim_np(-1.0, 1.0, n) for n in shape]
+    weights = [barycentric_weights_np(nd) for nd in nodes]
+    diffs = [differentiation_matrix_np(nd, w)
+             for nd, w in zip(nodes, weights)]
+    return rng.standard_normal(shape), nodes, weights, diffs
+
+
+class TestStreamKernel:
+    """Two-level (streamed mega-operand) kernel beyond the one-level
+    VMEM envelope, interpret mode."""
+
+    def test_9pow6_matches_xla(self):
+        import jax.numpy as jnp
+        from pychebyshev_tpu.ops import eval as eval_ops
+        from pychebyshev_tpu.ops.pallas_eval import _pick_plan
+        assert _pick_plan((9,) * 6)[1]       # stream mode engaged
+        rng = np.random.default_rng(3)
+        tensor, nodes, weights, diffs = _raw_grid((9,) * 6, rng)
+        pts = rng.uniform(-1, 1, (150, 6))
+        pts[0] = [nodes[k][2] for k in range(6)]   # exact-node row
+        ref = np.asarray(eval_ops.eval_batch(
+            jnp.asarray(tensor), tuple(map(jnp.asarray, nodes)),
+            tuple(map(jnp.asarray, weights)),
+            tuple(map(jnp.asarray, diffs)), jnp.asarray(pts), (0,) * 6))
+        out = np.asarray(fused_eval_batch(tensor, nodes, weights, diffs,
+                                          pts))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out / scale, ref / scale, atol=1e-4)
+
+    def test_stream_derivative(self):
+        import jax.numpy as jnp
+        from pychebyshev_tpu.ops import eval as eval_ops
+        rng = np.random.default_rng(4)
+        tensor, nodes, weights, diffs = _raw_grid((9,) * 6, rng)
+        pts = rng.uniform(-1, 1, (64, 6))
+        orders = (1, 0, 0, 0, 1, 0)
+        ref = np.asarray(eval_ops.eval_batch(
+            jnp.asarray(tensor), tuple(map(jnp.asarray, nodes)),
+            tuple(map(jnp.asarray, weights)),
+            tuple(map(jnp.asarray, diffs)), jnp.asarray(pts), orders))
+        out = np.asarray(fused_eval_batch(tensor, nodes, weights, diffs,
+                                          pts, orders))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out / scale, ref / scale, atol=1e-4)
+
 
 class TestClassIntegration:
     def test_eval_batch_f32(self, cheb, pts):

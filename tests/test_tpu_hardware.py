@@ -75,6 +75,38 @@ class TestFusedPallasOnChip:
         ref = f64_ref(cheb, check_points)
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
 
+    def test_stream_kernel_17pow5(self):
+        # The two-level stream kernel (grid axis over the middle dim,
+        # tmega blocked per slice) — 17^5 is past the one-level
+        # envelope; verify it compiles under Mosaic and matches the
+        # XLA f32 path on chip.
+        from pychebyshev_tpu.ops.pallas_eval import (
+            _pick_plan,
+            fused_eval_batch,
+        )
+        assert _pick_plan((17,) * 5) == (2048, True)
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            differentiation_matrix_np,
+            nodes_for_dim_np,
+        )
+        rng = np.random.default_rng(11)
+        nodes = [nodes_for_dim_np(-1.0, 1.0, 17) for _ in range(5)]
+        weights = [barycentric_weights_np(nd) for nd in nodes]
+        diffs = [differentiation_matrix_np(nd, w)
+                 for nd, w in zip(nodes, weights)]
+        tensor = rng.standard_normal((17,) * 5)
+        pts = rng.uniform(-1, 1, (2048, 5))
+        ref = np.asarray(eval_ops.eval_batch(
+            jnp.asarray(tensor), tuple(map(jnp.asarray, nodes)),
+            tuple(map(jnp.asarray, weights)),
+            tuple(map(jnp.asarray, diffs)), jnp.asarray(pts),
+            (0,) * 5))
+        out = np.asarray(fused_eval_batch(
+            tensor, nodes, weights, diffs,
+            jnp.asarray(pts, jnp.float32)), dtype=np.float64)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
 
 class TestDigitGemmOnChip:
     def test_xla_dd_accuracy(self, cheb, check_points):
