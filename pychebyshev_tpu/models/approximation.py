@@ -578,6 +578,13 @@ class ChebyshevApproximation:
         h = self._host_arrays()
         ns = h["n_per_dim"]
         pt = np.asarray(point, dtype=np.float64)
+        if pt.ndim != 1 or pt.shape[0] != len(ns):
+            # The reference reads one coordinate per dim as point[d],
+            # and numpy broadcasting forgives odd shapes there (column
+            # vectors, trailing extra rows).  Normalize to the same
+            # effective coordinates so those inputs keep working.
+            pt = np.array([float(np.ravel(pt[d])[0])
+                           for d in range(len(ns))])
         # One set of array ops across all dims (the per-dim loop paid
         # ~100 us of numpy call overhead per query at d=5): padded
         # lanes carry weight 0 / node +inf, which contribute exactly

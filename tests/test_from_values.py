@@ -239,6 +239,32 @@ class TestSplineNodesFromValues:
                                                           [0, 0])
 
 
+class TestOddPointShapes:
+    """The reference's single-point APIs read one coordinate per dim as
+    ``point[d]`` and numpy broadcasting forgives odd input shapes
+    (column vectors, trailing extra rows).  The upstream from_values
+    suite leans on that, so the host row build must keep tolerating
+    them (regression: the round-3 vectorized row build briefly broke
+    column-vector inputs)."""
+
+    def test_column_vector_point(self):
+        fv = external_fill(1, [[-1, 1]], [15],
+                           lambda x, _: math.sin(x[0]))
+        # (3, 1) input: only point[0] is read, like the reference.
+        out = fv.vectorized_eval_multi([[0.1], [0.5], [0.9]], [[0]])
+        np.testing.assert_allclose(np.ravel(out)[0], math.sin(0.1),
+                                   atol=1e-12)
+        assert fv.vectorized_eval([[0.5]], [0]) == fv.vectorized_eval(
+            [0.5], [0])
+
+    def test_multi_spec_on_column_vector(self):
+        fv = external_fill(1, [[-1, 1]], [15],
+                           lambda x, _: math.sin(x[0]))
+        out = np.ravel(fv.vectorized_eval_multi([[0.5]], [[0], [1]]))
+        np.testing.assert_allclose(out, [math.sin(0.5), math.cos(0.5)],
+                                   atol=1e-10)
+
+
 class TestEdgeDomains:
     @pytest.mark.parametrize("domain", [[[-200.0, -100.0]],
                                         [[1e6, 2e6]],
