@@ -699,15 +699,17 @@ class ChebyshevApproximation:
         """Throughput-mode batched evaluation (float32).
 
         On TPU the default routes through the fused Pallas kernel
-        (``ops.pallas_eval``), which keeps the whole contraction in VMEM
-        — measured 77M queries/s per v5e chip on the 11^5 benchmark vs
-        60M for the XLA f32 path (BENCH_r02), at slightly *better*
-        accuracy (bf16x3 mega-dot, ~1.8e-5 scale-normalized deviation
-        from f64 vs 2.6e-5).  Off-TPU (or for grids past the kernel's
-        VMEM budget) it uses the XLA f32 path with ``Precision.HIGH``
-        matmuls.  Pass ``use_fused`` explicitly to force either path.
-        Delivered accuracy equals the interpolation error for typical
-        grids (see docs/performance.md).
+        (``ops.pallas_eval``) for grids where its padded-FLOP model
+        beats the XLA path (``prefer_fused``; e.g. 11^5: 91M vs 59M
+        queries/s per v5e chip, at slightly *better* accuracy — bf16x3
+        mega-dot, ~1.2e-5 scale-normalized deviation from f64 vs
+        1.5e-5).  Grids whose group products pad poorly onto 128 lanes
+        (9^5, 13^5, 33^4, ...) measure faster through the XLA f32 path
+        with ``Precision.HIGH`` matmuls and auto-route there — the
+        full crossover ladder is in scripts/sweep_stream_kernel.py
+        output, docs/performance.md.  Pass ``use_fused`` explicitly to
+        force either path.  Delivered accuracy equals the interpolation
+        error for typical grids (see docs/performance.md).
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
@@ -716,11 +718,15 @@ class ChebyshevApproximation:
         orders = tuple(int(o) for o in derivative_order)
         from pychebyshev_tpu.ops import pallas_eval
 
+        shape = self.tensor_values.shape
         if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
+            # Auto: only where the kernel's padded-FLOP model says it
+            # beats the XLA path (ops.pallas_eval.prefer_fused); an
+            # explicit use_fused=True still forces any supported shape.
+            use_fused = (jax.default_backend() == "tpu"
+                         and pallas_eval.prefer_fused(shape, jnp.float32))
         nodes, weights, diffs = self._grid_tuples()
-        if use_fused and pallas_eval.supports_fused(
-                self.tensor_values.shape, jnp.float32):
+        if use_fused and pallas_eval.supports_fused(shape, jnp.float32):
             return pallas_eval.fused_eval_batch(
                 self.tensor_values, nodes, weights, diffs, points, orders)
         pts = jnp.asarray(points, dtype=jnp.float32)

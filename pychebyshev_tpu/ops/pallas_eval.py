@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 from pychebyshev_tpu.ops.eval import _split_index, apply_derivative_passes
 
-__all__ = ["fused_eval_batch", "supports_fused"]
+__all__ = ["fused_eval_batch", "supports_fused", "prefer_fused"]
 
 # Points per tile: the f32 1-D output tile on TPU is 1024 (so blocks
 # are multiples of it); 2048 is fastest where the (B, n_mid*padL)
@@ -281,6 +281,14 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
         ]
         out_spec = pl.BlockSpec((block,), lambda i: (i,),
                                 memory_space=pltpu.VMEM)
+        kwargs = {}
+        if not interpret:
+            # Same scoped-VMEM lift as the stream kernel: the 16 MB
+            # default rejects shapes whose actual stack allocation
+            # lands just above it (11^4 needs 16.09 MB) even though
+            # the _pick_plan estimate gate admits them.
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -288,6 +296,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((n_padded,), jnp.float32),
             interpret=interpret,
+            **kwargs,
         )(pts3, nodes_cat, weights_cat, tmega, jnp.asarray(sx3),
           jnp.asarray(sxt2), jnp.asarray(sx3b), jnp.asarray(e_cat2))
 
@@ -509,6 +518,54 @@ def supports_fused(shape: Sequence[int], dtype) -> bool:
     return _pick_plan(tuple(int(n) for n in shape)) is not None
 
 
+# Measured fusion margin: the in-kernel row build + absent HBM
+# intermediates buy the fused kernel ~20% of slack in padded MXU work
+# before the XLA bilinear path overtakes it.  Calibrated against the
+# scripts/sweep_stream_kernel.py ladder on v5e: the kernel wins at
+# FLOP ratios 1.11 (11^5) and 1.13 (19^5) and loses at 1.3 (15^5),
+# 1.77 (17^5), 2.3 (13^5), 2.5 (9^5), 4.1 (33^4, where the measured
+# 4.2x slowdown matches the model almost exactly).
+_FUSED_FLOP_MARGIN = 1.2
+
+
+def _padded_flops_per_point(shape: Tuple[int, ...]) -> Tuple[int, int]:
+    """(fused, xla) MXU FLOPs per query point for this grid.
+
+    fused: the mega-dot is (B, 3*padRp) @ (3*padRp, n_mid*padL) —
+    lane padding to 128 and the bf16x3 row stack are real arithmetic.
+    xla: the bilinear form's GEMM is (B, nR) @ (nR, nL) at
+    Precision.HIGH (3 bf16 passes), unpadded dims (XLA tiles the MXU
+    without materializing 128-lane pads as work at these sizes).
+    """
+    (s, _, rp_dims, _, _, n_mid, n_left, n_rp, pad_l, pad_rp, _,
+     _) = _geometry(shape)
+    if rp_dims:
+        fused = 2 * 3 * pad_rp * n_mid * pad_l
+    else:
+        fused = 2 * n_mid * pad_l
+    sx = _split_index(shape)
+    nl = int(np.prod(shape[:sx]))
+    nr = int(np.prod(shape[sx:]))
+    xla = 3 * 2 * nl * nr
+    return fused, xla
+
+
+def prefer_fused(shape: Sequence[int], dtype) -> bool:
+    """Whether the fused kernel is expected to BEAT the XLA f32 path.
+
+    ``supports_fused`` answers "can it run"; this answers "should the
+    auto-dispatch route here".  The decision is a static padded-FLOP
+    model comparison (see ``_padded_flops_per_point``): the kernel's
+    lane-padding economics only pay off when the grid's group products
+    land near multiples of 128 — e.g. 11^5 / 19^5 win, while 9^5,
+    13^5..17^5, 33^4 all measure faster through XLA.  Forcing
+    ``use_fused=True`` at a call site still bypasses this."""
+    if not supports_fused(shape, dtype):
+        return False
+    fused, xla = _padded_flops_per_point(tuple(int(n) for n in shape))
+    return fused <= _FUSED_FLOP_MARGIN * xla
+
+
 @functools.partial(jax.jit, static_argnames=("shape",))
 def _tensor_mega(tensor32: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
     """Value tensor -> the kernel's stacked bf16 mega operand.
@@ -533,12 +590,28 @@ def _tensor_mega(tensor32: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
     return jnp.concatenate([cols(hi), cols(hi), cols(lo)], axis=0)
 
 
-@jax.jit
-def _points3(points32: jax.Array) -> jax.Array:
-    """(N, 3d) bf16: 3-way split coordinates — the kernel's only
-    per-point stream (6 bytes/point/dim)."""
-    hi, mid, lo = _split3_bf16(points32)
-    return jnp.concatenate([hi, mid, lo], axis=1)
+@functools.lru_cache(maxsize=None)
+def _full_pipeline(shape: Tuple[int, ...], block: int, interpret: bool,
+                   stream: bool):
+    """One jitted end-to-end call: pad -> 3-way point split -> kernel
+    -> un-pad.  Keeping these stages in a single dispatch matters on
+    hosts where each dispatch carries RPC cost (the separate eager
+    pad/split/slice steps measured ~3 ms of fixed per-call overhead on
+    the tunneled bench host); it also lets XLA fuse the split into the
+    kernel's operand stream."""
+    run = _build_kernel(shape, block, interpret, stream)
+
+    def full(points32, nodes_cat, weights_cat, tmega):
+        n = points32.shape[0]
+        pad = (-n) % block
+        padded = (jnp.pad(points32, ((0, pad), (0, 0)))
+                  if pad else points32)
+        hi, mid, lo = _split3_bf16(padded)
+        pts3 = jnp.concatenate([hi, mid, lo], axis=1)
+        out = run(pts3, nodes_cat, weights_cat, tmega)
+        return out[:n] if pad else out
+
+    return jax.jit(full)
 
 
 # Small strong-reference LRU of packed kernel operands, mirroring the
@@ -625,18 +698,12 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
     else:
         stream = _vmem_estimate(shape, block) > _VMEM_CAP
 
-    run = _build_kernel(shape, block, bool(interpret), stream)
+    full = _full_pipeline(shape, block, bool(interpret), stream)
     tmega, nodes_cat, weights_cat = _packed_operands(
         tensor, nodes, weights, diff_matrices, tuple(orders), shape)
 
     points = jnp.asarray(points, jnp.float32)
-    n = points.shape[0]
-    pad = (-n) % block
-    padded = jnp.pad(points, ((0, pad), (0, 0)))
-
     # The kernel is pure f32/bf16; with global x64 on, index arithmetic
     # would otherwise trace as i64, which Mosaic rejects.
     with jax.enable_x64(False):
-        pts3 = _points3(padded)
-        out = run(pts3, nodes_cat, weights_cat, tmega)
-    return out[:n]
+        return full(points, nodes_cat, weights_cat, tmega)

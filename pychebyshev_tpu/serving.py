@@ -125,11 +125,13 @@ class BatchedEvaluator:
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
-        if use_fused is None:
-            # auto: the Pallas kernel wins ~1.5x on TPU at better
-            # accuracy; it does not lower on CPU and is single-device.
-            use_fused = (jax.default_backend() == "tpu"
-                         and mesh is None and not self._dd)
+        if use_fused is None and not (jax.default_backend() == "tpu"
+                                      and mesh is None and not self._dd):
+            # auto never engages off-TPU, under a mesh, or for dd
+            # engines; on TPU the remaining None resolves per grid
+            # shape below (pallas_eval.prefer_fused — the kernel wins
+            # only where its padded-FLOP model beats the XLA path).
+            use_fused = False
         self._use_fused = use_fused
         self._mesh = mesh
         self._data_axis = data_axis
@@ -164,6 +166,11 @@ class BatchedEvaluator:
             self._tensor = apply_derivative_passes(tensor, self._diffs,
                                                    orders)
             self._orders = (0,) * self.num_dimensions
+            if self._use_fused is None:
+                from pychebyshev_tpu.ops.pallas_eval import prefer_fused
+                self._use_fused = (self.dtype == jnp.float32
+                                   and prefer_fused(self._tensor.shape,
+                                                    self.dtype))
         elif isinstance(interpolant, ChebyshevSpline):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")

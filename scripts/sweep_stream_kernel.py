@@ -60,7 +60,8 @@ def main():
                   (19,) * 5, (33,) * 4]
     n_batch = 1 << 19
     rng = np.random.default_rng(7)
-    pts_np = rng.uniform(-1, 1, (n_batch, 5)).astype(np.float32)
+    max_d = max(len(s) for s in shapes)
+    pts_np = rng.uniform(-1, 1, (n_batch, max_d)).astype(np.float32)
 
     print(json.dumps({"canary_s": canary()}), flush=True)
 
