@@ -1356,6 +1356,16 @@ class ChebyshevTT:
                 f"num_dimensions mismatch: {self.num_dimensions} vs "
                 f"{other.num_dimensions}"
             )
+        # Frame check first: a permuted sibling has storage-frame
+        # n_nodes/domain that differ even when the user-frame grids are
+        # identical, and the actionable message is the reorder hint.
+        if self._dim_order != other._dim_order:
+            raise ValueError(
+                f"TT dim_order mismatch: {self._dim_order} vs "
+                f"{other._dim_order}. Call other = "
+                f"other.reorder(self.dim_order) to align before "
+                f"adding/subtracting."
+            )
         if list(self.n_nodes) != list(other.n_nodes):
             raise ValueError(
                 f"n_nodes mismatch: {self.n_nodes} vs {other.n_nodes}"
@@ -1364,13 +1374,6 @@ class ChebyshevTT:
                            np.asarray(other.domain, dtype=float)):
             raise ValueError(
                 f"domain mismatch: {self.domain} vs {other.domain}"
-            )
-        if self._dim_order != other._dim_order:
-            raise ValueError(
-                f"TT dim_order mismatch: {self._dim_order} vs "
-                f"{other._dim_order}. Call other = "
-                f"other.reorder(self.dim_order) to align before "
-                f"adding/subtracting."
             )
 
     def __add__(self, other: "ChebyshevTT") -> "ChebyshevTT":
