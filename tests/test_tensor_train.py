@@ -648,13 +648,3 @@ def test_error_estimate_tail_robust_to_parity():
                     [[-1, 1]] * 2, [3, 3], max_rank=3)
     t.build(verbose=False, method="svd")
     assert t.error_estimate(tail=2) > t.error_estimate()
-
-
-def test_error_estimate_tail_robust_to_parity():
-    import math
-
-    from pychebyshev_tpu import ChebyshevTT
-    t = ChebyshevTT(lambda x, _: math.sin(8 * x[0]) + 0.0 * x[1], 2,
-                    [[-1, 1]] * 2, [3, 3], max_rank=3)
-    t.build(verbose=False, method="svd")
-    assert t.error_estimate(tail=2) > t.error_estimate()
