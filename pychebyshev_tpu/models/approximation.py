@@ -1155,6 +1155,7 @@ class ChebyshevApproximation:
             "special_points": None,
             "n_workers": None,
             "vectorized": False,
+            "max_derivative_order": 2,
             "_derivative_id_registry": {},
             "_derivative_id_to_orders": [],
         }

@@ -432,6 +432,7 @@ class ChebyshevSlider:
             "descriptor": "",
             "additional_data": None,
             "vectorized": False,
+            "max_derivative_order": 2,
             "_derivative_id_registry": {},
             "_derivative_id_to_orders": [],
         }

@@ -626,6 +626,7 @@ class ChebyshevSpline:
             "additional_data": None,
             "n_workers": None,
             "vectorized": False,
+            "max_derivative_order": 2,
             "_derivative_id_registry": {},
             "_derivative_id_to_orders": [],
         }
