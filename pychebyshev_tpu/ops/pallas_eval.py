@@ -543,10 +543,7 @@ def _padded_flops_per_point(shape: Tuple[int, ...]) -> Tuple[int, int]:
         fused = 2 * 3 * pad_rp * n_mid * pad_l
     else:
         fused = 2 * n_mid * pad_l
-    sx = _split_index(shape)
-    nl = int(np.prod(shape[:sx]))
-    nr = int(np.prod(shape[sx:]))
-    xla = 3 * 2 * nl * nr
+    xla = 3 * 2 * n_left * (n_mid * n_rp)
     return fused, xla
 
 
@@ -593,23 +590,21 @@ def _tensor_mega(tensor32: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
 @functools.lru_cache(maxsize=None)
 def _full_pipeline(shape: Tuple[int, ...], block: int, interpret: bool,
                    stream: bool):
-    """One jitted end-to-end call: pad -> 3-way point split -> kernel
-    -> un-pad.  Keeping these stages in a single dispatch matters on
-    hosts where each dispatch carries RPC cost (the separate eager
-    pad/split/slice steps measured ~3 ms of fixed per-call overhead on
-    the tunneled bench host); it also lets XLA fuse the split into the
-    kernel's operand stream."""
+    """One jitted call over a block-padded batch: 3-way point split ->
+    kernel.  Keeping split+kernel in a single dispatch matters on hosts
+    where each dispatch carries RPC cost (the separate eager split/
+    slice steps measured ~3 ms of fixed per-call overhead on the
+    tunneled bench host); it also lets XLA fuse the split into the
+    kernel's operand stream.  The pad/un-pad stays OUTSIDE the jit so
+    the compile cache keys on the padded (block-multiple) size — a
+    ragged-batch workload otherwise recompiles the whole Pallas program
+    for every distinct raw N."""
     run = _build_kernel(shape, block, interpret, stream)
 
-    def full(points32, nodes_cat, weights_cat, tmega):
-        n = points32.shape[0]
-        pad = (-n) % block
-        padded = (jnp.pad(points32, ((0, pad), (0, 0)))
-                  if pad else points32)
-        hi, mid, lo = _split3_bf16(padded)
+    def full(padded32, nodes_cat, weights_cat, tmega):
+        hi, mid, lo = _split3_bf16(padded32)
         pts3 = jnp.concatenate([hi, mid, lo], axis=1)
-        out = run(pts3, nodes_cat, weights_cat, tmega)
-        return out[:n] if pad else out
+        return run(pts3, nodes_cat, weights_cat, tmega)
 
     return jax.jit(full)
 
@@ -622,10 +617,25 @@ def _full_pipeline(shape: Tuple[int, ...], block: int, interpret: bool,
 # pre-differentiated pack).  The class path and the serving engines
 # pass stable device arrays, so steady-state calls skip the astype /
 # derivative / transpose / pad repacking — a dozen eager dispatches per
-# call otherwise.  Strong refs keep identity keying sound (no id
-# reuse); bounded slots cap the pinned HBM.
+# call otherwise.  Identity keying is only sound for IMMUTABLE arrays:
+# a host numpy tensor can be mutated in place without changing
+# identity, so only jax.Array operands participate in the cache (numpy
+# callers repack every call, the pre-cache behavior).  Strong refs keep
+# identity keying sound (no id reuse); bounded slots cap the pinned
+# HBM; ``clear_fused_cache()`` releases everything explicitly.
 _MEGA_CACHE_SLOTS = 16
 _mega_cache: list = []
+
+
+def clear_fused_cache() -> None:
+    """Drop all cached packed operands (releases the pinned tensors)."""
+    _mega_cache.clear()
+
+
+def _cacheable_operands(tensor, nodes, weights, diffs) -> bool:
+    """True when every keyed operand is an immutable device array."""
+    arrays = [tensor, *nodes, *weights, *diffs]
+    return all(isinstance(a, jax.Array) for a in arrays)
 
 
 def _packed_operands(tensor, nodes, weights, diff_matrices,
@@ -635,15 +645,20 @@ def _packed_operands(tensor, nodes, weights, diff_matrices,
                  else ())
     nodes_key = tuple(nodes)
     weights_key = tuple(weights)
-    for i, entry in enumerate(_mega_cache):
-        (e_tensor, e_orders, e_diffs, e_nodes, e_weights, packed) = entry
-        if (e_tensor is tensor and e_orders == orders
-                and len(e_diffs) == len(diffs_key)
-                and all(a is b for a, b in zip(e_diffs, diffs_key))
-                and all(a is b for a, b in zip(e_nodes, nodes_key))
-                and all(a is b for a, b in zip(e_weights, weights_key))):
-            _mega_cache.insert(0, _mega_cache.pop(i))
-            return packed
+    cacheable = _cacheable_operands(tensor, nodes_key, weights_key,
+                                    diffs_key)
+    if cacheable:
+        for i, entry in enumerate(_mega_cache):
+            (e_tensor, e_orders, e_diffs, e_nodes, e_weights,
+             packed) = entry
+            if (e_tensor is tensor and e_orders == orders
+                    and len(e_diffs) == len(diffs_key)
+                    and all(a is b for a, b in zip(e_diffs, diffs_key))
+                    and all(a is b for a, b in zip(e_nodes, nodes_key))
+                    and all(a is b
+                            for a, b in zip(e_weights, weights_key))):
+                _mega_cache.insert(0, _mega_cache.pop(i))
+                return packed
 
     tensor32 = jnp.asarray(tensor, jnp.float32)
     if any(o > 0 for o in orders):
@@ -665,9 +680,10 @@ def _packed_operands(tensor, nodes, weights, diff_matrices,
     with jax.enable_x64(False):
         packed = (_tensor_mega(tensor32, shape),
                   jnp.asarray(nodes_cat), jnp.asarray(weights_cat))
-    _mega_cache.insert(0, (tensor, orders, diffs_key, nodes_key,
-                           weights_key, packed))
-    del _mega_cache[_MEGA_CACHE_SLOTS:]
+    if cacheable:
+        _mega_cache.insert(0, (tensor, orders, diffs_key, nodes_key,
+                               weights_key, packed))
+        del _mega_cache[_MEGA_CACHE_SLOTS:]
     return packed
 
 
@@ -703,7 +719,12 @@ def fused_eval_batch(tensor, nodes, weights, diff_matrices, points,
         tensor, nodes, weights, diff_matrices, tuple(orders), shape)
 
     points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    pad = (-n) % block
     # The kernel is pure f32/bf16; with global x64 on, index arithmetic
     # would otherwise trace as i64, which Mosaic rejects.
     with jax.enable_x64(False):
-        return full(points, nodes_cat, weights_cat, tmega)
+        if pad:
+            points = jnp.pad(points, ((0, pad), (0, 0)))
+        out = full(points, nodes_cat, weights_cat, tmega)
+        return out[:n] if pad else out

@@ -53,8 +53,12 @@ class BatchedEvaluator:
     bucket_sizes : ascending compile sizes; batches beyond the largest
         are processed in largest-bucket chunks.
     use_fused : route dense f32 through the fused Pallas kernel.
-        ``None`` (default) = auto: fused on a TPU backend, XLA
-        otherwise — same rule as ``eval_batch_f32``.
+        ``None`` (default) = auto: on a TPU backend the engine asks
+        ``pallas_eval.prefer_fused`` whether the kernel's padded-FLOP
+        model beats the XLA path for this grid shape (same rule as
+        ``eval_batch_f32``); off-TPU, under a mesh, or for dd engines
+        the auto answer is always False.  ``True`` forces the kernel
+        on any supported shape.
     """
 
     def __init__(self, interpolant, dtype=jnp.float32,
@@ -129,8 +133,9 @@ class BatchedEvaluator:
                                       and mesh is None and not self._dd):
             # auto never engages off-TPU, under a mesh, or for dd
             # engines; on TPU the remaining None resolves per grid
-            # shape below (pallas_eval.prefer_fused — the kernel wins
-            # only where its padded-FLOP model beats the XLA path).
+            # shape in the dense branch below (pallas_eval.prefer_fused
+            # — the kernel wins only where its padded-FLOP model beats
+            # the XLA path) and to False for the other families.
             use_fused = False
         self._use_fused = use_fused
         self._mesh = mesh
@@ -279,6 +284,11 @@ class BatchedEvaluator:
             self._domain = np.asarray(interpolant.domain,
                                       dtype=np.float64)
             self._dim_order = list(interpolant._dim_order)
+
+        if self._use_fused is None:
+            # Only the dense branch resolves the TPU auto case per
+            # shape; every other family has no fused kernel.
+            self._use_fused = False
 
     # ------------------------------------------------------------------
 

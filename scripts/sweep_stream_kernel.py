@@ -89,7 +89,14 @@ def main():
             return eval_ops.eval_batch(t32, nd32, w32, df32, p,
                                        (0,) * d)
 
-        # accuracy vs f64 on a small slice
+        # Time the f32 paths FIRST: sustained software-f64 chains
+        # degrade subsequent device timings on this platform (see
+        # CLAUDE.md), and these ratios calibrate the auto-dispatch
+        # margin — the f64 accuracy reference runs after.
+        t_fused = chained_time_fn(fused, pts)
+        t_xla = chained_time_fn(xla, pts)
+
+        # accuracy vs f64 on a small slice (after all timing)
         ref = np.asarray(eval_ops.eval_batch(
             jnp.asarray(tensor), tuple(map(jnp.asarray, nodes)),
             tuple(map(jnp.asarray, weights)),
@@ -100,9 +107,6 @@ def main():
             fused(pts[:2048])) - ref).max() / scale)
         dev_xla = float(np.abs(np.asarray(
             xla(pts[:2048])) - ref).max() / scale)
-
-        t_fused = chained_time_fn(fused, pts)
-        t_xla = chained_time_fn(xla, pts)
         print(json.dumps({
             "shape": list(shape), "stream": bool(plan[1]),
             "block": int(plan[0]),

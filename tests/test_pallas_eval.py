@@ -178,3 +178,32 @@ class TestClassIntegration:
         out = np.asarray(c.eval_batch_f32(pts))
         expected = c.vectorized_eval_batch(pts, [0, 0])
         np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+class TestOperandCacheSoundness:
+    def test_mutated_numpy_tensor_is_not_served_stale(self, cheb, pts):
+        """Identity-keyed cache must not engage for mutable host arrays."""
+        nodes, weights, diffs = cheb._grid_tuples()
+        nodes_np = tuple(np.asarray(a) for a in nodes)
+        weights_np = tuple(np.asarray(a) for a in weights)
+        diffs_np = tuple(np.asarray(a) for a in diffs)
+        t = np.asarray(cheb.tensor_values).copy()
+
+        first = np.asarray(fused_eval_batch(
+            t, nodes_np, weights_np, diffs_np, pts))
+        t += 10.0  # in-place mutation, identity unchanged
+        second = np.asarray(fused_eval_batch(
+            t, nodes_np, weights_np, diffs_np, pts))
+        # A constant shift of the value tensor shifts every eval by it.
+        np.testing.assert_allclose(second, first + 10.0, atol=5e-3)
+
+    def test_device_array_operands_do_cache(self, cheb, pts):
+        from pychebyshev_tpu.ops import pallas_eval
+        pallas_eval.clear_fused_cache()
+        nodes, weights, diffs = cheb._grid_tuples()
+        fused_eval_batch(cheb.tensor_values, nodes, weights, diffs, pts)
+        assert len(pallas_eval._mega_cache) == 1
+        fused_eval_batch(cheb.tensor_values, nodes, weights, diffs, pts)
+        assert len(pallas_eval._mega_cache) == 1  # hit, not a new slot
+        pallas_eval.clear_fused_cache()
+        assert pallas_eval._mega_cache == []

@@ -661,11 +661,19 @@ class TestDigitGemmSplineServing:
 
 
 class TestFusedAutoDefault:
-    def test_auto_resolves_by_backend(self, cheb):
+    def test_auto_resolves_by_backend_and_shape(self, cheb):
         import jax
+        from pychebyshev_tpu.ops.pallas_eval import prefer_fused
         eng = BatchedEvaluator(cheb, dtype=jnp.float32,
                                bucket_sizes=(64,))
-        assert eng._use_fused == (jax.default_backend() == "tpu")
+        expected = (jax.default_backend() == "tpu"
+                    and prefer_fused(tuple(cheb.n_nodes), jnp.float32))
+        assert eng._use_fused == expected
+
+    def test_auto_never_stays_tristate(self, cheb):
+        eng = BatchedEvaluator(cheb, dtype=jnp.float32,
+                               bucket_sizes=(64,))
+        assert eng._use_fused in (True, False)
 
     def test_mesh_auto_stays_xla(self, cheb):
         import jax
