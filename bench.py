@@ -158,8 +158,8 @@ def main() -> None:
     # remaining sections are diagnostics, and the relayed compile
     # service has degradation episodes where a later section can stall
     # past any reasonable timeout — the driver must still find the
-    # metric in stdout.  The same line is re-emitted at the end for
-    # consumers that read the last line; both carry identical values.
+    # metric in stdout.  This is the ONLY stdout line (diagnostics all
+    # go to stderr), so first-line and last-line readers both get it.
     qps_headline = max(qps32, qps_fused or 0.0)
     headline_json = json.dumps({
         "metric": "bs5d_11n_f32_batched_queries_per_sec",
@@ -334,12 +334,10 @@ def main() -> None:
     log(f"TT f64 batched: {dt_tt64 * 1e3:.2f} ms -> "
         f"{n / dt_tt64:,.0f} queries/s")
 
-    # Headline: the production f32 serving mode — the fused Pallas
-    # kernel where supported (it both out-runs and out-accuracies the
-    # XLA f32 path on this shape), else the XLA f32 path.  (Same line
-    # as the early emission above; repeated so last-line readers see
-    # it too.)
-    print(headline_json, flush=True)
+    # The headline JSON was already emitted right after measurement
+    # (crash resilience); everything else goes to stderr, so that early
+    # line is both the first and the last stdout line — the documented
+    # "ONE JSON line on stdout" contract holds.
 
 
 if __name__ == "__main__":

@@ -129,10 +129,13 @@ def _with_padded_rows(grid: dict) -> dict:
     mirrors for the vectorized single-point row build.
 
     Pad lanes carry node +inf (gap -inf, never the argmin) and weight 0
-    (exactly 0.0 contribution to numerator and denominator — appending
-    0.0 terms is bitwise-neutral in the pairwise sum), so one set of
-    array ops covers ragged dims bit-identically to a per-dim loop.
-    Idempotent; mutates and returns *grid*.
+    (exactly 0.0 contribution to numerator and denominator), so one set
+    of array ops covers ragged dims.  Note the pad lanes change numpy's
+    pairwise-summation tree, so ragged-grid row sums can drift ~1 ulp
+    from a per-dim loop — well inside the 1e-12 parity contract, and
+    save/load bitwise reproducibility is unaffected because both sides
+    of a round trip run this same code path.  Idempotent; mutates and
+    returns *grid*.
     """
     if "nodes_pad" not in grid:
         ns = [len(n) for n in grid["nodes"]]
@@ -793,6 +796,8 @@ class ChebyshevApproximation:
                     f"derivative_order length {len(orders)} does not "
                     f"match num_dimensions {self.num_dimensions}"
                 )
+        if not orders_list:
+            return np.zeros((pts.shape[0], 0))
         out = eval_ops.eval_batch_multi(
             self.tensor_values, nodes, weights, diffs, pts, orders_list)
         return np.asarray(out).T

@@ -289,23 +289,14 @@ class ChebyshevSlider:
 
     vectorized_eval_batch = eval_batch
 
-    def vectorized_eval_batch_multi(self, points, derivative_orders):
-        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
-
-        One jitted dispatch for a whole slider Greek report
-        (``ops.slider_eval.slider_multi_batch``): the additive value
-        sum runs at most once, each derivative spec adds one owning-
-        slide kernel, and cross-group mixed partials are identically
-        zero by the decomposition — vs one dispatch per spec when
-        looping ``eval_batch``.
-        """
-        if not self._built:
-            raise RuntimeError(
-                "Call build() before vectorized_eval_batch_multi()."
-            )
-        points = np.asarray(points, dtype=np.float64)
-        orders_list = tuple(tuple(int(o) for o in orders)
-                            for orders in derivative_orders)
+    def _multi_spec_plans(self, orders_list):
+        """Routing plan per derivative spec, under Eq. 7.5's additive
+        decomposition: ``("value",)`` for a pure value spec,
+        ``("zero",)`` when the spec crosses slide groups (mixed
+        partials vanish identically), else ``("slide", idx,
+        sub_orders)`` naming the one owning slide.  Shared by the
+        class's fused batch path and ``serving.MultiSpecEvaluator`` so
+        routing semantics cannot diverge."""
         plan = []
         for orders in orders_list:
             if len(orders) != self.num_dimensions:
@@ -324,6 +315,28 @@ class ChebyshevSlider:
                 group = self.partition[idx]
                 plan.append(("slide", idx,
                              tuple(orders[d] for d in group)))
+        return plan
+
+    def vectorized_eval_batch_multi(self, points, derivative_orders):
+        """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
+
+        One jitted dispatch for a whole slider Greek report
+        (``ops.slider_eval.slider_multi_batch``): the additive value
+        sum runs at most once, each derivative spec adds one owning-
+        slide kernel, and cross-group mixed partials are identically
+        zero by the decomposition — vs one dispatch per spec when
+        looping ``eval_batch``.
+        """
+        if not self._built:
+            raise RuntimeError(
+                "Call build() before vectorized_eval_batch_multi()."
+            )
+        points = np.asarray(points, dtype=np.float64)
+        orders_list = tuple(tuple(int(o) for o in orders)
+                            for orders in derivative_orders)
+        if not orders_list:
+            return np.zeros((points.shape[0], 0))
+        plan = self._multi_spec_plans(orders_list)
 
         from pychebyshev_tpu.ops.slider_eval import slider_multi_batch
         slide_data = tuple(

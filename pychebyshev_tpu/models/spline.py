@@ -476,6 +476,8 @@ class ChebyshevSpline:
                     f"match num_dimensions {self.num_dimensions}"
                 )
         points = np.asarray(points, dtype=float)
+        if not orders_list:
+            return np.zeros((points.shape[0], 0))
 
         from pychebyshev_tpu.ops import spline_eval
         if (not is_nested_n_nodes(self.n_nodes)

@@ -716,6 +716,15 @@ class ChebyshevTT:
         """
         self._check_built()
         points = np.asarray(points, dtype=np.float64)
+        # Validate spec lengths BEFORE the dim-order remap: indexing a
+        # too-short spec through a permuted _dim_order would raise a
+        # confusing IndexError instead of this ValueError.
+        for do in derivative_orders:
+            if len(do) != self.num_dimensions:
+                raise ValueError(
+                    f"derivative_order length {len(do)} does not "
+                    f"match num_dimensions {self.num_dimensions}"
+                )
         canonical = list(range(self.num_dimensions))
         if self._dim_order != canonical:
             pts = points[:, self._dim_order]
@@ -725,12 +734,6 @@ class ChebyshevTT:
         else:
             pts = points.copy()
             derivs = [list(do) for do in derivative_orders]
-        for do in derivative_orders:
-            if len(do) != self.num_dimensions:
-                raise ValueError(
-                    f"derivative_order length {len(do)} does not "
-                    f"match num_dimensions {self.num_dimensions}"
-                )
 
         n = pts.shape[0]
         if not derivs:

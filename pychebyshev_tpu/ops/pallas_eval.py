@@ -187,7 +187,6 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
     # Per-dim block-sum (W, d) and its broadcast-back (d, W), consumed
     # with 2-/3-way-split data operands respectively.
     sxt2 = np.vstack([sx.T] * 2).astype(jnp.bfloat16)   # (2W, d)
-    sx3b = np.vstack([sx] * 3).astype(jnp.bfloat16)     # (3d, W)
 
     # Merged Khatri-Rao selection matrix: one 128-aligned column block
     # per group dim (zero pad columns -> zero factor lanes downstream),
@@ -208,7 +207,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
     tol = np.float32(NODE_COINCIDENCE_TOL)
 
     def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sx3_ref,
-               sxt2_ref, sx3b_ref, ecat2_ref, out_ref):
+               sxt2_ref, ecat2_ref, out_ref):
         # --- Row build (all dims lane-packed, VPU + tiny exact dots) --
         x_cat = jnp.dot(pts3_ref[:], sx3_ref[:],
                         preferred_element_type=jnp.float32)   # (B, W)
@@ -224,7 +223,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
                         preferred_element_type=jnp.float32))  # (B, d)
         rinv = 1.0 / sums
         r3 = jnp.concatenate(_ksplit3(rinv), axis=1)          # (B, 3d)
-        rinv_cat = jnp.dot(r3, sx3b_ref[:],
+        rinv_cat = jnp.dot(r3, sx3_ref[:],
                            preferred_element_type=jnp.float32)
         rows = w_over * rinv_cat                              # (B, W) f32
 
@@ -276,7 +275,6 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
             const_spec,  # tmega
             const_spec,  # sx3
             const_spec,  # sxt2
-            const_spec,  # sx3b
             const_spec,  # e_cat2
         ]
         out_spec = pl.BlockSpec((block,), lambda i: (i,),
@@ -298,7 +296,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
             interpret=interpret,
             **kwargs,
         )(pts3, nodes_cat, weights_cat, tmega, jnp.asarray(sx3),
-          jnp.asarray(sxt2), jnp.asarray(sx3b), jnp.asarray(e_cat2))
+          jnp.asarray(sxt2), jnp.asarray(e_cat2))
 
     return jax.jit(run)
 
@@ -333,7 +331,6 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
         sx[dim, offsets[dim]:offsets[dim + 1]] = 1.0
     sx3 = np.vstack([sx] * 3).astype(jnp.bfloat16)
     sxt2 = np.vstack([sx.T] * 2).astype(jnp.bfloat16)
-    sx3b = np.vstack([sx] * 3).astype(jnp.bfloat16)
 
     blocks = []
     for k in range(n_lb):
@@ -356,7 +353,7 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
     tol = np.float32(NODE_COINCIDENCE_TOL)
 
     def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sel_ref,
-               sx3_ref, sxt2_ref, sx3b_ref, ecat2_ref, out_ref,
+               sx3_ref, sxt2_ref, ecat2_ref, out_ref,
                acat_ref, wleft_ref, c_ref):
         j = pl.program_id(1)
 
@@ -373,7 +370,7 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
                            preferred_element_type=jnp.float32)
             rinv = 1.0 / sums
             r3 = jnp.concatenate(_ksplit3(rinv), axis=1)
-            rinv_cat = jnp.dot(r3, sx3b_ref[:],
+            rinv_cat = jnp.dot(r3, sx3_ref[:],
                                preferred_element_type=jnp.float32)
             rows = w_over * rinv_cat
 
@@ -417,7 +414,6 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
                          memory_space=pltpu.VMEM),  # one-hot selector
             const_spec,  # sx3
             const_spec,  # sxt2
-            const_spec,  # sx3b
             const_spec,  # e_cat2
         ]
         out_spec = pl.BlockSpec((block,), lambda i, j: (i,),
@@ -443,8 +439,7 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
             interpret=interpret,
             **kwargs,
         )(pts3, nodes_cat, weights_cat, tmega, jnp.asarray(sel),
-          jnp.asarray(sx3), jnp.asarray(sxt2), jnp.asarray(sx3b),
-          jnp.asarray(e_cat2))
+          jnp.asarray(sx3), jnp.asarray(sxt2), jnp.asarray(e_cat2))
 
     return jax.jit(run)
 

@@ -93,7 +93,10 @@ class BatchedEvaluator:
             elif isinstance(interpolant, ChebyshevSpline):
                 if not interpolant._built:
                     raise RuntimeError("interpolant is not built")
-                shapes = {tuple(np.asarray(p.tensor_values).shape)
+                # .shape alone — np.asarray would pull every piece's
+                # full tensor over the (slow) device link just to read
+                # its shape.
+                shapes = {tuple(p.tensor_values.shape)
                           for p in interpolant._pieces}
                 if len(shapes) != 1:
                     raise ValueError(
@@ -610,19 +613,7 @@ class MultiSpecEvaluator:
             self._slider_groups = tuple(
                 tuple(int(d) for d in g) for g in interpolant.partition)
             self._pivot_value = float(interpolant.pivot_value)
-            plan = []
-            for s in self.specs:
-                active = {interpolant._dim_to_slide[d]
-                          for d, o in enumerate(s) if o > 0}
-                if not active:
-                    plan.append(("value",))
-                elif len(active) > 1:
-                    plan.append(("zero",))
-                else:
-                    idx = active.pop()
-                    group = interpolant.partition[idx]
-                    plan.append(("slide", idx,
-                                 tuple(s[d] for d in group)))
+            plan = interpolant._multi_spec_plans(self.specs)
             self._slider_plan = tuple(plan)
             self._slide_arrays = tuple(
                 (jnp.asarray(s.tensor_values, self.dtype),)

@@ -693,3 +693,32 @@ def test_dd_spline_piece_cap_enforced():
     spl.build(verbose=False)
     with pytest.raises(ValueError, match="at most"):
         BatchedEvaluator(spl, dtype="dd")
+
+
+class TestEmptySpecSurface:
+    def test_all_families_return_n_by_zero(self):
+        """Degenerate empty derivative_orders: uniform (N, 0) everywhere."""
+        import math
+        from pychebyshev_tpu import (ChebyshevApproximation,
+                                     ChebyshevSlider, ChebyshevSpline)
+        pts2 = np.random.default_rng(0).uniform(-0.9, 0.9, (5, 2))
+
+        c = ChebyshevApproximation(lambda x, _: x[0] + x[1], 2,
+                                   [[-1, 1]] * 2, [5, 5])
+        c.build(verbose=False)
+        assert np.asarray(
+            c.vectorized_eval_batch_multi(pts2, [])).shape == (5, 0)
+
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]) + x[1], 2,
+                             [[-1, 1]] * 2, [5, 5], [[0.0], []])
+        sp.build(verbose=False)
+        assert np.asarray(
+            sp.vectorized_eval_batch_multi(pts2, [])).shape == (5, 0)
+
+        sl = ChebyshevSlider(lambda x, _: x[0] ** 2 + x[1], 2,
+                             [[-1, 1]] * 2, [5, 5],
+                             partition=[[0], [1]],
+                             pivot_point=[0.0, 0.0])
+        sl.build(verbose=False)
+        assert np.asarray(
+            sl.vectorized_eval_batch_multi(pts2, [])).shape == (5, 0)

@@ -167,3 +167,14 @@ class TestEvaluationPointsFrame:
     def test_pcb_format_refused_for_tt(self, canonical, tmp_path):
         with pytest.raises(ValueError, match="pickle"):
             canonical.save(tmp_path / "tt.pcb", format="pcb")
+
+
+class TestMultiSpecValidationOrder:
+    def test_short_spec_on_permuted_tt_raises_value_error(self, permuted):
+        pts = _probe_points()[:3]
+        with pytest.raises(ValueError, match="length"):
+            permuted.vectorized_eval_batch_multi(pts, [[1, 0]])
+
+    def test_empty_spec_list_returns_n_by_zero(self, permuted):
+        out = permuted.vectorized_eval_batch_multi(_probe_points()[:4], [])
+        assert np.asarray(out).shape == (4, 0)
