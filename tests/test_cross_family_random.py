@@ -1,0 +1,230 @@
+"""Seeded randomized consistency across all four interpolant families.
+
+Property-style sweep: random polynomial targets (exactly representable
+by every family at sufficient N) over random domains must produce
+matching values, derivatives, integrals, and transforms from
+ChebyshevApproximation, ChebyshevSpline, ChebyshevSlider (additive
+targets), and ChebyshevTT.  Complements the per-family suites with
+cross-family agreement on randomized configurations.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import (
+    ChebyshevApproximation,
+    ChebyshevSlider,
+    ChebyshevSpline,
+    ChebyshevTT,
+)
+
+
+def _random_domain(rng, dims):
+    lo = rng.uniform(-3.0, 1.0, dims)
+    return [[float(l), float(l + rng.uniform(0.5, 3.0))] for l in lo]
+
+
+def _random_poly2(rng):
+    """Random 2-D polynomial of degree <= 3 per dim + its exact calculus."""
+    c = rng.uniform(-2.0, 2.0, (4, 4))
+
+    def f(x, _):
+        return float(sum(c[i, j] * x[0] ** i * x[1] ** j
+                         for i in range(4) for j in range(4)))
+
+    def dfdx(x):
+        return float(sum(i * c[i, j] * x[0] ** (i - 1) * x[1] ** j
+                         for i in range(1, 4) for j in range(4)))
+
+    def integral(dom):
+        (a, b), (p, q) = dom
+        return float(sum(
+            c[i, j]
+            * (b ** (i + 1) - a ** (i + 1)) / (i + 1)
+            * (q ** (j + 1) - p ** (j + 1)) / (j + 1)
+            for i in range(4) for j in range(4)))
+
+    return f, dfdx, integral
+
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+class TestPolynomialAgreement:
+    def test_all_families_reproduce_the_polynomial(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, dfdx, integral = _random_poly2(rng)
+
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        mid0 = 0.5 * (dom[0][0] + dom[0][1])
+        sp = ChebyshevSpline(f, 2, dom, [7, 7], knots=[[mid0], []])
+        sp.build(verbose=False)
+        tt = ChebyshevTT(f, 2, dom, [7, 7], max_rank=7)
+        tt.build(verbose=False)
+
+        pts = np.column_stack([
+            rng.uniform(dom[0][0], dom[0][1], 40),
+            rng.uniform(dom[1][0], dom[1][1], 40)])
+        want = np.array([f(p, None) for p in pts])
+        scale = max(1.0, np.abs(want).max())
+
+        got_d = np.asarray(dense.vectorized_eval_batch(pts, [0, 0]))
+        got_s = np.asarray(sp.eval_batch(pts, [0, 0]))
+        got_t = np.asarray(tt.eval_batch(pts))
+        np.testing.assert_allclose(got_d / scale, want / scale,
+                                   atol=1e-11)
+        np.testing.assert_allclose(got_s / scale, want / scale,
+                                   atol=1e-11)
+        np.testing.assert_allclose(got_t / scale, want / scale,
+                                   atol=1e-9)
+
+    def test_first_derivatives_agree_with_closed_form(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, dfdx, _ = _random_poly2(rng)
+
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        sp = ChebyshevSpline(
+            f, 2, dom, [7, 7],
+            knots=[[0.5 * (dom[0][0] + dom[0][1])], []])
+        sp.build(verbose=False)
+
+        p = [rng.uniform(dom[0][0] + 0.1, dom[0][1] - 0.1),
+             rng.uniform(dom[1][0] + 0.1, dom[1][1] - 0.1)]
+        want = dfdx(p)
+        scale = max(1.0, abs(want))
+        assert dense.eval(p, [1, 0]) / scale == pytest.approx(
+            want / scale, abs=1e-10)
+        assert sp.eval(p, [1, 0]) / scale == pytest.approx(
+            want / scale, abs=1e-10)
+
+    def test_integrals_match_the_antiderivative(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, _, integral = _random_poly2(rng)
+        want = integral(dom)
+        scale = max(1.0, abs(want))
+
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        assert dense.integrate() / scale == pytest.approx(
+            want / scale, abs=1e-11)
+
+        tt = ChebyshevTT(f, 2, dom, [7, 7], max_rank=7)
+        tt.build(verbose=False)
+        assert tt.integrate() / scale == pytest.approx(
+            want / scale, abs=1e-9)
+
+        sp = ChebyshevSpline(
+            f, 2, dom, [7, 7],
+            knots=[[], [0.5 * (dom[1][0] + dom[1][1])]])
+        sp.build(verbose=False)
+        assert sp.integrate() / scale == pytest.approx(
+            want / scale, abs=1e-10)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+class TestAdditiveSliderAgreement:
+    def test_slider_matches_dense_on_additive_targets(self, seed):
+        rng = np.random.default_rng(seed)
+        dims = 4
+        dom = _random_domain(rng, dims)
+        a = rng.uniform(-1.5, 1.5, dims)
+        b = rng.uniform(-1.0, 1.0, dims)
+
+        def f(x, _):
+            return float(sum(a[d] * x[d] ** 2 + b[d] * x[d]
+                             for d in range(dims)))
+
+        pivot = [0.5 * (lo + hi) for lo, hi in dom]
+        sl = ChebyshevSlider(f, dims, dom, [6] * dims,
+                             partition=[[0, 1], [2], [3]],
+                             pivot_point=pivot)
+        sl.build(verbose=False)
+        dense = ChebyshevApproximation(f, dims, dom, [6] * dims,
+                                       vectorized=False)
+        dense.build(verbose=False)
+
+        pts = np.column_stack([
+            rng.uniform(lo, hi, 25) for lo, hi in dom])
+        got = np.asarray(sl.eval_batch(pts, [0] * dims))
+        want = np.asarray(dense.vectorized_eval_batch(pts, [0] * dims))
+        scale = max(1.0, np.abs(want).max())
+        np.testing.assert_allclose(got / scale, want / scale, atol=1e-10)
+
+        # Per-group derivative routing agrees too.
+        spec = [0] * dims
+        spec[2] = 1
+        got_d = np.asarray(sl.eval_batch(pts, spec))
+        want_d = np.asarray(dense.vectorized_eval_batch(pts, spec))
+        dscale = max(1.0, np.abs(want_d).max())
+        np.testing.assert_allclose(got_d / dscale, want_d / dscale,
+                                   atol=1e-10)
+
+    def test_slider_integral_matches_dense(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 3)
+
+        def f(x, _):
+            return math.sin(x[0]) + x[1] ** 3 + 0.5 * x[2]
+
+        pivot = [0.5 * (lo + hi) for lo, hi in dom]
+        sl = ChebyshevSlider(f, 3, dom, [9] * 3,
+                             partition=[[0], [1], [2]],
+                             pivot_point=pivot)
+        sl.build(verbose=False)
+        dense = ChebyshevApproximation(f, 3, dom, [9] * 3)
+        dense.build(verbose=False)
+        scale = max(1.0, abs(dense.integrate()))
+        assert sl.integrate() / scale == pytest.approx(
+            dense.integrate() / scale, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [11, 73])
+class TestTransformAgreement:
+    def test_slice_of_each_family_matches_dense_slice(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 3)
+
+        def f(x, _):
+            return (math.cos(x[0]) * (1 + 0.3 * x[1])
+                    + 0.2 * x[2] ** 2)
+
+        cut = rng.uniform(dom[1][0] + 0.1, dom[1][1] - 0.1)
+        dense = ChebyshevApproximation(f, 3, dom, [8] * 3)
+        dense.build(verbose=False)
+        tt = ChebyshevTT(f, 3, dom, [8] * 3, max_rank=6)
+        tt.build(verbose=False)
+
+        dthin = dense.slice((1, cut))
+        tthin = tt.slice((1, cut))
+        p = [rng.uniform(dom[0][0], dom[0][1]),
+             rng.uniform(dom[2][0], dom[2][1])]
+        assert tthin.eval(p) == pytest.approx(
+            dthin.eval(p, [0, 0]), abs=1e-8)
+
+    def test_extrude_of_each_family_is_constant_in_the_new_dim(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+
+        def f(x, _):
+            return math.sin(x[0]) * x[1]
+
+        dense = ChebyshevApproximation(f, 2, dom, [8, 8])
+        dense.build(verbose=False)
+        tt = ChebyshevTT(f, 2, dom, [8, 8], max_rank=5)
+        tt.build(verbose=False)
+
+        new_dom = (-1.0, 4.0)
+        dfat = dense.extrude((2, new_dom, 4))
+        tfat = tt.extrude((2, new_dom, 4))
+        p = [rng.uniform(dom[0][0], dom[0][1]),
+             rng.uniform(dom[1][0], dom[1][1])]
+        for t in (-0.5, 1.7, 3.9):
+            assert dfat.eval(p + [t], [0, 0, 0]) == pytest.approx(
+                dense.eval(p, [0, 0]), abs=1e-11)
+            assert tfat.eval(p + [t]) == pytest.approx(
+                tt.eval(p), abs=1e-9)
