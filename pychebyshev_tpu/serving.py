@@ -370,16 +370,15 @@ class BatchedEvaluator:
                           self._orders)
 
     def _route_pieces(self, points: np.ndarray) -> np.ndarray:
-        """Flat piece index per point (searchsorted, reference routing)."""
-        n = points.shape[0]
-        multi = np.zeros((n, self.num_dimensions), dtype=np.intp)
-        for d in range(self.num_dimensions):
-            if len(self._knots[d]) > 0:
-                multi[:, d] = np.clip(
-                    np.searchsorted(self._knots[d], points[:, d],
-                                    side="right"),
-                    0, self._pshape[d] - 1)
-        return np.ravel_multi_index(multi.T, self._pshape)
+        """Flat piece index per point — the ONE routing rule
+        (``spline_eval.route_piece_indices``), shared with the masked
+        path so the two serving modes can never route differently."""
+        from pychebyshev_tpu.ops.spline_eval import (
+            piece_strides,
+            route_piece_indices,
+        )
+        strides = piece_strides([len(k) for k in self._knots])
+        return route_piece_indices(self._knots, strides, points)
 
     def _check_knot_boundary_batch(self, points: np.ndarray) -> None:
         from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
@@ -419,13 +418,16 @@ class BatchedEvaluator:
         return (flat,)
 
     def _bucketed(self, points: np.ndarray, runner,
-                  host_aux=None) -> np.ndarray:
+                  host_aux=None, out_cols: int = None) -> np.ndarray:
         """Feed ``points`` through ``runner`` in padded compiled buckets
         (the one bucket/pad/place loop every serving path shares).
         ``host_aux(chunk)``, when given, contributes extra per-chunk
-        runner args computed host-side from the padded f64 chunk."""
+        runner args computed host-side from the padded f64 chunk.
+        ``out_cols`` switches to a multi-column (N, out_cols) output for
+        runners returning (out_cols, bucket) — the multi-spec shape."""
         n = points.shape[0]
-        out = np.empty(n, dtype=self.dtype)
+        out = (np.empty(n, dtype=self.dtype) if out_cols is None
+               else np.empty((n, out_cols), dtype=self.dtype))
         max_bucket = self.bucket_sizes[-1]
         start = 0
         while start < n:
@@ -440,7 +442,9 @@ class BatchedEvaluator:
             aux = () if host_aux is None else host_aux(chunk)
             result = runner(self._place(jnp.asarray(chunk, self.dtype)),
                             *aux)
-            out[start:stop] = np.asarray(result)[:stop - start]
+            arr = np.asarray(result)
+            out[start:stop] = (arr[:stop - start] if out_cols is None
+                               else arr.T[:stop - start])
             start = stop
         return out
 
@@ -560,6 +564,15 @@ class MultiSpecEvaluator:
                     f"spec {s} length != num_dimensions "
                     f"{self.num_dimensions}"
                 )
+        if mesh is not None:
+            axis_size = mesh.shape[data_axis]
+            for b in self.bucket_sizes:
+                if b % axis_size != 0:
+                    raise ValueError(
+                        f"bucket size {b} is not divisible by mesh axis "
+                        f"{data_axis!r} (size {axis_size}); pick bucket "
+                        f"sizes that shard evenly"
+                    )
         if isinstance(interpolant, ChebyshevApproximation):
             if interpolant.tensor_values is None:
                 raise RuntimeError("interpolant is not built")
@@ -569,8 +582,16 @@ class MultiSpecEvaluator:
             self._weights = tuple(jnp.asarray(a, self.dtype)
                                   for a in weights)
             self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
-            self._tensor = jnp.asarray(interpolant.tensor_values,
-                                       self.dtype)
+            tensor = jnp.asarray(interpolant.tensor_values, self.dtype)
+            # Hoist every spec's derivative passes ONCE: the engine then
+            # serves M pre-differentiated same-grid tensors through the
+            # book primitive (one row build + M GEMMs per bucket),
+            # instead of re-running the D^k chains inside every
+            # dispatch.
+            from pychebyshev_tpu.ops.eval import apply_derivative_passes
+            self._spec_tensors = tuple(
+                apply_derivative_passes(tensor, self._diffs, s)
+                for s in self.specs)
         elif isinstance(interpolant, ChebyshevSpline):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
@@ -623,10 +644,10 @@ class MultiSpecEvaluator:
 
     def _run(self, points: jax.Array, *aux) -> jax.Array:
         if self._kind == "dense":
-            from pychebyshev_tpu.ops.eval import eval_batch_multi
-            return eval_batch_multi(self._tensor, self._nodes,
-                                    self._weights, self._diffs, points,
-                                    self.specs)
+            from pychebyshev_tpu.ops.eval import eval_batch_models
+            return eval_batch_models(
+                self._spec_tensors, self._nodes, self._weights,
+                self._diffs, points, (0,) * self.num_dimensions)
         if self._kind == "spline":
             from pychebyshev_tpu.ops.spline_eval import (
                 masked_eval_batch_multi,
@@ -645,6 +666,7 @@ class MultiSpecEvaluator:
     _place = BatchedEvaluator._place
     _bucket_for = BatchedEvaluator._bucket_for
     _route_chunk = BatchedEvaluator._route_chunk
+    _bucketed = BatchedEvaluator._bucketed
 
     def _check_knots(self, points: np.ndarray) -> None:
         from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
@@ -679,28 +701,13 @@ class MultiSpecEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        host_aux = None
         if self._kind == "spline":
             points = np.asarray(points, dtype=np.float64)
             self._check_knots(points)
-        out = np.empty((n, len(self.specs)), dtype=self.dtype)
-        max_bucket = self.bucket_sizes[-1]
-        start = 0
-        while start < n:
-            stop = min(start + max_bucket, n)
-            chunk = points[start:stop]
-            bucket = self._bucket_for(stop - start)
-            if chunk.shape[0] < bucket:
-                pad = np.broadcast_to(chunk[0], (bucket - chunk.shape[0],
-                                                 self.num_dimensions))
-                chunk = np.concatenate([chunk, pad], axis=0)
-            aux = (self._route_chunk(chunk) if self._kind == "spline"
-                   else ())
-            result = self._run(self._place(jnp.asarray(chunk,
-                                                       self.dtype)),
-                               *aux)
-            out[start:stop] = np.asarray(result).T[:stop - start]
-            start = stop
-        return out
+            host_aux = self._route_chunk
+        return self._bucketed(points, self._run, host_aux=host_aux,
+                              out_cols=len(self.specs))
 
 
 class MultiModelEvaluator:

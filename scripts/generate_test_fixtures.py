@@ -33,6 +33,11 @@ from pychebyshev_tpu import ChebyshevApproximation, ChebyshevSpline  # noqa: E40
 
 FIXTURES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "fixtures")
+# --out DIR writes elsewhere (CI smoke-runs the generator without
+# touching the committed fixtures).
+if "--out" in sys.argv:
+    FIXTURES = sys.argv[sys.argv.index("--out") + 1]
+    os.makedirs(FIXTURES, exist_ok=True)
 
 
 def write_expected(path, obj, points, is_spline=False):
