@@ -722,3 +722,35 @@ class TestEmptySpecSurface:
         sl.build(verbose=False)
         assert np.asarray(
             sl.vectorized_eval_batch_multi(pts2, [])).shape == (5, 0)
+
+
+class TestMultiSpecHoisting:
+    def test_dense_engine_matches_class_path_exactly_f64(self, cheb):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        pts = np.random.default_rng(3).uniform(-0.9, 0.9, (200, 3))
+        specs = [[0, 0, 0], [1, 0, 0], [0, 2, 0], [1, 0, 1]]
+        eng = MultiSpecEvaluator(cheb, specs, dtype=jnp.float64,
+                                 bucket_sizes=(64, 256))
+        got = np.asarray(eng(pts))
+        want = np.asarray(cheb.vectorized_eval_batch_multi(pts, specs))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_spec_tensors_are_hoisted_at_construction(self, cheb):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [[0, 0, 0], [1, 0, 0]]
+        eng = MultiSpecEvaluator(cheb, specs, bucket_sizes=(64,))
+        assert len(eng._spec_tensors) == 2
+        # Spec 0 is the undifferentiated tensor; spec 1 differs.
+        t0, t1 = (np.asarray(t) for t in eng._spec_tensors)
+        assert t0.shape == t1.shape
+        assert not np.allclose(t0, t1)
+
+    def test_mesh_bucket_divisibility_guard(self, cheb):
+        import jax
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        with pytest.raises(ValueError, match="divisible"):
+            MultiSpecEvaluator(cheb, [[0, 0, 0]], mesh=make_mesh(2),
+                               bucket_sizes=(129,))
