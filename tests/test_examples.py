@@ -23,6 +23,7 @@ EXAMPLES = [
     "portfolio_proxy",
     "calibration_autodiff",
     "serving_engine",
+    "greek_report",
     "multi_chip",
 ]
 
