@@ -659,6 +659,29 @@ class ChebyshevTT:
             return float(row[0, 0])
         return self._fd_derivative(point_storage, derivative_order_storage)
 
+    def _cores_on_device(self, dtype) -> tuple:
+        """Device copies of the coefficient cores, cached per dtype.
+
+        Keyed on the core arrays' identities: every mutation path in
+        this class REPLACES core ndarrays (orth / rounding / algebra
+        assemble fresh arrays), so changed cores change the key and the
+        stale copies are dropped.  Avoids re-uploading the cores on
+        every batched eval — significant on hosts with a slow device
+        link (this container's relayed TPU moves ~30-50 MB/s).
+        """
+        import jax.numpy as jnp
+
+        cache = self.__dict__.setdefault("_dev_cores", {})
+        dkey = np.dtype(dtype).name
+        key = tuple(map(id, self._coeff_cores))
+        hit = cache.get(dkey)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        dev = tuple(jnp.asarray(c, dtype=dtype)
+                    for c in self._coeff_cores)
+        cache[dkey] = (key, dev)
+        return dev
+
     def eval_batch(self, points) -> np.ndarray:
         """Evaluate at (N, d) points — one fused device call."""
         self._check_built()
@@ -666,7 +689,7 @@ class ChebyshevTT:
         canonical = list(range(self.num_dimensions))
         if self._dim_order != canonical:
             points = points[:, self._dim_order]
-        out = tt_eval_batch(self._coeff_cores,
+        out = tt_eval_batch(self._cores_on_device(np.float64),
                             np.asarray(self.domain, dtype=np.float64),
                             points)
         return np.asarray(out)
@@ -777,7 +800,8 @@ class ChebyshevTT:
             combine.append(spec_terms)
 
         all_vals = np.asarray(tt_eval_batch(
-            self._coeff_cores, np.asarray(self.domain, dtype=np.float64),
+            self._cores_on_device(np.float64),
+            np.asarray(self.domain, dtype=np.float64),
             np.concatenate(stacks, axis=0)))
         out = np.zeros((n, len(derivs)))
         for j, spec_terms in enumerate(combine):
@@ -1005,6 +1029,7 @@ class ChebyshevTT:
         from pychebyshev_tpu._version import __version__
         state = self.__dict__.copy()
         state["function"] = None
+        state.pop("_dev_cores", None)  # device cache never pickles
         state["_pychebyshev_version"] = __version__
         return state
 

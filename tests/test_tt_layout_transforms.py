@@ -203,3 +203,37 @@ class TestCrossFeatureChains:
         back = pickle.loads(pickle.dumps(half))
         p = [0.4, 1.5, 0.2]
         assert back.eval(p) == pytest.approx(half.eval(p), abs=1e-12)
+
+
+class TestDeviceCoreCache:
+    def test_cache_hits_and_invalidate_on_core_replacement(self, built):
+        work = built.clone()
+        work.__dict__.pop("_dev_cores", None)
+        a = work._cores_on_device(np.float64)
+        b = work._cores_on_device(np.float64)
+        assert all(x is y for x, y in zip(a, b))  # steady-state hit
+        p = [0.3, 1.2, 0.1]
+        before = work.eval(p)
+        work.orth_left(work.num_dimensions - 1)  # replaces cores -> ids change
+        c = work._cores_on_device(np.float64)
+        assert any(x is not y for x, y in zip(b, c))
+        assert work.eval(p) == pytest.approx(before, abs=1e-10)
+
+    def test_eval_batch_after_orth_uses_fresh_cores(self, built):
+        work = built.clone()
+        pts = np.array([[0.3, 1.2, 0.1], [-0.5, 0.4, -0.3]])
+        want = work.eval_batch(pts)
+        work.orth_right(0)
+        np.testing.assert_allclose(work.eval_batch(pts), want,
+                                   atol=1e-10)
+
+    def test_pickle_excludes_the_device_cache(self, built):
+        work = built.clone()
+        work.eval_batch(np.array([[0.3, 1.2, 0.1]]))
+        assert "_dev_cores" in work.__dict__
+        state = work.__getstate__()
+        assert "_dev_cores" not in state
+        back = pickle.loads(pickle.dumps(work))
+        assert "_dev_cores" not in back.__dict__
+        assert back.eval([0.3, 1.2, 0.1]) == pytest.approx(
+            work.eval([0.3, 1.2, 0.1]), abs=1e-12)
