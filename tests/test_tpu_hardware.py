@@ -205,3 +205,46 @@ class TestServingTiersOnChip:
         dev_fast = np.abs(fast - want).max() / scale
         assert dev_acc < 1e-9
         assert dev_fast < 1e-6
+
+
+class TestRound3FixesOnChip:
+    def test_fused_ragged_batches_share_padded_compiles(self, cheb,
+                                                        check_points):
+        # Pad/un-pad now lives outside the jitted pipeline: ragged Ns
+        # must all evaluate correctly (and map to block-multiple
+        # compiles rather than one compile per raw N).
+        ref = f64_ref(cheb, check_points)
+        for n in (100, 777, 1500, 2048):
+            out = np.asarray(
+                cheb.eval_batch_f32(check_points[:n], use_fused=True),
+                dtype=np.float64)
+            dev = np.abs(out - ref[:n]).max() / np.abs(ref).max()
+            assert dev < 1e-4, (n, dev)
+
+    def test_operand_cache_ignores_mutable_host_tensors(self, cheb,
+                                                        check_points):
+        from pychebyshev_tpu.ops.pallas_eval import fused_eval_batch
+        nodes, weights, diffs = cheb._grid_tuples()
+        nn = tuple(np.asarray(a) for a in nodes)
+        ww = tuple(np.asarray(a) for a in weights)
+        dd = tuple(np.asarray(a) for a in diffs)
+        t = np.asarray(cheb.tensor_values).copy()
+        pts = jnp.asarray(check_points[:512], jnp.float32)
+        first = np.asarray(fused_eval_batch(t, nn, ww, dd, pts,
+                                            (0,) * 5))
+        t += 5.0
+        second = np.asarray(fused_eval_batch(t, nn, ww, dd, pts,
+                                             (0,) * 5))
+        np.testing.assert_allclose(second, first + 5.0, atol=5e-2)
+
+    def test_tt_device_core_cache_on_chip(self):
+        from pychebyshev_tpu import ChebyshevTT
+        tt = ChebyshevTT(lambda x, _: x[0] * x[1] + x[2], 3,
+                         [[-1, 1]] * 3, [9, 9, 9], max_rank=4)
+        tt.build(verbose=False)
+        pts = np.random.default_rng(3).uniform(-0.9, 0.9, (1024, 3))
+        a = tt.eval_batch(pts)
+        b = tt.eval_batch(pts)  # served from cached device cores
+        np.testing.assert_array_equal(a, b)
+        want = pts[:, 0] * pts[:, 1] + pts[:, 2]
+        np.testing.assert_allclose(a, want, atol=1e-6)
