@@ -1561,6 +1561,27 @@ class ChebyshevApproximation:
         return ChebyshevApproximation._from_grid(
             self, self.tensor_values + other.tensor_values)
 
+    def hadamard(self, other) -> "ChebyshevApproximation":
+        """Node-wise product surrogate: interpolant of ``f·g`` sampled
+        at the shared grid (beyond the reference surface, which rejects
+        interpolant x interpolant multiplication outright).
+
+        The result interpolates the PRODUCT OF THE INTERPOLANTS at the
+        grid nodes — since the product roughly doubles the polynomial
+        degree, it is accurate only when the shared grid resolves the
+        product (check ``result.error_estimate()``).  Natural use:
+        composing surrogates, e.g. payoff x discount factor.
+        """
+        if type(self) is not type(other):
+            raise TypeError(
+                f"hadamard requires another {type(self).__name__}, got "
+                f"{type(other).__name__}"
+            )
+        from pychebyshev_tpu.utils.algebra import check_compatible
+        check_compatible(self, other)
+        return ChebyshevApproximation._from_grid(
+            self, self.tensor_values * other.tensor_values)
+
     def __sub__(self, other):
         if type(self) is not type(other):
             return NotImplemented

@@ -1213,6 +1213,23 @@ class ChebyshevSpline:
         ]
         return ChebyshevSpline._from_pieces(self, pieces)
 
+    def hadamard(self, other) -> "ChebyshevSpline":
+        """Node-wise product spline (per-piece ``hadamard``; see
+        ``ChebyshevApproximation.hadamard`` for the accuracy caveat —
+        each piece's grid must resolve the product's doubled degree)."""
+        if type(self) is not type(other):
+            raise TypeError(
+                f"hadamard requires another {type(self).__name__}, got "
+                f"{type(other).__name__}"
+            )
+        self._check_spline_compatible(other)
+        pieces = [
+            ChebyshevApproximation._from_grid(
+                ps, ps.tensor_values * po.tensor_values)
+            for ps, po in zip(self._pieces, other._pieces)
+        ]
+        return ChebyshevSpline._from_pieces(self, pieces)
+
     def __mul__(self, scalar):
         from pychebyshev_tpu.utils.algebra import is_scalar
         if not is_scalar(scalar):

@@ -1404,6 +1404,39 @@ class ChebyshevTT:
                 f"domain mismatch: {self.domain} vs {other.domain}"
             )
 
+    def hadamard(self, other: "ChebyshevTT", *,
+                 max_rank: Optional[int] = None) -> "ChebyshevTT":
+        """Node-wise product TT: interpolant of ``f·g`` at the shared
+        grid (beyond the reference surface; alternating-cross /
+        elementwise-TT literature, e.g. arXiv:2604.00037, motivates
+        the grid-product form).
+
+        Exact construction in VALUE space — per-core Kronecker products
+        give the elementwise product of the two virtual value tensors
+        with bond ranks ``r_a·r_b`` — followed by TT-SVD rounding to
+        ``max_rank`` (default ``max(self.max_rank, other.max_rank)``).
+        As with the dense ``hadamard``, the product roughly doubles the
+        polynomial degree: accurate only when the shared grid resolves
+        it (check ``result.error_estimate()``).
+        """
+        self._check_compatible_tt(other)
+        target_rank = (max_rank if max_rank is not None
+                       else max(self.max_rank, other.max_rank))
+        prod_cores = []
+        for ca, cb in zip(self._coeff_cores, other._coeff_cores):
+            va = tta.coeff_core_to_value_core(ca)
+            vb = tta.coeff_core_to_value_core(cb)
+            ra_l, n, ra_r = va.shape
+            rb_l, _, rb_r = vb.shape
+            merged = np.einsum("anb,cnd->acnbd", va, vb)
+            prod_cores.append(
+                merged.reshape(ra_l * rb_l, n, ra_r * rb_r))
+        rounded = tta.tt_round_cores(prod_cores, max_rank=target_rank,
+                                     tolerance=self.tolerance)
+        coeff = [tta.value_core_to_coeff_core(c) for c in rounded]
+        return self._assemble(coeff, self.domain, self.n_nodes,
+                              self._dim_order, max_rank=target_rank)
+
     def __add__(self, other: "ChebyshevTT") -> "ChebyshevTT":
         """Block-diagonal core stacking + TT-SVD rounding to
         ``max(self.max_rank, other.max_rank)``."""
