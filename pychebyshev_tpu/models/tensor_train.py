@@ -1405,7 +1405,8 @@ class ChebyshevTT:
             )
 
     def hadamard(self, other: "ChebyshevTT", *,
-                 max_rank: Optional[int] = None) -> "ChebyshevTT":
+                 max_rank: Optional[int] = None,
+                 tolerance: Optional[float] = None) -> "ChebyshevTT":
         """Node-wise product TT: interpolant of ``f·g`` at the shared
         grid (beyond the reference surface; alternating-cross /
         elementwise-TT literature, e.g. arXiv:2604.00037, motivates
@@ -1431,11 +1432,113 @@ class ChebyshevTT:
             merged = np.einsum("anb,cnd->acnbd", va, vb)
             prod_cores.append(
                 merged.reshape(ra_l * rb_l, n, ra_r * rb_r))
+        tol = self.tolerance if tolerance is None else float(tolerance)
         rounded = tta.tt_round_cores(prod_cores, max_rank=target_rank,
-                                     tolerance=self.tolerance)
+                                     tolerance=tol)
         coeff = [tta.value_core_to_coeff_core(c) for c in rounded]
         return self._assemble(coeff, self.domain, self.n_nodes,
                               self._dim_order, max_rank=target_rank)
+
+    def _constant_like(self, value: float) -> "ChebyshevTT":
+        """Rank-1 constant TT on this grid/frame (algebra helper)."""
+        cores = []
+        for n in self.n_nodes:
+            vcore = np.full((1, int(n), 1), 1.0)
+            cores.append(tta.value_core_to_coeff_core(vcore))
+        cores[0] = cores[0] * float(value)
+        return self._assemble(cores, self.domain, self.n_nodes,
+                              self._dim_order, max_rank=self.max_rank)
+
+    def compose(self, g, *, degree: int = 16, f_range=None,
+                max_rank: Optional[int] = None,
+                tolerance: float = 1e-12,
+                n_range_samples: int = 2048,
+                seed: int = 0) -> "ChebyshevTT":
+        """Scalar-function composition ``g(f(x))`` as a new TT.
+
+        Chebyshev-expands ``g`` to ``degree`` on the range of this
+        interpolant and evaluates the expansion in TT arithmetic via
+        the Clenshaw recurrence — each Chebyshev power is built from
+        rounded ``hadamard`` products, so no re-sampling of the
+        original function is needed (the MPS function-composition
+        scheme of arXiv:2407.09609, recast on value-space cores).
+
+        ``g`` must be vectorized over a 1-D numpy array.  ``f_range``
+        is the (lo, hi) interval the expansion targets; by default it
+        is estimated from ``n_range_samples`` quasi-random evaluations
+        padded by 5% — pass it explicitly when f's extrema matter.
+        ``max_rank`` caps every intermediate (default: this TT's cap);
+        ``tolerance`` is the intermediates' rounding threshold (kept
+        tight by default — the operands' looser build tolerance would
+        floor the whole composition).
+
+        Accuracy is limited by THREE things: the expansion degree (g
+        must be smooth on the range), the rank cap, and — usually the
+        binding one — the SHARED GRID: the Chebyshev powers of f are
+        formed by node-wise products, so the result converges to the
+        grid's interpolant of ``g∘f``, not to ``g∘f`` itself.  It
+        matches a direct build of ``g(f(x))`` on this grid to roundoff;
+        pointwise accuracy is that build's interpolation error (check
+        ``result.error_estimate()``).
+        """
+        self._check_built()
+        if degree < 1:
+            raise ValueError(f"degree must be >= 1, got {degree}")
+        cap = int(max_rank) if max_rank is not None else self.max_rank
+
+        if f_range is None:
+            rng = np.random.default_rng(seed)
+            dom = np.asarray(
+                [self.domain[self._dim_order.index(u)]
+                 for u in range(self.num_dimensions)], dtype=np.float64)
+            pts = dom[:, 0] + (dom[:, 1] - dom[:, 0]) * rng.uniform(
+                0.0, 1.0, size=(n_range_samples, self.num_dimensions))
+            vals = self.eval_batch(pts)
+            lo, hi = float(vals.min()), float(vals.max())
+            pad = 0.05 * max(hi - lo, 1e-12)
+            lo, hi = lo - pad, hi + pad
+        else:
+            lo, hi = float(f_range[0]), float(f_range[1])
+            if not lo < hi:
+                raise ValueError(
+                    f"f_range must satisfy lo < hi, got ({lo}, {hi})")
+
+        # Chebyshev coefficients of h(t) = g(mid + half*t) on [-1, 1].
+        from numpy.polynomial.chebyshev import Chebyshev
+        mid, half = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        series = Chebyshev.interpolate(
+            lambda t: np.asarray(g(mid + half * t), dtype=np.float64),
+            degree)
+        coeffs = series.coef  # length degree+1
+
+        # Normalized argument t = (f - mid)/half as a TT.  Every
+        # intermediate carries the TIGHT rounding tolerance: the
+        # operand's build tolerance (default 1e-6) would floor the
+        # whole composition at that level, while the rank cap is the
+        # intended accuracy control here.
+        tol = float(tolerance)
+
+        def _tight(tt):
+            tt.tolerance = tol
+            return tt
+
+        t_tt = _tight(_tight(self * (1.0 / half))
+                      + self._constant_like(-mid / half))
+
+        # Clenshaw: b_k = c_k + 2 t⊙b_{k+1} - b_{k+2}.
+        b1 = _tight(self._constant_like(0.0))
+        b2 = _tight(self._constant_like(0.0))
+        for k in range(degree, 0, -1):
+            nxt = t_tt.hadamard(b1, max_rank=cap, tolerance=tol) * 2.0
+            nxt = _tight(nxt - b2 + self._constant_like(float(coeffs[k])))
+            b2, b1 = b1, nxt
+        out = (t_tt.hadamard(b1, max_rank=cap, tolerance=tol) - b2
+               + self._constant_like(float(coeffs[0])))
+        rounded = tta.tt_round_cores(
+            [c.copy() for c in out._coeff_cores], max_rank=cap,
+            tolerance=tol)
+        return self._assemble(rounded, self.domain, self.n_nodes,
+                              self._dim_order, max_rank=cap)
 
     def __add__(self, other: "ChebyshevTT") -> "ChebyshevTT":
         """Block-diagonal core stacking + TT-SVD rounding to

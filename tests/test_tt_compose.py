@@ -1,0 +1,128 @@
+"""Scalar-function composition on TT surrogates (Clenshaw in TT arithmetic).
+
+``tt.compose(g)`` builds g(f) from an existing TT without re-sampling
+f — Chebyshev expansion of g on f's range, evaluated with rounded
+hadamard products.  Pins: agreement with pointwise g(f), consistency
+with hadamard for polynomial g, rank discovery (exp of an additive f is
+exactly rank 1), cap enforcement, and the validation surface.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import ChebyshevTT
+
+
+DOM = [[-1.0, 1.0], [0.0, 2.0], [-0.5, 0.5]]
+
+
+def additive(x, _):
+    return math.sin(x[0]) + 0.4 * x[1] + 0.2 * x[2]
+
+
+@pytest.fixture(scope="module")
+def base():
+    tt = ChebyshevTT(additive, 3, DOM, [9, 9, 9], max_rank=5)
+    tt.build(verbose=False)
+    return tt
+
+
+def _pts(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    lo = np.array([b[0] for b in DOM])
+    hi = np.array([b[1] for b in DOM])
+    return lo + (hi - lo) * rng.uniform(0.05, 0.95, (n, 3))
+
+
+class TestComposeAccuracy:
+    def test_exp_matches_pointwise_composition(self, base):
+        # Pointwise accuracy is grid-limited: the node-wise Chebyshev
+        # powers alias onto the shared 9-point grid, so the result is
+        # the grid's interpolant of exp(f) (~8e-6 here).
+        comp = base.compose(np.exp, degree=24, max_rank=16)
+        pts = _pts()
+        want = np.exp(base.eval_batch(pts))
+        np.testing.assert_allclose(comp.eval_batch(pts), want,
+                                   atol=3e-5)
+
+    def test_matches_a_direct_build_of_the_composition(self, base):
+        # The honest contract: compose == building g(f(x)) on the SAME
+        # grid, to near-roundoff.
+        comp = base.compose(np.exp, degree=24, max_rank=16)
+        direct = ChebyshevTT(
+            lambda x, _: math.exp(additive(x, None)), 3, DOM,
+            [9, 9, 9], max_rank=16)
+        direct.build(verbose=False)
+        pts = _pts(150, seed=2)
+        np.testing.assert_allclose(comp.eval_batch(pts),
+                                   direct.eval_batch(pts), atol=1e-8)
+
+    def test_exp_of_additive_is_rank_one(self, base):
+        # exp(a+b+c) = exp(a)exp(b)exp(c): separable, so the rounded
+        # composition should discover bond ranks of exactly 1.
+        comp = base.compose(np.exp, degree=24, max_rank=16)
+        assert max(comp.tt_ranks) == 1
+
+    def test_polynomial_g_matches_hadamard_power(self, base):
+        sq = base.compose(lambda v: v * v, degree=4, max_rank=12)
+        had = base.hadamard(base, max_rank=12)
+        pts = _pts(80, seed=3)
+        np.testing.assert_allclose(sq.eval_batch(pts),
+                                   had.eval_batch(pts), atol=1e-12)
+
+    def test_explicit_range_overrides_sampling(self, base):
+        comp = base.compose(np.tanh, degree=24, f_range=(-2.0, 2.0),
+                            max_rank=12)
+        pts = _pts(100, seed=5)
+        want = np.tanh(base.eval_batch(pts))
+        np.testing.assert_allclose(comp.eval_batch(pts), want,
+                                   atol=5e-4)  # grid-limited (9 nodes)
+
+    def test_nonseparable_argument(self):
+        def coupled(x, _):
+            return 0.5 * x[0] * x[1] + 0.3 * x[2]
+
+        tt = ChebyshevTT(coupled, 3, DOM, [9, 9, 9], max_rank=5)
+        tt.build(verbose=False)
+        comp = tt.compose(np.exp, degree=20, max_rank=20)
+        pts = _pts(150, seed=7)
+        want = np.exp(tt.eval_batch(pts))
+        np.testing.assert_allclose(comp.eval_batch(pts), want,
+                                   rtol=1e-6, atol=1e-7)
+
+
+class TestComposeContract:
+    def test_rank_cap_is_enforced(self, base):
+        comp = base.compose(np.exp, degree=16, max_rank=3)
+        assert max(comp.tt_ranks) <= 3
+
+    def test_degree_validation(self, base):
+        with pytest.raises(ValueError, match="degree"):
+            base.compose(np.exp, degree=0)
+
+    def test_range_validation(self, base):
+        with pytest.raises(ValueError, match="f_range"):
+            base.compose(np.exp, f_range=(1.0, 1.0))
+
+    def test_unbuilt_raises(self):
+        tt = ChebyshevTT(additive, 3, DOM, [9, 9, 9], max_rank=5)
+        with pytest.raises(RuntimeError):
+            tt.compose(np.exp)
+
+    def test_result_is_a_standalone_tt(self, base):
+        comp = base.compose(np.exp, degree=16, max_rank=8)
+        assert comp.function is None
+        assert np.isfinite(comp.integrate())
+        p = [0.3, 1.2, 0.1]
+        assert comp.eval(p) == pytest.approx(
+            math.exp(base.eval(p)), abs=1e-5)
+
+    def test_composition_in_a_permuted_frame(self, base):
+        perm = base.reorder([2, 0, 1])
+        comp = perm.compose(np.exp, degree=20, max_rank=12)
+        pts = _pts(60, seed=11)
+        want = np.exp(base.eval_batch(pts))
+        np.testing.assert_allclose(comp.eval_batch(pts), want,
+                                   atol=3e-5)  # grid-limited
