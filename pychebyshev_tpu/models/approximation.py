@@ -1561,6 +1561,20 @@ class ChebyshevApproximation:
         return ChebyshevApproximation._from_grid(
             self, self.tensor_values + other.tensor_values)
 
+    def compose(self, g) -> "ChebyshevApproximation":
+        """Scalar-function composition ``g(f(x))`` as a new interpolant:
+        ``g`` (vectorized over arrays) applied to the value tensor —
+        the interpolant of ``g∘f`` sampled at this grid (beyond the
+        reference surface).  Accurate when the grid resolves ``g∘f``;
+        check ``result.error_estimate()``."""
+        vals = jnp.asarray(g(self.tensor_values))
+        if vals.shape != self.tensor_values.shape:
+            raise ValueError(
+                f"g must map values elementwise; output shape "
+                f"{vals.shape} != {self.tensor_values.shape}"
+            )
+        return ChebyshevApproximation._from_grid(self, vals)
+
     def hadamard(self, other) -> "ChebyshevApproximation":
         """Node-wise product surrogate: interpolant of ``f·g`` sampled
         at the shared grid (beyond the reference surface, which rejects

@@ -1213,6 +1213,13 @@ class ChebyshevSpline:
         ]
         return ChebyshevSpline._from_pieces(self, pieces)
 
+    def compose(self, g) -> "ChebyshevSpline":
+        """Scalar-function composition per piece (see
+        ``ChebyshevApproximation.compose``); each piece's grid must
+        resolve ``g∘f`` on its sub-domain."""
+        pieces = [p.compose(g) for p in self._pieces]
+        return ChebyshevSpline._from_pieces(self, pieces)
+
     def hadamard(self, other) -> "ChebyshevSpline":
         """Node-wise product spline (per-piece ``hadamard``; see
         ``ChebyshevApproximation.hadamard`` for the accuracy caveat —

@@ -126,3 +126,48 @@ class TestComposeContract:
         want = np.exp(base.eval_batch(pts))
         np.testing.assert_allclose(comp.eval_batch(pts), want,
                                    atol=3e-5)  # grid-limited
+
+
+class TestDenseAndSplineCompose:
+    def test_dense_compose_matches_direct_build(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        f = lambda x, _: math.sin(x[0]) + 0.4 * x[1]
+        base = ChebyshevApproximation(f, 2, [[-1, 1], [0, 2]], [11, 11])
+        base.build(verbose=False)
+        comp = base.compose(np.exp)
+        direct = ChebyshevApproximation(
+            lambda x, _: math.exp(f(x, None)), 2, [[-1, 1], [0, 2]],
+            [11, 11])
+        direct.build(verbose=False)
+        for p in ([0.3, 1.2], [-0.7, 0.4], [0.9, 1.9]):
+            assert comp.eval(p, [0, 0]) == pytest.approx(
+                direct.eval(p, [0, 0]), abs=1e-13)
+
+    def test_dense_compose_shape_guard(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        base = ChebyshevApproximation(lambda x, _: x[0], 1, [[-1, 1]],
+                                      [7])
+        base.build(verbose=False)
+        with pytest.raises(ValueError, match="elementwise"):
+            base.compose(lambda v: np.sum(v))
+
+    def test_spline_compose_is_per_piece(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]],
+                             [11], [[0.0]])
+        sp.build(verbose=False)
+        comp = sp.compose(lambda v: v ** 2 + 1.0)
+        for x in (-0.8, -0.2, 0.0, 0.5):
+            assert comp.eval([x], [0]) == pytest.approx(
+                x ** 2 + 1.0, abs=1e-11)  # |x|^2 = x^2, exactly representable
+
+    def test_tt_and_dense_compose_agree(self, base):
+        from pychebyshev_tpu import ChebyshevApproximation
+        dense = ChebyshevApproximation(additive, 3, DOM, [9, 9, 9])
+        dense.build(verbose=False)
+        dcomp = dense.compose(np.exp)
+        tcomp = base.compose(np.exp, degree=24, max_rank=16)
+        pts = _pts(100, seed=13)
+        got_t = tcomp.eval_batch(pts)
+        got_d = np.array([dcomp.eval(list(p), [0, 0, 0]) for p in pts])
+        np.testing.assert_allclose(got_t, got_d, atol=1e-7)
