@@ -163,3 +163,38 @@ class TestSplineSliderConcurrency:
             results = list(ex.map(work, range(16)))
         for r in results:
             np.testing.assert_array_equal(r, expected)
+
+
+class TestCacheConcurrency:
+    def test_tt_device_core_cache_under_threads(self, reordered_tt):
+        """Racing eval_batch calls may duplicate an upload but must
+        never corrupt results (worst case: two identical device copies)."""
+        pts = np.random.default_rng(5).uniform(-0.9, 0.9, (256, 3))
+        reordered_tt.__dict__.pop("_dev_cores", None)
+        expected = reordered_tt.eval_batch(pts)
+        reordered_tt.__dict__.pop("_dev_cores", None)
+
+        def run(_):
+            return reordered_tt.eval_batch(pts)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            outs = list(ex.map(run, range(16)))
+        for out in outs:
+            np.testing.assert_array_equal(out, expected)
+
+    def test_fused_operand_cache_under_threads(self):
+        from pychebyshev_tpu.ops import pallas_eval
+        c = ChebyshevApproximation(f3, 3, [[-1, 1]] * 3, [8, 9, 7])
+        c.build(verbose=False)
+        pts = np.random.default_rng(6).uniform(-0.9, 0.9, (128, 3))
+        pallas_eval.clear_fused_cache()
+        expected = np.asarray(c.eval_batch_f32(pts, use_fused=True))
+
+        def run(_):
+            return np.asarray(c.eval_batch_f32(pts, use_fused=True))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            outs = list(ex.map(run, range(16)))
+        for out in outs:
+            np.testing.assert_array_equal(out, expected)
+        assert len(pallas_eval._mega_cache) <= pallas_eval._MEGA_CACHE_SLOTS
