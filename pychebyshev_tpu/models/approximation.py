@@ -1567,7 +1567,10 @@ class ChebyshevApproximation:
         the interpolant of ``g∘f`` sampled at this grid (beyond the
         reference surface).  Accurate when the grid resolves ``g∘f``;
         check ``result.error_estimate()``."""
-        vals = jnp.asarray(g(self.tensor_values))
+        # Pin the tensor dtype: a bool- or f32-returning g must not
+        # silently downgrade the f64 end-to-end invariant.
+        vals = jnp.asarray(g(self.tensor_values),
+                           dtype=self.tensor_values.dtype)
         if vals.shape != self.tensor_values.shape:
             raise ValueError(
                 f"g must map values elementwise; output shape "

@@ -1230,11 +1230,8 @@ class ChebyshevSpline:
                 f"{type(other).__name__}"
             )
         self._check_spline_compatible(other)
-        pieces = [
-            ChebyshevApproximation._from_grid(
-                ps, ps.tensor_values * po.tensor_values)
-            for ps, po in zip(self._pieces, other._pieces)
-        ]
+        pieces = [ps.hadamard(po)
+                  for ps, po in zip(self._pieces, other._pieces)]
         return ChebyshevSpline._from_pieces(self, pieces)
 
     def __mul__(self, scalar):

@@ -662,24 +662,27 @@ class ChebyshevTT:
     def _cores_on_device(self, dtype) -> tuple:
         """Device copies of the coefficient cores, cached per dtype.
 
-        Keyed on the core arrays' identities: every mutation path in
-        this class REPLACES core ndarrays (orth / rounding / algebra
-        assemble fresh arrays), so changed cores change the key and the
-        stale copies are dropped.  Avoids re-uploading the cores on
-        every batched eval — significant on hosts with a slow device
-        link (this container's relayed TPU moves ~30-50 MB/s).
+        Keyed on the core arrays' identities, with the keyed ndarrays
+        RETAINED in the cache entry: every mutation path in this class
+        REPLACES core ndarrays (orth / rounding / algebra assemble
+        fresh arrays), so changed cores miss — and pinning the old
+        arrays keeps their ids from being recycled by the allocator,
+        which would otherwise let a twice-replaced core list collide
+        with a stale entry.  Avoids re-uploading the cores on every
+        batched eval — significant on hosts with a slow device link
+        (this container's relayed TPU moves ~30-50 MB/s).
         """
         import jax.numpy as jnp
 
         cache = self.__dict__.setdefault("_dev_cores", {})
         dkey = np.dtype(dtype).name
-        key = tuple(map(id, self._coeff_cores))
+        cores = tuple(self._coeff_cores)
         hit = cache.get(dkey)
-        if hit is not None and hit[0] == key:
+        if (hit is not None and len(hit[0]) == len(cores)
+                and all(a is b for a, b in zip(hit[0], cores))):
             return hit[1]
-        dev = tuple(jnp.asarray(c, dtype=dtype)
-                    for c in self._coeff_cores)
-        cache[dkey] = (key, dev)
+        dev = tuple(jnp.asarray(c, dtype=dtype) for c in cores)
+        cache[dkey] = (cores, dev)
         return dev
 
     def eval_batch(self, points) -> np.ndarray:
@@ -1439,15 +1442,20 @@ class ChebyshevTT:
         return self._assemble(coeff, self.domain, self.n_nodes,
                               self._dim_order, max_rank=target_rank)
 
-    def _constant_like(self, value: float) -> "ChebyshevTT":
-        """Rank-1 constant TT on this grid/frame (algebra helper)."""
+    def _constant_like(self, value: float,
+                       max_rank: Optional[int] = None) -> "ChebyshevTT":
+        """Rank-1 constant TT on this grid/frame (algebra helper).
+        ``max_rank`` sets the result's cap — algebra with it rounds to
+        the max of the operands' caps, so intermediates that must stay
+        under a tighter cap need constants carrying that cap."""
         cores = []
         for n in self.n_nodes:
             vcore = np.full((1, int(n), 1), 1.0)
             cores.append(tta.value_core_to_coeff_core(vcore))
         cores[0] = cores[0] * float(value)
-        return self._assemble(cores, self.domain, self.n_nodes,
-                              self._dim_order, max_rank=self.max_rank)
+        return self._assemble(
+            cores, self.domain, self.n_nodes, self._dim_order,
+            max_rank=self.max_rank if max_rank is None else max_rank)
 
     def compose(self, g, *, degree: int = 16, f_range=None,
                 max_rank: Optional[int] = None,
@@ -1488,9 +1496,7 @@ class ChebyshevTT:
 
         if f_range is None:
             rng = np.random.default_rng(seed)
-            dom = np.asarray(
-                [self.domain[self._dim_order.index(u)]
-                 for u in range(self.num_dimensions)], dtype=np.float64)
+            dom = np.asarray(self._user_frame_domain(), dtype=np.float64)
             pts = dom[:, 0] + (dom[:, 1] - dom[:, 0]) * rng.uniform(
                 0.0, 1.0, size=(n_range_samples, self.num_dimensions))
             vals = self.eval_batch(pts)
@@ -1510,6 +1516,13 @@ class ChebyshevTT:
             lambda t: np.asarray(g(mid + half * t), dtype=np.float64),
             degree)
         coeffs = series.coef  # length degree+1
+        if not np.isfinite(coeffs).all():
+            raise ValueError(
+                f"g returned non-finite values on the expansion range "
+                f"({lo:.6g}, {hi:.6g}) — pass f_range explicitly to "
+                f"restrict it to g's domain (the default pads the "
+                f"sampled range of f by 5%)"
+            )
 
         # Normalized argument t = (f - mid)/half as a TT.  Every
         # intermediate carries the TIGHT rounding tolerance: the
@@ -1523,17 +1536,19 @@ class ChebyshevTT:
             return tt
 
         t_tt = _tight(_tight(self * (1.0 / half))
-                      + self._constant_like(-mid / half))
+                      + self._constant_like(-mid / half, max_rank=cap))
 
         # Clenshaw: b_k = c_k + 2 t⊙b_{k+1} - b_{k+2}.
-        b1 = _tight(self._constant_like(0.0))
-        b2 = _tight(self._constant_like(0.0))
+        b1 = _tight(self._constant_like(0.0, max_rank=cap))
+        b2 = _tight(self._constant_like(0.0, max_rank=cap))
         for k in range(degree, 0, -1):
             nxt = t_tt.hadamard(b1, max_rank=cap, tolerance=tol) * 2.0
-            nxt = _tight(nxt - b2 + self._constant_like(float(coeffs[k])))
+            nxt = _tight(nxt - b2
+                         + self._constant_like(float(coeffs[k]),
+                                               max_rank=cap))
             b2, b1 = b1, nxt
         out = (t_tt.hadamard(b1, max_rank=cap, tolerance=tol) - b2
-               + self._constant_like(float(coeffs[0])))
+               + self._constant_like(float(coeffs[0]), max_rank=cap))
         rounded = tta.tt_round_cores(
             [c.copy() for c in out._coeff_cores], max_rank=cap,
             tolerance=tol)

@@ -171,3 +171,48 @@ class TestDenseAndSplineCompose:
         got_t = tcomp.eval_batch(pts)
         got_d = np.array([dcomp.eval(list(p), [0, 0, 0]) for p in pts])
         np.testing.assert_allclose(got_t, got_d, atol=1e-7)
+
+
+class TestReviewRegressions:
+    def test_core_cache_survives_id_recycling(self, base):
+        """Cache entries pin the keyed ndarrays, so allocator id reuse
+        after repeated core replacement cannot serve stale cores."""
+        work = base.clone()
+        pts = _pts(40, seed=17)
+        before = work.eval_batch(pts)
+        # Two generations of pure replacement (the id-reuse window).
+        work.orth_left(work.num_dimensions - 1)
+        work.eval_batch(pts)
+        work.orth_right(0)
+        np.testing.assert_allclose(work.eval_batch(pts), before,
+                                   atol=1e-10)
+        # Scaling replaces cores again: results must track immediately.
+        work *= 3.0
+        np.testing.assert_allclose(work.eval_batch(pts), 3.0 * before,
+                                   atol=1e-9)
+
+    def test_log_outside_domain_is_a_clear_error(self):
+        def positive(x, _):
+            # min 0.001, max ~1.0: the 5% range pad crosses zero.
+            return 0.001 + x[0] ** 2
+
+        tt = ChebyshevTT(positive, 1, [[-1.0, 1.0]], [9], max_rank=3)
+        tt.build(verbose=False)
+        with pytest.raises(ValueError, match="f_range"):
+            tt.compose(np.log, degree=16)
+        # Explicit range inside g's domain works.
+        safe = tt.compose(np.log, degree=24, f_range=(0.0005, 1.1))
+        assert np.isfinite(safe.eval([0.5]))
+
+    def test_intermediates_honor_a_tighter_cap(self, base):
+        comp = base.compose(np.exp, degree=12, max_rank=2)
+        assert max(comp.tt_ranks) <= 2
+        assert comp.max_rank == 2
+
+    def test_dense_compose_pins_the_dtype(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        import jax.numpy as jnp
+        c = ChebyshevApproximation(lambda x, _: x[0], 1, [[-1, 1]], [7])
+        c.build(verbose=False)
+        comp = c.compose(lambda v: v > 0)  # bool-returning g
+        assert comp.tensor_values.dtype == c.tensor_values.dtype
