@@ -60,6 +60,10 @@ int pcb_eval(void* handle, const double* point, int d, double* out) {
     set_error("null argument");
     return -1;
   }
+  if (d < 0) {
+    set_error("negative dimensionality");
+    return -1;
+  }
   try {
     std::vector<double> pt(point, point + d);
     *out = pcb::eval(*static_cast<pcb::PcbFile*>(handle), pt);
@@ -75,6 +79,10 @@ int pcb_eval_batch(void* handle, const double* points, int n, int d,
                    double* out) {
   if (!handle || !points || !out) {
     set_error("null argument");
+    return -1;
+  }
+  if (n < 0 || d < 0) {
+    set_error("negative batch shape");
     return -1;
   }
   try {

@@ -17,6 +17,8 @@ class Cursor {
  public:
   Cursor(const uint8_t* data, size_t size) : data_(data), size_(size) {}
 
+  size_t remaining() const { return size_ - pos_; }
+
   void require(size_t n, const char* what) const {
     if (pos_ + n > size_) {
       throw PcbError(ErrorCode::Truncated,
@@ -150,10 +152,37 @@ size_t tensor_size(const std::vector<uint32_t>& n_nodes) {
   return total;
 }
 
+void fill_grid_cache(Approximation& a) {
+  a.nodes.resize(a.num_dimensions);
+  a.weights.resize(a.num_dimensions);
+  for (uint32_t i = 0; i < a.num_dimensions; i++) {
+    a.nodes[i] = make_nodes(a.domain_lo[i], a.domain_hi[i], a.n_nodes[i]);
+    a.weights[i] = barycentric_weights(a.nodes[i]);
+  }
+}
+
+void fill_grid_cache(Spline& s) {
+  s.interval_nodes.resize(s.num_dimensions);
+  s.interval_weights.resize(s.num_dimensions);
+  for (uint32_t i = 0; i < s.num_dimensions; i++) {
+    const std::vector<double>& k = s.knots[i];
+    size_t intervals = k.size() + 1;
+    s.interval_nodes[i].resize(intervals);
+    s.interval_weights[i].resize(intervals);
+    for (size_t j = 0; j < intervals; j++) {
+      double lo = (j == 0) ? s.domain_lo[i] : k[j - 1];
+      double hi = (j == k.size()) ? s.domain_hi[i] : k[j];
+      s.interval_nodes[i][j] = make_nodes(lo, hi, s.n_nodes[i]);
+      s.interval_weights[i][j] = barycentric_weights(s.interval_nodes[i][j]);
+    }
+  }
+}
+
 Approximation read_approx_body(Cursor& c) {
   Approximation a;
   read_common(c, a.num_dimensions, a.domain_lo, a.domain_hi, a.n_nodes);
   a.tensor_values = c.f64_array(tensor_size(a.n_nodes), "tensor_values");
+  fill_grid_cache(a);
   return a;
 }
 
@@ -181,7 +210,30 @@ Spline read_spline_body(Cursor& c) {
                            std::to_string(i));
       }
     }
-    expected_pieces *= (num_knots[i] + 1);
+    for (double kn : s.knots[i]) {
+      // Library parity: knots must be STRICTLY inside the domain
+      // (boundary or exterior knots make degenerate/inverted pieces).
+      if (!(s.domain_lo[i] < kn && kn < s.domain_hi[i])) {
+        throw PcbError(ErrorCode::InvalidField,
+                       "knot not strictly inside domain at dim " +
+                           std::to_string(i));
+      }
+    }
+  }
+
+  size_t per_piece = tensor_size(s.n_nodes);
+  // Overflow-safe piece accounting with the same total-element cap as
+  // tensor_size: a crafted header must neither wrap the product into a
+  // spuriously-matching num_pieces nor force a huge allocation.
+  constexpr size_t kMaxElems = size_t{1} << 27;
+  const size_t max_pieces = kMaxElems / per_piece;
+  for (uint32_t i = 0; i < s.num_dimensions; i++) {
+    size_t factor = static_cast<size_t>(num_knots[i]) + 1;
+    if (expected_pieces > max_pieces / factor) {
+      throw PcbError(ErrorCode::InvalidField,
+                     "pieces exceed element cap");
+    }
+    expected_pieces *= factor;
   }
 
   uint32_t num_pieces = c.u32("num_pieces");
@@ -190,11 +242,11 @@ Spline read_spline_body(Cursor& c) {
                    "num_pieces does not match prod(num_knots + 1)");
   }
 
-  size_t per_piece = tensor_size(s.n_nodes);
   s.pieces.reserve(num_pieces);
   for (uint32_t p = 0; p < num_pieces; p++) {
     s.pieces.push_back(c.f64_array(per_piece, "piece tensor"));
   }
+  fill_grid_cache(s);
   return s;
 }
 
@@ -292,6 +344,11 @@ PcbFile read_pcb_from_bytes(const uint8_t* data, size_t size) {
     throw PcbError(ErrorCode::UnknownClassTag,
                    "unknown class_tag " + std::to_string(tag));
   }
+  if (c.remaining() != 0) {
+    throw PcbError(ErrorCode::InvalidField,
+                   std::to_string(c.remaining()) +
+                       " trailing bytes after the payload");
+  }
   return out;
 }
 
@@ -328,6 +385,12 @@ double eval(const Approximation& a, const std::vector<double>& point) {
     throw PcbError(ErrorCode::InvalidField,
                    "query point has wrong dimensionality");
   }
+  if (a.nodes.size() == a.num_dimensions &&
+      a.weights.size() == a.num_dimensions) {
+    return bary_collapse(a.tensor_values, a.n_nodes, a.nodes, a.weights,
+                         point);
+  }
+  // Hand-built struct without the parse-time cache: compute locally.
   std::vector<std::vector<double>> nodes(a.num_dimensions);
   std::vector<std::vector<double>> weights(a.num_dimensions);
   for (uint32_t i = 0; i < a.num_dimensions; i++) {
@@ -345,6 +408,7 @@ double eval(const Spline& s, const std::vector<double>& point) {
   // Route to the containing piece: a point exactly at a knot goes right
   // (upper_bound == searchsorted side='right').
   size_t flat = 0;
+  std::vector<size_t> interval_idx(s.num_dimensions);
   std::vector<std::pair<double, double>> sub_domain(s.num_dimensions);
   for (uint32_t i = 0; i < s.num_dimensions; i++) {
     const std::vector<double>& k = s.knots[i];
@@ -353,11 +417,21 @@ double eval(const Spline& s, const std::vector<double>& point) {
     size_t pieces_this_dim = k.size() + 1;
     if (idx >= pieces_this_dim) idx = pieces_this_dim - 1;
     flat = flat * pieces_this_dim + idx;
+    interval_idx[i] = idx;
     double lo = (idx == 0) ? s.domain_lo[i] : k[idx - 1];
     double hi = (idx == k.size()) ? s.domain_hi[i] : k[idx];
     sub_domain[i] = {lo, hi};
   }
 
+  if (s.interval_nodes.size() == s.num_dimensions) {
+    std::vector<std::vector<double>> nodes(s.num_dimensions);
+    std::vector<std::vector<double>> weights(s.num_dimensions);
+    for (uint32_t i = 0; i < s.num_dimensions; i++) {
+      nodes[i] = s.interval_nodes[i][interval_idx[i]];
+      weights[i] = s.interval_weights[i][interval_idx[i]];
+    }
+    return bary_collapse(s.pieces[flat], s.n_nodes, nodes, weights, point);
+  }
   std::vector<std::vector<double>> nodes(s.num_dimensions);
   std::vector<std::vector<double>> weights(s.num_dimensions);
   for (uint32_t i = 0; i < s.num_dimensions; i++) {

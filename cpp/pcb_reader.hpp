@@ -50,6 +50,12 @@ struct Approximation {
   std::vector<double> domain_hi;
   std::vector<uint32_t> n_nodes;
   std::vector<double> tensor_values;  // C-order, prod(n_nodes) entries
+  // Grid cache filled at parse time (eval falls back to computing it
+  // when empty, e.g. for hand-built structs): per-dim Chebyshev nodes
+  // and barycentric weights — the O(n^2) weight build must not re-run
+  // per query.
+  std::vector<std::vector<double>> nodes;
+  std::vector<std::vector<double>> weights;
 };
 
 struct Spline {
@@ -59,6 +65,11 @@ struct Spline {
   std::vector<uint32_t> n_nodes;               // flat, shared across pieces
   std::vector<std::vector<double>> knots;      // per-dim interior knots
   std::vector<std::vector<double>> pieces;     // C-order piece tensors
+  // Grid cache filled at parse time (see Approximation): per dim, per
+  // sub-interval — interval_nodes[d][j] are the nodes of dim d's j-th
+  // piece interval; ditto interval_weights.
+  std::vector<std::vector<std::vector<double>>> interval_nodes;
+  std::vector<std::vector<std::vector<double>>> interval_weights;
 };
 
 struct PcbFile {

@@ -299,7 +299,17 @@ int main(int argc, char **argv) {
         for (;;) {
             uint32_t got = 0;
             while (got < a.d && scanf("%lf", &pt[got]) == 1) got++;
-            if (got == 0) break;
+            if (got == 0) {
+                if (!feof(stdin)) {
+                    /* a non-numeric token at a point boundary is bad
+                     * input, not end-of-input: report it, don't
+                     * silently drop the rest of the stream. */
+                    fprintf(stderr, "stdin: malformed token at point "
+                            "boundary\n");
+                    rc = 1;
+                }
+                break;
+            }
             if (got < a.d) {
                 fprintf(stderr, "stdin: incomplete point (%u of %u "
                         "coordinates)\n", got, a.d);

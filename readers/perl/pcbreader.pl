@@ -66,6 +66,10 @@ sub barycentric_weights {
         for my $j (0 .. $#$nodes) {
             $prod *= $nodes->[$i] - $nodes->[$j] unless $j == $i;
         }
+        # Degenerate grid (coincident nodes) must be a typed error,
+        # not a division-by-zero crash or inf weights.
+        die "InvalidField: degenerate grid (non-finite weights)\n"
+            if $prod == 0.0 || $prod != $prod;
         push @w, 1.0 / $prod;
     }
     return \@w;
@@ -173,6 +177,10 @@ sub parse_spline {
         for my $j (1 .. $#$k) {
             die "InvalidField: knots dim $i not ascending\n"
                 unless $k->[$j - 1] < $k->[$j];
+        }
+        for my $kn (@$k) {
+            die "InvalidField: knots dim $i not strictly inside domain\n"
+                unless $lo->[$i] < $kn && $kn < $hi->[$i];
         }
         push @knots, $k;
     }

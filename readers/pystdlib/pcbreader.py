@@ -99,6 +99,14 @@ def barycentric_weights(nodes: list) -> list:
         for j, xj in enumerate(nodes):
             if j != i:
                 prod *= xi - xj
+        if prod == 0.0 or prod != prod or prod in (float("inf"),
+                                                   float("-inf")):
+            # Coincident nodes (a degenerate domain narrower than f64
+            # resolution at this node count) or over/underflow: a typed
+            # error, never a raw ZeroDivisionError.
+            raise PcbError("InvalidField",
+                           "degenerate grid: barycentric weights are "
+                           "not finite")
         out.append(1.0 / prod)
     return out
 
@@ -268,6 +276,9 @@ def _parse_spline(sc: _Scanner) -> Spline:
         if any(ki[j] >= ki[j + 1] for j in range(len(ki) - 1)):
             raise PcbError("InvalidField",
                            f"knots dim {i} not strictly ascending")
+        if any(not (lo[i] < kn < hi[i]) for kn in ki):
+            raise PcbError("InvalidField",
+                           f"knots dim {i} not strictly inside domain")
         knots.append(ki)
     num_pieces = sc.u32("num_pieces")
     expect = 1
