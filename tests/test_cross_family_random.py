@@ -62,7 +62,7 @@ class TestPolynomialAgreement:
         sp = ChebyshevSpline(f, 2, dom, [7, 7], knots=[[mid0], []])
         sp.build(verbose=False)
         tt = ChebyshevTT(f, 2, dom, [7, 7], max_rank=7)
-        tt.build(verbose=False)
+        tt.build(verbose=False, seed=0)
 
         pts = np.column_stack([
             rng.uniform(dom[0][0], dom[0][1], 40),
@@ -114,7 +114,7 @@ class TestPolynomialAgreement:
             want / scale, abs=1e-11)
 
         tt = ChebyshevTT(f, 2, dom, [7, 7], max_rank=7)
-        tt.build(verbose=False)
+        tt.build(verbose=False, seed=0)
         assert tt.integrate() / scale == pytest.approx(
             want / scale, abs=1e-9)
 
@@ -197,7 +197,7 @@ class TestTransformAgreement:
         dense = ChebyshevApproximation(f, 3, dom, [8] * 3)
         dense.build(verbose=False)
         tt = ChebyshevTT(f, 3, dom, [8] * 3, max_rank=6)
-        tt.build(verbose=False)
+        tt.build(verbose=False, seed=0)
 
         dthin = dense.slice((1, cut))
         tthin = tt.slice((1, cut))
@@ -216,7 +216,7 @@ class TestTransformAgreement:
         dense = ChebyshevApproximation(f, 2, dom, [8, 8])
         dense.build(verbose=False)
         tt = ChebyshevTT(f, 2, dom, [8, 8], max_rank=5)
-        tt.build(verbose=False)
+        tt.build(verbose=False, seed=0)
 
         new_dom = (-1.0, 4.0)
         dfat = dense.extrude((2, new_dom, 4))
