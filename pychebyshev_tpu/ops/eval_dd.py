@@ -96,7 +96,15 @@ def dd_plan(shape: Sequence[int], cutoff: int = None) -> dict:
     if cutoff is None:
         cutoff = _PAIR_CUTOFF
     shape = tuple(int(n) for n in shape)
+    # d == 1 has no left/right split (the kernel indexes both groups),
+    # and _WR_SCALE_LOG2's Lebesgue bound only covers right groups of
+    # <= 3 dims — beyond that a worst-case Khatri-Rao product can
+    # exceed the scaled-unit assumption and break MXU exactness.
+    if len(shape) < 2:
+        return {"ok": False}
     s = _split_index(shape)
+    if len(shape) - s > 3:
+        return {"ok": False}
     n_left = int(np.prod(shape[:s]))
     n_right = int(np.prod(shape[s:]))
     bits_budget = 24 - int(np.ceil(np.log2(n_right)))
@@ -329,16 +337,22 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
     # diff_matrices participate in the key (identity-wise): the same
     # tensor object evaluated under two different grids with orders>0
     # must not reuse the other grid's pre-differentiated planes.
+    # Identity keying is only sound for IMMUTABLE operands (see
+    # ops/pallas_eval): a numpy tensor mutated in place keeps its
+    # identity, so only jax.Array tensors/diffs participate.
     diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
     plan_key = (plan["cutoff"], plan["b_t"])
-    for i, entry in enumerate(_plane_cache):
-        if (entry[0] is tensor and entry[1] == (orders, plan_key)
-                and len(entry[2]) == len(diffs_key)
-                and all(a is b for a, b in zip(entry[2], diffs_key))):
-            # true LRU: refresh on hit so cyclic multi-tensor access
-            # patterns (dd-served splines) keep their working set
-            _plane_cache.insert(0, _plane_cache.pop(i))
-            return entry[3], entry[4]
+    cacheable = all(isinstance(a, jax.Array)
+                    for a in (tensor, *diffs_key))
+    if cacheable:
+        for i, entry in enumerate(_plane_cache):
+            if (entry[0] is tensor and entry[1] == (orders, plan_key)
+                    and len(entry[2]) == len(diffs_key)
+                    and all(a is b for a, b in zip(entry[2], diffs_key))):
+                # true LRU: refresh on hit so cyclic multi-tensor access
+                # patterns (dd-served splines) keep their working set
+                _plane_cache.insert(0, _plane_cache.pop(i))
+                return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_t = plan["b_t"]
@@ -363,9 +377,10 @@ def _tensor_planes(tensor, diff_matrices, orders: Tuple[int, ...], plan):
                                                        jnp.bfloat16)
         for js in plan["js_by_i"])
 
-    _plane_cache.insert(0, (tensor, (orders, plan_key), diffs_key,
-                            t_scale, tensor_planes))
-    del _plane_cache[_PLANE_CACHE_SLOTS:]
+    if cacheable:
+        _plane_cache.insert(0, (tensor, (orders, plan_key), diffs_key,
+                                t_scale, tensor_planes))
+        del _plane_cache[_PLANE_CACHE_SLOTS:]
     return t_scale, tensor_planes
 
 
@@ -395,7 +410,6 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
     run, plan = _compiled(shape, d, cutoff)
     t_scale, tensor_planes = _tensor_planes(tensor, diff_matrices,
                                             tuple(orders), plan)
-    d = len(shape)
     pts = jnp.asarray(points, jnp.float64)
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
     weights64 = tuple(jnp.asarray(weights[k], jnp.float64)

@@ -52,6 +52,7 @@ from pychebyshev_tpu.ops.eval import _split_index, apply_derivative_passes
 from pychebyshev_tpu.ops.eval_dd import (
     _WR_SCALE_LOG2,
     _digit_planes_tensor,
+    _two_prod,
     dd_plan,
     supports_dd,
 )
@@ -59,7 +60,6 @@ from pychebyshev_tpu.ops.eval_dd import (
 __all__ = ["fused_eval_batch_dd", "supports_fused_dd"]
 
 _LANE = 128
-_VELT = np.float32(4097.0)          # 2^12 + 1
 _RND = np.float32(1.5 * 2 ** 23)    # round-to-nearest-even bias trick
 
 
@@ -84,19 +84,9 @@ def _fast_two_sum(a, b):
     return s, b - (s - a)
 
 
-def _two_prod(a, b):
-    ca = a * _VELT
-    ahi = ca - (ca - a)
-    alo = a - ahi
-    cb = b * _VELT
-    bhi = cb - (cb - b)
-    blo = b - bhi
-    p = a * b
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
-    return p, e
-
-
 def _dd_mul(ahi, alo, bhi, blo):
+    # _two_prod is shared with the XLA backend (ops.eval_dd) so the
+    # error-free-transform arithmetic cannot drift between the two.
     p, e = _two_prod(ahi, bhi)
     e = e + (ahi * blo + alo * bhi)
     return _fast_two_sum(p, e)
@@ -311,13 +301,18 @@ def _tensor_planes_padded(tensor, diff_matrices, orders, plan):
     column blocks), cached — avoids a per-call tensor readback."""
     # diff_matrices join the key identity-wise (same tensor under two
     # grids with orders>0 must not share pre-differentiated planes).
+    # Identity keying requires immutable operands: only jax.Array
+    # tensors/diffs participate (in-place numpy mutation keeps the id).
     diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
-    for i, entry in enumerate(_plane_cache):
-        if (entry[0] is tensor and entry[1] == orders
-                and len(entry[2]) == len(diffs_key)
-                and all(a is b for a, b in zip(entry[2], diffs_key))):
-            _plane_cache.insert(0, _plane_cache.pop(i))  # true LRU
-            return entry[3], entry[4]
+    cacheable = all(isinstance(a, jax.Array)
+                    for a in (tensor, *diffs_key))
+    if cacheable:
+        for i, entry in enumerate(_plane_cache):
+            if (entry[0] is tensor and entry[1] == orders
+                    and len(entry[2]) == len(diffs_key)
+                    and all(a is b for a, b in zip(entry[2], diffs_key))):
+                _plane_cache.insert(0, _plane_cache.pop(i))  # true LRU
+                return entry[3], entry[4]
 
     n_left, n_right = plan["n_left"], plan["n_right"]
     b_t = plan["b_t"]
@@ -344,8 +339,10 @@ def _tensor_planes_padded(tensor, diff_matrices, orders, plan):
                                  jnp.bfloat16))
     tcats = tuple(tcats)
 
-    _plane_cache.insert(0, (tensor, orders, diffs_key, t_scale, tcats))
-    del _plane_cache[_PLANE_CACHE_SLOTS:]
+    if cacheable:
+        _plane_cache.insert(0, (tensor, orders, diffs_key, t_scale,
+                                tcats))
+        del _plane_cache[_PLANE_CACHE_SLOTS:]
     return t_scale, tcats
 
 

@@ -137,6 +137,19 @@ def _ksplit3(x: jax.Array):
     return hi, mid, lo
 
 
+
+def _pick_ksplits(interpret: bool):
+    """In-kernel bf16 split fns, selected by execution mode.
+
+    Mosaic compiles the plain astype splits faithfully, but under
+    ``interpret=True`` the kernel body runs as ordinary XLA, whose
+    excess-precision pass FOLDS astype round trips (zeroing the lo/mid
+    components — the trap in the module docstring).  Interpret mode
+    therefore uses the reduce_precision-based splits."""
+    if interpret:
+        return _split2_bf16, _split3_bf16
+    return _ksplit2, _ksplit3
+
 def _geometry(shape: Tuple[int, ...]):
     """Static block geometry shared by the kernel builder and callers."""
     d = len(shape)
@@ -205,6 +218,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
     r_off = n_lb * pad_l
 
     tol = np.float32(NODE_COINCIDENCE_TOL)
+    ks2, ks3 = _pick_ksplits(interpret)
 
     def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sx3_ref,
                sxt2_ref, ecat2_ref, out_ref):
@@ -218,17 +232,17 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
         # f32 resolution.  No booleans leave the VPU.
         safe = jnp.where(jnp.abs(diff) < tol, tol, diff)
         w_over = weights_ref[:] / safe                        # (B, W)
-        wh, wl = _ksplit2(w_over)
+        wh, wl = ks2(w_over)
         sums = (jnp.dot(jnp.concatenate([wh, wl], axis=1), sxt2_ref[:],
                         preferred_element_type=jnp.float32))  # (B, d)
         rinv = 1.0 / sums
-        r3 = jnp.concatenate(_ksplit3(rinv), axis=1)          # (B, 3d)
+        r3 = jnp.concatenate(ks3(rinv), axis=1)          # (B, 3d)
         rinv_cat = jnp.dot(r3, sx3_ref[:],
                            preferred_element_type=jnp.float32)
         rows = w_over * rinv_cat                              # (B, W) f32
 
         # --- Khatri-Rao group factors: one merged selection dot ------
-        rh, rl = _ksplit2(rows)
+        rh, rl = ks2(rows)
         kr = jnp.dot(jnp.concatenate([rh, rl], axis=1), ecat2_ref[:],
                      preferred_element_type=jnp.float32)      # (B, kE)
 
@@ -252,7 +266,7 @@ def _build_kernel(shape: Tuple[int, ...], block: int, interpret: bool,
                 contrib = c[:, i:i + 1] * t_rows[i][None, :]
                 y = contrib if y is None else y + contrib
         else:
-            rp_hi, rp_lo = _ksplit2(w_rp)
+            rp_hi, rp_lo = ks2(w_rp)
             a_cat = jnp.concatenate([rp_hi, rp_lo, rp_hi], axis=1)
             z = jnp.dot(a_cat, tmega_ref[:],
                         preferred_element_type=jnp.float32)
@@ -351,6 +365,7 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
     sel = np.eye(n_mid, pad_m, dtype=np.float32)[:, None, :]
 
     tol = np.float32(NODE_COINCIDENCE_TOL)
+    ks2, ks3 = _pick_ksplits(interpret)
 
     def kernel(pts3_ref, nodes_ref, weights_ref, tmega_ref, sel_ref,
                sx3_ref, sxt2_ref, ecat2_ref, out_ref,
@@ -364,17 +379,17 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
             diff = x_cat - nodes_ref[:]
             safe = jnp.where(jnp.abs(diff) < tol, tol, diff)
             w_over = weights_ref[:] / safe
-            wh, wl = _ksplit2(w_over)
+            wh, wl = ks2(w_over)
             sums = jnp.dot(jnp.concatenate([wh, wl], axis=1),
                            sxt2_ref[:],
                            preferred_element_type=jnp.float32)
             rinv = 1.0 / sums
-            r3 = jnp.concatenate(_ksplit3(rinv), axis=1)
+            r3 = jnp.concatenate(ks3(rinv), axis=1)
             rinv_cat = jnp.dot(r3, sx3_ref[:],
                                preferred_element_type=jnp.float32)
             rows = w_over * rinv_cat
 
-            rh, rl = _ksplit2(rows)
+            rh, rl = ks2(rows)
             kr = jnp.dot(jnp.concatenate([rh, rl], axis=1),
                          ecat2_ref[:],
                          preferred_element_type=jnp.float32)
@@ -387,7 +402,7 @@ def _build_stream_kernel(shape: Tuple[int, ...], block: int,
                 return acc
 
             wleft_ref[:] = factor(l_off, pad_l, n_lb)
-            rp_hi, rp_lo = _ksplit2(factor(r_off, pad_rp, n_rb))
+            rp_hi, rp_lo = ks2(factor(r_off, pad_rp, n_rb))
             acat_ref[:] = jnp.concatenate([rp_hi, rp_lo, rp_hi], axis=1)
             c_ref[:] = jnp.pad(rows[:, mid_off:mid_off + n_mid],
                                ((0, 0), (0, pad_m - n_mid)))

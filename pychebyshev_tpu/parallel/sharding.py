@@ -209,18 +209,18 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
 
     def _kernel(tensor_slab, nodes0, weights0, dmat0, o_nodes, o_weights,
                 o_diffs, pts):
-        # Derivative passes on non-sharded dims only.
-        t = tensor_slab
-        for k, order in enumerate(orders[1:], start=1):
-            if order > 0:
-                d_t = o_diffs[k - 1].T
-                moved = jnp.moveaxis(t, k, -1)
-                for _ in range(order):
-                    moved = moved @ d_t
-                t = jnp.moveaxis(moved, -1, k)
+        # Derivative passes on non-sharded dims only — the shared
+        # helper, so precision policy (HIGHEST for f64) and pass
+        # structure cannot drift from the single-device path.  dmat0's
+        # order is handled distributed below, so dim 0 passes 0 here.
+        t = eval_ops.apply_derivative_passes(
+            tensor_slab, (dmat0,) + tuple(o_diffs),
+            (0,) + tuple(orders[1:]))
 
         # Dim-0 rows need GLOBAL normalization: compute the unnormalized
         # w/(x - node) terms on the local slice, psum the denominator.
+        blk = nodes0.shape[0]
+        col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
         x0 = pts[:, 0]
         diff0 = x0[:, None] - nodes0[None, :]
         exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
@@ -230,7 +230,19 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         denom = jax.lax.psum(local_denom, tp_axis)
         has_exact = jax.lax.psum(
             exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
-        one_hot = exact_local.astype(jnp.float64)
+        # ONE-hot like the single-device argmax path: a point within
+        # tol of two nodes must select the globally-first hit, not sum
+        # both nodal values.  pmin over (first local hit's global
+        # column, or +inf) finds that node across shards.
+        local_cols = col0 + jnp.arange(blk, dtype=jnp.int32)
+        big = jnp.int32(2 ** 30)
+        first_local = jnp.where(
+            exact_local.any(axis=1),
+            jnp.argmax(exact_local, axis=1).astype(jnp.int32) + col0,
+            big)
+        first_global = jax.lax.pmin(first_local, tp_axis)
+        one_hot = (local_cols[None, :]
+                   == first_global[:, None]).astype(jnp.float64)
         c0 = jnp.where(has_exact[:, None], one_hot,
                        w_over_diff / denom[:, None])
 
@@ -238,13 +250,13 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
         # Local contribution is r_loc @ D[block, :]; the psum assembles
         # the full transformed row, then keep this slab's columns.
         if orders[0] > 0:
-            blk = nodes0.shape[0]
-            col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
+            prec = eval_ops._gemm_precision(tensor_slab.dtype)
             zero = jnp.zeros((), jnp.int32)
             for _ in range(orders[0]):
                 d_rows = jax.lax.dynamic_slice(
                     dmat0, (col0, zero), (blk, dmat0.shape[1]))
-                full_row = jax.lax.psum(c0 @ d_rows, tp_axis)
+                full_row = jax.lax.psum(
+                    jnp.matmul(c0, d_rows, precision=prec), tp_axis)
                 c0 = jax.lax.dynamic_slice(
                     full_row, (zero, col0), (full_row.shape[0], blk))
 

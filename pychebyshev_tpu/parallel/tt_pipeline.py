@@ -89,8 +89,7 @@ def tt_eval_batch_pp(cores: Sequence, domain, points, mesh: Mesh,
     scaled = 2.0 * (points - jnp.asarray(lo, dtype)) / jnp.asarray(
         hi - lo, dtype) - 1.0
     q_all = jnp.stack([
-        jnp.pad(chebyshev_polynomial_matrix(scaled[:, k], n_max),
-                ((0, 0), (0, 0)))
+        chebyshev_polynomial_matrix(scaled[:, k], n_max)
         for k in range(d)
     ], axis=1)                                        # (N, d, n_max)
 
@@ -153,10 +152,8 @@ def tt_eval_batch_pp(cores: Sequence, domain, points, mesh: Mesh,
         # Only the last stage holds real outputs; psum replicates them.
         return jax.lax.psum(out, axis)
 
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
     in_specs = (P(), P(axis), P(axis), P(axis))
     run = shard_map(_pipeline, mesh=mesh, in_specs=in_specs,
                     out_specs=P(), check_vma=False)
-    del other_axes
     out = run(q_mb, blocks_s, mask_s, dims_s)         # (M, B)
     return out.reshape(-1)[:n_pts]

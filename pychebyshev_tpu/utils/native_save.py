@@ -166,6 +166,33 @@ def read_npz(path):
         if kind == "tt":
             cores = [np.asarray(data[f"core_{i}"])
                      for i in range(meta["n_cores"])]
+            # Validate before reconstruction — the other branches go
+            # through validating from_values factories; a corrupt TT
+            # checkpoint must fail here, not deep inside an eval.
+            n_nodes_meta = [int(n) for n in meta["n_nodes"]]
+            if len(cores) == 0 or len(cores) != len(n_nodes_meta):
+                raise ValueError(
+                    f"TT checkpoint has {len(cores)} cores for "
+                    f"{len(n_nodes_meta)} dims")
+            if cores[0].shape[0] != 1 or cores[-1].shape[2] != 1:
+                raise ValueError("TT boundary ranks must be 1")
+            dim_order = [int(i) for i in meta["dim_order"]]
+            if sorted(dim_order) != list(range(len(cores))):
+                raise ValueError(
+                    f"TT dim_order {dim_order} is not a permutation")
+            for i, c in enumerate(cores):
+                if c.ndim != 3:
+                    raise ValueError(f"core {i} is not 3-D: {c.shape}")
+                if c.shape[1] != n_nodes_meta[i]:
+                    raise ValueError(
+                        f"core {i} node axis {c.shape[1]} != "
+                        f"n_nodes {n_nodes_meta[i]}")
+                if i and cores[i - 1].shape[2] != c.shape[0]:
+                    raise ValueError(
+                        f"rank chain broken between cores {i - 1} and "
+                        f"{i}: {cores[i - 1].shape[2]} vs {c.shape[0]}")
+                if not np.isfinite(c).all():
+                    raise ValueError(f"core {i} contains NaN or Inf")
             obj = ChebyshevTT.__new__(ChebyshevTT)
             obj.function = None
             obj.num_dimensions = d

@@ -146,3 +146,47 @@ class TestCutoffModes:
         cheb.build(verbose=False)
         with pytest.raises(ValueError, match="mode"):
             cheb.eval_batch_dd(np.zeros((4, 3)), mode="quick")
+
+
+class TestPlanBoundaries:
+    def test_1d_grid_is_unsupported_and_falls_back(self):
+        """d=1 has no L|R split: supports_dd must say no, and the class
+        path must fall back to f64 instead of crashing."""
+        import math
+        assert not supports_dd((21,))
+        c = ChebyshevApproximation(lambda x, _: math.sin(x[0]), 1,
+                                   [[-1, 1]], [21])
+        c.build(verbose=False)
+        pts = np.linspace(-0.9, 0.9, 64).reshape(-1, 1)
+        out = np.asarray(c.eval_batch_dd(pts))  # falls back cleanly
+        want = np.asarray(c.vectorized_eval_batch(pts, [0]))
+        np.testing.assert_allclose(out, want, atol=1e-12)
+
+    def test_wide_right_groups_are_rejected(self):
+        """_WR_SCALE_LOG2's Lebesgue bound covers right groups of <= 3
+        dims; bigger groups could break MXU exactness silently."""
+        assert not supports_dd((11,) * 7)
+        plan = dd_plan((11,) * 5)
+        assert plan["ok"] and len((11,) * 5) - plan["s"] <= 3
+
+    def test_plane_cache_ignores_mutable_numpy_tensors(self):
+        """In-place mutation of a host tensor must not serve stale
+        digit planes (identity-keyed caches need immutability)."""
+        from pychebyshev_tpu.ops import eval_dd
+        rng = np.random.default_rng(4)
+        model = ChebyshevApproximation(
+            lambda x, _: x[0] + x[1] * x[2], 3, [[-1, 1]] * 3,
+            [9, 9, 9])
+        model.build(verbose=False)
+        g_nodes, g_weights, g_diffs = model._grid_tuples()
+        nodes = tuple(np.asarray(a) for a in g_nodes)
+        weights = tuple(np.asarray(a) for a in g_weights)
+        diffs = tuple(np.asarray(a) for a in g_diffs)
+        t = rng.standard_normal((9, 9, 9))
+        pts = rng.uniform(-0.9, 0.9, (64, 3))
+        first = np.asarray(eval_dd.eval_batch_dd(
+            t, nodes, weights, diffs, pts))
+        t *= 2.0
+        second = np.asarray(eval_dd.eval_batch_dd(
+            t, nodes, weights, diffs, pts))
+        np.testing.assert_allclose(second, 2.0 * first, rtol=1e-9)

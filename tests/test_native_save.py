@@ -179,3 +179,59 @@ class TestEdgeCases:
         pts = np.random.default_rng(0).uniform(-1, 1, (20, 2))
         np.testing.assert_array_equal(loaded.eval_batch(pts),
                                       tt.eval_batch(pts))
+
+
+class TestTTCheckpointValidation:
+    """Corrupt TT .npz checkpoints fail at load with a clear error,
+    like every other family's validating factory path."""
+
+    @pytest.fixture()
+    def saved(self, tmp_path):
+        import math
+        from pychebyshev_tpu import ChebyshevTT
+        tt = ChebyshevTT(lambda x, _: math.sin(x[0]) + x[1], 2,
+                         [[-1, 1], [0, 2]], [7, 7], max_rank=4)
+        tt.build(verbose=False)
+        path = tmp_path / "tt.npz"
+        tt.save(str(path), format="npz")
+        return tt, path
+
+    def _tamper(self, path, tmp_path, **replacements):
+        data = dict(np.load(path, allow_pickle=True))
+        data.update(replacements)
+        out = tmp_path / "bad.npz"
+        np.savez(out, **data)
+        return out
+
+    def test_clean_roundtrip_still_works(self, saved):
+        from pychebyshev_tpu.utils.native_save import read_npz
+        tt, path = saved
+        back = read_npz(path)
+        assert back.eval([0.3, 1.2]) == pytest.approx(
+            tt.eval([0.3, 1.2]), abs=1e-12)
+
+    def test_broken_rank_chain_rejected(self, saved, tmp_path):
+        from pychebyshev_tpu.utils.native_save import read_npz
+        _, path = saved
+        bad = self._tamper(path, tmp_path,
+                           core_1=np.zeros((9, 7, 1)))  # r_l mismatch
+        with pytest.raises(ValueError, match="rank chain|node axis"):
+            read_npz(bad)
+
+    def test_nonfinite_core_rejected(self, saved, tmp_path):
+        from pychebyshev_tpu.utils.native_save import read_npz
+        tt, path = saved
+        poisoned = np.asarray(tt._coeff_cores[0]).copy()
+        poisoned[0, 3, 0] = np.nan
+        bad = self._tamper(path, tmp_path, core_0=poisoned)
+        with pytest.raises(ValueError, match="NaN"):
+            read_npz(bad)
+
+    def test_wrong_node_axis_rejected(self, saved, tmp_path):
+        from pychebyshev_tpu.utils.native_save import read_npz
+        _, path = saved
+        r = np.asarray(np.load(path, allow_pickle=True)["core_0"]).shape
+        bad = self._tamper(path, tmp_path,
+                           core_0=np.zeros((1, 5, r[2])))
+        with pytest.raises(ValueError, match="node axis"):
+            read_npz(bad)
