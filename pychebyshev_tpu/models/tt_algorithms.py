@@ -154,6 +154,10 @@ class GridOracle:
         """All cached (index_array, values) pairs — the free training
         set for post-cross refinement (every entry was already paid
         for during the cross)."""
+        if not self._cache:
+            # Well-shaped empty: (0, d) keys so column indexing works.
+            return (np.zeros((0, len(self.grids)), dtype=np.intp),
+                    np.zeros(0, dtype=np.float64))
         keys = np.array(list(self._cache.keys()), dtype=np.intp)
         vals = np.array([self._cache[tuple(k)] for k in keys],
                         dtype=np.float64)
@@ -316,18 +320,23 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
                   f"{rel_error_lr:.2e}, unique evals = {oracle.n_evals:,}, "
                   f"ranks = {ranks_str}")
 
-        if rel_error_lr < best_error * 0.9:
+        # Record best on ANY improvement; the 10% threshold below is
+        # only the stale-stop criterion.  Decoupling them matters: a
+        # <10% improvement that crosses tol must not be discarded.
+        if rel_error_lr < best_error:
+            if rel_error_lr < best_error * 0.9:
+                stale_checks = 0
+            else:
+                stale_checks += 1
             best_error = rel_error_lr
             best_cores = [c.copy() for c in cores]
-            stale_checks = 0
         else:
             stale_checks += 1
 
         if rel_error_lr < tol:
             if verbose:
                 print(f"    Converged after {sweep + 1} sweeps (L->R)")
-            cores = best_cores
-            break
+            break  # current cores just met tol
         if stale_checks >= 2:
             # Stagnated: two consecutive half-sweep checks without a
             # >=10% error reduction.  Further sweeps re-evaluate cross
@@ -337,7 +346,8 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
             if verbose:
                 print(f"    No improvement in {stale_checks} checks "
                       f"(best = {best_error:.2e}) — stopping")
-            cores = best_cores
+            if best_cores is not None:
+                cores = best_cores
             break
 
         # ---------------- Right-to-left half-sweep ----------------
@@ -390,18 +400,20 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
             print(f"    Sweep {sweep + 1} R->L: rel error = {rel_error:.2e}, "
                   f"unique evals = {oracle.n_evals:,}")
 
-        if rel_error < best_error * 0.9:
+        if rel_error < best_error:
+            if rel_error < best_error * 0.9:
+                stale_checks = 0
+            else:
+                stale_checks += 1
             best_error = rel_error
             best_cores = [c.copy() for c in cores]
-            stale_checks = 0
         else:
             stale_checks += 1
 
         if rel_error < tol:
             if verbose:
                 print(f"    Converged after {sweep + 1} sweeps")
-            cores = best_cores
-            break
+            break  # current cores just met tol
         if stale_checks >= 2:
             # Stagnated: two consecutive half-sweep checks without a
             # >=10% error reduction.  Further sweeps re-evaluate cross
@@ -411,7 +423,8 @@ def tt_cross(oracle: GridOracle, n: List[int], max_rank: int, tol: float,
             if verbose:
                 print(f"    No improvement in {stale_checks} checks "
                       f"(best = {best_error:.2e}) — stopping")
-            cores = best_cores
+            if best_cores is not None:
+                cores = best_cores
             break
 
         # Enrichment (warm-start mode): append `kick` fresh random rows
@@ -477,7 +490,10 @@ def masked_als_refine(cores: List[np.ndarray], idx_array: np.ndarray,
     values = np.asarray(values, dtype=np.float64)
 
     for _ in range(n_sweeps):
-        for k in list(range(d)) + list(range(d - 2, -1, -1)):
+        # Backward stops at 1: the next sweep's forward pass updates
+        # core 0 with identical interfaces, so d-2..0 would solve it
+        # twice in a row for nothing.
+        for k in list(range(d)) + list(range(d - 2, 0, -1)):
             rl, nk, rr = cores[k].shape
             left = np.ones((len(values), 1))
             for j in range(k):
@@ -489,16 +505,24 @@ def masked_als_refine(cores: List[np.ndarray], idx_array: np.ndarray,
                 right = np.einsum("imj,mj->mi", cj, right)
 
             new = cores[k]
-            eye = reg * np.eye(rl * rr)
+            eye = np.eye(rl * rr)
             for i in range(nk):
                 sel = idx_array[:, k] == i
                 if not np.any(sel):
                     continue
                 a = (left[sel][:, :, None]
                      * right[sel][:, None, :]).reshape(-1, rl * rr)
-                rhs = a.T @ values[sel]
+                gram = a.T @ a
+                # RELATIVE Tikhonov, regularized toward the CURRENT
+                # core slice: an absolute reg-to-zero collapses cores
+                # whenever the function scale makes a.T@a tiny (e.g.
+                # values ~1e-7), and under-observed directions must
+                # keep their cross-built values, not shrink to 0.
+                lam = reg * max(np.trace(gram) / (rl * rr), 1e-300)
+                cur = new[:, i, :].reshape(rl * rr)
+                rhs = a.T @ values[sel] + lam * cur
                 try:
-                    sol = np.linalg.solve(a.T @ a + eye, rhs)
+                    sol = np.linalg.solve(gram + lam * eye, rhs)
                 except np.linalg.LinAlgError:
                     sol, *_ = np.linalg.lstsq(a, values[sel], rcond=None)
                 new[:, i, :] = sol.reshape(rl, rr)

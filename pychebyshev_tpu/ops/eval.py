@@ -68,6 +68,25 @@ def barycentric_coefficients(x: jax.Array, nodes: jax.Array,
     return jnp.where(has_exact[:, None], one_hot, interp)
 
 
+def chunked_scalar_map(fn, points, per_point: int):
+    """Apply a scalar-output batch fn in HBM-bounded chunks.
+
+    ``per_point`` estimates the widest per-point intermediate (in
+    elements); chunks are sized so chunk*per_point stays under
+    ``_MAX_INTERMEDIATE_ELEMS``.  Shared by the dense bilinear path and
+    the TT chain so the cap/padding scheme cannot drift.
+    """
+    n = points.shape[0]
+    chunk = max(256, _MAX_INTERMEDIATE_ELEMS // max(per_point, 1))
+    if n <= chunk:
+        return fn(points)
+    pad = (-n) % chunk
+    padded = jnp.pad(points, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, chunk, points.shape[1])
+    out = jax.lax.map(fn, chunks)
+    return out.reshape(-1)[:n]
+
+
 def _gemm_precision(dtype):
     """Matmul precision tier by dtype.
 

@@ -27,9 +27,6 @@ from pychebyshev_tpu.ops.eval import _gemm_precision
 
 __all__ = ["tt_eval_batch"]
 
-# Cap on the (chunk, n_k * r_k) intermediate, in elements.
-_MAX_INTERMEDIATE_ELEMS = 1 << 23
-
 
 def _chain(cores, lo, hi, points):
     row = jnp.ones((points.shape[0], 1), dtype=points.dtype)
@@ -47,16 +44,10 @@ def _chain(cores, lo, hi, points):
 @jax.jit
 def _tt_eval_batch_impl(cores: Tuple[jax.Array, ...], lo: jax.Array,
                         hi: jax.Array, points: jax.Array) -> jax.Array:
-    n = points.shape[0]
+    from pychebyshev_tpu.ops.eval import chunked_scalar_map
     per_point = max(c.shape[1] * c.shape[2] for c in cores)
-    chunk = max(256, _MAX_INTERMEDIATE_ELEMS // max(per_point, 1))
-    if n <= chunk:
-        return _chain(cores, lo, hi, points)
-    pad = (-n) % chunk
-    padded = jnp.pad(points, ((0, pad), (0, 0)))
-    chunks = padded.reshape(-1, chunk, points.shape[1])
-    out = jax.lax.map(lambda p: _chain(cores, lo, hi, p), chunks)
-    return out.reshape(-1)[:n]
+    return chunked_scalar_map(lambda p: _chain(cores, lo, hi, p),
+                              points, per_point)
 
 
 def tt_eval_batch(coeff_cores, domain, points) -> jax.Array:
@@ -71,6 +62,14 @@ def tt_eval_batch(coeff_cores, domain, points) -> jax.Array:
     points = jnp.asarray(points)
     if points.dtype not in (jnp.float32, jnp.float64):
         points = points.astype(jnp.float64)
-    domain = jnp.asarray(domain, dtype=points.dtype)
-    cores = tuple(jnp.asarray(c, dtype=points.dtype) for c in coeff_cores)
+    # Compute in the WIDEST of the two dtypes: f32 query points must
+    # not silently downcast f64 cores (the parity default) to the
+    # ~1e-6 f32 tier — the f32 fast path requires f32 cores AND points.
+    dtype = jnp.promote_types(points.dtype, jnp.asarray(
+        coeff_cores[0]).dtype)
+    if dtype not in (jnp.float32, jnp.float64):
+        dtype = jnp.float64
+    points = points.astype(dtype)
+    domain = jnp.asarray(domain, dtype=dtype)
+    cores = tuple(jnp.asarray(c, dtype=dtype) for c in coeff_cores)
     return _tt_eval_batch_impl(cores, domain[:, 0], domain[:, 1], points)

@@ -648,3 +648,69 @@ def test_error_estimate_tail_robust_to_parity():
                     [[-1, 1]] * 2, [3, 3], max_rank=3)
     t.build(verbose=False, method="svd")
     assert t.error_estimate(tail=2) > t.error_estimate()
+
+
+class TestCrossRobustness:
+    def test_refine_preserves_tiny_amplitude_functions(self):
+        """Relative Tikhonov: refinement must not shrink a ~1e-9-scale
+        function toward zero (absolute reg once collapsed the cores)."""
+        import math
+
+        def tiny(x, _):
+            return 1e-9 * (math.sin(x[0]) + 0.5 * x[1])
+
+        tt = ChebyshevTT(tiny, 2, [[-1, 1]] * 2, [9, 9], max_rank=4)
+        tt.build(verbose=False, seed=0, refine_sweeps=2)
+        pts = np.random.default_rng(2).uniform(-0.9, 0.9, (50, 2))
+        want = 1e-9 * (np.sin(pts[:, 0]) + 0.5 * pts[:, 1])
+        got = tt.eval_batch(pts)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_nan_oracle_never_returns_none_cores(self):
+        """A NaN-poisoned target makes every error check NaN; the cross
+        must stop with usable (possibly NaN-valued) cores, not None."""
+        def holey(x, _):
+            return float("nan")
+
+        tt = ChebyshevTT(holey, 2, [[-1, 1]] * 2, [5, 5], max_rank=3)
+        with pytest.raises(ValueError):
+            # The build-level NaN guard fires on the degenerate target;
+            # the point is that it raises a CLEAR error, not TypeError
+            # from iterating None cores.
+            tt.build(verbose=False, seed=0)
+
+    def test_tol_meeting_sweep_is_kept(self):
+        """Convergence keeps the cores that just met tol (an older
+        'best' from the >=10%-improvement gate must not displace them)."""
+        import math
+        tt = ChebyshevTT(lambda x, _: math.sin(x[0]) * math.cos(x[1]),
+                         2, [[-1, 1]] * 2, [11, 11], max_rank=6,
+                         tolerance=1e-8)
+        tt.build(verbose=False, seed=0)
+        pts = np.random.default_rng(3).uniform(-0.9, 0.9, (50, 2))
+        want = np.sin(pts[:, 0]) * np.cos(pts[:, 1])
+        assert np.abs(tt.eval_batch(pts) - want).max() < 1e-6
+
+    def test_f32_points_do_not_downcast_f64_cores(self):
+        """tt_eval_batch computes in the widest dtype: f32 query points
+        against f64 cores stay at f64-class accuracy."""
+        import math
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        tt = ChebyshevTT(lambda x, _: math.sin(x[0]) + x[1], 2,
+                         [[-1, 1]] * 2, [9, 9], max_rank=4)
+        tt.build(verbose=False, seed=0)
+        pts32 = np.random.default_rng(4).uniform(
+            -0.9, 0.9, (50, 2)).astype(np.float32)
+        out = np.asarray(tt_eval_batch(
+            tt._coeff_cores, np.asarray(tt.domain, np.float64), pts32))
+        assert out.dtype == np.float64
+        want = np.asarray(tt.eval_batch(np.asarray(pts32, np.float64)))
+        np.testing.assert_allclose(out, want, atol=1e-12)
+
+    def test_empty_oracle_observations_are_well_shaped(self):
+        from pychebyshev_tpu.models.tt_algorithms import GridOracle
+        oracle = GridOracle(lambda p, _: 0.0,
+                            [np.linspace(-1, 1, 5)] * 3)
+        keys, vals = oracle.observations()
+        assert keys.shape == (0, 3)
+        assert vals.shape == (0,)
