@@ -902,53 +902,18 @@ class ChebyshevApproximation:
 
     def get_derivative_id(self, derivative_order) -> int:
         """Stable session-local id for a derivative-orders tuple."""
-        if len(derivative_order) != self.num_dimensions:
-            raise ValueError(
-                f"derivative_order length {len(derivative_order)} does not "
-                f"match num_dimensions {self.num_dimensions}"
-            )
-        for d, o in enumerate(derivative_order):
-            if not isinstance(o, (int, np.integer)):
-                raise ValueError(
-                    f"derivative_order[{d}] must be int, got "
-                    f"{type(o).__name__}"
-                )
-            if o < 0 or o > self.max_derivative_order:
-                raise ValueError(
-                    f"derivative_order[{d}]={o} out of range "
-                    f"[0, {self.max_derivative_order}]"
-                )
-        key = tuple(int(o) for o in derivative_order)
-        if key in self._derivative_id_registry:
-            return self._derivative_id_registry[key]
-        new_id = len(self._derivative_id_to_orders)
-        self._derivative_id_registry[key] = new_id
-        self._derivative_id_to_orders.append(key)
-        return new_id
+        from pychebyshev_tpu.utils.derivative_ids import (
+            register_derivative_id,
+        )
+        return register_derivative_id(self, derivative_order)
 
     def _resolve_derivative_args(self, derivative_order, derivative_id):
         """Resolve orders xor id; raises on both/neither/unknown."""
-        if derivative_order is not None and derivative_id is not None:
-            raise ValueError(
-                "provide exactly one of derivative_order or derivative_id, "
-                "not both"
-            )
-        if derivative_order is None and derivative_id is None:
-            raise ValueError("must provide derivative_order or derivative_id")
-        if derivative_id is not None:
-            if (derivative_id < 0
-                    or derivative_id >= len(self._derivative_id_to_orders)):
-                raise KeyError(
-                    f"unknown derivative_id {derivative_id}; "
-                    f"register via get_derivative_id() first"
-                )
-            return list(self._derivative_id_to_orders[derivative_id])
-        if len(derivative_order) != self.num_dimensions:
-            raise ValueError(
-                f"derivative_order length {len(derivative_order)} does "
-                f"not match num_dimensions {self.num_dimensions}"
-            )
-        return derivative_order
+        from pychebyshev_tpu.utils.derivative_ids import (
+            resolve_derivative_args,
+        )
+        return resolve_derivative_args(self, derivative_order,
+                                       derivative_id)
 
     # ------------------------------------------------------------------
     # Error estimation + sensitivity

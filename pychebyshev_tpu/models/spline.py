@@ -119,6 +119,13 @@ class ChebyshevSpline:
                     )
             if self.knots[d] != sorted(self.knots[d]):
                 raise ValueError(f"Knots for dimension {d} must be sorted")
+            if len(set(self.knots[d])) != len(self.knots[d]):
+                # Duplicates pass the sorted check but create a
+                # zero-width piece that only fails much later inside
+                # the piece build — match the nodes()/from_values and
+                # special-points paths, which reject them up front.
+                raise ValueError(
+                    f"Knots for dimension {d} contain duplicates")
 
         # Per-dimension sub-intervals and the piece-grid shape.
         self._intervals: List[List[Tuple[float, float]]] = []
@@ -215,9 +222,16 @@ class ChebyshevSpline:
                     f"piece {i}: values contains NaN or Inf (must be finite)"
                 )
             validated.append(arr)
-        import jax.numpy as jnp
+        from pychebyshev_tpu.models.approximation import (
+            _private_device_f64,
+        )
         for piece, arr in zip(self._pieces, validated):
-            piece.tensor_values = jnp.asarray(arr)
+            # Same fill discipline as the dense class: the zero-copy
+            # aliasing guard plus host-cache seeding (skipping the
+            # seed forced a device readback on each piece's first
+            # single-point eval).
+            piece.tensor_values = _private_device_f64(arr)
+            piece._offer_host_tensor(arr)
             piece.function = None
         self._built = True
         self.function = None
@@ -272,12 +286,34 @@ class ChebyshevSpline:
 
         self._build_time = time.time() - start
         self._built = True
+        # Auto-N resolution: when every piece's doubling loop landed on
+        # the same counts, record them as the flat n_nodes (algebra,
+        # get_used_ns, binary save, and the masked batch path all
+        # consume it; [None,...] sentinels would break each).  Pieces
+        # that resolved differently keep the sentinels — the per-piece
+        # routing paths handle them, and _masked_gate() keeps such
+        # splines off the stacked kernels.
+        if (self.error_threshold is not None
+                and not is_nested_n_nodes(self.n_nodes)
+                and any(n is None for n in self.n_nodes)):
+            counts = {tuple(p.n_nodes) for p in self._pieces}
+            if len(counts) == 1:
+                self.n_nodes = [int(n) for n in counts.pop()]
         if verbose:
             print(f"Build complete in {self._build_time:.3f}s")
 
     # ------------------------------------------------------------------
     # Piece routing + evaluation
     # ------------------------------------------------------------------
+
+    def _pieces_stackable(self) -> bool:
+        """Whether the fused masked kernels may stack the pieces: flat
+        n_nodes spelling AND actually-homogeneous piece grids — an
+        auto-N build can resolve pieces to different counts even under
+        a flat spelling, and jnp.stack would crash on them."""
+        if is_nested_n_nodes(self.n_nodes):
+            return False
+        return len({tuple(p.n_nodes) for p in self._pieces}) == 1
 
     def _find_piece(self, point):
         """(flat_idx, piece) containing *point*.  A point exactly at a
@@ -295,52 +331,18 @@ class ChebyshevSpline:
 
     def get_derivative_id(self, derivative_order) -> int:
         """Stable session-local id for a derivative-orders tuple."""
-        if len(derivative_order) != self.num_dimensions:
-            raise ValueError(
-                f"derivative_order length {len(derivative_order)} does not "
-                f"match num_dimensions {self.num_dimensions}"
-            )
-        for d, o in enumerate(derivative_order):
-            if not isinstance(o, (int, np.integer)):
-                raise ValueError(
-                    f"derivative_order[{d}] must be int, got "
-                    f"{type(o).__name__}"
-                )
-            if o < 0 or o > self.max_derivative_order:
-                raise ValueError(
-                    f"derivative_order[{d}]={o} out of range "
-                    f"[0, {self.max_derivative_order}]"
-                )
-        key = tuple(int(o) for o in derivative_order)
-        if key in self._derivative_id_registry:
-            return self._derivative_id_registry[key]
-        new_id = len(self._derivative_id_to_orders)
-        self._derivative_id_registry[key] = new_id
-        self._derivative_id_to_orders.append(key)
-        return new_id
+        from pychebyshev_tpu.utils.derivative_ids import (
+            register_derivative_id,
+        )
+        return register_derivative_id(self, derivative_order)
 
     def _resolve_derivative_args(self, derivative_order, derivative_id):
-        if derivative_order is not None and derivative_id is not None:
-            raise ValueError(
-                "provide exactly one of derivative_order or derivative_id, "
-                "not both"
-            )
-        if derivative_order is None and derivative_id is None:
-            raise ValueError("must provide derivative_order or derivative_id")
-        if derivative_id is not None:
-            if (derivative_id < 0
-                    or derivative_id >= len(self._derivative_id_to_orders)):
-                raise KeyError(
-                    f"unknown derivative_id {derivative_id}; "
-                    f"register via get_derivative_id() first"
-                )
-            return list(self._derivative_id_to_orders[derivative_id])
-        if len(derivative_order) != self.num_dimensions:
-            raise ValueError(
-                f"derivative_order length {len(derivative_order)} does "
-                f"not match num_dimensions {self.num_dimensions}"
-            )
-        return derivative_order
+        """Resolve orders xor id; raises on both/neither/unknown."""
+        from pychebyshev_tpu.utils.derivative_ids import (
+            resolve_derivative_args,
+        )
+        return resolve_derivative_args(self, derivative_order,
+                                       derivative_id)
 
     def _check_knot_boundary(self, point, derivative_order) -> None:
         """Derivatives at a knot are ill-defined (left/right differ)."""
@@ -395,7 +397,7 @@ class ChebyshevSpline:
         points = np.asarray(points, dtype=float)
 
         from pychebyshev_tpu.ops import spline_eval
-        if (not is_nested_n_nodes(self.n_nodes)
+        if (self._pieces_stackable()
                 and len(self._pieces)
                 <= spline_eval.MASKED_MAX_PIECES_F64):
             stacked, strides = self._masked_arrays()
@@ -480,7 +482,7 @@ class ChebyshevSpline:
             return np.zeros((points.shape[0], 0))
 
         from pychebyshev_tpu.ops import spline_eval
-        if (not is_nested_n_nodes(self.n_nodes)
+        if (self._pieces_stackable()
                 and len(self._pieces)
                 <= spline_eval.MASKED_MAX_PIECES_F64):
             stacked, strides = self._masked_arrays()

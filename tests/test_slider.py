@@ -384,3 +384,19 @@ class TestSobol:
                              [5] * 2, [[0], [1]], [0.0, 0.0])
         with pytest.raises(RuntimeError, match="build"):
             sl.sobol_indices()
+
+
+class TestBatchValidation:
+    def test_eval_batch_rejects_wrong_length_specs(self, slider_3d):
+        pts = np.zeros((4, 3))
+        with pytest.raises(ValueError, match="length"):
+            slider_3d.eval_batch(pts, [0, 0, 0, 1])
+        with pytest.raises(ValueError, match="length"):
+            slider_3d.eval_batch(pts, [1])
+
+    def test_eval_batch_accepts_derivative_id(self, slider_3d):
+        d_id = slider_3d.get_derivative_id([1, 0, 0])
+        pts = np.random.default_rng(0).uniform(-0.9, 0.9, (10, 3))
+        via_id = np.asarray(slider_3d.eval_batch(pts, derivative_id=d_id))
+        via_spec = np.asarray(slider_3d.eval_batch(pts, [1, 0, 0]))
+        np.testing.assert_array_equal(via_id, via_spec)

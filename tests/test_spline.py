@@ -553,3 +553,53 @@ class TestSpecialPointsDeeper:
         assert obj._pieces[0].n_nodes == [6]
         assert obj._pieces[1].n_nodes == [12]
         assert abs(obj.eval([0.5], [0]) - 0.5) < 1e-11
+
+
+class TestAutoNResolutionAndHeterogeneousPieces:
+    def test_homogeneous_auto_n_resolves_flat_n_nodes(self):
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) ** 3, 1, [[-1, 1]],
+            error_threshold=1e-8, knots=[[0.0]])
+        sp.build(verbose=False)
+        assert all(isinstance(n, int) for n in sp.n_nodes)
+        # Downstream consumers of resolved n_nodes all work now:
+        doubled = sp + sp
+        assert doubled.eval([0.4], [0]) == pytest.approx(
+            2 * sp.eval([0.4], [0]), abs=1e-12)
+        assert sp.get_used_ns() == sp.n_nodes
+
+    def test_heterogeneous_auto_n_pieces_still_batch(self):
+        # One smooth piece (small N) + one hard piece (large N): the
+        # masked stack cannot apply; routing per piece must kick in
+        # instead of crashing in jnp.stack.
+        def lopsided(x, _):
+            return x[0] if x[0] < 0 else math.sin(25 * x[0])
+
+        sp = ChebyshevSpline(lopsided, 1, [[-1, 1]],
+                             error_threshold=1e-8, knots=[[0.0]])
+        sp.build(verbose=False)
+        shapes = {tuple(p.n_nodes) for p in sp._pieces}
+        assert len(shapes) > 1  # genuinely heterogeneous
+        pts = np.linspace(-0.9, 0.9, 50).reshape(-1, 1)
+        out = np.asarray(sp.eval_batch(pts, [0]))
+        want = np.array([lopsided(p, None) for p in pts])
+        np.testing.assert_allclose(out, want, atol=1e-7)
+        multi = np.asarray(sp.vectorized_eval_batch_multi(
+            pts, [[0], [1]]))
+        assert multi.shape == (50, 2)
+
+    def test_ctor_rejects_duplicate_knots(self):
+        with pytest.raises(ValueError, match="duplicates"):
+            ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [7],
+                            knots=[[0.5, 0.5]])
+
+    def test_deferred_fill_seeds_the_host_cache(self):
+        layout = ChebyshevSpline.nodes(1, [[-1, 1]], [9], [[0.0]])
+        vals = [np.abs(np.asarray(p["full_grid"])[:, 0]).reshape(
+            p["shape"]) for p in layout["pieces"]]
+        sp = ChebyshevSpline(None, 1, [[-1, 1]], [9], [[0.0]],
+                             defer_build=True)
+        sp.set_original_function_values(vals)
+        for piece in sp._pieces:
+            assert piece._host_arrays() is not None  # cache seeded
+        assert sp.eval([0.4], [0]) == pytest.approx(0.4, abs=1e-12)
