@@ -595,7 +595,6 @@ class MultiSpecEvaluator:
         elif isinstance(interpolant, ChebyshevSpline):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
-            from pychebyshev_tpu.models.spline import is_nested_n_nodes
             from pychebyshev_tpu.ops.spline_eval import (
                 MASKED_MAX_PIECES,
                 MASKED_MAX_PIECES_F64,
@@ -603,12 +602,13 @@ class MultiSpecEvaluator:
             )
             max_pieces = (MASKED_MAX_PIECES if self.dtype == jnp.float32
                           else MASKED_MAX_PIECES_F64)
-            if (is_nested_n_nodes(interpolant.n_nodes)
+            if (not interpolant._pieces_stackable()
                     or len(interpolant._pieces) > max_pieces):
                 raise ValueError(
-                    f"multi-spec spline serving needs flat n_nodes and "
-                    f"at most {max_pieces} pieces at this dtype; route "
-                    f"larger splines through the class path "
+                    f"multi-spec spline serving needs uniform piece "
+                    f"grids (flat n_nodes, homogeneous auto-N) and at "
+                    f"most {max_pieces} pieces at this dtype; route "
+                    f"other splines through the class path "
                     f"(vectorized_eval_batch_multi)"
                 )
             self._kind = "spline"
