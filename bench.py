@@ -69,12 +69,52 @@ def sample_points(n, seed=0):
 from pychebyshev_tpu.utils.benchtime import chained_time_fn as time_fn  # noqa: E402
 
 
+def _canary_gate(max_wait_s: float = 480.0) -> None:
+    """Wait out relay degradation episodes before the real compiles.
+
+    The tunneled compile service has episodes where fresh compiles
+    stall for minutes (see CLAUDE.md).  A small fresh-shape canary in a
+    subprocess (so a wedged compile can be abandoned) retries with
+    backoff up to ``max_wait_s``; on a healthy relay it costs ~2 s.
+    Proceeds regardless at the deadline — a degraded-but-alive relay
+    still finishes the benchmark, just slowly.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp, random\n"
+            "n = 131000 + random.randrange(1000)\n"
+            "jax.jit(lambda a: (a * a).sum())("
+            "jnp.arange(float(n))).block_until_ready()\n"
+            "print('ok')\n")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        budget = min(45.0, max(5.0, deadline - time.time()))
+        try:
+            t0 = time.time()
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  timeout=budget, capture_output=True,
+                                  text=True)
+            if "ok" in proc.stdout:
+                log(f"canary: healthy in {time.time() - t0:.1f}s "
+                    f"(attempt {attempt})")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"canary attempt {attempt}: compile relay wedged; retrying")
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+    log("canary: relay still degraded at deadline — proceeding anyway")
+
+
 def main() -> None:
     from pychebyshev_tpu import ChebyshevApproximation, ChebyshevTT
     from pychebyshev_tpu.ops import eval as eval_ops
     from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
 
     log(f"devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        _canary_gate()
 
     # ---- Build (vectorized host oracle; one fused device transfer) ----
     # Cold includes first-ever device transfers of this process; warm is
