@@ -570,6 +570,21 @@ class ChebyshevApproximation:
             self._host_cache = cache
         return cache[1]
 
+    @staticmethod
+    def _host_point(point, ns):
+        """Normalize a query point to a 1-D length-d float64 array.
+
+        The reference reads one coordinate per dim as ``point[d]``, and
+        numpy broadcasting forgives odd shapes there (column vectors,
+        trailing extra rows); normalize to the same effective
+        coordinates so those inputs keep working.
+        """
+        pt = np.asarray(point, dtype=np.float64)
+        if pt.ndim != 1 or pt.shape[0] != len(ns):
+            pt = np.array([float(np.ravel(pt[d])[0])
+                           for d in range(len(ns))])
+        return pt
+
     def _host_coeff_rows(self, point):
         """Per-dim normalized barycentric coefficient rows on host.
 
@@ -580,14 +595,7 @@ class ChebyshevApproximation:
         """
         h = self._host_arrays()
         ns = h["n_per_dim"]
-        pt = np.asarray(point, dtype=np.float64)
-        if pt.ndim != 1 or pt.shape[0] != len(ns):
-            # The reference reads one coordinate per dim as point[d],
-            # and numpy broadcasting forgives odd shapes there (column
-            # vectors, trailing extra rows).  Normalize to the same
-            # effective coordinates so those inputs keep working.
-            pt = np.array([float(np.ravel(pt[d])[0])
-                           for d in range(len(ns))])
+        pt = self._host_point(point, ns)
         # One set of array ops across all dims (the per-dim loop paid
         # ~100 us of numpy call overhead per query at d=5): padded
         # lanes carry weight 0 / node +inf, which contribute exactly
@@ -630,8 +638,23 @@ class ChebyshevApproximation:
         Derivatives are folded into the coefficient rows — ``r . (D^k t)
         == ((D^T)^k r) . t`` — so a derivative pass is an O(n^2) matvec on
         the row instead of an O(grid.n) pass over the tensor.
+
+        Dispatches to the fused C kernel (``cpp/hosteval.c``) when it is
+        available — one call replaces the whole NumPy pipeline, roughly
+        halving single-query latency; the NumPy path below is the
+        always-available fallback and the semantic definition.
         """
         h = self._host_arrays()
+        if "cpack" not in h:
+            from pychebyshev_tpu.utils import ceval
+            h["cpack"] = ceval.make_pack(h)
+        if h["cpack"] is not None:
+            from pychebyshev_tpu.utils import ceval
+            pt = np.ascontiguousarray(
+                self._host_point(point, h["n_per_dim"]))
+            val = ceval.eval_single(h["cpack"], pt, derivative_order)
+            if val is not None:
+                return val
         rows = self._host_coeff_rows(point)
         for d, k in enumerate(derivative_order):
             for _ in range(int(k)):

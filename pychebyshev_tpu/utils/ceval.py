@@ -1,0 +1,217 @@
+"""ctypes loader for the C single-point host-eval fast path.
+
+The single-query contract (reference ``vectorized_eval``,
+``barycentric.py:885-949``; published ~0.065 ms) is served on host; the
+NumPy implementation spends roughly half its time in interpreter / ufunc
+call overhead.  ``cpp/hosteval.c`` fuses the row build, derivative
+folds, and the GEMV contraction chain into one memory-bound C call; this
+module compiles/loads it lazily and degrades silently to the NumPy path
+when no C toolchain is available (``eval_single`` returns ``None``).
+
+Set ``PYCHEBYSHEV_TPU_NO_CEVAL=1`` to disable the C path entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None          # ctypes.CDLL once loaded
+_LIB_FAILED = False  # tried and failed: stop retrying
+
+_SO_NAME = "libpchosteval.so"
+
+
+def _candidate_dirs():
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(os.path.dirname(here))
+    return [
+        os.path.join(repo_root, "cpp"),
+        os.path.join(tempfile.gettempdir(), "pychebyshev_tpu_build"),
+    ]
+
+
+def _source_path():
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(os.path.dirname(here))
+    src = os.path.join(repo_root, "cpp", "hosteval.c")
+    return src if os.path.exists(src) else None
+
+
+def _try_build():
+    """Compile hosteval.c into a cache dir; return the .so path or None."""
+    src = _source_path()
+    if src is None:
+        return None
+    out_dir = os.path.join(tempfile.gettempdir(), "pychebyshev_tpu_build")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, _SO_NAME)
+    # Rebuild only when the source is newer than the cached build.
+    try:
+        if (os.path.exists(out)
+                and os.path.getmtime(out) >= os.path.getmtime(src)):
+            return out
+    except OSError:
+        pass
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            rc = subprocess.run(
+                [cc, "-O3", "-fPIC", "-shared", "-o", out, src, "-lm"],
+                capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+        if rc.returncode == 0 and os.path.exists(out):
+            return out
+    return None
+
+
+def _configure(lib):
+    dptr = ctypes.POINTER(ctypes.c_double)
+    pptr = ctypes.POINTER(ctypes.c_void_p)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pch_eval_single.restype = ctypes.c_int
+    lib.pch_eval_single.argtypes = [
+        dptr, ctypes.c_int32, i32p, pptr, pptr, pptr,
+        dptr, i32p, ctypes.c_double, dptr, dptr, dptr,
+    ]
+    return lib
+
+
+def _get_lib():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    if os.environ.get("PYCHEBYSHEV_TPU_NO_CEVAL"):
+        _LIB_FAILED = True
+        return None
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        path = None
+        for d in _candidate_dirs():
+            cand = os.path.join(d, _SO_NAME)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            path = _try_build()
+        if path is None:
+            _LIB_FAILED = True
+            return None
+        try:
+            _LIB = _configure(ctypes.CDLL(path))
+        except OSError:
+            _LIB_FAILED = True
+            return None
+        return _LIB
+
+
+def _ptr_array(arrays):
+    """A C array of per-dim data pointers (holds no references)."""
+    ptrs = (ctypes.c_void_p * len(arrays))()
+    for i, a in enumerate(arrays):
+        ptrs[i] = a.ctypes.data
+    return ptrs
+
+
+class _Pack:
+    """Per-model ctypes state for the C fast path.
+
+    The grid pointers (tensor, nodes, weights, diff matrices) are shared
+    and read-only; the mutable call state (point/orders buffers, the
+    work scratch, the output slot, and the prebuilt argument tuple) is
+    **per thread** — ``pch_eval_single`` releases the GIL, so two
+    threads may be inside the kernel at once and must not share scratch
+    (``tests/test_concurrency.py`` exercises exactly this).
+    """
+
+    __slots__ = ("lib", "d", "n_max", "work_len", "tol",
+                 "pin", "static_args", "tls")
+
+    def __init__(self, lib, host):
+        from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+        tensor = host["tensor"]
+        nodes = [np.ascontiguousarray(a, dtype=np.float64)
+                 for a in host["nodes"]]
+        weights = [np.ascontiguousarray(a, dtype=np.float64)
+                   for a in host["weights"]]
+        diffs_t = [np.ascontiguousarray(a, dtype=np.float64)
+                   for a in host["diffs_t"]]
+        ns = np.array([len(a) for a in nodes], dtype=np.int32)
+        self.lib = lib
+        self.d = len(nodes)
+        self.n_max = int(ns.max())
+        self.work_len = max(1, tensor.size // int(ns[-1]))
+        self.tol = float(NODE_COINCIDENCE_TOL)
+        nodes_p = _ptr_array(nodes)
+        weights_p = _ptr_array(weights)
+        diffs_p = _ptr_array(diffs_t)
+        # Pin every array a C pointer references: the host cache owns
+        # this pack, so their lifetimes match the cached tensor's.
+        self.pin = (tensor, nodes, weights, diffs_t, ns,
+                    nodes_p, weights_p, diffs_p)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        pptr = ctypes.POINTER(ctypes.c_void_p)
+        self.static_args = (
+            tensor.ctypes.data_as(dptr), self.d,
+            ns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.cast(nodes_p, pptr), ctypes.cast(weights_p, pptr),
+            ctypes.cast(diffs_p, pptr))
+        self.tls = threading.local()
+
+    def _thread_state(self):
+        st = getattr(self.tls, "st", None)
+        if st is None:
+            dptr = ctypes.POINTER(ctypes.c_double)
+            cpoint = (ctypes.c_double * self.d)()
+            corders = (ctypes.c_int32 * self.d)()
+            work = np.empty(self.work_len, dtype=np.float64)
+            rowbuf = (ctypes.c_double * (2 * self.n_max))()
+            out = ctypes.c_double()
+            # Only point/orders contents change per call; the argument
+            # tuple is prebuilt (each ctypes cast/byref costs ~1 us,
+            # which matters at a ~80 us kernel).
+            args = self.static_args + (
+                cpoint, corders, self.tol, work.ctypes.data_as(dptr),
+                ctypes.cast(rowbuf, dptr), ctypes.byref(out))
+            st = (cpoint, corders, out, args, work, rowbuf)
+            self.tls.st = st
+        return st
+
+
+def make_pack(host):
+    """Prepare per-model ctypes state from a ``_host_arrays`` dict.
+
+    Returns ``None`` when the C library is unavailable or the tensor is
+    not a C-order float64 array.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    tensor = host["tensor"]
+    if tensor.dtype != np.float64 or not tensor.flags["C_CONTIGUOUS"]:
+        return None
+    return _Pack(lib, host)
+
+
+def eval_single(pack, point, orders):
+    """Evaluate one point through the C path.
+
+    ``point`` must be a 1-D contiguous float64 array of length d
+    (callers normalize odd shapes first); ``orders`` is any length-d int
+    sequence.  Returns the value, or ``None`` when the C kernel declines
+    (degenerate weights etc.) and the NumPy path should decide.
+    """
+    cpoint, corders, out, args, _, _ = pack._thread_state()
+    ctypes.memmove(cpoint, point.ctypes.data, pack.d * 8)
+    for i, o in enumerate(orders):
+        corders[i] = o
+    if pack.lib.pch_eval_single(*args) != 0:
+        return None
+    return out.value
