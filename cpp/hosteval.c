@@ -26,6 +26,11 @@
 
 #define PCH_MAX_NODES 4096
 
+static int build_row(const double *xs, const double *ws, int32_t n,
+                     double x, double tol, double *row);
+static void collapse_axis(const double *src, int64_t m, int32_t n,
+                          const double *restrict row, double *restrict dst);
+
 /* Evaluate one point against a C-order value tensor.
  *
  *   tensor   : flattened C-order grid values, prod(ns) doubles
@@ -84,39 +89,13 @@ int pch_eval_single(const double *tensor,
     int64_t m = total;
     for (int32_t k = d - 1; k >= 0; --k) {
         const int32_t n = ns[k];
-        const double *xs = nodes[k];
-        const double *ws = weights[k];
-        const double x = point[k];
 
-        /* --- barycentric coefficient row for dim k --- */
-        int32_t nearest = 0;
-        double best = HUGE_VAL;
-        double denom = 0.0;
-        for (int32_t i = 0; i < n; ++i) {
-            const double gap = x - xs[i];
-            const double ag = fabs(gap);
-            if (ag < best) {
-                best = ag;
-                nearest = i;
-            }
-            const double r = ws[i] / gap;
-            row[i] = r;
-            denom += r;
-        }
-        if (best < tol) {
-            for (int32_t i = 0; i < n; ++i)
-                row[i] = 0.0;
-            row[nearest] = 1.0;
-        } else {
-            if (denom == 0.0 || !isfinite(denom))
-                return 3; /* degenerate weights: NumPy path decides */
-            /* true division (not reciprocal-multiply): keeps each lane
-             * bit-identical to the NumPy path's `raw / raw.sum()` */
-            for (int32_t i = 0; i < n; ++i)
-                row[i] /= denom;
-        }
+        const int rc = build_row(nodes[k], weights[k], n, point[k], tol,
+                                 row);
+        if (rc)
+            return rc; /* degenerate weights: NumPy path decides */
 
-        /* --- derivative folds: row <- (D^T)^k row --- */
+        /* derivative folds: row <- (D^T)^order row */
         if (orders && orders[k] > 0) {
             if (!diffs_t || !diffs_t[k])
                 return 4;
@@ -134,29 +113,190 @@ int pch_eval_single(const double *tensor,
             }
         }
 
-        /* --- collapse the last axis ---
-         * Four accumulators break the FMA latency chain so the first
-         * (full-tensor) pass runs at streaming bandwidth instead of
-         * serial-reduction latency. */
         m /= n;
-        for (int64_t i = 0; i < m; ++i) {
-            const double *restrict blk = src + i * n;
-            double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
-            int32_t j = 0;
-            for (; j + 4 <= n; j += 4) {
-                a0 += blk[j] * row[j];
-                a1 += blk[j + 1] * row[j + 1];
-                a2 += blk[j + 2] * row[j + 2];
-                a3 += blk[j + 3] * row[j + 3];
-            }
-            for (; j < n; ++j)
-                a0 += blk[j] * row[j];
-            work[i] = (a0 + a1) + (a2 + a3);
-        }
+        collapse_axis(src, m, n, row, work);
         src = work;
     }
 
     *out = work[0];
+    return 0;
+}
+
+/* Build the normalized barycentric row for one dim into `row`.
+ * Returns 0, or 3 on degenerate weights (caller falls back). */
+static int build_row(const double *xs, const double *ws, int32_t n,
+                     double x, double tol, double *row)
+{
+    int32_t nearest = 0;
+    double best = HUGE_VAL;
+    double denom = 0.0;
+    for (int32_t i = 0; i < n; ++i) {
+        const double gap = x - xs[i];
+        const double ag = fabs(gap);
+        if (ag < best) {
+            best = ag;
+            nearest = i;
+        }
+        const double r = ws[i] / gap;
+        row[i] = r;
+        denom += r;
+    }
+    if (best < tol) {
+        for (int32_t i = 0; i < n; ++i)
+            row[i] = 0.0;
+        row[nearest] = 1.0;
+        return 0;
+    }
+    if (denom == 0.0 || !isfinite(denom))
+        return 3;
+    for (int32_t i = 0; i < n; ++i)
+        row[i] /= denom;
+    return 0;
+}
+
+/* out[i] = dot(src[i*n .. i*n+n), row) for i in [0, m). */
+static void collapse_axis(const double *src, int64_t m, int32_t n,
+                          const double *restrict row, double *restrict dst)
+{
+    for (int64_t i = 0; i < m; ++i) {
+        const double *restrict blk = src + i * n;
+        double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+        int32_t j = 0;
+        for (; j + 4 <= n; j += 4) {
+            a0 += blk[j] * row[j];
+            a1 += blk[j + 1] * row[j + 1];
+            a2 += blk[j + 2] * row[j + 2];
+            a3 += blk[j + 3] * row[j + 3];
+        }
+        for (; j < n; ++j)
+            a0 += blk[j] * row[j];
+        dst[i] = (a0 + a1) + (a2 + a3);
+    }
+}
+
+#define PCH_MAX_SPECS 64
+#define PCH_MAX_ORDER 16
+
+/* Multi-spec evaluation at one point with suffix-shared contractions.
+ *
+ * Evaluates `nspec` derivative specs (orders matrix, C-order nspec x d)
+ * against the same tensor, contracting highest dim first and sharing
+ * every partial contraction between specs whose trailing orders agree —
+ * a full Greek report costs only as many full-tensor passes as there
+ * are distinct orders in the LAST dim (the Python suffix-memoized path
+ * in models/approximation.py:vectorized_eval_multi, fused into C).
+ *
+ *   arena : scratch, >= 2 * nspec * (prod(ns)/ns[d-1]) doubles
+ *   rows  : scratch, >= (PCH_MAX_ORDER + 2) * max(ns) doubles
+ *   out   : nspec doubles
+ */
+int pch_eval_multi(const double *tensor,
+                   int32_t d,
+                   const int32_t *ns,
+                   const double *const *nodes,
+                   const double *const *weights,
+                   const double *const *diffs_t,
+                   const double *point,
+                   const int32_t *orders,
+                   int32_t nspec,
+                   double tol,
+                   double *arena,
+                   double *rows,
+                   double *out)
+{
+    if (!tensor || d < 1 || !ns || !nodes || !weights || !point ||
+        !orders || nspec < 1 || nspec > PCH_MAX_SPECS || !arena ||
+        !rows || !out)
+        return 1;
+
+    int64_t total = 1;
+    int32_t n_max = 0;
+    for (int32_t k = 0; k < d; ++k) {
+        if (ns[k] < 1 || ns[k] > PCH_MAX_NODES)
+            return 2;
+        total *= ns[k];
+        if (ns[k] > n_max)
+            n_max = ns[k];
+    }
+
+    const int64_t half = (int64_t)nspec * (total / ns[d - 1]);
+    double *cur_half = arena;
+    double *nxt_half = arena + half;
+    double *tmp = rows + (int64_t)(PCH_MAX_ORDER + 1) * n_max;
+
+    /* Which buffer each spec currently reads from; -1 = the tensor. */
+    int32_t spec_buf[PCH_MAX_SPECS];
+    int32_t child_parent[PCH_MAX_SPECS];
+    int32_t child_order[PCH_MAX_SPECS];
+    for (int32_t s = 0; s < nspec; ++s)
+        spec_buf[s] = -1;
+
+    int64_t m = total;
+    for (int32_t k = d - 1; k >= 0; --k) {
+        const int32_t n = ns[k];
+
+        /* Derivative-folded rows for every order used at this dim. */
+        int32_t max_o = 0;
+        for (int32_t s = 0; s < nspec; ++s) {
+            const int32_t o = orders[(int64_t)s * d + k];
+            if (o < 0 || o > PCH_MAX_ORDER)
+                return 5;
+            if (o > max_o)
+                max_o = o;
+        }
+        const int rc = build_row(nodes[k], weights[k], n, point[k], tol,
+                                 rows);
+        if (rc)
+            return rc;
+        if (max_o > 0) {
+            if (!diffs_t || !diffs_t[k])
+                return 4;
+            const double *dt = diffs_t[k];
+            for (int32_t o = 1; o <= max_o; ++o) {
+                const double *prev = rows + (int64_t)(o - 1) * n_max;
+                double *dst = rows + (int64_t)o * n_max;
+                for (int32_t i = 0; i < n; ++i) {
+                    double acc = 0.0;
+                    const double *mrow = dt + (int64_t)i * n;
+                    for (int32_t j = 0; j < n; ++j)
+                        acc += mrow[j] * prev[j];
+                    tmp[i] = acc;
+                }
+                for (int32_t i = 0; i < n; ++i)
+                    dst[i] = tmp[i];
+            }
+        }
+
+        /* One contraction per distinct (parent buffer, order) pair. */
+        m /= n;
+        int32_t n_children = 0;
+        for (int32_t s = 0; s < nspec; ++s) {
+            const int32_t o = orders[(int64_t)s * d + k];
+            const int32_t p = spec_buf[s];
+            int32_t c = -1;
+            for (int32_t t = 0; t < n_children; ++t) {
+                if (child_parent[t] == p && child_order[t] == o) {
+                    c = t;
+                    break;
+                }
+            }
+            if (c < 0) {
+                c = n_children++;
+                child_parent[c] = p;
+                child_order[c] = o;
+                const double *src = (p < 0) ? tensor : cur_half + p * (m * n);
+                collapse_axis(src, m, n, rows + (int64_t)o * n_max,
+                              nxt_half + c * m);
+            }
+            spec_buf[s] = c;
+        }
+        double *swap = cur_half;
+        cur_half = nxt_half;
+        nxt_half = swap;
+    }
+
+    for (int32_t s = 0; s < nspec; ++s)
+        out[s] = cur_half[spec_buf[s]];
     return 0;
 }
 

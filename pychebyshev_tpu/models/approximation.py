@@ -839,6 +839,19 @@ class ChebyshevApproximation:
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
         h = self._host_arrays()
+        if "cpack" not in h:
+            from pychebyshev_tpu.utils import ceval
+            h["cpack"] = ceval.make_pack(h)
+        if h["cpack"] is not None:
+            # Fused C multi-spec kernel (same suffix sharing, one call);
+            # declines odd-shaped legacy inputs, which fall through to
+            # the permissive NumPy path below.
+            from pychebyshev_tpu.utils import ceval
+            pt = np.ascontiguousarray(
+                self._host_point(point, h["n_per_dim"]))
+            vals = ceval.eval_multi(h["cpack"], pt, derivative_orders)
+            if vals is not None:
+                return vals
         base = self._host_coeff_rows(point)
         ndim = self.num_dimensions
 

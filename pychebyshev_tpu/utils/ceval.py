@@ -71,6 +71,11 @@ def _try_build():
     return None
 
 
+#: must match PCH_MAX_SPECS / PCH_MAX_ORDER in cpp/hosteval.c
+MAX_SPECS = 64
+MAX_ORDER = 16
+
+
 def _configure(lib):
     dptr = ctypes.POINTER(ctypes.c_double)
     pptr = ctypes.POINTER(ctypes.c_void_p)
@@ -79,6 +84,11 @@ def _configure(lib):
     lib.pch_eval_single.argtypes = [
         dptr, ctypes.c_int32, i32p, pptr, pptr, pptr,
         dptr, i32p, ctypes.c_double, dptr, dptr, dptr,
+    ]
+    lib.pch_eval_multi.restype = ctypes.c_int
+    lib.pch_eval_multi.argtypes = [
+        dptr, ctypes.c_int32, i32p, pptr, pptr, pptr,
+        dptr, i32p, ctypes.c_int32, ctypes.c_double, dptr, dptr, dptr,
     ]
     return lib
 
@@ -165,6 +175,29 @@ class _Pack:
             ctypes.cast(diffs_p, pptr))
         self.tls = threading.local()
 
+    def _thread_state_multi(self, nspec):
+        """Per-thread scratch for the multi-spec kernel, grown to the
+        largest spec count seen on this thread."""
+        st = getattr(self.tls, "multi", None)
+        if st is None or st[0] < nspec:
+            cap = max(nspec, 8)
+            dptr = ctypes.POINTER(ctypes.c_double)
+            cpoint = (ctypes.c_double * self.d)()
+            arena = np.empty(2 * cap * self.work_len, dtype=np.float64)
+            rows = np.empty((MAX_ORDER + 2) * self.n_max,
+                            dtype=np.float64)
+            orders = np.empty((cap, self.d), dtype=np.int32)
+            out = np.empty(cap, dtype=np.float64)
+            st = (cap, cpoint, orders, out,
+                  self.static_args + (cpoint,
+                                      orders.ctypes.data_as(
+                                          ctypes.POINTER(ctypes.c_int32)),),
+                  (self.tol, arena.ctypes.data_as(dptr),
+                   rows.ctypes.data_as(dptr), out.ctypes.data_as(dptr)),
+                  arena, rows)
+            self.tls.multi = st
+        return st
+
     def _thread_state(self):
         st = getattr(self.tls, "st", None)
         if st is None:
@@ -215,3 +248,29 @@ def eval_single(pack, point, orders):
     if pack.lib.pch_eval_single(*args) != 0:
         return None
     return out.value
+
+
+def eval_multi(pack, point, specs):
+    """Evaluate several derivative specs at one point in one C call.
+
+    ``specs`` must be a rectangular (nspec, d) collection of small
+    non-negative integer orders; anything else (ragged legacy inputs,
+    giant orders, > MAX_SPECS specs) returns ``None`` so the NumPy
+    suffix-memoized path keeps its permissive semantics.
+    """
+    try:
+        mat = np.asarray(specs, dtype=np.int32)
+    except (ValueError, TypeError, OverflowError):
+        return None
+    if (mat.ndim != 2 or mat.shape[1] != pack.d or mat.shape[0] < 1
+            or mat.shape[0] > MAX_SPECS or mat.min() < 0
+            or mat.max() > MAX_ORDER):
+        return None
+    nspec = int(mat.shape[0])
+    _, cpoint, orders_buf, out, head, tail, _, _ = \
+        pack._thread_state_multi(nspec)
+    ctypes.memmove(cpoint, point.ctypes.data, pack.d * 8)
+    orders_buf[:nspec] = mat
+    if pack.lib.pch_eval_multi(*head, nspec, *tail) != 0:
+        return None
+    return [float(v) for v in out[:nspec]]

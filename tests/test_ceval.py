@@ -107,6 +107,37 @@ class TestParity:
             want = _numpy_eval(model5, pt, (0,) * 5)
             assert got == pytest.approx(want, rel=1e-12, abs=1e-12)
 
+    def test_multi_matches_numpy_path(self, model5):
+        specs = [[0] * 5, [1, 0, 0, 0, 0], [2, 0, 0, 0, 0],
+                 [0, 0, 1, 0, 0], [0, 0, 0, 1, 0], [0, 0, 0, 0, 1],
+                 [1, 1, 0, 0, 0], [0, 0, 0, 0, 3]]
+        pt = [0.31, 0.52, 0.73, 0.21, 0.94]
+        got = model5.vectorized_eval_multi(pt, specs)
+        h = model5._host_arrays()
+        saved = h.pop("cpack")
+        h["cpack"] = None
+        try:
+            want = model5.vectorized_eval_multi(pt, specs)
+        finally:
+            h["cpack"] = saved
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+    def test_multi_agrees_with_single(self, model5):
+        specs = [[0] * 5, [1, 0, 0, 0, 0], [0, 2, 0, 0, 0]]
+        pt = [0.4, 0.6, 0.2, 0.8, 0.5]
+        multi = model5.vectorized_eval_multi(pt, specs)
+        singles = [model5.vectorized_eval(pt, s) for s in specs]
+        np.testing.assert_allclose(multi, singles, rtol=1e-11, atol=1e-11)
+
+    def test_multi_suffix_sharing_at_node(self, ragged3):
+        # Exact-node coincidence inside a shared suffix.
+        node = float(np.asarray(ragged3.nodes[2])[1])
+        pt = np.array([0.1, 1.0, node])
+        specs = [[0, 0, 0], [1, 0, 0], [0, 0, 1]]
+        got = ragged3.vectorized_eval_multi(pt, specs)
+        singles = [ragged3.vectorized_eval(pt, s) for s in specs]
+        np.testing.assert_allclose(got, singles, rtol=1e-11, atol=1e-11)
+
     def test_odd_point_shapes(self, model5):
         pt = np.array([[0.3], [0.5], [0.7], [0.2], [0.9]])  # column vec
         got = model5.vectorized_eval(pt, [0] * 5)
