@@ -300,6 +300,96 @@ int pch_eval_multi(const double *tensor,
     return 0;
 }
 
+#define PCH_MAX_RANK 1024
+
+/* Single-point tensor-train evaluation (Chebyshev coefficient cores).
+ *
+ * Mirrors the Python storage-frame chain
+ * (models/tensor_train.py:_eval_storage_frame): per dim, scale the
+ * coordinate to [-1, 1], run the T_0..T_{n-1} recurrence, contract the
+ * (r_l, n, r_r) core with the polynomial row and chain-multiply the
+ * running (1, r) row vector.  O(sum r_l*n*r_r) — microseconds against
+ * the Python loop's interpreter overhead.
+ *
+ *   cores   : d core pointers, each C-order (ranks[k], ns[k], ranks[k+1])
+ *   ranks   : d+1 bond ranks (ranks[0] == ranks[d] == 1)
+ *   domain  : C-order (d, 2) lo/hi pairs
+ *   scratch : >= max(ns) + 2*max(ranks) + max(ns)*max(ranks) doubles
+ */
+int pch_tt_eval(const double *const *cores,
+                int32_t d,
+                const int32_t *ns,
+                const int32_t *ranks,
+                const double *domain,
+                const double *point,
+                double *scratch,
+                double *out)
+{
+    if (!cores || d < 1 || !ns || !ranks || !domain || !point ||
+        !scratch || !out)
+        return 1;
+    if (ranks[0] != 1 || ranks[d] != 1)
+        return 2;
+    int32_t n_max = 0, r_max = 1;
+    for (int32_t k = 0; k < d; ++k) {
+        if (ns[k] < 1 || ns[k] > PCH_MAX_NODES ||
+            ranks[k] < 1 || ranks[k] > PCH_MAX_RANK)
+            return 2;
+        if (ns[k] > n_max)
+            n_max = ns[k];
+        if (ranks[k] > r_max)
+            r_max = ranks[k];
+    }
+
+    double *q = scratch;                    /* n_max            */
+    double *row = q + n_max;                /* r_max            */
+    double *row_new = row + r_max;          /* r_max            */
+    double *tmp = row_new + r_max;          /* n_max * r_max    */
+
+    row[0] = 1.0;
+    for (int32_t k = 0; k < d; ++k) {
+        const int32_t n = ns[k];
+        const int32_t rl = ranks[k];
+        const int32_t rr = ranks[k + 1];
+        const double lo = domain[2 * k];
+        const double hi = domain[2 * k + 1];
+        const double x = 2.0 * (point[k] - lo) / (hi - lo) - 1.0;
+
+        q[0] = 1.0;
+        if (n > 1)
+            q[1] = x;
+        for (int32_t j = 2; j < n; ++j)
+            q[j] = 2.0 * x * q[j - 1] - q[j - 2];
+
+        /* tmp[j, r] = sum_i row[i] * core[i, j, r] (axpy over planes) */
+        const int64_t plane = (int64_t)n * rr;
+        const double *core = cores[k];
+        for (int64_t t = 0; t < plane; ++t)
+            tmp[t] = row[0] * core[t];
+        for (int32_t i = 1; i < rl; ++i) {
+            const double ri = row[i];
+            const double *restrict cp = core + (int64_t)i * plane;
+            for (int64_t t = 0; t < plane; ++t)
+                tmp[t] += ri * cp[t];
+        }
+        /* row_new[r] = sum_j q[j] * tmp[j, r] */
+        for (int32_t r = 0; r < rr; ++r)
+            row_new[r] = q[0] * tmp[r];
+        for (int32_t j = 1; j < n; ++j) {
+            const double qj = q[j];
+            const double *restrict tp = tmp + (int64_t)j * rr;
+            for (int32_t r = 0; r < rr; ++r)
+                row_new[r] += qj * tp[r];
+        }
+        double *swap = row;
+        row = row_new;
+        row_new = swap;
+    }
+
+    *out = row[0];
+    return 0;
+}
+
 /* Batched variant over the same grid: npts points, C-order (npts, d).
  * Used by host paths that loop small batches (e.g. multi-spec sharing);
  * each point is independent.  orders applies to every point. */

@@ -644,6 +644,15 @@ class ChebyshevTT:
         batches belong in :meth:`eval_batch`).
         """
         if all(o == 0 for o in derivative_order_storage):
+            pack = self._host_cpack()
+            if pack is not None:
+                from pychebyshev_tpu.utils import ceval
+                pt = np.ascontiguousarray(point_storage,
+                                          dtype=np.float64)
+                if pt.ndim == 1 and pt.shape[0] == self.num_dimensions:
+                    val = ceval.tt_eval_single(pack, pt)
+                    if val is not None:
+                        return val
             row = np.ones((1, 1))
             for d, core in enumerate(self._coeff_cores):
                 a, b = self.domain[d]
@@ -658,6 +667,23 @@ class ChebyshevTT:
                 row = row @ np.einsum("j,ijk->ik", q, core)
             return float(row[0, 0])
         return self._fd_derivative(point_storage, derivative_order_storage)
+
+    def _host_cpack(self):
+        """ctypes pack for the C single-point kernel, cached with the
+        same identity-keyed discipline as :meth:`_cores_on_device`
+        (mutation paths replace core ndarrays; the keyed tuple is
+        retained so ids cannot be recycled)."""
+        from pychebyshev_tpu.utils import ceval
+
+        cores = tuple(self._coeff_cores)
+        hit = self.__dict__.get("_host_cpack_cache")
+        if (hit is not None and len(hit[0]) == len(cores)
+                and all(a is b for a, b in zip(hit[0], cores))):
+            return hit[1]
+        pack = ceval.make_tt_pack(cores, np.asarray(self.domain,
+                                                    dtype=np.float64))
+        self.__dict__["_host_cpack_cache"] = (cores, pack)
+        return pack
 
     def _cores_on_device(self, dtype) -> tuple:
         """Device copies of the coefficient cores, cached per dtype.
@@ -1033,6 +1059,7 @@ class ChebyshevTT:
         state = self.__dict__.copy()
         state["function"] = None
         state.pop("_dev_cores", None)  # device cache never pickles
+        state.pop("_host_cpack_cache", None)  # ctypes state never pickles
         state["_pychebyshev_version"] = __version__
         return state
 

@@ -90,6 +90,10 @@ def _configure(lib):
         dptr, ctypes.c_int32, i32p, pptr, pptr, pptr,
         dptr, i32p, ctypes.c_int32, ctypes.c_double, dptr, dptr, dptr,
     ]
+    lib.pch_tt_eval.restype = ctypes.c_int
+    lib.pch_tt_eval.argtypes = [
+        pptr, ctypes.c_int32, i32p, i32p, dptr, dptr, dptr, dptr,
+    ]
     return lib
 
 
@@ -216,6 +220,77 @@ class _Pack:
             st = (cpoint, corders, out, args, work, rowbuf)
             self.tls.st = st
         return st
+
+
+class _TTPack:
+    """Per-model ctypes state for the TT single-point C kernel.
+
+    Same thread-safety discipline as :class:`_Pack`: shared read-only
+    core pointers, per-thread scratch/point/output (the call releases
+    the GIL).
+    """
+
+    __slots__ = ("lib", "d", "scratch_len", "pin", "static_args", "tls")
+
+    def __init__(self, lib, cores, domain):
+        cores = [np.ascontiguousarray(c, dtype=np.float64) for c in cores]
+        d = len(cores)
+        ns = np.array([c.shape[1] for c in cores], dtype=np.int32)
+        ranks = np.array([cores[0].shape[0]]
+                         + [c.shape[2] for c in cores], dtype=np.int32)
+        dom = np.ascontiguousarray(domain, dtype=np.float64).reshape(d, 2)
+        cores_p = _ptr_array(cores)
+        self.lib = lib
+        self.d = d
+        n_max = int(ns.max())
+        r_max = int(ranks.max())
+        self.scratch_len = n_max + 2 * r_max + n_max * r_max
+        self.pin = (cores, ns, ranks, dom, cores_p)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self.static_args = (
+            ctypes.cast(cores_p, ctypes.POINTER(ctypes.c_void_p)), d,
+            ns.ctypes.data_as(i32p), ranks.ctypes.data_as(i32p),
+            dom.ctypes.data_as(dptr))
+        self.tls = threading.local()
+
+    def _thread_state(self):
+        st = getattr(self.tls, "st", None)
+        if st is None:
+            dptr = ctypes.POINTER(ctypes.c_double)
+            cpoint = (ctypes.c_double * self.d)()
+            scratch = np.empty(self.scratch_len, dtype=np.float64)
+            out = ctypes.c_double()
+            args = self.static_args + (
+                cpoint, scratch.ctypes.data_as(dptr), ctypes.byref(out))
+            st = (cpoint, out, args, scratch)
+            self.tls.st = st
+        return st
+
+
+def make_tt_pack(cores, domain):
+    """ctypes state for one TT model's coefficient cores, or ``None``
+    when the C library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    try:
+        return _TTPack(lib, cores, domain)
+    except (ValueError, TypeError):
+        return None
+
+
+def tt_eval_single(pack, point):
+    """Evaluate one storage-frame point through the TT C kernel.
+
+    ``point`` must be a 1-D contiguous float64 array of length d.
+    Returns the value, or ``None`` when the kernel declines.
+    """
+    cpoint, out, args, _ = pack._thread_state()
+    ctypes.memmove(cpoint, point.ctypes.data, pack.d * 8)
+    if pack.lib.pch_tt_eval(*args) != 0:
+        return None
+    return out.value
 
 
 def make_pack(host):

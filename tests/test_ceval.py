@@ -188,6 +188,79 @@ class TestLifecycle:
         monkeypatch.setattr(ceval, "_LIB_FAILED", False)
 
 
+def _tt_target(p, data=None):
+    p = np.asarray(p, dtype=np.float64)
+    if p.ndim == 1:
+        p = p[None, :]
+    return np.exp(-p[:, 0]) * np.sin(p.sum(axis=1))
+
+
+@pytest.fixture(scope="module")
+def tt5():
+    from pychebyshev_tpu import ChebyshevTT
+    tt = ChebyshevTT(_tt_target, 5, [[0.0, 1.0]] * 5, [11] * 5,
+                     max_rank=8, vectorized=True)
+    tt.build(verbose=False)
+    return tt
+
+
+def _tt_numpy_eval(tt, pt):
+    """Force the NumPy chain by poisoning the pack cache."""
+    saved = tt.__dict__.get("_host_cpack_cache")
+    tt.__dict__["_host_cpack_cache"] = (tuple(tt._coeff_cores), None)
+    try:
+        return tt.eval(pt)
+    finally:
+        if saved is None:
+            tt.__dict__.pop("_host_cpack_cache", None)
+        else:
+            tt.__dict__["_host_cpack_cache"] = saved
+
+
+@requires_clib
+class TestTTKernel:
+    def test_values_match_numpy_chain(self, tt5):
+        rng = np.random.default_rng(13)
+        for _ in range(20):
+            pt = rng.uniform(0.02, 0.98, size=5)
+            got = tt5.eval(pt)
+            want = _tt_numpy_eval(tt5, pt)
+            assert got == pytest.approx(want, rel=1e-13, abs=1e-14)
+
+    def test_fd_derivatives_ride_the_kernel(self, tt5):
+        pt = [0.31, 0.52, 0.73, 0.21, 0.94]
+        got = tt5.eval_multi(pt, [[0] * 5, [1, 0, 0, 0, 0]])
+        saved = tt5.__dict__.pop("_host_cpack_cache", None)
+        tt5.__dict__["_host_cpack_cache"] = (tuple(tt5._coeff_cores), None)
+        try:
+            want = tt5.eval_multi(pt, [[0] * 5, [1, 0, 0, 0, 0]])
+        finally:
+            tt5.__dict__.pop("_host_cpack_cache", None)
+            if saved is not None:
+                tt5.__dict__["_host_cpack_cache"] = saved
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_reordered_frame_parity(self, tt5):
+        pt = [0.4, 0.6, 0.2, 0.8, 0.5]
+        want = tt5.eval(pt)
+        got = tt5.reorder([4, 3, 2, 1, 0]).eval(pt)
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_algebra_invalidates_pack(self, tt5):
+        pt = [0.3, 0.5, 0.7, 0.2, 0.9]
+        before = tt5.eval(pt)
+        doubled = tt5 + tt5
+        assert doubled.eval(pt) == pytest.approx(2.0 * before, rel=1e-9)
+        assert tt5.eval(pt) == pytest.approx(before, rel=1e-13)
+
+    def test_pickle_round_trip_with_pack_cache(self, tt5):
+        import pickle
+        pt = [0.3, 0.5, 0.7, 0.2, 0.9]
+        want = tt5.eval(pt)  # materializes the ctypes pack cache
+        clone = pickle.loads(pickle.dumps(tt5))
+        assert clone.eval(pt) == pytest.approx(want, rel=1e-13)
+
+
 class TestFallback:
     def test_numpy_path_serves_without_clib(self, model5, monkeypatch):
         """With the C library force-disabled the public surface still
