@@ -708,6 +708,40 @@ class ChebyshevApproximation:
     # four interpolant families (spline/TT/slider expose eval_batch).
     eval_batch = vectorized_eval_batch
 
+    def eval_batch_host(self, points, derivative_order=None, *,
+                        derivative_id=None):
+        """Batched evaluation computed ON HOST: (N, d) -> (N,).
+
+        The latency-oriented counterpart of
+        :meth:`vectorized_eval_batch`: no device dispatch, no jit —
+        each point pays one memory-bound C pass over the cached host
+        tensor (``cpp/hosteval.c``), so small batches answer in
+        N x ~0.1 ms with zero warm-up.  Prefer the device path beyond
+        ~10^2-10^4 points (link-dependent); results agree to ~1e-12.
+        Falls back to the per-point NumPy path without the C library.
+        """
+        derivative_order = self._resolve_derivative_args(
+            derivative_order, derivative_id)
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        points = np.asarray(points, dtype=np.float64)
+        if points.ndim != 2 or points.shape[1] != self.num_dimensions:
+            raise ValueError(
+                f"points must have shape (N, {self.num_dimensions}), "
+                f"got {points.shape}")
+        h = self._host_arrays()
+        if "cpack" not in h:
+            from pychebyshev_tpu.utils import ceval
+            h["cpack"] = ceval.make_pack(h)
+        if h["cpack"] is not None and len(points):
+            from pychebyshev_tpu.utils import ceval
+            out = ceval.eval_batch_host(h["cpack"], points,
+                                        derivative_order)
+            if out is not None:
+                return out
+        return np.array([self._host_single_eval(p, derivative_order)
+                         for p in points])
+
     def eval_batch_device(self, points, derivative_order=None) -> jax.Array:
         """Device-resident batched evaluation (no host transfer)."""
         if self.tensor_values is None:

@@ -94,6 +94,11 @@ def _configure(lib):
     lib.pch_tt_eval.argtypes = [
         pptr, ctypes.c_int32, i32p, i32p, dptr, dptr, dptr, dptr,
     ]
+    lib.pch_eval_batch.restype = ctypes.c_int
+    lib.pch_eval_batch.argtypes = [
+        dptr, ctypes.c_int32, i32p, pptr, pptr, pptr,
+        dptr, ctypes.c_int64, i32p, ctypes.c_double, dptr, dptr, dptr,
+    ]
     return lib
 
 
@@ -323,6 +328,33 @@ def eval_single(pack, point, orders):
     if pack.lib.pch_eval_single(*args) != 0:
         return None
     return out.value
+
+
+def eval_batch_host(pack, points, orders):
+    """Evaluate an (N, d) batch on host in one C call.
+
+    For latency-sensitive small batches: no device dispatch, no jit —
+    each point costs one memory-bound pass over the tensor, so this
+    wins below the device crossover (~10^2-10^4 points depending on
+    the device link) and loses above it.  Returns an (N,) array, or
+    ``None`` when the C kernel declines.
+    """
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[1] != pack.d or pts.shape[0] == 0:
+        return None
+    _, corders, _, _, work, rowbuf = pack._thread_state()
+    for i, o in enumerate(orders):
+        corders[i] = o
+    out = np.empty(pts.shape[0], dtype=np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    rc = pack.lib.pch_eval_batch(
+        *pack.static_args, pts.ctypes.data_as(dptr),
+        ctypes.c_int64(pts.shape[0]), corders, pack.tol,
+        work.ctypes.data_as(dptr), ctypes.cast(rowbuf, dptr),
+        out.ctypes.data_as(dptr))
+    if rc != 0:
+        return None
+    return out
 
 
 def eval_multi(pack, point, specs):

@@ -188,6 +188,37 @@ class TestLifecycle:
         monkeypatch.setattr(ceval, "_LIB_FAILED", False)
 
 
+class TestHostBatch:
+    def test_matches_device_batch(self, model5):
+        rng = np.random.default_rng(17)
+        pts = rng.uniform(0.05, 0.95, size=(32, 5))
+        host = model5.eval_batch_host(pts, [0] * 5)
+        dev = model5.vectorized_eval_batch(pts, [0] * 5)
+        np.testing.assert_allclose(host, dev, rtol=1e-11, atol=1e-12)
+
+    def test_derivative_batch(self, model5):
+        rng = np.random.default_rng(19)
+        pts = rng.uniform(0.05, 0.95, size=(8, 5))
+        host = model5.eval_batch_host(pts, [1, 0, 0, 0, 0])
+        singles = [model5.vectorized_eval(p, [1, 0, 0, 0, 0])
+                   for p in pts]
+        np.testing.assert_allclose(host, singles, rtol=1e-12, atol=1e-12)
+
+    def test_empty_batch(self, model5):
+        out = model5.eval_batch_host(np.empty((0, 5)), [0] * 5)
+        assert out.shape == (0,)
+
+    def test_bad_shape_raises(self, model5):
+        with pytest.raises(ValueError, match=r"\(N, 5\)"):
+            model5.eval_batch_host(np.zeros((4, 3)), [0] * 5)
+
+    def test_unbuilt_raises(self):
+        c = ChebyshevApproximation(None, 2, [[0.0, 1.0]] * 2,
+                                   [5, 5], defer_build=True)
+        with pytest.raises(RuntimeError, match="build"):
+            c.eval_batch_host(np.zeros((1, 2)), [0, 0])
+
+
 def _tt_target(p, data=None):
     p = np.asarray(p, dtype=np.float64)
     if p.ndim == 1:
