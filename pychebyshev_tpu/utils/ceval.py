@@ -240,6 +240,13 @@ class _TTPack:
     def __init__(self, lib, cores, domain):
         cores = [np.ascontiguousarray(c, dtype=np.float64) for c in cores]
         d = len(cores)
+        if any(c.ndim != 3 for c in cores):
+            raise ValueError("cores must be 3-D (r_l, n, r_r)")
+        for a, b in zip(cores, cores[1:]):
+            # The C kernel indexes by the LEFT core's r_r; a broken
+            # bond chain would read out of bounds.
+            if a.shape[2] != b.shape[0]:
+                raise ValueError("inconsistent TT bond ranks")
         ns = np.array([c.shape[1] for c in cores], dtype=np.int32)
         ranks = np.array([cores[0].shape[0]]
                          + [c.shape[2] for c in cores], dtype=np.int32)

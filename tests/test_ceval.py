@@ -291,6 +291,20 @@ class TestTTKernel:
         clone = pickle.loads(pickle.dumps(tt5))
         assert clone.eval(pt) == pytest.approx(want, rel=1e-13)
 
+    def test_pack_rejects_broken_bond_chain(self):
+        """The pack validates core shapes before handing pointers to C
+        (a mismatched bond would make the kernel read out of bounds)."""
+        lib = ceval._get_lib()
+        rng = np.random.default_rng(0)
+        good = [rng.normal(size=(1, 4, 3)), rng.normal(size=(3, 4, 1))]
+        dom = np.array([[0.0, 1.0]] * 2)
+        assert ceval._TTPack(lib, good, dom) is not None
+        bad_bond = [rng.normal(size=(1, 4, 3)), rng.normal(size=(2, 4, 1))]
+        with pytest.raises(ValueError, match="bond"):
+            ceval._TTPack(lib, bad_bond, dom)
+        with pytest.raises(ValueError, match="3-D"):
+            ceval._TTPack(lib, [rng.normal(size=(4, 3))], dom[:1])
+
 
 class TestFallback:
     def test_numpy_path_serves_without_clib(self, model5, monkeypatch):
