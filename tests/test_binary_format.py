@@ -595,3 +595,78 @@ class TestFiveDimRoundTrip:
                    - cheb_bs5d.eval(pt, [0] * 5)) < 1e-10
         assert abs(loaded.eval(pt, [1, 0, 0, 0, 0])
                    - cheb_bs5d.eval(pt, [1, 0, 0, 0, 0])) < 1e-10
+
+
+class TestLoadedObjectState:
+    """What a binary load deliberately drops or resets (reference
+    tests/test_binary_format.py: function-attr, max_derivative_order,
+    descriptor rows — the .pcb record stores only grid data)."""
+
+    def test_function_attr_is_none_after_load(self, tmp_path):
+        cheb = build_approx_2d()
+        p = tmp_path / "m.pcb"
+        cheb.save(str(p), format="binary")
+        loaded = ChebyshevApproximation.load(str(p))
+        assert loaded.function is None
+        assert cheb.function is not None  # source object untouched
+
+    def test_max_derivative_order_resets_to_default(self, tmp_path):
+        cheb = ChebyshevApproximation(
+            lambda x, _: x[0] ** 3, 1, [[-1.0, 1.0]], [8],
+            max_derivative_order=4)
+        cheb.build(verbose=False)
+        p = tmp_path / "m.pcb"
+        cheb.save(str(p), format="binary")
+        loaded = ChebyshevApproximation.load(str(p))
+        assert loaded.max_derivative_order == 2
+        # derivatives up to the fresh default still work
+        assert abs(loaded.eval([0.5], [2]) - 6 * 0.5) < 1e-9
+
+    def test_descriptor_resets_to_empty(self, tmp_path):
+        cheb = build_approx_2d()
+        cheb.descriptor = "rates desk / USD vol cube"
+        p = tmp_path / "m.pcb"
+        cheb.save(str(p), format="binary")
+        loaded = ChebyshevApproximation.load(str(p))
+        assert loaded.descriptor == ""
+
+    def test_spline_function_attr_is_none_after_load(self, tmp_path):
+        sp = build_spline_1d()
+        p = tmp_path / "s.pcb"
+        sp.save(str(p), format="binary")
+        loaded = ChebyshevSpline.load(str(p))
+        assert loaded.function is None
+
+
+class TestSplineFormatRestrictions:
+    def test_nested_n_nodes_binary_save_raises(self, tmp_path):
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1.0, 1.0]],
+                             [[6, 6]], knots=[[0.0]])
+        sp.build(verbose=False)
+        with pytest.raises(NotImplementedError,
+                           match="shared n_nodes"):
+            sp.save(str(tmp_path / "s.pcb"), format="binary")
+
+    def test_2d_spline_round_trip(self, tmp_path):
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) + x[1] ** 2, 2,
+            [[-1.0, 1.0], [0.0, 1.0]], [5, 5], knots=[[0.0], []])
+        sp.build(verbose=False)
+        p = tmp_path / "s2.pcb"
+        sp.save(str(p), format="binary")
+        loaded = ChebyshevSpline.load(str(p))
+        for pt in ([0.3, 0.5], [-0.7, 0.2], [0.0, 0.9]):
+            assert loaded.eval(pt, [0, 0]) == pytest.approx(
+                sp.eval(pt, [0, 0]), abs=1e-14)
+
+
+class TestSingleNodeDimRoundTrip:
+    def test_n1_dimension_full_round_trip(self, tmp_path):
+        fv = ChebyshevApproximation.from_values(
+            np.full((1, 5), 2.0), 2, [[0.0, 1.0], [0.0, 1.0]], [1, 5])
+        p = tmp_path / "n1.pcb"
+        fv.save(str(p), format="binary")
+        loaded = ChebyshevApproximation.load(str(p))
+        assert loaded.n_nodes == [1, 5]
+        assert loaded.vectorized_eval([0.5, 0.3], [0, 0]) == \
+            pytest.approx(2.0, abs=1e-12)

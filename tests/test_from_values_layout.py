@@ -114,3 +114,104 @@ class TestDiagnosticsText:
             barycentric_derivative_analytical(
                 0.5, nodes, np.array([0.0, 1.0]), np.array([1.0, -1.0]),
                 np.array([[0.0, 1.0], [-1.0, 0.0]]), order=3)
+
+
+def _dense_fv_2d():
+    """x^2 + sin(y) on [0,1]x[0,2] from externally-computed values."""
+    dom = [[0.0, 1.0], [0.0, 2.0]]
+    info = ChebyshevApproximation.nodes(2, dom, [9, 11])
+    g = info["full_grid"]
+    vals = (g[:, 0] ** 2 + np.sin(g[:, 1])).reshape(9, 11)
+    return ChebyshevApproximation.from_values(vals, 2, dom, [9, 11])
+
+
+class TestFromValuesTransforms:
+    """Extrude/slice and the full calculus surface work on objects born
+    from from_values, identically to built ones (reference
+    tests/test_from_values.py::TestFromValuesApprox extrude/slice/
+    integrate rows)."""
+
+    def test_extrude_adds_inert_dimension(self):
+        m = _dense_fv_2d()
+        e = m.extrude([[2, [0.0, 5.0], 4]])
+        assert e.num_dimensions == 3
+        want = 0.3 ** 2 + math.sin(1.1)
+        for z in (0.0, 2.5, 5.0):
+            assert e.vectorized_eval([0.3, 1.1, z], [0, 0, 0]) == \
+                pytest.approx(want, abs=1e-10)
+
+    def test_slice_inverts_extrude(self):
+        m = _dense_fv_2d()
+        s = m.extrude([[2, [0.0, 5.0], 4]]).slice([[2, 1.0]])
+        assert s.num_dimensions == 2
+        pt = [0.4, 0.9]
+        assert s.vectorized_eval(pt, [0, 0]) == pytest.approx(
+            m.vectorized_eval(pt, [0, 0]), abs=1e-12)
+
+    def test_partial_integrate(self):
+        m = _dense_fv_2d()
+        g = m.integrate(dims=[1])      # -> 2*x^2 + (1 - cos 2) in x
+        assert g.num_dimensions == 1
+        want = 2 * 0.5 ** 2 + (1.0 - math.cos(2.0))
+        assert g.vectorized_eval([0.5], [0]) == pytest.approx(
+            want, abs=1e-9)
+
+    def test_sub_interval_integrate(self):
+        m = _dense_fv_2d()
+        got = m.integrate(bounds=[[0.0, 1.0], [0.5, 1.5]])
+        want = 1.0 / 3.0 + (math.cos(0.5) - math.cos(1.5))
+        assert got == pytest.approx(want, abs=1e-9)
+
+    def test_algebra_chain(self):
+        m = _dense_fv_2d()
+        chain = (m + m) * 0.5 - m      # should be ~0 everywhere
+        rng = np.random.default_rng(3)
+        pts = np.column_stack([rng.uniform(0, 1, 32),
+                               rng.uniform(0, 2, 32)])
+        vals = chain.vectorized_eval_batch(pts, [0, 0])
+        assert np.max(np.abs(vals)) < 1e-11
+
+
+class TestSplineFromValuesServing:
+    """Spline from_values objects carry the full serving surface
+    (reference tests/test_from_values.py::TestFromValuesSpline
+    batch/multi/roots rows)."""
+
+    @pytest.fixture(scope="class")
+    def spline_fv(self):
+        knots = [[1.0]]
+        info = ChebyshevSpline.nodes(1, [[0.0, 2.0]], [11], knots)
+        pv = [(np.sin(p["full_grid"][:, 0]) - 0.5).reshape(11)
+              for p in info["pieces"]]
+        return ChebyshevSpline.from_values(pv, 1, [[0.0, 2.0]], [11],
+                                           knots)
+
+    def test_batch_eval(self, spline_fv):
+        pts = np.linspace(0.05, 1.95, 23)[:, None]
+        got = spline_fv.eval_batch(pts, [0])
+        np.testing.assert_allclose(got, np.sin(pts[:, 0]) - 0.5,
+                                   atol=1e-9)
+
+    def test_multi_eval_value_and_derivative(self, spline_fv):
+        got = spline_fv.eval_multi([0.7], [[0], [1]])
+        assert got[0] == pytest.approx(math.sin(0.7) - 0.5, abs=1e-10)
+        assert got[1] == pytest.approx(math.cos(0.7), abs=1e-8)
+
+    def test_roots(self, spline_fv):
+        roots = spline_fv.roots()
+        assert len(roots) == 1
+        assert roots[0] == pytest.approx(math.asin(0.5), abs=1e-9)
+
+    def test_extrude(self, spline_fv):
+        e = spline_fv.extrude([[1, [0.0, 1.0], 5]])
+        assert e.num_dimensions == 2
+        assert e.eval([0.7, 0.25], [0, 0]) == pytest.approx(
+            math.sin(0.7) - 0.5, abs=1e-9)
+
+    def test_minimize_maximize(self, spline_fv):
+        mx, loc = spline_fv.maximize(dim=0)
+        assert mx == pytest.approx(math.sin(math.pi / 2) - 0.5, abs=1e-8)
+        assert loc == pytest.approx(math.pi / 2, abs=1e-5)
+        mn, loc = spline_fv.minimize(dim=0)
+        assert mn == pytest.approx(-0.5, abs=1e-9)
+        assert loc == pytest.approx(0.0, abs=1e-5)
