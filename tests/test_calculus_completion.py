@@ -578,3 +578,41 @@ class TestUnitVolumeNormalization:
         sp = ChebyshevSpline(one, 2, domain, [5, 5], [[1.0], []])
         sp.build(verbose=False)
         assert abs(sp.integrate() - vol) < 1e-10
+
+
+class TestTTMinMaxEdges:
+    """Constant/endpoint/no-root edges + unbuilt guards for the TT and
+    slider calculus entry points (reference
+    tests/test_calculus_completion.py TT/Slider Minimize/Maximize
+    constant, endpoint, and before-build rows)."""
+
+    def test_constant_function(self):
+        c = ChebyshevTT(lambda x, _: 3.0 + 0 * x[0], 1, [[-1, 1]], [5],
+                        max_rank=2)
+        c.build(verbose=False, method="svd")
+        mn, _ = c.minimize(dim=0)
+        mx, _ = c.maximize(dim=0)
+        assert mn == pytest.approx(3.0, abs=1e-12)
+        assert mx == pytest.approx(3.0, abs=1e-12)
+        assert len(c.roots(dim=0)) == 0
+
+    def test_endpoint_extrema(self):
+        e = ChebyshevTT(lambda x, _: x[0], 1, [[-1, 1]], [5], max_rank=2)
+        e.build(verbose=False, method="svd")
+        mn, loc_mn = e.minimize(dim=0)
+        mx, loc_mx = e.maximize(dim=0)
+        assert (mn, loc_mn) == pytest.approx((-1.0, -1.0), abs=1e-10)
+        assert (mx, loc_mx) == pytest.approx((1.0, 1.0), abs=1e-10)
+
+    def test_unbuilt_tt_raises_everywhere(self):
+        t = ChebyshevTT(lambda x, _: x[0], 1, [[-1, 1]], [7], max_rank=3)
+        for method in ("roots", "minimize", "maximize"):
+            with pytest.raises(RuntimeError, match="build"):
+                getattr(t, method)(dim=0)
+
+    def test_unbuilt_slider_raises_everywhere(self):
+        s = ChebyshevSlider(lambda x, _: x[0] + x[1], 2, [[-1, 1]] * 2,
+                            [7, 7], [[0], [1]], [0.0, 0.0])
+        for method in ("roots", "minimize", "maximize"):
+            with pytest.raises(RuntimeError, match="build"):
+                getattr(s, method)(dim=0, fixed={1: 0.0})
