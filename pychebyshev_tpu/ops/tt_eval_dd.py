@@ -1,0 +1,269 @@
+"""Near-f64 batched TT evaluation on the bf16 MXU — the digit-GEMM chain.
+
+Why this exists: the TT family's f64 serving path
+(``ops.tt_eval.tt_eval_batch`` with f64 cores) runs in XLA's software
+f64 on f64-less v5e — measured ~0.28M queries/s on the 5-D benchmark —
+while the f32 path trades down to ~1e-6-class accuracy.  This module
+gives the TT chain the same treatment ``ops.eval_dd`` gives the dense
+bilinear form: exact integer bf16 MXU products recombined in double-f32,
+so accuracy lands at ~1e-11 (scale-normalized vs true f64) at a rate
+set by the hardware units instead of the f64 emulator.
+
+The TT chain is friendlier to this scheme than the dense form:
+
+1. The row factors are Chebyshev-Vandermonde values ``T_k(x)`` with
+   ``|T_k| <= 1`` in-domain — a fixed power-of-two pre-scale makes them
+   unit-bounded with no Lebesgue-constant analysis.
+2. Each stage contracts only ``n_d`` terms (grid points of ONE dim, not
+   a Khatri-Rao group), so the MXU-exactness budget
+   ``n_d * 2^(2b) < 2^24`` leaves 8-bit digits for any practical grid —
+   fewer planes for the same accuracy than the dense right-group split.
+3. The inter-stage rank reduction ``u <- sum_r u[r] * G[r, :]`` is a
+   narrow elementwise chain; it runs in double-f32 (Dekker/Veltkamp)
+   arithmetic on the VPU, never touching software f64.
+
+Per dim the pipeline is: Chebyshev recurrence in f64 (narrow) -> split
+to an (hi, lo) f32 pair -> signed digit planes -> one bf16 GEMM per row
+plane against that plane's allowed core planes (every product is an
+integer < 2^24, so the f32 accumulation is EXACT) -> recombine the
+~20 pair outputs with branch-free TwoSum into a double-f32 stage matrix
+-> dd multiply into the running interface row.  The only f64 compute is
+the (N, n_d) recurrence input and the final (N,) readout.
+
+Reference context: replaces reference ``tensor_train.py:2217-2265``
+(NumPy f64 BLAS) in the accuracy regime the plain f32 TPU path cannot
+reach.  No reference counterpart — CUDA/CPU frameworks have hardware
+f64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pychebyshev_tpu.ops.chebyshev import chebyshev_polynomial_matrix
+from pychebyshev_tpu.ops.eval import chunked_scalar_map
+from pychebyshev_tpu.ops.eval_dd import (
+    _digit_planes_pair,
+    _digit_planes_tensor,
+    _split_f64,
+    _dd_mul,
+)
+
+__all__ = ["tt_eval_batch_dd", "tt_supports_dd", "tt_dd_plan"]
+
+# Row values are T_k(x) with |T_k(x)| <= 1 for x in [-1, 1]; one halving
+# covers the digit-plane contract |hi + lo| <= 1 with margin for mild
+# extrapolation (out-of-domain queries keep reference silent-extrapolate
+# semantics but degrade like every other path).
+_Q_SCALE_LOG2 = 1
+
+# Digit pairs with b*(i + j) above the cutoff are dropped; the entrywise
+# error ~2^-(cutoff+1) is amplified by ~n_d per stage and the stages
+# compound ~d times, so 44 lands ~1e-12-class on 5-D/11-node grids
+# (measured; see docs/performance.md).  Mirrors ops.eval_dd's knob.
+_PAIR_CUTOFF = 44
+FAST_PAIR_CUTOFF = 36
+
+
+def _dd_add(ahi, alo, bhi, blo):
+    """(ahi+alo) + (bhi+blo) in double-f32 (branch-free TwoSum)."""
+    s = ahi + bhi
+    bv = s - ahi
+    err = (ahi - (s - bv)) + (bhi - bv)
+    lo = err + (alo + blo)
+    hi = s + lo
+    return hi, lo - (hi - s)
+
+
+def tt_dd_plan(core_shapes: Sequence[Tuple[int, int, int]],
+               cutoff: int = None) -> dict:
+    """Static plan: per-dim digit width and GEMM pair list.
+
+    MXU exactness per stage needs ``n_d * 2^(2b) < 2^24``; three extra
+    slack bits cover the exact same-scale pre-sums of up to ~8 pair
+    outputs.  Digit width is shared across dims (the max n_d binds) so
+    the pair schedule — and the recombination scales — are uniform.
+    """
+    if cutoff is None:
+        cutoff = _PAIR_CUTOFF
+    shapes = [tuple(int(x) for x in s) for s in core_shapes]
+    if not shapes or any(len(s) != 3 for s in shapes):
+        return {"ok": False}
+    if shapes[0][0] != 1 or shapes[-1][2] != 1:
+        return {"ok": False}
+    if any(a[2] != b[0] for a, b in zip(shapes, shapes[1:])):
+        return {"ok": False}
+    n_max = max(s[1] for s in shapes)
+    bits_budget = 24 - int(np.ceil(np.log2(n_max))) - 3
+    b = min(8, bits_budget // 2)
+    if b < 4:
+        return {"ok": False}
+    p = int(cutoff // b) + 1
+    pairs = [(i, j) for i in range(p) for j in range(p)
+             if b * (i + j) <= cutoff]
+    js_by_i = tuple(tuple(j for i2, j in pairs if i2 == i)
+                    for i in range(p))
+    return {"ok": True, "b": b, "p": p, "pairs": tuple(pairs),
+            "js_by_i": js_by_i, "cutoff": int(cutoff),
+            "shapes": tuple(shapes)}
+
+
+def tt_supports_dd(core_shapes: Sequence[Tuple[int, int, int]]) -> bool:
+    """Digit-GEMM TT mode applies while per-dim grids leave >= 4-bit
+    digits (n_d up to ~2^13) and the bond chain is well-formed."""
+    return bool(tt_dd_plan(core_shapes)["ok"])
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled(shapes: Tuple[Tuple[int, int, int], ...], cutoff: int):
+    plan = tt_dd_plan(shapes, cutoff)
+    b = plan["b"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    q_scale = np.float32(2.0 ** _Q_SCALE_LOG2)
+
+    def _one(core_planes, core_scales, lo, hi, pts):
+        uhi = ulo = None
+        for d, (r_l, n_d, r_r) in enumerate(shapes):
+            # Narrow f64: the scaled coordinate and the (N, n_d)
+            # Chebyshev recurrence — same budget class as the dense
+            # path's f64 barycentric rows.
+            x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
+            q = chebyshev_polynomial_matrix(x, n_d)     # (N, n_d) f64
+            qhi, qlo = _split_f64(q * (1.0 / np.float64(q_scale)))
+            r_planes = _digit_planes_pair(qhi, qlo, b, p_r)
+
+            # One bf16 GEMM per row plane against the concatenation of
+            # its allowed core planes; every product is an integer
+            # < 2^24 so the f32 accumulation is exact, and the
+            # power-of-two per-pair scales recombine losslessly.
+            width = r_l * r_r
+            by_scale = {}
+            for i, js in enumerate(js_by_i):
+                if not js:
+                    continue
+                g_all = jnp.dot(r_planes[i], core_planes[d][i],
+                                preferred_element_type=jnp.float32)
+                for k, j in enumerate(js):
+                    g = jax.lax.slice_in_dim(g_all, k * width,
+                                             (k + 1) * width, axis=1)
+                    v = b * (i + 1) + b * (j + 1)
+                    by_scale[v] = g if v not in by_scale else \
+                        by_scale[v] + g
+            ghi = glo = None
+            for v in sorted(by_scale):                  # largest first
+                term = by_scale[v] * np.float32(2.0 ** -v)
+                if ghi is None:
+                    ghi, glo = term, jnp.zeros_like(term)
+                else:
+                    ghi, glo = _dd_add(ghi, glo, term,
+                                       jnp.zeros_like(term))
+            # Undo the two power-of-two pre-scales — exact on both words.
+            back = q_scale * core_scales[d]
+            ghi = ghi * back
+            glo = glo * back
+            ghi = ghi.reshape(-1, r_l, r_r)
+            glo = glo.reshape(-1, r_l, r_r)
+
+            if uhi is None:                             # r_l == 1
+                uhi, ulo = ghi[:, 0, :], glo[:, 0, :]
+                continue
+            # Rank reduction u <- sum_r u[r] * G[r, :] in double-f32:
+            # exact products (Dekker), compensated sums (TwoSum) —
+            # a static unroll over the small bond rank.
+            ph, pl = _dd_mul(uhi[:, :, None], ulo[:, :, None], ghi, glo)
+            ahi, alo = ph[:, 0, :], pl[:, 0, :]
+            for r in range(1, r_l):
+                ahi, alo = _dd_add(ahi, alo, ph[:, r, :], pl[:, r, :])
+            uhi, ulo = ahi, alo
+        return uhi[:, 0].astype(jnp.float64) + ulo[:, 0].astype(
+            jnp.float64)
+
+    @jax.jit
+    def run(core_planes, core_scales, lo, hi, points):
+        per_point = max(
+            (1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * n_d
+            for r_l, n_d, r_r in shapes)
+        return chunked_scalar_map(
+            lambda p: _one(core_planes, core_scales, lo, hi, p),
+            points, per_point * p_r)
+
+    return run, plan
+
+
+# Prepared core digit planes, identity-keyed on the caller's core tuple
+# (sound only for immutable jax arrays — numpy cores are rebuilt per
+# call).  Bounded LRU; slots hold every model of a typical served book.
+_PLANE_CACHE_SLOTS = 16
+_plane_cache: list = []
+
+
+def _core_planes(cores, plan):
+    """Per-dim (scales, per-row-plane concatenated bf16 digit planes)."""
+    key_ok = all(isinstance(c, jax.Array) for c in cores)
+    plan_key = (plan["cutoff"], plan["b"])
+    if key_ok:
+        for i, entry in enumerate(_plane_cache):
+            if (entry[1] == plan_key and len(entry[0]) == len(cores)
+                    and all(a is b for a, b in zip(entry[0], cores))):
+                _plane_cache.insert(0, _plane_cache.pop(i))
+                return entry[2], entry[3]
+
+    b = plan["b"]
+    p_used = 1 + max(j for _, j in plan["pairs"])
+    scales = []
+    planes_all = []
+    for c in cores:
+        host = np.asarray(c, dtype=np.float64)
+        r_l, n_d, r_r = host.shape
+        flat = host.transpose(1, 0, 2).reshape(n_d, r_l * r_r)
+        c_max = float(np.abs(flat).max()) or 1.0
+        scale = 2.0 ** np.ceil(np.log2(c_max))
+        planes_host = _digit_planes_tensor(flat / scale, b, p_used)
+        planes_dev = tuple(
+            jnp.asarray(
+                np.concatenate([planes_host[j] for j in js], axis=1),
+                jnp.bfloat16)
+            if js else jnp.zeros((n_d, 0), jnp.bfloat16)
+            for js in plan["js_by_i"])
+        scales.append(np.float32(scale))
+        planes_all.append(planes_dev)
+    scales = tuple(scales)
+    planes_all = tuple(planes_all)
+    if key_ok:
+        _plane_cache.insert(0, (tuple(cores), plan_key, scales,
+                                planes_all))
+        del _plane_cache[_PLANE_CACHE_SLOTS:]
+    return scales, planes_all
+
+
+def tt_eval_batch_dd(coeff_cores, domain, points,
+                     cutoff: int = None) -> jax.Array:
+    """f64-class batched TT evaluation via exact integer digit GEMMs.
+
+    Same signature family as ``ops.tt_eval.tt_eval_batch``; returns f64
+    results deviating ~1e-11 (scale-normalized) from the true f64 chain
+    at a large multiple of the software-f64 rate on f64-less TPUs.
+
+    ``cutoff`` trades accuracy for throughput exactly like
+    ``ops.eval_dd`` (default ``_PAIR_CUTOFF``; ``FAST_PAIR_CUTOFF`` is
+    the class-level ``mode="fast"`` preset).
+    """
+    shapes = tuple(tuple(int(x) for x in np.shape(c))
+                   for c in coeff_cores)
+    plan = tt_dd_plan(shapes, cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"TT core shapes {shapes} outside the digit-GEMM budget; "
+            f"use ops.tt_eval.tt_eval_batch")
+    run, plan = _compiled(shapes, plan["cutoff"])
+    scales, planes = _core_planes(tuple(coeff_cores), plan)
+    pts = jnp.asarray(points, jnp.float64)
+    dom = np.asarray(domain, dtype=np.float64)
+    return run(planes, scales, jnp.asarray(dom[:, 0]),
+               jnp.asarray(dom[:, 1]), pts)

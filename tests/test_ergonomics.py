@@ -264,3 +264,26 @@ class TestDerivativeIdValidation:
             i = o.get_derivative_id([1, 0])
             with pytest.raises(ValueError, match="not both"):
                 o.eval([0.1, 0.2], [1, 0], derivative_id=i)
+
+
+@pytest.mark.parametrize("key", list(NAMES))
+class TestDescriptorSetter:
+    """set_descriptor validation + persistence on all four classes
+    (reference tests/test_ergonomics.py::TestDescriptor)."""
+
+    def test_non_string_rejected(self, built_all, key):
+        with pytest.raises(TypeError, match="descriptor must be str"):
+            built_all[key].set_descriptor(123)
+
+    def test_pickle_preserves(self, built_all, key, tmp_path):
+        import pickle
+        obj = built_all[key].clone()
+        obj.set_descriptor("label-X")
+        restored = pickle.loads(pickle.dumps(obj))
+        assert restored.get_descriptor() == "label-X"
+
+    def test_mutable_after_build(self, built_all, key):
+        obj = built_all[key].clone()
+        obj.set_descriptor("first")
+        obj.set_descriptor("second")
+        assert obj.get_descriptor() == "second"
