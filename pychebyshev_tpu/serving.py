@@ -15,7 +15,8 @@ one shared compiled kernel when ``n_nodes`` is flat),
 :class:`ChebyshevSlider` (per-slide kernels summed; derivative specs
 route to the owning slide, cross-group partials short-circuit to zero),
 and :class:`ChebyshevTT` (analytic-derivative TT swapped in for
-derivative specs).
+derivative specs; ``dtype="dd"`` serves the TT digit-GEMM tier —
+~1e-13-class deviation at ~100x the software-f64 TT rate).
 
 Example
 -------
@@ -45,8 +46,9 @@ class BatchedEvaluator:
     ----------
     interpolant : any of the four interpolant classes (built).
     dtype : jnp.float32 (throughput), jnp.float64 (parity), or the
-        string ``"dd"`` (dense only: digit-GEMM near-f64 — f64-class
-        accuracy at ~14x the software-f64 rate).
+        string ``"dd"`` (digit-GEMM near-f64 for dense, flat-grid
+        spline, and TT engines — f64-class accuracy at ~14x the
+        software-f64 dense rate, ~100x the TT rate).
     derivative_order : fixed per-dim derivative spec; None = values.
         Dense/spline hoist the spectral passes; TT swaps in the
         analytic derivative TT; slider routes to the owning slide.
@@ -81,8 +83,8 @@ class BatchedEvaluator:
                 f"ChebyshevSpline, ChebyshevSlider, and ChebyshevTT, got "
                 f"{type(interpolant).__name__}"
             )
-        # dtype="dd" = the near-f64 digit-GEMM tier (dense only):
-        # f64-class accuracy (~1e-11) at ~14x software-f64 throughput.
+        # dtype="dd" = the near-f64 digit-GEMM tier (dense, flat
+        # spline, TT): f64-class accuracy without software f64.
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
             from pychebyshev_tpu.ops.eval_dd import supports_dd
@@ -113,12 +115,25 @@ class BatchedEvaluator:
                         f"dtype=jnp.float64 instead"
                     )
                 shape = next(iter(shapes))
+            elif isinstance(interpolant, ChebyshevTT):
+                interpolant._check_built()
+                from pychebyshev_tpu.ops.tt_eval_dd import tt_supports_dd
+                core_shapes = [np.shape(c)
+                               for c in interpolant._coeff_cores]
+                if not tt_supports_dd(core_shapes):
+                    raise ValueError(
+                        f"TT core shapes {core_shapes} are outside the "
+                        f"digit-GEMM plan budget; serve at "
+                        f"dtype=jnp.float64 instead"
+                    )
+                shape = None
             else:
                 raise TypeError(
                     "dtype='dd' (digit-GEMM serving) supports "
-                    "ChebyshevApproximation and flat-grid ChebyshevSpline"
+                    "ChebyshevApproximation, flat-grid ChebyshevSpline, "
+                    "and ChebyshevTT"
                 )
-            if not supports_dd(shape):
+            if shape is not None and not supports_dd(shape):
                 raise ValueError(
                     f"grid shape {shape} is outside the digit-GEMM "
                     f"plan budget; serve at dtype=jnp.float64 instead"
@@ -335,6 +350,9 @@ class BatchedEvaluator:
             return self._run_piece(points, 0)
         if self._kind == "slider":
             return self._run_slider(points)
+        if self._dd:
+            from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
+            return tt_eval_batch_dd(self._cores, self._domain, points)
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
         return tt_eval_batch(self._cores, self._domain, points)
 

@@ -606,9 +606,13 @@ class TestDigitGemmServing:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-8
 
-    def test_rejects_tt_and_slider(self, tt):
+    def test_rejects_slider(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        sl = ChebyshevSlider(lambda x, _: x[0] + x[1], 2, [[-1, 1]] * 2,
+                             [7, 7], [[0], [1]], [0.0, 0.0])
+        sl.build(verbose=False)
         with pytest.raises(TypeError, match="dd"):
-            BatchedEvaluator(tt, dtype="dd")
+            BatchedEvaluator(sl, dtype="dd")
 
     def test_unsupported_grid_detected(self):
         # Grids whose right group exceeds the digit budget are refused
@@ -754,3 +758,33 @@ class TestMultiSpecHoisting:
         with pytest.raises(ValueError, match="divisible"):
             MultiSpecEvaluator(cheb, [[0, 0, 0]], mesh=make_mesh(2),
                                bucket_sizes=(129,))
+
+
+class TestDigitGemmTTServing:
+    """dtype='dd' on a ChebyshevTT: the TT digit-GEMM tier through the
+    bucket engine (ops/tt_eval_dd.py)."""
+
+    def test_matches_f64_chain(self, tt, pts):
+        eng = BatchedEvaluator(tt, dtype="dd", bucket_sizes=(512,))
+        got = eng(pts)                       # 777 pts -> 2-bucket split
+        want = tt.eval_batch(pts)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
+
+    def test_derivative_spec_uses_analytic_tt(self, tt, pts):
+        eng = BatchedEvaluator(tt, dtype="dd",
+                               derivative_order=(1, 0, 0),
+                               bucket_sizes=(256,))
+        got = eng(pts[:200])
+        want = tt.differentiate([1, 0, 0]).eval_batch(pts[:200])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-10
+
+    def test_dd_composes_with_neither_mesh_nor_fused(self, tt):
+        with pytest.raises(ValueError, match="single-device"):
+            BatchedEvaluator(tt, dtype="dd", use_fused=True)
+
+    def test_unbuilt_tt_rejected(self):
+        t = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=4)
+        with pytest.raises(RuntimeError, match="build"):
+            BatchedEvaluator(t, dtype="dd")
