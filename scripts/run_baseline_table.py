@@ -314,6 +314,18 @@ def run_tt(batch_n):
     cores = tuple(jnp.asarray(c) for c in tt._coeff_cores)
     dom = np.asarray(tt_domain)
     ptsq = jnp.asarray(sample_box(tt_domain, batch_n, seed=3))
+    # Digit-GEMM TT tier BEFORE the f64 chain (sustained software-f64
+    # degrades subsequent timings on this platform — CLAUDE.md).
+    from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
+    dt_dd = time_fn(lambda p: tt_eval_batch_dd(cores, dom, p), ptsq)
+    dd_vals = np.asarray(tt_eval_batch_dd(cores, dom,
+                                          jnp.asarray(pts50)))
+    dd_dev = np.abs(dd_vals - np.asarray(vals)).max() / \
+        np.abs(vals).max()
+    row(C, "batched digit-GEMM (near-f64) throughput",
+        f"{batch_n / dt_dd:,.0f} q/s", "—",
+        f"dev from f64 chain {dd_dev:.1e}")
+
     dt = time_fn(lambda p: tt_eval_batch(cores, dom, p), ptsq)
     row(C, "batched f64 throughput", f"{batch_n / dt:,.0f} q/s",
         "250,000 q/s (0.004 ms/pt)", "BASELINE.md:25")
