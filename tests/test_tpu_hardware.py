@@ -248,3 +248,38 @@ class TestRound3FixesOnChip:
         np.testing.assert_array_equal(a, b)
         want = pts[:, 0] * pts[:, 1] + pts[:, 2]
         np.testing.assert_allclose(a, want, atol=1e-6)
+
+
+class TestTTDigitGemmOnChip:
+    """The TT digit-GEMM chain's exactness claims under real TPU
+    lowering: integer bf16 MXU products must accumulate exactly and the
+    double-f32 rank chain must survive XLA's TPU passes (the CPU suite
+    pins the same contract in the interpret path)."""
+
+    def test_tt_dd_near_f64_on_chip(self):
+        from pychebyshev_tpu import ChebyshevTT
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
+        tt = ChebyshevTT(bs_price, 5, DOMAIN, [11] * 5, max_rank=12,
+                         vectorized=True)
+        tt.build(verbose=False, seed=1)
+        cores = tuple(jnp.asarray(c) for c in tt._coeff_cores)
+        dom = np.asarray(DOMAIN)
+        pts = np.stack([np.random.default_rng(11).uniform(lo, hi, 2048)
+                        for lo, hi in DOMAIN], axis=1)
+        ref = np.asarray(tt_eval_batch(cores, dom, jnp.asarray(pts)))
+        got = np.asarray(tt_eval_batch_dd(cores, dom, jnp.asarray(pts)))
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-11
+
+    def test_tt_dd_fast_mode_on_chip(self):
+        from pychebyshev_tpu import ChebyshevTT
+        tt = ChebyshevTT(lambda x, _: np.exp(-x[:, 0]) *
+                         np.sin(x.sum(axis=1)), 4, [[0, 1]] * 4,
+                         [9] * 4, max_rank=8, vectorized=True)
+        tt.build(verbose=False, seed=2)
+        pts = np.random.default_rng(5).uniform(0.05, 0.95, (1024, 4))
+        ref = tt.eval_batch(pts)
+        fast = tt.eval_batch_dd(pts, mode="fast")
+        scale = np.abs(ref).max()
+        assert np.abs(fast - ref).max() / scale < 1e-8
