@@ -81,6 +81,23 @@ _PAIR_CUTOFF = 44
 FAST_PAIR_CUTOFF = 36
 
 
+def pair_schedule(b_r: int, b_t: int, cutoff: int):
+    """Digit-pair list and per-row-plane GEMM grouping for a cutoff.
+
+    GEMMs group per row plane i: one dot against the concatenation of
+    that i's allowed tensor planes — each wide row plane is read from
+    HBM once instead of once per pair.  Shared by the dense, TT, and
+    slider digit plans.
+    """
+    p_r = int(cutoff // b_r) + 1
+    p_t = int(cutoff // b_t) + 1
+    pairs = tuple((i, j) for i in range(p_r) for j in range(p_t)
+                  if b_r * i + b_t * j <= cutoff)
+    js_by_i = tuple(tuple(j for i2, j in pairs if i2 == i)
+                    for i in range(p_r))
+    return pairs, js_by_i
+
+
 def dd_plan(shape: Sequence[int], cutoff: int = None) -> dict:
     """Static plan: group split, digit widths, GEMM pair list.
 
@@ -112,18 +129,11 @@ def dd_plan(shape: Sequence[int], cutoff: int = None) -> dict:
     b_r = min(7, bits_budget - b_t)
     if b_t < 4:
         return {"ok": False}
-    p_r = int(cutoff // b_r) + 1
-    p_t = int(cutoff // b_t) + 1
-    pairs = [(i, j) for i in range(p_r) for j in range(p_t)
-             if b_r * i + b_t * j <= cutoff]
-    # GEMMs group per row plane i: one dot against the concatenation of
-    # that i's allowed tensor planes — each wide (N, nR) row plane is
-    # read from HBM once instead of once per pair.
-    js_by_i = tuple(tuple(j for i2, j in pairs if i2 == i)
-                    for i in range(p_r))
+    pairs, js_by_i = pair_schedule(b_r, b_t, cutoff)
     return {"ok": True, "s": s, "n_left": n_left, "n_right": n_right,
-            "b_r": b_r, "b_t": b_t, "p_r": p_r, "p_t": p_t,
-            "pairs": tuple(pairs), "js_by_i": js_by_i,
+            "b_r": b_r, "b_t": b_t,
+            "p_r": int(cutoff // b_r) + 1, "p_t": int(cutoff // b_t) + 1,
+            "pairs": pairs, "js_by_i": js_by_i,
             "cutoff": int(cutoff)}
 
 

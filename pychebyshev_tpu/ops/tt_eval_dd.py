@@ -52,6 +52,7 @@ from pychebyshev_tpu.ops.eval_dd import (
     _digit_planes_tensor,
     _split_f64,
     _dd_mul,
+    pair_schedule,
 )
 
 __all__ = ["tt_eval_batch_dd", "tt_supports_dd", "tt_dd_plan"]
@@ -104,10 +105,7 @@ def tt_dd_plan(core_shapes: Sequence[Tuple[int, int, int]],
     if b < 4:
         return {"ok": False}
     p = int(cutoff // b) + 1
-    pairs = [(i, j) for i in range(p) for j in range(p)
-             if b * (i + j) <= cutoff]
-    js_by_i = tuple(tuple(j for i2, j in pairs if i2 == i)
-                    for i in range(p))
+    pairs, js_by_i = pair_schedule(b, b, cutoff)
     return {"ok": True, "b": b, "p": p, "pairs": tuple(pairs),
             "js_by_i": js_by_i, "cutoff": int(cutoff),
             "shapes": tuple(shapes)}

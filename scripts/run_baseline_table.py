@@ -437,7 +437,7 @@ def run_spline(batch_n):
 # Config 4: 10-D slider basket + auto-N
 # ---------------------------------------------------------------------------
 
-def run_slider():
+def run_slider(batch_n):
     from pychebyshev_tpu import ChebyshevApproximation, ChebyshevSlider
 
     C = "10-D slider basket"
@@ -463,6 +463,23 @@ def run_slider():
     err = np.abs(slider.eval_batch(pts) - basket(pts)).max()
     row(C, "max abs err (5000 pts, f additive => exact)", f"{err:.1e}",
         "—", "")
+
+    # Serving throughput: f32 engine first, f64 after (platform rule).
+    from pychebyshev_tpu.serving import BatchedEvaluator
+    ptsq = sample_box(dom, batch_n, seed=5)
+    eng32 = BatchedEvaluator(slider, dtype=jnp.float32,
+                             bucket_sizes=(batch_n,))
+    dt32 = time_fn(lambda p: eng32._run(jnp.asarray(p, jnp.float32)),
+                   jnp.asarray(ptsq, jnp.float32))
+    row(C, "batched f32 serving engine throughput",
+        f"{batch_n / dt32:,.0f} q/s", "—",
+        "per-slide kernels, one additive sum")
+    eng64 = BatchedEvaluator(slider, dtype=jnp.float64,
+                             bucket_sizes=(batch_n,))
+    dt64 = time_fn(lambda p: eng64._run(jnp.asarray(p, jnp.float64)),
+                   jnp.asarray(ptsq), iters=4, reps=2)
+    row(C, "batched f64 serving engine throughput",
+        f"{batch_n / dt64:,.0f} q/s", "—", "software f64 on TPU")
 
     total = slider.integrate()
     exact_int = 0.25 * D * (2.0 / 3.0) * 2.0 ** (D - 1)
@@ -590,7 +607,7 @@ def main():
     run_dense(batch_n)
     run_tt(batch_n)
     run_spline(batch_n)
-    run_slider()
+    run_slider(batch_n)
     run_portfolio()
 
     md = render_markdown()
