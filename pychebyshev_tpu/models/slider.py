@@ -264,6 +264,52 @@ class ChebyshevSlider:
 
     vectorized_eval_batch = eval_batch
 
+    def eval_batch_dd(self, points, derivative_order=None,
+                      mode: str = "accurate") -> np.ndarray:
+        """Near-f64 batched evaluation via one digit-GEMM.
+
+        The slider analog of the dense/TT ``eval_batch_dd``
+        (``ops.slider_eval.slider_batch_dd``): the additive sum
+        collapses to a single contraction of the concatenated per-slide
+        barycentric row blocks against the stacked slide tensors, run
+        as exact integer bf16 digit GEMMs — f64-class accuracy without
+        software f64.  Derivative specs keep reference routing (owning
+        slide only; cross-group partials are exact zeros).  Falls back
+        to the f64 path when slide shapes exceed the digit budget.
+
+        ``mode``: ``"accurate"`` (default) or ``"fast"``.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before eval_batch_dd().")
+        if mode not in ("accurate", "fast"):
+            raise ValueError(
+                f"mode must be 'accurate' or 'fast', got {mode!r}")
+        points = np.asarray(points, dtype=np.float64)
+        if derivative_order is None:
+            derivative_order = [0] * self.num_dimensions
+        if len(derivative_order) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(derivative_order)} does "
+                f"not match num_dimensions {self.num_dimensions}"
+            )
+        from pychebyshev_tpu.ops import eval_dd as _dd
+        from pychebyshev_tpu.ops.slider_eval import (
+            slider_batch_dd,
+            slider_dd_plan,
+        )
+
+        slide_data = tuple(
+            (s.tensor_values,) + s._grid_tuples() for s in self.slides)
+        groups = tuple(tuple(int(d) for d in g) for g in self.partition)
+        shapes = [np.shape(sd[0]) for sd in slide_data]
+        if not slider_dd_plan(shapes)["ok"]:
+            return self.eval_batch(points, derivative_order)
+        cutoff = (_dd.FAST_PAIR_CUTOFF if mode == "fast" else None)
+        out = slider_batch_dd(slide_data, self.pivot_value, groups,
+                              points, orders=derivative_order,
+                              cutoff=cutoff)
+        return np.asarray(out)
+
     def _multi_spec_plans(self, orders_list):
         """Routing plan per derivative spec, under Eq. 7.5's additive
         decomposition: ``("value",)`` for a pure value spec,

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from pychebyshev_tpu.ops import eval as eval_ops
 
-__all__ = ["slider_value_batch", "slider_multi_batch"]
+__all__ = ["slider_value_batch", "slider_multi_batch",
+           "slider_batch_dd", "slider_dd_plan"]
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -91,3 +92,221 @@ def slider_multi_batch(slide_data, pivot_value,
         else:
             rows.append(jnp.zeros(pts.shape[0], dtype=pts.dtype))
     return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# Near-f64 slider serving: the digit-GEMM additive sum.
+#
+# The slider value is ``sum_G s_G(x_G) - (S-1) * pivot`` — a SINGLE dot
+# product once every slide's barycentric row block is concatenated:
+# out[n] = rows[n, :] @ concat(slide tensors) with rows (N, K),
+# K = sum of slide grid sizes (~90 for a 10-D all-singleton slider).
+# That one contraction gets the ops.eval_dd treatment: double-f32 row
+# blocks, signed bf16 digit planes, exact integer MXU products,
+# branch-free TwoSum recombination.  A derivative spec keeps the same
+# kernel with only the owning slide active (cross-group partials are
+# identically zero, reference slider semantics).
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+from pychebyshev_tpu.ops.eval import (
+    apply_derivative_passes,
+    barycentric_coefficients,
+    chunked_scalar_map,
+)
+from pychebyshev_tpu.ops.eval_dd import (
+    _WR_SCALE_LOG2,
+    _digit_planes_pair,
+    _digit_planes_tensor,
+    _khatri_rao_dd,
+    _split_f64,
+    pair_schedule,
+)
+from pychebyshev_tpu.ops import eval_dd as _eval_dd
+
+
+def slider_dd_plan(active_shapes, cutoff: int = None) -> dict:
+    """Static digit plan for the concatenated-slide contraction.
+
+    MXU exactness needs ``K * 2^(b_r + b_t) < 2^24`` with K the TOTAL
+    concatenated width; the Lebesgue row bound behind ``_WR_SCALE_LOG2``
+    covers per-slide groups of <= 3 dims (reference sliders are 1-3).
+    """
+    if cutoff is None:
+        cutoff = _eval_dd._PAIR_CUTOFF
+    shapes = [tuple(int(x) for x in s) for s in active_shapes]
+    if not shapes or any(len(s) > 3 for s in shapes):
+        return {"ok": False}
+    k_total = int(sum(np.prod(s) for s in shapes))
+    bits_budget = 24 - int(np.ceil(np.log2(k_total)))
+    b_t = min(6, bits_budget - 6)
+    b_r = min(7, bits_budget - b_t)
+    if b_t < 4:
+        return {"ok": False}
+    pairs, js_by_i = pair_schedule(b_r, b_t, cutoff)
+    return {"ok": True, "k_total": k_total, "b_r": b_r, "b_t": b_t,
+            "pairs": pairs, "js_by_i": js_by_i, "cutoff": int(cutoff)}
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_slider_dd(shapes: Tuple[Tuple[int, ...], ...],
+                        groups: Tuple[Tuple[int, ...], ...],
+                        active: Tuple[int, ...], with_pivot: bool,
+                        cutoff: int):
+    plan = slider_dd_plan([shapes[i] for i in active], cutoff)
+    b_r = plan["b_r"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
+    n_active = len(active)
+
+    def _one(tensor_planes, t_scale, grids, pivot, pts):
+        # Per-slide barycentric rows in f64 (narrow), Khatri-Rao'd in
+        # double-f32 within each group, concatenated across slides.
+        his, los = [], []
+        for k, idx in enumerate(active):
+            nodes, weights = grids[k]
+            group = groups[idx]
+            rows = [barycentric_coefficients(pts[:, g], nodes[j],
+                                             weights[j])
+                    for j, g in enumerate(group)]
+            pairs = [_split_f64(rows[0] * (1.0 / wr_scale))] + \
+                [_split_f64(r) for r in rows[1:]]
+            qhi, qlo = _khatri_rao_dd(pairs)
+            his.append(qhi)
+            los.append(qlo)
+        qhi = his[0] if n_active == 1 else jnp.concatenate(his, axis=1)
+        qlo = los[0] if n_active == 1 else jnp.concatenate(los, axis=1)
+        r_planes = _digit_planes_pair(qhi, qlo, b_r, p_r)
+
+        by_scale = {}
+        for i, js in enumerate(js_by_i):
+            if not js:
+                continue
+            g_all = jnp.dot(r_planes[i], tensor_planes[i],
+                            preferred_element_type=jnp.float32)
+            for k, j in enumerate(js):
+                g = jax.lax.slice_in_dim(g_all, k, k + 1, axis=1)
+                v = b_r * (i + 1) + plan["b_t"] * (j + 1)
+                by_scale[v] = g if v not in by_scale else by_scale[v] + g
+        acc = comp = None
+        for v in sorted(by_scale):                      # largest first
+            term = by_scale[v] * np.float32(2.0 ** -v)
+            if acc is None:
+                acc, comp = term, jnp.zeros_like(term)
+            else:
+                snew = acc + term
+                bv = snew - acc
+                err = (acc - (snew - bv)) + (term - bv)
+                acc, comp = snew, comp + err
+        y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+            * (wr_scale * t_scale)
+        out = y[:, 0]
+        if with_pivot:
+            out = out - (n_active - 1) * pivot
+        return out
+
+    @jax.jit
+    def run(tensor_planes, t_scale, grids, pivot, points):
+        return chunked_scalar_map(
+            lambda p: _one(tensor_planes, t_scale, grids, pivot, p),
+            points, plan["k_total"] * (p_r + 2))
+
+    return run, plan
+
+
+# Identity-keyed cache of the concatenated block vector's digit planes
+# (sound for immutable jax-array slide tensors only; numpy rebuilt).
+_slider_plane_cache: list = []
+_SLIDER_CACHE_SLOTS = 8
+
+
+def _slider_planes(slide_data, active, orders_key, plan):
+    tensors = tuple(slide_data[i][0] for i in active)
+    key_ok = all(isinstance(t, jax.Array) for t in tensors)
+    plan_key = (plan["cutoff"], plan["b_t"], orders_key)
+    if key_ok:
+        for i, entry in enumerate(_slider_plane_cache):
+            if (entry[1] == plan_key and len(entry[0]) == len(tensors)
+                    and all(a is b for a, b in zip(entry[0], tensors))):
+                _slider_plane_cache.insert(
+                    0, _slider_plane_cache.pop(i))
+                return entry[2], entry[3]
+
+    blocks = []
+    for k, idx in enumerate(active):
+        tensor, nodes, weights, diffs = slide_data[idx]
+        t64 = jnp.asarray(tensor, jnp.float64)
+        sub_orders = orders_key[k]
+        if any(o > 0 for o in sub_orders):
+            t64 = apply_derivative_passes(
+                t64, tuple(jnp.asarray(m, jnp.float64) for m in diffs),
+                sub_orders)
+        blocks.append(np.asarray(t64, dtype=np.float64).ravel())
+    vec = np.concatenate(blocks)
+    t_max = float(np.abs(vec).max()) or 1.0
+    t_scale = 2.0 ** np.ceil(np.log2(t_max))
+    p_t_used = 1 + max(j for _, j in plan["pairs"])
+    planes_host = _digit_planes_tensor(vec[:, None] / t_scale,
+                                       plan["b_t"], p_t_used)
+    tensor_planes = tuple(
+        jnp.asarray(np.concatenate([planes_host[j] for j in js],
+                                   axis=1), jnp.bfloat16)
+        if js else jnp.zeros((plan["k_total"], 0), jnp.bfloat16)
+        for js in plan["js_by_i"])
+
+    if key_ok:
+        _slider_plane_cache.insert(0, (tensors, plan_key, t_scale,
+                                       tensor_planes))
+        del _slider_plane_cache[_SLIDER_CACHE_SLOTS:]
+    return t_scale, tensor_planes
+
+
+def slider_batch_dd(slide_data, pivot_value, groups, points,
+                    orders=None, cutoff: int = None) -> jax.Array:
+    """f64-class batched slider evaluation via one digit-GEMM.
+
+    ``orders`` (per GLOBAL dim) routes like the f64 path: all-zero =
+    the additive value sum; orders confined to one group = that slide's
+    derivative (no pivot term); cross-group orders = exact zeros.
+    Raises ValueError when the plan is outside the digit budget
+    (callers fall back to ``slider_value_batch``).
+    """
+    groups = tuple(tuple(int(d) for d in g) for g in groups)
+    n_dims = sum(len(g) for g in groups)
+    if orders is None:
+        orders = (0,) * n_dims
+    orders = tuple(int(o) for o in orders)
+    pts = jnp.asarray(points, jnp.float64)
+
+    owning = {gi for gi, g in enumerate(groups)
+              if any(orders[d] > 0 for d in g)}
+    if len(owning) > 1:
+        return jnp.zeros(pts.shape[0], jnp.float64)
+    if owning:
+        active = (owning.pop(),)
+        with_pivot = False
+    else:
+        active = tuple(range(len(groups)))
+        with_pivot = True
+
+    shapes = tuple(tuple(int(x) for x in np.shape(sd[0]))
+                   for sd in slide_data)
+    plan = slider_dd_plan([shapes[i] for i in active], cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"slider slide shapes {[shapes[i] for i in active]} outside "
+            f"the digit-GEMM budget; use slider_value_batch")
+    run, plan = _compiled_slider_dd(shapes, groups, active, with_pivot,
+                                    plan["cutoff"])
+    orders_key = tuple(tuple(orders[d] for d in groups[i])
+                       for i in active)
+    t_scale, tensor_planes = _slider_planes(slide_data, active,
+                                            orders_key, plan)
+    grids = tuple(
+        (tuple(jnp.asarray(a, jnp.float64) for a in slide_data[i][1]),
+         tuple(jnp.asarray(a, jnp.float64) for a in slide_data[i][2]))
+        for i in active)
+    return run(tensor_planes, jnp.asarray(t_scale, jnp.float64), grids,
+               jnp.asarray(pivot_value, jnp.float64), pts)

@@ -127,11 +127,24 @@ class BatchedEvaluator:
                         f"dtype=jnp.float64 instead"
                     )
                 shape = None
+            elif isinstance(interpolant, ChebyshevSlider):
+                if not interpolant._built:
+                    raise RuntimeError("interpolant is not built")
+                from pychebyshev_tpu.ops.slider_eval import slider_dd_plan
+                slide_shapes = [np.shape(s.tensor_values)
+                                for s in interpolant.slides]
+                if not slider_dd_plan(slide_shapes)["ok"]:
+                    raise ValueError(
+                        f"slider slide shapes {slide_shapes} are outside "
+                        f"the digit-GEMM plan budget; serve at "
+                        f"dtype=jnp.float64 instead"
+                    )
+                shape = None
             else:
                 raise TypeError(
                     "dtype='dd' (digit-GEMM serving) supports "
                     "ChebyshevApproximation, flat-grid ChebyshevSpline, "
-                    "and ChebyshevTT"
+                    "ChebyshevTT, and ChebyshevSlider"
                 )
             if shape is not None and not supports_dd(shape):
                 raise ValueError(
@@ -363,11 +376,26 @@ class BatchedEvaluator:
         if self._slider_mode == "derivative":
             tensor, nodes, weights, diffs = self._slide_arrays[0]
             group = self._slider_groups[0]
+            if self._dd:
+                # One-slide digit-GEMM; the snapshot tensor already
+                # carries the derivative passes, and a single active
+                # slide has no pivot correction term.
+                from pychebyshev_tpu.ops.slider_eval import (
+                    slider_batch_dd,
+                )
+                return slider_batch_dd(
+                    (self._slide_arrays[0],), 0.0,
+                    (tuple(range(len(group))),), points[:, group])
             return eval_batch(tensor, nodes, weights, diffs,
                               points[:, group], (0,) * len(group))
-        from pychebyshev_tpu.ops.slider_eval import slider_value_batch
         groups = tuple(tuple(int(d) for d in g)
                        for g in self._slider_groups)
+        if self._dd:
+            from pychebyshev_tpu.ops.slider_eval import slider_batch_dd
+            return slider_batch_dd(
+                tuple(self._slide_arrays), self._pivot_value, groups,
+                points)
+        from pychebyshev_tpu.ops.slider_eval import slider_value_batch
         return slider_value_batch(
             tuple(self._slide_arrays),
             jnp.asarray(self._pivot_value, self.dtype), groups, points)

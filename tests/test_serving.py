@@ -606,13 +606,17 @@ class TestDigitGemmServing:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-8
 
-    def test_rejects_slider(self):
+    def test_slider_dd_now_supported(self):
+        # All four families carry the dd tier; the slider engine's
+        # parity lives in tests/test_slider_dd.py.
         from pychebyshev_tpu import ChebyshevSlider
         sl = ChebyshevSlider(lambda x, _: x[0] + x[1], 2, [[-1, 1]] * 2,
                              [7, 7], [[0], [1]], [0.0, 0.0])
         sl.build(verbose=False)
-        with pytest.raises(TypeError, match="dd"):
-            BatchedEvaluator(sl, dtype="dd")
+        eng = BatchedEvaluator(sl, dtype="dd", bucket_sizes=(64,))
+        pts = np.random.default_rng(1).uniform(-1, 1, (50, 2))
+        np.testing.assert_allclose(eng(pts), sl.eval_batch(pts),
+                                   rtol=0, atol=1e-11)
 
     def test_unsupported_grid_detected(self):
         # Grids whose right group exceeds the digit budget are refused

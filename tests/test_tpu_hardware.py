@@ -283,3 +283,24 @@ class TestTTDigitGemmOnChip:
         fast = tt.eval_batch_dd(pts, mode="fast")
         scale = np.abs(ref).max()
         assert np.abs(fast - ref).max() / scale < 1e-8
+
+
+class TestSliderDigitGemmOnChip:
+    def test_slider_dd_near_f64_on_chip(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        D = 8
+        w = np.linspace(0.5, 1.5, D)
+
+        def basket(p, _=None):
+            p = np.asarray(p, dtype=np.float64)
+            return (np.sum(w * np.sin(p), axis=1)
+                    + 0.25 * np.sum(p ** 2, axis=1))
+
+        sl = ChebyshevSlider(basket, D, [[-1.0, 1.0]] * D, [9] * D,
+                             [[i] for i in range(D)], [0.0] * D,
+                             vectorized=True)
+        sl.build(verbose=False)
+        pts = np.random.default_rng(13).uniform(-1, 1, (2048, D))
+        ref = sl.eval_batch(pts)
+        got = sl.eval_batch_dd(pts)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
