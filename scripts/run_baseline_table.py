@@ -474,6 +474,19 @@ def run_slider(batch_n):
     row(C, "batched f32 serving engine throughput",
         f"{batch_n / dt32:,.0f} q/s", "—",
         "per-slide kernels, one additive sum")
+    from pychebyshev_tpu.ops.slider_eval import slider_batch_dd
+    sdata = tuple((s.tensor_values,) + s._grid_tuples()
+                  for s in slider.slides)
+    sgroups = tuple(tuple(g) for g in slider.partition)
+    dt_dd = time_fn(lambda p: slider_batch_dd(
+        sdata, slider.pivot_value, sgroups, p), jnp.asarray(ptsq))
+    dd_small = np.asarray(slider_batch_dd(
+        sdata, slider.pivot_value, sgroups, pts[:2048]))
+    dd_dev = np.abs(dd_small - slider.eval_batch(pts[:2048])).max() / \
+        np.abs(dd_small).max()
+    row(C, "batched digit-GEMM (near-f64) throughput",
+        f"{batch_n / dt_dd:,.0f} q/s", "—",
+        f"one concatenated digit-GEMM; dev from f64 {dd_dev:.1e}")
     eng64 = BatchedEvaluator(slider, dtype=jnp.float64,
                              bucket_sizes=(batch_n,))
     dt64 = time_fn(lambda p: eng64._run(jnp.asarray(p, jnp.float64)),
