@@ -59,7 +59,8 @@ from pychebyshev_tpu.ops.eval import (
     barycentric_coefficients,
 )
 
-__all__ = ["eval_batch_dd", "supports_dd", "dd_plan"]
+__all__ = ["eval_batch_dd", "eval_batch_dd_multi", "supports_dd",
+           "dd_plan", "pair_schedule"]
 
 # Row factors are products of normalized barycentric rows; the Lebesgue
 # bound for Chebyshev-1 grids keeps |row| < ~2.6 per dim, so a fixed
@@ -259,7 +260,7 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
     # temporaries into HBM round-trips).
     chunk = max(512, (1 << 21) // max(n_right, 1))
 
-    def _one(tensor_planes, t_scale, nodes, weights, pts):
+    def _row_planes(pts, nodes, weights):
         rows = [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
                 for d in range(n_dims)]
         w_left = _khatri_rao(rows[:s])               # (N, nL) f64, small
@@ -271,8 +272,9 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
         right_pairs = [_split_f64(scaled_first)] + \
             [_split_f64(r) for r in rows[s + 1:]]
         qhi, qlo = _khatri_rao_dd(right_pairs)
-        r_planes = _digit_planes_pair(qhi, qlo, b_r, p_r)
+        return w_left, _digit_planes_pair(qhi, qlo, b_r, p_r)
 
+    def _spec_value(w_left, r_planes, tensor_planes, t_scale):
         # Each GEMM output is an exact integer-valued f32 and the
         # per-pair scale is a power of two, so every term is exactly
         # representable in f32.  GEMMs run one-per-row-plane against the
@@ -310,6 +312,18 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
             * (wr_scale * t_scale)                   # (N, nL) f64
         return jnp.sum(w_left * y, axis=1)
 
+    def _one(tensor_planes, t_scale, nodes, weights, pts):
+        w_left, r_planes = _row_planes(pts, nodes, weights)
+        return _spec_value(w_left, r_planes, tensor_planes, t_scale)
+
+    def _one_multi(spec_planes, spec_scales, nodes, weights, pts):
+        # M specs share ONE row-plane build (the dominant per-point
+        # cost); each spec adds only its GEMM ladder.
+        w_left, r_planes = _row_planes(pts, nodes, weights)
+        return jnp.stack(
+            [_spec_value(w_left, r_planes, tp, ts)
+             for tp, ts in zip(spec_planes, spec_scales)], axis=1)
+
     @jax.jit
     def run(tensor_planes, t_scale, nodes, weights, points):
         n = points.shape[0]
@@ -323,7 +337,22 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
             chunks)
         return out.reshape(-1)[:n]
 
-    return run, plan
+    @jax.jit
+    def run_multi(spec_planes, spec_scales, nodes, weights, points):
+        n = points.shape[0]
+        m = len(spec_planes)
+        if n <= chunk:
+            return _one_multi(spec_planes, spec_scales, nodes, weights,
+                              points)
+        pad = (-n) % chunk
+        padded = jnp.pad(points, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, points.shape[1])
+        out = jax.lax.map(
+            lambda p: _one_multi(spec_planes, spec_scales, nodes,
+                                 weights, p), chunks)
+        return out.reshape(-1, m)[:n]
+
+    return run, run_multi, plan
 
 
 # Small strong-reference LRU of prepared tensor digit planes.  Keyed by
@@ -417,7 +446,7 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
             f"use ops.eval.eval_batch"
         )
 
-    run, plan = _compiled(shape, d, cutoff)
+    run, _, plan = _compiled(shape, d, cutoff)
     t_scale, tensor_planes = _tensor_planes(tensor, diff_matrices,
                                             tuple(orders), plan)
     pts = jnp.asarray(points, jnp.float64)
@@ -426,3 +455,44 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
                       for k in range(d))
     return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
                nodes64, weights64, pts)
+
+
+def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,
+                        specs, cutoff: int = None) -> jax.Array:
+    """Batch x multi-spec digit-GEMM evaluation -> (N, len(specs)).
+
+    The near-f64 analog of ``ops.eval.eval_batch_multi``: a whole Greek
+    report at ~1e-11 deviation in ONE dispatch.  All specs share one
+    double-f32 row-plane build (the dominant per-point cost); each spec
+    adds only its ~7 exact GEMMs against its own (cached,
+    pre-differentiated) tensor planes.
+    """
+    shape = tuple(int(n) for n in tensor.shape)
+    d = len(shape)
+    specs = tuple(tuple(int(o) for o in s) for s in specs)
+    for s in specs:
+        if len(s) != d:
+            raise ValueError(
+                f"spec {s} length != tensor ndim {d}")
+    if not supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use ops.eval.eval_batch_multi"
+        )
+    pts = jnp.asarray(points, jnp.float64)
+    if not specs:
+        return jnp.zeros((pts.shape[0], 0), jnp.float64)
+
+    _, run_multi, plan = _compiled(shape, d, cutoff)
+    spec_scales = []
+    spec_planes = []
+    for orders in specs:
+        t_scale, tensor_planes = _tensor_planes(tensor, diff_matrices,
+                                                orders, plan)
+        spec_scales.append(jnp.asarray(t_scale, jnp.float64))
+        spec_planes.append(tensor_planes)
+    nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
+    weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
+                      for k in range(d))
+    return run_multi(tuple(spec_planes), tuple(spec_scales), nodes64,
+                     weights64, pts)

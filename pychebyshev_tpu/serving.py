@@ -598,6 +598,30 @@ class MultiSpecEvaluator:
                 "ChebyshevSpline, and ChebyshevSlider objects (TT "
                 "models: differentiate() per spec + MultiModelEvaluator)"
             )
+        # dtype="dd": the near-f64 digit-GEMM report (dense only) — one
+        # shared row-plane build, per-spec exact GEMM ladders.
+        self._dd = (isinstance(dtype, str) and dtype == "dd")
+        if self._dd:
+            if not isinstance(interpolant, ChebyshevApproximation):
+                raise TypeError(
+                    "dtype='dd' multi-spec serving supports "
+                    "ChebyshevApproximation only (spline/slider: use "
+                    "per-spec BatchedEvaluator dd engines)"
+                )
+            if interpolant.tensor_values is None:
+                raise RuntimeError("interpolant is not built")
+            from pychebyshev_tpu.ops.eval_dd import supports_dd
+            shape = tuple(interpolant.tensor_values.shape)
+            if not supports_dd(shape):
+                raise ValueError(
+                    f"grid shape {shape} is outside the digit-GEMM "
+                    f"plan budget; serve at dtype=jnp.float64 instead"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "dtype='dd' is single-device XLA; it does not "
+                    "compose with mesh")
+            dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
         self.num_dimensions = interpolant.num_dimensions
@@ -635,9 +659,15 @@ class MultiSpecEvaluator:
             # instead of re-running the D^k chains inside every
             # dispatch.
             from pychebyshev_tpu.ops.eval import apply_derivative_passes
-            self._spec_tensors = tuple(
-                apply_derivative_passes(tensor, self._diffs, s)
-                for s in self.specs)
+            if self._dd:
+                # The dd path folds each spec's derivative passes into
+                # its cached digit planes at first use.
+                self._tensor = tensor
+                self._spec_tensors = ()
+            else:
+                self._spec_tensors = tuple(
+                    apply_derivative_passes(tensor, self._diffs, s)
+                    for s in self.specs)
         elif isinstance(interpolant, ChebyshevSpline):
             if not interpolant._built:
                 raise RuntimeError("interpolant is not built")
@@ -690,6 +720,14 @@ class MultiSpecEvaluator:
 
     def _run(self, points: jax.Array, *aux) -> jax.Array:
         if self._kind == "dense":
+            if self._dd:
+                from pychebyshev_tpu.ops.eval_dd import (
+                    eval_batch_dd_multi,
+                )
+                # (N, M) -> the runner contract's (M, N).
+                return eval_batch_dd_multi(
+                    self._tensor, self._nodes, self._weights,
+                    self._diffs, points, self.specs).T
             from pychebyshev_tpu.ops.eval import eval_batch_models
             return eval_batch_models(
                 self._spec_tensors, self._nodes, self._weights,

@@ -190,3 +190,81 @@ class TestPlanBoundaries:
         second = np.asarray(eval_dd.eval_batch_dd(
             t, nodes, weights, diffs, pts))
         np.testing.assert_allclose(second, 2.0 * first, rtol=1e-9)
+
+
+class TestDigitGemmMulti:
+    """eval_batch_dd_multi: one shared row-plane build, per-spec GEMM
+    ladders — the near-f64 Greek report."""
+
+    @pytest.fixture(scope="class")
+    def cheb3(self):
+        import math
+        from pychebyshev_tpu import ChebyshevApproximation
+        c = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) * x[1] + math.exp(0.3 * x[2]),
+            3, [[-1, 1]] * 3, [9, 9, 9])
+        c.build(verbose=False)
+        return c
+
+    def test_matches_per_spec_dd(self, cheb3):
+        from pychebyshev_tpu.ops.eval_dd import (
+            eval_batch_dd,
+            eval_batch_dd_multi,
+        )
+        nodes, weights, diffs = cheb3._grid_tuples()
+        pts = np.random.default_rng(2).uniform(-1, 1, (300, 3))
+        specs = ((0, 0, 0), (1, 0, 0), (0, 2, 0))
+        multi = np.asarray(eval_batch_dd_multi(
+            cheb3.tensor_values, nodes, weights, diffs, pts, specs))
+        assert multi.shape == (300, 3)
+        for m, s in enumerate(specs):
+            single = np.asarray(eval_batch_dd(
+                cheb3.tensor_values, nodes, weights, diffs, pts, s))
+            np.testing.assert_array_equal(multi[:, m], single)
+
+    def test_matches_f64_multi(self, cheb3):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        pts = np.random.default_rng(3).uniform(-1, 1, (200, 3))
+        specs = ((0, 0, 0), (1, 0, 0), (0, 0, 1))
+        got = np.asarray(eval_batch_dd_multi(
+            cheb3.tensor_values, *cheb3._grid_tuples(), pts, specs))
+        for m, s in enumerate(specs):
+            want = cheb3.vectorized_eval_batch(pts, list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-9
+
+    def test_empty_specs(self, cheb3):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        out = np.asarray(eval_batch_dd_multi(
+            cheb3.tensor_values, *cheb3._grid_tuples(),
+            np.zeros((5, 3)), ()))
+        assert out.shape == (5, 0)
+
+    def test_spec_length_validated(self, cheb3):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        with pytest.raises(ValueError, match="length"):
+            eval_batch_dd_multi(cheb3.tensor_values,
+                                *cheb3._grid_tuples(),
+                                np.zeros((5, 3)), ((0, 0),))
+
+    def test_multispec_engine_dd(self, cheb3):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        eng = MultiSpecEvaluator(cheb3, specs, dtype="dd",
+                                 bucket_sizes=(128,))
+        pts = np.random.default_rng(5).uniform(-1, 1, (300, 3))
+        got = eng(pts)
+        assert got.shape == (300, 3)
+        for m, s in enumerate(specs):
+            want = cheb3.vectorized_eval_batch(pts, list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-9
+
+    def test_multispec_engine_dd_rejects_spline(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [7],
+                             [[0.0]])
+        sp.build(verbose=False)
+        with pytest.raises(TypeError, match="dd"):
+            MultiSpecEvaluator(sp, [(0,)], dtype="dd")
