@@ -310,7 +310,11 @@ def main() -> None:
 
     # ---- TT analytic delta (beyond-reference: Greeks at batch speed) --
     delta_tt = tt.differentiate([1, 0, 0, 0, 0])
-    delta_cores = tuple(jnp.asarray(c) for c in delta_tt._coeff_cores)
+    # f32 cores: tt_eval_batch computes in the WIDEST operand dtype, so
+    # f64 cores would silently time the software-f64 chain under an
+    # "(f32)" label (the bug this comment now guards against).
+    delta_cores = tuple(jnp.asarray(c, jnp.float32)
+                        for c in delta_tt._coeff_cores)
 
     def run_tt_delta(p):
         return tt_eval_batch(delta_cores, dom_arr, p)

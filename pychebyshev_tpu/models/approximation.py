@@ -825,7 +825,15 @@ class ChebyshevApproximation:
         cutoff = (eval_dd.FAST_PAIR_CUTOFF if mode == "fast" else None)
 
         nodes, weights, diffs = self._grid_tuples()
-        if eval_dd.supports_dd(self.tensor_values.shape):
+        # The digit-plane row bound (_WR_SCALE_LOG2's Lebesgue constant)
+        # holds only in-domain; out-of-domain batches keep reference
+        # extrapolation semantics via the f64 path.
+        pts_np = np.asarray(points, dtype=np.float64)
+        dom = np.asarray(self.domain, dtype=np.float64)
+        out_of_domain = bool(np.any(pts_np < dom[:, 0])
+                             or np.any(pts_np > dom[:, 1]))
+        if not out_of_domain and eval_dd.supports_dd(
+                self.tensor_values.shape):
             return eval_dd.eval_batch_dd(
                 self.tensor_values, nodes, weights, diffs, points,
                 orders, cutoff=cutoff)

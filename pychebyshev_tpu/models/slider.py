@@ -302,7 +302,13 @@ class ChebyshevSlider:
             (s.tensor_values,) + s._grid_tuples() for s in self.slides)
         groups = tuple(tuple(int(d) for d in g) for g in self.partition)
         shapes = [np.shape(sd[0]) for sd in slide_data]
-        if not slider_dd_plan(shapes)["ok"]:
+        # Out-of-domain rows exceed the digit-plane scale bound (the
+        # Lebesgue constant only covers in-domain points); keep
+        # reference extrapolation semantics via the f64 path.
+        dom = np.asarray(self.domain, dtype=np.float64)
+        out_of_domain = bool(np.any(points < dom[:, 0])
+                             or np.any(points > dom[:, 1]))
+        if out_of_domain or not slider_dd_plan(shapes)["ok"]:
             return self.eval_batch(points, derivative_order)
         cutoff = (_dd.FAST_PAIR_CUTOFF if mode == "fast" else None)
         out = slider_batch_dd(slide_data, self.pivot_value, groups,

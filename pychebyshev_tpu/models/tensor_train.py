@@ -749,7 +749,14 @@ class ChebyshevTT:
 
         cores = self._cores_on_device(np.float64)
         domain = np.asarray(self.domain, dtype=np.float64)
-        if tt_eval_dd.tt_supports_dd([c.shape for c in cores]):
+        # The digit-plane contract (|scaled row| <= 1) holds only
+        # in-domain — Chebyshev values grow like cosh outside, which
+        # would silently break MXU exactness.  Out-of-domain batches
+        # keep reference extrapolation semantics via the f64 chain.
+        out_of_domain = bool(np.any(points < domain[:, 0])
+                             or np.any(points > domain[:, 1]))
+        if not out_of_domain and tt_eval_dd.tt_supports_dd(
+                [c.shape for c in cores]):
             cutoff = (tt_eval_dd.FAST_PAIR_CUTOFF if mode == "fast"
                       else None)
             out = tt_eval_dd.tt_eval_batch_dd(cores, domain, points,

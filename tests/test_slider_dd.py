@@ -162,3 +162,42 @@ class TestServing:
         sl.build(verbose=False)
         with pytest.raises(ValueError, match="digit-GEMM"):
             BatchedEvaluator(sl, dtype="dd")
+
+
+class TestOutOfDomainFallback:
+    """dd guarantees hold in-domain; out-of-domain batches fall back to
+    the f64 path on every family (reference silent-extrapolation
+    semantics preserved at full accuracy)."""
+
+    def test_slider(self, slider6):
+        pts = np.array([[1.4, 0.0, 0.0, 0.0, 0.0, 0.0],
+                        [0.5, 0.0, 0.0, 0.0, 0.0, 0.0]])
+        np.testing.assert_allclose(slider6.eval_batch_dd(pts),
+                                   slider6.eval_batch(pts),
+                                   rtol=0, atol=1e-12)
+
+    @staticmethod
+    def _f3(p, _=None):
+        p = np.asarray(p, dtype=np.float64)
+        return np.exp(-p[:, 0]) * np.sin(p.sum(axis=1))
+
+    def test_tt(self):
+        from pychebyshev_tpu import ChebyshevTT
+        tt = ChebyshevTT(self._f3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=5,
+                         vectorized=True)
+        tt.build(verbose=False)
+        pts = np.array([[1.4, 0.0, 0.0], [0.5, 0.0, 0.0]])
+        np.testing.assert_allclose(tt.eval_batch_dd(pts),
+                                   tt.eval_batch(pts),
+                                   rtol=0, atol=1e-12)
+
+    def test_dense(self):
+        from pychebyshev_tpu import ChebyshevApproximation
+        c = ChebyshevApproximation(self._f3, 3, [[-1, 1]] * 3, [9] * 3,
+                                   vectorized=True)
+        c.build(verbose=False)
+        pts = np.array([[1.4, 0.0, 0.0], [0.5, 0.0, 0.0]])
+        np.testing.assert_allclose(
+            np.asarray(c.eval_batch_dd(pts)),
+            c.vectorized_eval_batch(pts, [0, 0, 0]),
+            rtol=0, atol=1e-12)
