@@ -418,6 +418,39 @@ class ChebyshevSpline:
                 points[mask], derivative_order)
         return results
 
+    def eval_batch_dd(self, points, derivative_order=None,
+                      mode: str = "accurate") -> np.ndarray:
+        """Near-f64 batched evaluation via per-piece digit GEMMs.
+
+        Points route to their pieces on host (f64, same routing as
+        :meth:`eval_batch`), then each occupied piece evaluates its
+        group through the dense digit-GEMM tier
+        (``ChebyshevApproximation.eval_batch_dd``) — f64-class accuracy
+        without software f64.  Pieces outside the digit-plan budget,
+        and out-of-domain batches, fall back to the f64 path per piece.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before eval_batch_dd().")
+        if mode not in ("accurate", "fast"):
+            raise ValueError(
+                f"mode must be 'accurate' or 'fast', got {mode!r}")
+        if derivative_order is None:
+            derivative_order = [0] * self.num_dimensions
+        if len(derivative_order) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(derivative_order)} does "
+                f"not match num_dimensions {self.num_dimensions}"
+            )
+        points = np.asarray(points, dtype=float)
+        results = np.empty(points.shape[0])
+        flat_indices = self._route_batch(points)
+        for piece_idx in np.unique(flat_indices):
+            mask = flat_indices == piece_idx
+            results[mask] = np.asarray(
+                self._pieces[piece_idx].eval_batch_dd(
+                    points[mask], derivative_order, mode=mode))
+        return results
+
     def _masked_arrays(self):
         """Stacked per-piece grid arrays + piece strides, cached.
 

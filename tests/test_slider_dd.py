@@ -201,3 +201,50 @@ class TestOutOfDomainFallback:
             np.asarray(c.eval_batch_dd(pts)),
             c.vectorized_eval_batch(pts, [0, 0, 0]),
             rtol=0, atol=1e-12)
+
+
+class TestSplineClassDD:
+    """ChebyshevSpline.eval_batch_dd: host routing + per-piece dense
+    digit GEMMs (the fourth family's class-level dd surface)."""
+
+    @pytest.fixture(scope="class")
+    def spline3(self):
+        from pychebyshev_tpu import ChebyshevSpline
+
+        def kinked(p, _=None):
+            p = np.asarray(p, dtype=np.float64)
+            if p.ndim == 1:
+                p = p[None, :]
+            return (np.abs(p[:, 0]) * np.exp(0.2 * p[:, 1])
+                    + np.sin(p[:, 2]))
+
+        sp = ChebyshevSpline(kinked, 3, [[-1, 1]] * 3, [9, 9, 9],
+                             [[0.0], [], []], vectorized=True)
+        sp.build(verbose=False)
+        return sp
+
+    def test_matches_eval_batch(self, spline3):
+        pts = np.random.default_rng(2).uniform(-1, 1, (400, 3))
+        ref = spline3.eval_batch(pts, [0, 0, 0])
+        got = spline3.eval_batch_dd(pts)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-10
+
+    def test_derivative(self, spline3):
+        pts = np.random.default_rng(3).uniform(-1, 1, (200, 3))
+        ref = spline3.eval_batch(pts, [0, 1, 0])
+        got = spline3.eval_batch_dd(pts, [0, 1, 0])
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-9
+
+    def test_kink_sides_route_correctly(self, spline3):
+        pts = np.array([[-0.2, 0.1, 0.3], [0.2, 0.1, 0.3]])
+        got = spline3.eval_batch_dd(pts, [1, 0, 0])
+        assert got[0] < 0 < got[1]
+
+    def test_bad_mode_and_unbuilt(self, spline3):
+        with pytest.raises(ValueError, match="mode"):
+            spline3.eval_batch_dd(np.zeros((2, 3)), mode="ultra")
+        from pychebyshev_tpu import ChebyshevSpline
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [7],
+                             [[0.0]])
+        with pytest.raises(RuntimeError, match="build"):
+            sp.eval_batch_dd(np.zeros((2, 1)))
