@@ -95,7 +95,7 @@ COMMON_SURFACE = [
     # member named there must exist on all four interpolant classes.
     "build", "eval", "vectorized_eval", "eval_batch",
     "vectorized_eval_batch", "eval_multi", "vectorized_eval_multi",
-    "eval_batch_multi", "vectorized_eval_batch_multi",
+    "eval_batch_multi", "vectorized_eval_batch_multi", "eval_batch_dd",
     "error_estimate", "sobol_indices", "extrude", "slice", "integrate",
     "roots", "minimize", "maximize", "save", "load", "clone",
     "set_descriptor", "get_descriptor", "get_constructor_type",
