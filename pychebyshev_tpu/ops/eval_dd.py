@@ -59,8 +59,9 @@ from pychebyshev_tpu.ops.eval import (
     barycentric_coefficients,
 )
 
-__all__ = ["eval_batch_dd", "eval_batch_dd_multi", "supports_dd",
-           "dd_plan", "pair_schedule"]
+__all__ = ["eval_batch_dd", "eval_batch_dd_multi",
+           "eval_batch_dd_models", "supports_dd", "dd_plan",
+           "pair_schedule"]
 
 # Row factors are products of normalized barycentric rows; the Lebesgue
 # bound for Chebyshev-1 grids keeps |row| < ~2.6 per dim, so a fixed
@@ -455,6 +456,46 @@ def eval_batch_dd(tensor, nodes, weights, diff_matrices, points,
                       for k in range(d))
     return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
                nodes64, weights64, pts)
+
+
+def eval_batch_dd_models(tensors, nodes, weights, diff_matrices,
+                         points, orders: Tuple[int, ...] = None,
+                         cutoff: int = None) -> jax.Array:
+    """Book-of-models digit-GEMM evaluation -> (M, N).
+
+    The near-f64 analog of ``ops.eval.eval_batch_models``: M same-grid
+    value tensors share ONE double-f32 row-plane build per bucket, each
+    adding only its exact GEMM ladder.  All models are served at one
+    fixed derivative spec (like the f32 book primitive).
+    """
+    tensors = tuple(tensors)
+    if not tensors:
+        raise ValueError("tensors must be a non-empty sequence")
+    shape = tuple(int(n) for n in tensors[0].shape)
+    d = len(shape)
+    if orders is None:
+        orders = (0,) * d
+    orders = tuple(int(o) for o in orders)
+    if any(tuple(int(n) for n in t.shape) != shape for t in tensors):
+        raise ValueError("all tensors must share one grid shape")
+    if not supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use ops.eval.eval_batch_models"
+        )
+    _, run_multi, plan = _compiled(shape, d, cutoff)
+    scales, planes = [], []
+    for t in tensors:
+        t_scale, tensor_planes = _tensor_planes(t, diff_matrices,
+                                                orders, plan)
+        scales.append(jnp.asarray(t_scale, jnp.float64))
+        planes.append(tensor_planes)
+    pts = jnp.asarray(points, jnp.float64)
+    nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
+    weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
+                      for k in range(d))
+    return run_multi(tuple(planes), tuple(scales), nodes64, weights64,
+                     pts).T
 
 
 def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,

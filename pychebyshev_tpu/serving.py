@@ -842,6 +842,35 @@ class MultiModelEvaluator:
         first = interpolants[0]
         self._kind = ("tt" if isinstance(first, ChebyshevTT)
                       else "dense")
+        # dtype="dd": the near-f64 book (dense only) — one shared
+        # row-plane build per bucket, per-model exact GEMM ladders.
+        self._dd = (isinstance(dtype, str) and dtype == "dd")
+        if self._dd:
+            from pychebyshev_tpu.ops import eval_dd as _dd_mod
+            if self._kind != "dense":
+                raise TypeError(
+                    "dtype='dd' book serving supports dense "
+                    "ChebyshevApproximation models only"
+                )
+            if len(interpolants) > _dd_mod._PLANE_CACHE_SLOTS:
+                raise ValueError(
+                    f"dtype='dd' books hold at most "
+                    f"{_dd_mod._PLANE_CACHE_SLOTS} models (the digit-"
+                    f"plane cache working set); this book has "
+                    f"{len(interpolants)}"
+                )
+            if first.tensor_values is not None and \
+                    not _dd_mod.supports_dd(
+                        tuple(first.tensor_values.shape)):
+                raise ValueError(
+                    f"grid shape {tuple(first.tensor_values.shape)} is "
+                    f"outside the digit-GEMM plan budget"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "dtype='dd' is single-device XLA; it does not "
+                    "compose with mesh")
+            dtype = jnp.float64
         for m in interpolants:
             if self._kind == "tt":
                 m._check_built()
@@ -920,12 +949,20 @@ class MultiModelEvaluator:
         self._weights = tuple(jnp.asarray(a, self.dtype)
                               for a in weights)
         self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
-        self._tensors = tuple(
-            apply_derivative_passes(
-                jnp.asarray(m.tensor_values, self.dtype), self._diffs,
-                orders)
-            for m in interpolants)
-        self._orders = (0,) * self.num_dimensions
+        if self._dd:
+            # The dd path folds the spec's derivative passes into each
+            # model's cached digit planes at first use.
+            self._tensors = tuple(
+                jnp.asarray(m.tensor_values, self.dtype)
+                for m in interpolants)
+            self._orders = orders
+        else:
+            self._tensors = tuple(
+                apply_derivative_passes(
+                    jnp.asarray(m.tensor_values, self.dtype),
+                    self._diffs, orders)
+                for m in interpolants)
+            self._orders = (0,) * self.num_dimensions
 
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "tt":
@@ -934,6 +971,11 @@ class MultiModelEvaluator:
                 lambda *cores: tt_eval_batch(cores, self._tt_domain,
                                              points)
             )(*self._tt_cores)
+        if self._dd:
+            from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_models
+            return eval_batch_dd_models(
+                self._tensors, self._nodes, self._weights, self._diffs,
+                points, self._orders)
         from pychebyshev_tpu.ops.eval import eval_batch_models
         return eval_batch_models(self._tensors, self._nodes,
                                  self._weights, self._diffs, points,

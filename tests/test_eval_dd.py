@@ -268,3 +268,74 @@ class TestDigitGemmMulti:
         sp.build(verbose=False)
         with pytest.raises(TypeError, match="dd"):
             MultiSpecEvaluator(sp, [(0,)], dtype="dd")
+
+
+class TestDigitGemmBook:
+    """eval_batch_dd_models + MultiModelEvaluator dtype='dd': a book of
+    same-grid models at near-f64 accuracy, one shared row build."""
+
+    @pytest.fixture(scope="class")
+    def book(self):
+        import math
+        from pychebyshev_tpu import ChebyshevApproximation
+        models = []
+        for k in range(3):
+            c = ChebyshevApproximation(
+                lambda x, _, k=k: math.sin(x[0]) * (1 + 0.2 * k)
+                + x[1] ** 2 + 0.1 * k * x[2],
+                3, [[-1, 1]] * 3, [9, 9, 9])
+            c.build(verbose=False)
+            models.append(c)
+        return models
+
+    def test_ops_matches_per_model_dd(self, book):
+        from pychebyshev_tpu.ops.eval_dd import (
+            eval_batch_dd,
+            eval_batch_dd_models,
+        )
+        nodes, weights, diffs = book[0]._grid_tuples()
+        pts = np.random.default_rng(7).uniform(-1, 1, (200, 3))
+        tensors = tuple(m.tensor_values for m in book)
+        got = np.asarray(eval_batch_dd_models(
+            tensors, nodes, weights, diffs, pts))
+        assert got.shape == (3, 200)
+        for i, m in enumerate(book):
+            single = np.asarray(eval_batch_dd(
+                m.tensor_values, *m._grid_tuples(), pts, (0, 0, 0)))
+            np.testing.assert_array_equal(got[i], single)
+
+    def test_engine_matches_f64(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        eng = MultiModelEvaluator(book, dtype="dd", bucket_sizes=(128,))
+        pts = np.random.default_rng(8).uniform(-1, 1, (300, 3))
+        got = eng(pts)
+        for i, m in enumerate(book):
+            want = m.vectorized_eval_batch(pts, [0, 0, 0])
+            scale = np.abs(want).max()
+            assert np.abs(got[i] - want).max() / scale < 1e-9
+
+    def test_engine_derivative_spec(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        eng = MultiModelEvaluator(book, dtype="dd",
+                                  derivative_order=[1, 0, 0],
+                                  bucket_sizes=(128,))
+        pts = np.random.default_rng(9).uniform(-1, 1, (150, 3))
+        got = eng(pts)
+        for i, m in enumerate(book):
+            want = m.vectorized_eval_batch(pts, [1, 0, 0])
+            scale = np.abs(want).max()
+            assert np.abs(got[i] - want).max() / scale < 1e-8
+
+    def test_tt_book_dd_rejected(self):
+        from pychebyshev_tpu import ChebyshevTT
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        tt = ChebyshevTT(lambda x, _: x[0], 1, [[-1, 1]], [7],
+                         max_rank=3)
+        tt.build(verbose=False)
+        with pytest.raises(TypeError, match="dense"):
+            MultiModelEvaluator([tt], dtype="dd")
+
+    def test_oversized_book_rejected(self, book):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        with pytest.raises(ValueError, match="at most"):
+            MultiModelEvaluator(book * 6, dtype="dd")
