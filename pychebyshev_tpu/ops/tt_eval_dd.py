@@ -22,13 +22,14 @@ The TT chain is friendlier to this scheme than the dense form:
    narrow elementwise chain; it runs in double-f32 (Dekker/Veltkamp)
    arithmetic on the VPU, never touching software f64.
 
-Per dim the pipeline is: Chebyshev recurrence in f64 (narrow) -> split
-to an (hi, lo) f32 pair -> signed digit planes -> one bf16 GEMM per row
-plane against that plane's allowed core planes (every product is an
-integer < 2^24, so the f32 accumulation is EXACT) -> recombine the
-~20 pair outputs with branch-free TwoSum into a double-f32 stage matrix
--> dd multiply into the running interface row.  The only f64 compute is
-the (N, n_d) recurrence input and the final (N,) readout.
+Per dim the pipeline is: scaled coordinate in f64 (narrow, (N,)) ->
+split to an (hi, lo) f32 pair -> three-term Chebyshev recurrence in
+double-f32 -> signed digit planes -> one bf16 GEMM per row plane
+against that plane's allowed core planes (every product is an integer
+< 2^24, so the f32 accumulation is EXACT) -> recombine the ~20 pair
+outputs with branch-free TwoSum into a double-f32 stage matrix -> dd
+multiply into the running interface row.  The only f64 compute is the
+(N,) coordinate transform per dim and the final (N,) readout.
 
 Reference context: replaces reference ``tensor_train.py:2217-2265``
 (NumPy f64 BLAS) in the accuracy regime the plain f32 TPU path cannot
@@ -45,7 +46,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pychebyshev_tpu.ops.chebyshev import chebyshev_polynomial_matrix
 from pychebyshev_tpu.ops.eval import chunked_scalar_map
 from pychebyshev_tpu.ops.eval_dd import (
     _digit_planes_pair,
@@ -125,15 +125,39 @@ def _compiled(shapes: Tuple[Tuple[int, int, int], ...], cutoff: int):
     p_r = 1 + max(i for i, _ in plan["pairs"])
     q_scale = np.float32(2.0 ** _Q_SCALE_LOG2)
 
+    def _dd_recurrence(xhi, xlo, n_d):
+        """Half-scaled Chebyshev columns T_k(x)/2 in double-f32.
+
+        The three-term recurrence runs entirely on f32 VPU lanes
+        (software f64 here measurably dominated the per-point cost):
+        with u_k = T_k/2, ``u_{k+1} = (2x) * u_k - u_{k-1}`` where the
+        doubling and halving are exact power-of-two word scalings and
+        each step costs one _dd_mul + one TwoSum — error ~k * 2^-47,
+        inside the digit-plane budget.
+        """
+        one_hi = jnp.full_like(xhi, np.float32(0.5))
+        cols = [(one_hi, jnp.zeros_like(xhi))]
+        if n_d > 1:
+            cols.append((xhi * np.float32(0.5), xlo * np.float32(0.5)))
+        txhi, txlo = xhi * np.float32(2.0), xlo * np.float32(2.0)
+        for _ in range(2, n_d):
+            chi, clo = cols[-1]
+            phi, plo = _dd_mul(txhi, txlo, chi, clo)
+            mhi, mlo = cols[-2]
+            nhi, nlo = _dd_add(phi, plo, -mhi, -mlo)
+            cols.append((nhi, nlo))
+        qhi = jnp.stack([c[0] for c in cols], axis=-1)
+        qlo = jnp.stack([c[1] for c in cols], axis=-1)
+        return qhi, qlo
+
     def _one(core_planes, core_scales, lo, hi, pts):
         uhi = ulo = None
         for d, (r_l, n_d, r_r) in enumerate(shapes):
-            # Narrow f64: the scaled coordinate and the (N, n_d)
-            # Chebyshev recurrence — same budget class as the dense
-            # path's f64 barycentric rows.
+            # Only the scaled coordinate runs in (narrow, (N,)) f64;
+            # the (N, n_d) recurrence runs in double-f32.
             x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
-            q = chebyshev_polynomial_matrix(x, n_d)     # (N, n_d) f64
-            qhi, qlo = _split_f64(q * (1.0 / np.float64(q_scale)))
+            xhi, xlo = _split_f64(x)
+            qhi, qlo = _dd_recurrence(xhi, xlo, n_d)
             r_planes = _digit_planes_pair(qhi, qlo, b, p_r)
 
             # One bf16 GEMM per row plane against the concatenation of
