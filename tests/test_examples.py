@@ -24,6 +24,7 @@ EXAMPLES = [
     "calibration_autodiff",
     "serving_engine",
     "greek_report",
+    "near_f64_tiers",
     "multi_chip",
 ]
 
