@@ -40,6 +40,7 @@ __all__ = [
     "build_tensor_sharded",
     "sharded_vectorized",
     "eval_batch_dp",
+    "eval_batch_dd_dp",
     "eval_batch_tp",
 ]
 
@@ -131,6 +132,65 @@ def eval_batch_dp(tensor, nodes, weights, diff_matrices, points,
     points = jax.device_put(points, NamedSharding(mesh, P(axis_name, None)))
     out = eval_ops.eval_batch(tensor, nodes, weights, diffs, points,
                               orders)
+    return out[:n] if pad else out
+
+
+def eval_batch_dd_dp(tensor, nodes, weights, diff_matrices, points,
+                     mesh: Mesh, orders: Tuple[int, ...] = None,
+                     axis_name: str = "dp",
+                     cutoff: int = None) -> jax.Array:
+    """Data-parallel digit-GEMM evaluation: near-f64 accuracy at the
+    per-chip dd rate x the mesh axis size.
+
+    The dd kernel is pure per-point work over replicated operands, so
+    data parallelism is exact: digit planes are prepared once on host
+    (cached per tensor/orders like the single-device path), replicated,
+    and each device runs the dd pipeline on its shard of the batch via
+    ``shard_map`` (explicit, so the chunked ``lax.map`` inside the
+    kernel never induces cross-device resharding).
+    """
+    from jax import shard_map
+
+    from pychebyshev_tpu.ops import eval_dd
+
+    shape = tuple(int(x) for x in tensor.shape)
+    d = len(shape)
+    if orders is None:
+        orders = (0,) * d
+    if not eval_dd.supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use eval_batch_dp"
+        )
+    run, _, plan = eval_dd._compiled(shape, d, cutoff)
+    t_scale, planes = eval_dd._tensor_planes(
+        tensor, tuple(jnp.asarray(m, jnp.float64)
+                      for m in diff_matrices), tuple(orders), plan)
+
+    replicate = NamedSharding(mesh, P())
+    planes = jax.device_put(planes, replicate)
+    t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
+                             replicate)
+    nodes64 = jax.device_put(
+        tuple(jnp.asarray(a, jnp.float64) for a in nodes), replicate)
+    weights64 = jax.device_put(
+        tuple(jnp.asarray(a, jnp.float64) for a in weights), replicate)
+
+    pts = jnp.asarray(points, jnp.float64)
+    n = pts.shape[0]
+    pad = -n % mesh.shape[axis_name]
+    if pad:
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
+    pts = jax.device_put(pts, NamedSharding(mesh, P(axis_name, None)))
+
+    fn = shard_map(
+        lambda tp, ts, nd, wt, p: run(tp, ts, nd, wt, p),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name, None)),
+        out_specs=P(axis_name),
+    )
+    out = fn(planes, t_scale, nodes64, weights64, pts)
     return out[:n] if pad else out
 
 

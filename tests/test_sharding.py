@@ -199,3 +199,68 @@ class TestUnevenShapes:
         np.testing.assert_allclose(np.asarray(tensor),
                                    np.asarray(cheb.tensor_values),
                                    atol=1e-14)
+
+
+@requires_8_devices
+class TestDigitGemmDP:
+    """Data-parallel dd: digit planes replicate, points shard, each
+    device runs the exact-integer pipeline on its slice."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        return sh.make_mesh(8)
+
+    @pytest.fixture(scope="class")
+    def cheb3d(self):
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [8, 8, 8], vectorized=True)
+        c.build(verbose=False)
+        return c
+
+    @pytest.fixture(scope="class")
+    def pts3d(self):
+        rng = np.random.default_rng(5)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        return lo + (hi - lo) * rng.uniform(0.02, 0.98, (256, 3))
+
+    def test_matches_single_device_dd(self, mesh8, cheb3d, pts3d):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+        from pychebyshev_tpu.parallel.sharding import eval_batch_dd_dp
+        nodes, weights, diffs = cheb3d._grid_tuples()
+        want = np.asarray(eval_batch_dd(
+            cheb3d.tensor_values, nodes, weights, diffs, pts3d,
+            (0, 0, 0)))
+        got = np.asarray(eval_batch_dd_dp(
+            cheb3d.tensor_values, nodes, weights, diffs, pts3d, mesh8))
+        # Per-device programs fuse the f64 row build differently than
+        # the single-device one — agreement is dd-class, not bitwise.
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+    def test_uneven_batch_pads(self, mesh8, cheb3d, pts3d):
+        from pychebyshev_tpu.parallel.sharding import eval_batch_dd_dp
+        nodes, weights, diffs = cheb3d._grid_tuples()
+        odd = pts3d[:101]          # not divisible by 8
+        got = np.asarray(eval_batch_dd_dp(
+            cheb3d.tensor_values, nodes, weights, diffs, odd, mesh8))
+        want = cheb3d.vectorized_eval_batch(odd, [0, 0, 0])
+        assert got.shape == (101,)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-10
+
+    def test_derivative_orders(self, mesh8, cheb3d, pts3d):
+        from pychebyshev_tpu.parallel.sharding import eval_batch_dd_dp
+        nodes, weights, diffs = cheb3d._grid_tuples()
+        got = np.asarray(eval_batch_dd_dp(
+            cheb3d.tensor_values, nodes, weights, diffs, pts3d, mesh8,
+            orders=(1, 0, 0)))
+        want = cheb3d.vectorized_eval_batch(pts3d, [1, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-9
+
+    def test_unsupported_shape_raises(self, mesh8):
+        from pychebyshev_tpu.parallel.sharding import eval_batch_dd_dp
+        with pytest.raises(ValueError, match="digit-GEMM budget"):
+            eval_batch_dd_dp(np.zeros(5), (), (), (),
+                             np.zeros((8, 1)), mesh8)
