@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from pychebyshev_tpu.ops import eval as eval_ops
 
 __all__ = ["slider_value_batch", "slider_multi_batch",
-           "slider_batch_dd", "slider_dd_plan"]
+           "slider_batch_dd", "slider_multi_batch_dd",
+           "slider_dd_plan"]
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -149,6 +150,55 @@ def slider_dd_plan(active_shapes, cutoff: int = None) -> dict:
             "pairs": pairs, "js_by_i": js_by_i, "cutoff": int(cutoff)}
 
 
+def _dd_row_planes(grids, groups, active, pts, b_r, p_r):
+    """Concatenated row digit planes for the active slides.
+
+    Per-slide barycentric rows in f64 (narrow), Khatri-Rao'd in
+    double-f32 within each group, concatenated across slides.
+    """
+    wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
+    his, los = [], []
+    for k, idx in enumerate(active):
+        nodes, weights = grids[k]
+        group = groups[idx]
+        rows = [barycentric_coefficients(pts[:, g], nodes[j],
+                                         weights[j])
+                for j, g in enumerate(group)]
+        pairs = [_split_f64(rows[0] * (1.0 / wr_scale))] + \
+            [_split_f64(r) for r in rows[1:]]
+        qhi, qlo = _khatri_rao_dd(pairs)
+        his.append(qhi)
+        los.append(qlo)
+    qhi = his[0] if len(active) == 1 else jnp.concatenate(his, axis=1)
+    qlo = los[0] if len(active) == 1 else jnp.concatenate(los, axis=1)
+    return _digit_planes_pair(qhi, qlo, b_r, p_r)
+
+
+def _dd_ladder(r_planes, tensor_planes, js_by_i, b_r, b_t):
+    """Exact digit GEMM ladder -> (acc, comp) f32 TwoSum pair."""
+    by_scale = {}
+    for i, js in enumerate(js_by_i):
+        if not js:
+            continue
+        g_all = jnp.dot(r_planes[i], tensor_planes[i],
+                        preferred_element_type=jnp.float32)
+        for k, j in enumerate(js):
+            g = jax.lax.slice_in_dim(g_all, k, k + 1, axis=1)
+            v = b_r * (i + 1) + b_t * (j + 1)
+            by_scale[v] = g if v not in by_scale else by_scale[v] + g
+    acc = comp = None
+    for v in sorted(by_scale):                          # largest first
+        term = by_scale[v] * np.float32(2.0 ** -v)
+        if acc is None:
+            acc, comp = term, jnp.zeros_like(term)
+        else:
+            snew = acc + term
+            bv = snew - acc
+            err = (acc - (snew - bv)) + (term - bv)
+            acc, comp = snew, comp + err
+    return acc, comp
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_slider_dd(shapes: Tuple[Tuple[int, ...], ...],
                         groups: Tuple[Tuple[int, ...], ...],
@@ -162,44 +212,9 @@ def _compiled_slider_dd(shapes: Tuple[Tuple[int, ...], ...],
     n_active = len(active)
 
     def _one(tensor_planes, t_scale, grids, pivot, pts):
-        # Per-slide barycentric rows in f64 (narrow), Khatri-Rao'd in
-        # double-f32 within each group, concatenated across slides.
-        his, los = [], []
-        for k, idx in enumerate(active):
-            nodes, weights = grids[k]
-            group = groups[idx]
-            rows = [barycentric_coefficients(pts[:, g], nodes[j],
-                                             weights[j])
-                    for j, g in enumerate(group)]
-            pairs = [_split_f64(rows[0] * (1.0 / wr_scale))] + \
-                [_split_f64(r) for r in rows[1:]]
-            qhi, qlo = _khatri_rao_dd(pairs)
-            his.append(qhi)
-            los.append(qlo)
-        qhi = his[0] if n_active == 1 else jnp.concatenate(his, axis=1)
-        qlo = los[0] if n_active == 1 else jnp.concatenate(los, axis=1)
-        r_planes = _digit_planes_pair(qhi, qlo, b_r, p_r)
-
-        by_scale = {}
-        for i, js in enumerate(js_by_i):
-            if not js:
-                continue
-            g_all = jnp.dot(r_planes[i], tensor_planes[i],
-                            preferred_element_type=jnp.float32)
-            for k, j in enumerate(js):
-                g = jax.lax.slice_in_dim(g_all, k, k + 1, axis=1)
-                v = b_r * (i + 1) + plan["b_t"] * (j + 1)
-                by_scale[v] = g if v not in by_scale else by_scale[v] + g
-        acc = comp = None
-        for v in sorted(by_scale):                      # largest first
-            term = by_scale[v] * np.float32(2.0 ** -v)
-            if acc is None:
-                acc, comp = term, jnp.zeros_like(term)
-            else:
-                snew = acc + term
-                bv = snew - acc
-                err = (acc - (snew - bv)) + (term - bv)
-                acc, comp = snew, comp + err
+        r_planes = _dd_row_planes(grids, groups, active, pts, b_r, p_r)
+        acc, comp = _dd_ladder(r_planes, tensor_planes, js_by_i, b_r,
+                               plan["b_t"])
         y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
             * (wr_scale * t_scale)
         out = y[:, 0]
@@ -310,3 +325,178 @@ def slider_batch_dd(slide_data, pivot_value, groups, points,
         for i in active)
     return run(tensor_planes, jnp.asarray(t_scale, jnp.float64), grids,
                jnp.asarray(pivot_value, jnp.float64), pts)
+
+
+# --------------------------------------------------------------------------
+# Near-f64 slider Greek reports: one shared row-plane build, per-spec
+# tensor plane vectors.
+#
+# Every spec's contraction runs against the SAME full-width concatenated
+# row block (all slides): the value spec pairs it with the raw slide
+# tensors, a derivative spec pairs it with a vector that is zero
+# everywhere except the owning slide's D^k-folded block (zero digit
+# planes contract to exact zeros on the integer MXU, so sharing the row
+# planes costs no accuracy), and a cross-group spec is an exact-zero
+# column without touching the device.  M specs therefore cost one
+# double-f32 row build plus M GEMM ladders, not M full dispatches.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_slider_dd_multi(shapes: Tuple[Tuple[int, ...], ...],
+                              groups: Tuple[Tuple[int, ...], ...],
+                              spec_kinds: Tuple[str, ...], cutoff: int):
+    plan = slider_dd_plan(list(shapes), cutoff)
+    b_r, b_t = plan["b_r"], plan["b_t"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    wr_scale = np.float64(2.0 ** _WR_SCALE_LOG2)
+    n_slides = len(shapes)
+    active = tuple(range(n_slides))
+
+    def _one(spec_planes, spec_scales, grids, pivot, pts):
+        r_planes = _dd_row_planes(grids, groups, active, pts, b_r, p_r)
+        cols, g = [], 0
+        for kind in spec_kinds:
+            if kind == "zero":
+                cols.append(jnp.zeros(pts.shape[0], jnp.float64))
+                continue
+            acc, comp = _dd_ladder(r_planes, spec_planes[g], js_by_i,
+                                   b_r, b_t)
+            y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+                * (wr_scale * spec_scales[g])
+            col = y[:, 0]
+            if kind == "value":
+                col = col - (n_slides - 1) * pivot
+            cols.append(col)
+            g += 1
+        return jnp.stack(cols, axis=1)
+
+    per_point = plan["k_total"] * (p_r + 2)
+    chunk = max(256, eval_ops._MAX_INTERMEDIATE_ELEMS
+                // max(per_point, 1))
+
+    @jax.jit
+    def run_multi(spec_planes, spec_scales, grids, pivot, points):
+        n = points.shape[0]
+        if n <= chunk:
+            return _one(spec_planes, spec_scales, grids, pivot, points)
+        pad = (-n) % chunk
+        padded = jnp.pad(points, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, points.shape[1])
+        out = jax.lax.map(
+            lambda p: _one(spec_planes, spec_scales, grids, pivot, p),
+            chunks)
+        return out.reshape(-1, len(spec_kinds))[:n]
+
+    return run_multi, plan
+
+
+def _slider_spec_planes(slide_data, groups, spec_key, plan):
+    """Full-width per-spec tensor digit planes (zeroed inactive blocks).
+
+    ``spec_key`` is either the all-zero per-group orders tuple (value:
+    every raw slide tensor, shared with ``_slider_planes``' cache entry)
+    or ``("mspec", owner, sub_orders)`` (derivative: zeros except the
+    owner's D^k-folded block).  Cached alongside the single-spec planes.
+    """
+    tensors = tuple(sd[0] for sd in slide_data)
+    key_ok = all(isinstance(t, jax.Array) for t in tensors)
+    plan_key = (plan["cutoff"], plan["b_t"], spec_key)
+    if key_ok:
+        for i, entry in enumerate(_slider_plane_cache):
+            if (entry[1] == plan_key and len(entry[0]) == len(tensors)
+                    and all(a is b for a, b in zip(entry[0], tensors))):
+                _slider_plane_cache.insert(0, _slider_plane_cache.pop(i))
+                return entry[2], entry[3]
+
+    owner = spec_key[1] if spec_key[0] == "mspec" else None
+    blocks = []
+    for idx, (tensor, nodes, weights, diffs) in enumerate(slide_data):
+        if owner is not None and idx != owner:
+            blocks.append(np.zeros(int(np.prod(np.shape(tensor)))))
+            continue
+        t64 = jnp.asarray(tensor, jnp.float64)
+        if owner is not None:
+            t64 = apply_derivative_passes(
+                t64, tuple(jnp.asarray(m, jnp.float64) for m in diffs),
+                spec_key[2])
+        blocks.append(np.asarray(t64, dtype=np.float64).ravel())
+    vec = np.concatenate(blocks)
+    t_max = float(np.abs(vec).max()) or 1.0
+    t_scale = 2.0 ** np.ceil(np.log2(t_max))
+    p_t_used = 1 + max(j for _, j in plan["pairs"])
+    planes_host = _digit_planes_tensor(vec[:, None] / t_scale,
+                                       plan["b_t"], p_t_used)
+    tensor_planes = tuple(
+        jnp.asarray(np.concatenate([planes_host[j] for j in js],
+                                   axis=1), jnp.bfloat16)
+        if js else jnp.zeros((plan["k_total"], 0), jnp.bfloat16)
+        for js in plan["js_by_i"])
+
+    if key_ok:
+        _slider_plane_cache.insert(0, (tensors, plan_key, t_scale,
+                                       tensor_planes))
+        del _slider_plane_cache[_SLIDER_CACHE_SLOTS:]
+    return t_scale, tensor_planes
+
+
+def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
+                          points, cutoff: int = None) -> jax.Array:
+    """Batch x multi-spec digit-GEMM slider evaluation -> (N, S).
+
+    The near-f64 analog of ``slider_multi_batch``: a whole Greek
+    report at ~1e-12 deviation in ONE dispatch.  All specs share one
+    double-f32 row-plane build over the full slide concatenation; each
+    value/derivative spec adds only its exact GEMM ladder, and
+    cross-group mixed partials are exact zeros (reference slider
+    semantics, reference slider.py Eq 7.5 derivative routing).
+    """
+    groups = tuple(tuple(int(d) for d in g) for g in groups)
+    n_dims = sum(len(g) for g in groups)
+    specs = tuple(tuple(int(o) for o in s) for s in specs)
+    for s in specs:
+        if len(s) != n_dims:
+            raise ValueError(f"spec {s} length != num dims {n_dims}")
+    pts = jnp.asarray(points, jnp.float64)
+    if not specs:
+        return jnp.zeros((pts.shape[0], 0), jnp.float64)
+
+    shapes = tuple(tuple(int(x) for x in np.shape(sd[0]))
+                   for sd in slide_data)
+    plan = slider_dd_plan(list(shapes), cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"slider slide shapes {list(shapes)} outside the "
+            f"digit-GEMM budget; use slider_multi_batch")
+
+    value_key = tuple((0,) * len(g) for g in groups)
+    kinds, spec_keys = [], []
+    for s in specs:
+        owning = sorted({gi for gi, g in enumerate(groups)
+                         if any(s[d] > 0 for d in g)})
+        if len(owning) > 1:
+            kinds.append("zero")
+        elif owning:
+            idx = owning[0]
+            kinds.append("slide")
+            spec_keys.append(("mspec", idx,
+                              tuple(s[d] for d in groups[idx])))
+        else:
+            kinds.append("value")
+            spec_keys.append(value_key)
+
+    run_multi, plan = _compiled_slider_dd_multi(shapes, groups,
+                                                tuple(kinds),
+                                                plan["cutoff"])
+    scales, planes = [], []
+    for key in spec_keys:
+        t_scale, tp = _slider_spec_planes(slide_data, groups, key, plan)
+        scales.append(jnp.asarray(t_scale, jnp.float64))
+        planes.append(tp)
+    grids = tuple(
+        (tuple(jnp.asarray(a, jnp.float64) for a in sd[1]),
+         tuple(jnp.asarray(a, jnp.float64) for a in sd[2]))
+        for sd in slide_data)
+    return run_multi(tuple(planes), tuple(scales), grids,
+                     jnp.asarray(pivot_value, jnp.float64), pts)

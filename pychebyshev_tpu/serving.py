@@ -598,24 +598,38 @@ class MultiSpecEvaluator:
                 "ChebyshevSpline, and ChebyshevSlider objects (TT "
                 "models: differentiate() per spec + MultiModelEvaluator)"
             )
-        # dtype="dd": the near-f64 digit-GEMM report (dense only) — one
-        # shared row-plane build, per-spec exact GEMM ladders.
+        # dtype="dd": the near-f64 digit-GEMM report (dense + slider) —
+        # one shared row-plane build, per-spec exact GEMM ladders.
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
-            if not isinstance(interpolant, ChebyshevApproximation):
+            if isinstance(interpolant, ChebyshevApproximation):
+                if interpolant.tensor_values is None:
+                    raise RuntimeError("interpolant is not built")
+                from pychebyshev_tpu.ops.eval_dd import supports_dd
+                shape = tuple(interpolant.tensor_values.shape)
+                if not supports_dd(shape):
+                    raise ValueError(
+                        f"grid shape {shape} is outside the digit-GEMM "
+                        f"plan budget; serve at dtype=jnp.float64 "
+                        f"instead"
+                    )
+            elif isinstance(interpolant, ChebyshevSlider):
+                if not interpolant._built:
+                    raise RuntimeError("interpolant is not built")
+                from pychebyshev_tpu.ops.slider_eval import slider_dd_plan
+                slide_shapes = [np.shape(s.tensor_values)
+                                for s in interpolant.slides]
+                if not slider_dd_plan(slide_shapes)["ok"]:
+                    raise ValueError(
+                        f"slider slide shapes {slide_shapes} are outside "
+                        f"the digit-GEMM plan budget; serve at "
+                        f"dtype=jnp.float64 instead"
+                    )
+            else:
                 raise TypeError(
                     "dtype='dd' multi-spec serving supports "
-                    "ChebyshevApproximation only (spline/slider: use "
-                    "per-spec BatchedEvaluator dd engines)"
-                )
-            if interpolant.tensor_values is None:
-                raise RuntimeError("interpolant is not built")
-            from pychebyshev_tpu.ops.eval_dd import supports_dd
-            shape = tuple(interpolant.tensor_values.shape)
-            if not supports_dd(shape):
-                raise ValueError(
-                    f"grid shape {shape} is outside the digit-GEMM "
-                    f"plan budget; serve at dtype=jnp.float64 instead"
+                    "ChebyshevApproximation and ChebyshevSlider "
+                    "(splines: use per-spec BatchedEvaluator dd engines)"
                 )
             if mesh is not None:
                 raise ValueError(
@@ -741,6 +755,14 @@ class MultiSpecEvaluator:
             return masked_eval_batch_multi(tensors, nodes, weights,
                                            diffs, flat, points,
                                            self.specs)
+        if self._dd:
+            from pychebyshev_tpu.ops.slider_eval import (
+                slider_multi_batch_dd,
+            )
+            # (N, M) -> the runner contract's (M, N).
+            return slider_multi_batch_dd(
+                self._slide_arrays, self._pivot_value,
+                self._slider_groups, self.specs, points).T
         from pychebyshev_tpu.ops.slider_eval import slider_multi_batch
         return slider_multi_batch(
             self._slide_arrays, jnp.asarray(self._pivot_value, self.dtype),

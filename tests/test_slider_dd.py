@@ -248,3 +248,100 @@ class TestSplineClassDD:
                              [[0.0]])
         with pytest.raises(RuntimeError, match="build"):
             sp.eval_batch_dd(np.zeros((2, 1)))
+
+
+class TestMultiSpecDD:
+    """slider_multi_batch_dd: one row-plane build, per-spec ladders."""
+
+    SPECS = ((0, 0, 0, 0, 0, 0),      # value
+             (1, 0, 0, 0, 0, 0),      # group [0,1] partial
+             (0, 0, 1, 0, 0, 0),      # singleton partial
+             (0, 0, 0, 2, 0, 0),      # second derivative
+             (0, 0, 1, 1, 0, 0))      # cross-group -> exact zero
+
+    def test_report_matches_per_spec_dd(self, slider6, pts6):
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+        data = _slide_data(slider6)
+        groups = tuple(tuple(g) for g in slider6.partition)
+        got = np.asarray(slider_multi_batch_dd(
+            data, slider6.pivot_value, groups, self.SPECS, pts6))
+        assert got.shape == (len(pts6), len(self.SPECS))
+        for k, spec in enumerate(self.SPECS):
+            want = np.asarray(slider_batch_dd(
+                data, slider6.pivot_value, groups, pts6,
+                orders=spec))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got[:, k] - want).max() / scale < 1e-11, spec
+
+    def test_report_matches_f64_class_path(self, slider6, pts6):
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+        data = _slide_data(slider6)
+        groups = tuple(tuple(g) for g in slider6.partition)
+        got = np.asarray(slider_multi_batch_dd(
+            data, slider6.pivot_value, groups, self.SPECS, pts6))
+        for k, spec in enumerate(self.SPECS):
+            want = slider6.eval_batch(pts6, list(spec))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got[:, k] - want).max() / scale < 1e-9, spec
+
+    def test_cross_group_column_is_exact_zero(self, slider6, pts6):
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+        data = _slide_data(slider6)
+        groups = tuple(tuple(g) for g in slider6.partition)
+        got = np.asarray(slider_multi_batch_dd(
+            data, slider6.pivot_value, groups, self.SPECS, pts6))
+        assert np.all(got[:, 4] == 0.0)
+
+    def test_empty_specs(self, slider6, pts6):
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+        data = _slide_data(slider6)
+        groups = tuple(tuple(g) for g in slider6.partition)
+        got = np.asarray(slider_multi_batch_dd(
+            data, slider6.pivot_value, groups, (), pts6))
+        assert got.shape == (len(pts6), 0)
+
+    def test_bad_spec_length_raises(self, slider6, pts6):
+        from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+        data = _slide_data(slider6)
+        groups = tuple(tuple(g) for g in slider6.partition)
+        with pytest.raises(ValueError, match="length"):
+            slider_multi_batch_dd(data, slider6.pivot_value, groups,
+                                  ((0, 0),), pts6)
+
+
+class TestMultiSpecEngineDD:
+    """MultiSpecEvaluator(dtype='dd') on a slider: near-f64 Greek
+    reports through the bucket ladder."""
+
+    def test_report_matches_class_path(self, slider6, pts6):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [(0,) * D, (1, 0, 0, 0, 0, 0), (0, 0, 1, 0, 0, 0),
+                 (0, 0, 1, 1, 0, 0)]
+        eng = MultiSpecEvaluator(slider6, specs, dtype="dd",
+                                 bucket_sizes=(128,))
+        got = eng(pts6)
+        assert got.shape == (len(pts6), len(specs))
+        for m, s in enumerate(specs):
+            want = slider6.eval_batch(pts6, list(s))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got[:, m] - want).max() / scale < 1e-9, s
+
+    def test_warmup_and_repeat_calls(self, slider6, pts6):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [(0,) * D, (0, 0, 0, 0, 1, 0)]
+        eng = MultiSpecEvaluator(slider6, specs, dtype="dd",
+                                 bucket_sizes=(64, 256))
+        eng.warmup()
+        a = eng(pts6[:40])
+        b = eng(pts6[:40])
+        np.testing.assert_array_equal(a, b)
+
+    def test_over_budget_slider_rejected(self):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sl = ChebyshevSlider(
+            lambda p, _: np.sum(np.asarray(p) ** 2, axis=1),
+            4, [[-1, 1]] * 4, [33] * 4, [[0, 1, 2, 3]], [0.0] * 4,
+            vectorized=True)
+        sl.build(verbose=False)
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            MultiSpecEvaluator(sl, [(0, 0, 0, 0)], dtype="dd")
