@@ -580,6 +580,14 @@ class MultiSpecEvaluator:
     - **TT**: rejected — its derivatives are finite differences, whose
       h ~ 1e-4·range stencils lose most significant digits below f64;
       use ``differentiate()`` per spec + ``MultiModelEvaluator``.
+
+    ``dtype="dd"`` serves the report at near-f64 accuracy (~1e-11)
+    through the digit-GEMM tier: dense and slider reports share ONE
+    double-f32 row-plane build per bucket (each spec adds only its
+    exact GEMM ladder — ``ops.eval_dd.eval_batch_dd_multi`` /
+    ``ops.slider_eval.slider_multi_batch_dd``); flat-grid splines route
+    per piece on host and run each occupied piece's whole spec set
+    through the dense primitive.
     """
 
     def __init__(self, interpolant, specs, dtype=jnp.float32,
@@ -598,8 +606,9 @@ class MultiSpecEvaluator:
                 "ChebyshevSpline, and ChebyshevSlider objects (TT "
                 "models: differentiate() per spec + MultiModelEvaluator)"
             )
-        # dtype="dd": the near-f64 digit-GEMM report (dense + slider) —
-        # one shared row-plane build, per-spec exact GEMM ladders.
+        # dtype="dd": the near-f64 digit-GEMM report (dense, flat
+        # spline, slider) — shared row-plane builds, per-spec exact
+        # GEMM ladders.
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
             if isinstance(interpolant, ChebyshevApproximation):
@@ -625,11 +634,40 @@ class MultiSpecEvaluator:
                         f"the digit-GEMM plan budget; serve at "
                         f"dtype=jnp.float64 instead"
                     )
+            elif isinstance(interpolant, ChebyshevSpline):
+                # Same envelope as the single-spec dd spline engine:
+                # uniform piece grids within the plan budget, piece
+                # count bounded by the digit-plane cache working set.
+                if not interpolant._built:
+                    raise RuntimeError("interpolant is not built")
+                from pychebyshev_tpu.ops import eval_dd as _dd_mod
+                shapes = {tuple(p.tensor_values.shape)
+                          for p in interpolant._pieces}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        "dtype='dd' spline serving requires flat "
+                        "n_nodes (all pieces on one grid shape)"
+                    )
+                if len(interpolant._pieces) > _dd_mod._PLANE_CACHE_SLOTS:
+                    raise ValueError(
+                        f"dtype='dd' spline serving supports at most "
+                        f"{_dd_mod._PLANE_CACHE_SLOTS} pieces (the digit-"
+                        f"plane cache working set); this spline has "
+                        f"{len(interpolant._pieces)} — serve at "
+                        f"dtype=jnp.float64 instead"
+                    )
+                shape = next(iter(shapes))
+                if not _dd_mod.supports_dd(shape):
+                    raise ValueError(
+                        f"grid shape {shape} is outside the digit-GEMM "
+                        f"plan budget; serve at dtype=jnp.float64 "
+                        f"instead"
+                    )
             else:
                 raise TypeError(
                     "dtype='dd' multi-spec serving supports "
-                    "ChebyshevApproximation and ChebyshevSlider "
-                    "(splines: use per-spec BatchedEvaluator dd engines)"
+                    "ChebyshevApproximation, flat-grid ChebyshevSpline, "
+                    "and ChebyshevSlider"
                 )
             if mesh is not None:
                 raise ValueError(
@@ -690,6 +728,26 @@ class MultiSpecEvaluator:
                 MASKED_MAX_PIECES_F64,
                 piece_strides,
             )
+            if self._dd:
+                # Host-routed per-piece reports: each occupied piece
+                # serves the whole spec set through the dense dd multi
+                # primitive (one shared row build per piece bucket).
+                self._kind = "spline"
+                self._knots = [np.asarray(k, dtype=np.float64)
+                               for k in interpolant.knots]
+                self._strides = piece_strides(
+                    [len(k) for k in self._knots])
+                self._spline_stacked = None
+                self._piece_arrays = tuple(
+                    (jnp.asarray(piece.tensor_values, jnp.float64),)
+                    + tuple(tuple(jnp.asarray(a, jnp.float64)
+                                  for a in grp)
+                            for grp in piece._grid_tuples())
+                    for piece in interpolant._pieces)
+                self._guard_dims = sorted({
+                    d for s in self.specs
+                    for d, o in enumerate(s) if o > 0})
+                return
             max_pieces = (MASKED_MAX_PIECES if self.dtype == jnp.float32
                           else MASKED_MAX_PIECES_F64)
             if (not interpolant._pieces_stackable()
@@ -789,9 +847,36 @@ class MultiSpecEvaluator:
                     f"this point."
                 )
 
+    def _call_spline_dd(self, points: np.ndarray) -> np.ndarray:
+        """Host-routed per-piece dd reports: each occupied piece runs
+        the whole spec set through the dense digit-GEMM multi primitive
+        (flat grids share one compiled executable per bucket size)."""
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        from pychebyshev_tpu.ops.spline_eval import route_piece_indices
+        flat = route_piece_indices(self._knots, self._strides, points)
+        out = np.empty((points.shape[0], len(self.specs)),
+                       dtype=self.dtype)
+        for piece_idx in np.unique(flat):
+            sel = np.flatnonzero(flat == piece_idx)
+            arrays = self._piece_arrays[int(piece_idx)]
+            out[sel] = self._bucketed(
+                points[sel],
+                lambda p, a=arrays: eval_batch_dd_multi(
+                    a[0], a[1], a[2], a[3], p, self.specs).T,
+                out_cols=len(self.specs))
+        return out
+
     def warmup(self) -> None:
         for b in self.bucket_sizes:
             pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
+            if self._kind == "spline" and self._dd:
+                from pychebyshev_tpu.ops.eval_dd import (
+                    eval_batch_dd_multi,
+                )
+                a = self._piece_arrays[0]
+                jax.block_until_ready(eval_batch_dd_multi(
+                    a[0], a[1], a[2], a[3], pts, self.specs))
+                continue
             aux = ()
             if self._kind == "spline":
                 aux = self._route_chunk(np.full(
@@ -811,6 +896,8 @@ class MultiSpecEvaluator:
         if self._kind == "spline":
             points = np.asarray(points, dtype=np.float64)
             self._check_knots(points)
+            if self._dd:
+                return self._call_spline_dd(points)
             host_aux = self._route_chunk
         return self._bucketed(points, self._run, host_aux=host_aux,
                               out_cols=len(self.specs))

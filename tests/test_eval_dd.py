@@ -260,13 +260,47 @@ class TestDigitGemmMulti:
             scale = np.abs(want).max()
             assert np.abs(got[:, m] - want).max() / scale < 1e-9
 
-    def test_multispec_engine_dd_rejects_spline(self):
+    def test_multispec_engine_dd_spline(self):
+        """Flat-grid splines serve dd reports: host piece routing,
+        per-piece dense dd_multi (one shared row build per bucket)."""
         from pychebyshev_tpu import ChebyshevSpline
         from pychebyshev_tpu.serving import MultiSpecEvaluator
-        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [7],
-                             [[0.0]])
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) ** 3 + np.sin(x[1]), 2,
+            [[-1, 1], [-1, 1]], [9, 9], [[0.0], []])
         sp.build(verbose=False)
-        with pytest.raises(TypeError, match="dd"):
+        specs = [(0, 0), (1, 0), (0, 1)]
+        eng = MultiSpecEvaluator(sp, specs, dtype="dd",
+                                 bucket_sizes=(64, 256))
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-0.95, 0.95, (333, 2))
+        pts = pts[np.abs(pts[:, 0]) > 1e-3]       # off the kink knot
+        got = eng(pts)
+        assert got.shape == (len(pts), 3)
+        for m, s in enumerate(specs):
+            want = sp.vectorized_eval_batch(pts, list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-9, s
+
+    def test_multispec_engine_dd_spline_knot_guard(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) + x[1] ** 2, 2,
+            [[-1, 1], [-1, 1]], [7, 7], [[0.0], []])
+        sp.build(verbose=False)
+        eng = MultiSpecEvaluator(sp, [(0, 0), (1, 0)], dtype="dd",
+                                 bucket_sizes=(16,))
+        with pytest.raises(ValueError, match="not defined"):
+            eng(np.array([[0.0, 0.3], [0.5, 0.1]]))
+
+    def test_multispec_engine_dd_rejects_nonflat_spline(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sp = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]],
+                             [[7, 9]], [[0.0]])
+        sp.build(verbose=False)
+        with pytest.raises(ValueError, match="flat"):
             MultiSpecEvaluator(sp, [(0,)], dtype="dd")
 
 
