@@ -304,3 +304,52 @@ class TestSliderDigitGemmOnChip:
         ref = sl.eval_batch(pts)
         got = sl.eval_batch_dd(pts)
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+
+
+class TestMultiSpecDigitGemmOnChip:
+    """Near-f64 Greek reports on real bf16 MXU hardware."""
+
+    def test_slider_multispec_dd_on_chip(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        D = 6
+
+        def basket(p, _=None):
+            p = np.asarray(p, dtype=np.float64)
+            return np.sum(np.sin(p), axis=1) + 0.2 * np.sum(p ** 2,
+                                                            axis=1)
+
+        sl = ChebyshevSlider(basket, D, [[-1.0, 1.0]] * D, [9] * D,
+                             [[0, 1]] + [[i] for i in range(2, D)],
+                             [0.0] * D, vectorized=True)
+        sl.build(verbose=False)
+        specs = [(0,) * D, (1, 0, 0, 0, 0, 0), (0, 0, 1, 0, 0, 0),
+                 (0, 0, 1, 1, 0, 0)]
+        eng = MultiSpecEvaluator(sl, specs, dtype="dd",
+                                 bucket_sizes=(2048,))
+        pts = np.random.default_rng(17).uniform(-1, 1, (2048, D))
+        got = eng(pts)
+        for m, s in enumerate(specs):
+            want = sl.eval_batch(pts, list(s))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
+
+    def test_spline_multispec_dd_on_chip(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) ** 3 + np.sin(x[1]),
+            2, [[-1, 1], [-1, 1]], [11, 11], [[0.0], []])
+        sp.build(verbose=False)
+        specs = [(0, 0), (1, 0), (0, 1)]
+        eng = MultiSpecEvaluator(sp, specs, dtype="dd",
+                                 bucket_sizes=(1024,))
+        rng = np.random.default_rng(19)
+        pts = rng.uniform(-0.95, 0.95, (1500, 2))
+        pts = pts[np.abs(pts[:, 0]) > 1e-2]
+        got = eng(pts)
+        for m, s in enumerate(specs):
+            want = sp.vectorized_eval_batch(pts, list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
