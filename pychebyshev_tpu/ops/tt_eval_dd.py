@@ -55,7 +55,8 @@ from pychebyshev_tpu.ops.eval_dd import (
     pair_schedule,
 )
 
-__all__ = ["tt_eval_batch_dd", "tt_supports_dd", "tt_dd_plan"]
+__all__ = ["tt_eval_batch_dd", "tt_eval_batch_dd_models",
+           "tt_supports_dd", "tt_dd_plan"]
 
 # Row values are T_k(x) with |T_k(x)| <= 1 for x in [-1, 1]; one halving
 # covers the digit-plane contract |hi + lo| <= 1 with margin for mild
@@ -117,94 +118,106 @@ def tt_supports_dd(core_shapes: Sequence[Tuple[int, int, int]]) -> bool:
     return bool(tt_dd_plan(core_shapes)["ok"])
 
 
+def _dd_recurrence(xhi, xlo, n_d):
+    """Half-scaled Chebyshev columns T_k(x)/2 in double-f32.
+
+    The three-term recurrence runs entirely on f32 VPU lanes
+    (software f64 here measurably dominated the per-point cost):
+    with u_k = T_k/2, ``u_{k+1} = (2x) * u_k - u_{k-1}`` where the
+    doubling and halving are exact power-of-two word scalings and
+    each step costs one _dd_mul + one TwoSum — error ~k * 2^-47,
+    inside the digit-plane budget.
+    """
+    one_hi = jnp.full_like(xhi, np.float32(0.5))
+    cols = [(one_hi, jnp.zeros_like(xhi))]
+    if n_d > 1:
+        cols.append((xhi * np.float32(0.5), xlo * np.float32(0.5)))
+    txhi, txlo = xhi * np.float32(2.0), xlo * np.float32(2.0)
+    for _ in range(2, n_d):
+        chi, clo = cols[-1]
+        phi, plo = _dd_mul(txhi, txlo, chi, clo)
+        mhi, mlo = cols[-2]
+        nhi, nlo = _dd_add(phi, plo, -mhi, -mlo)
+        cols.append((nhi, nlo))
+    qhi = jnp.stack([c[0] for c in cols], axis=-1)
+    qlo = jnp.stack([c[1] for c in cols], axis=-1)
+    return qhi, qlo
+
+
+def _stage_dd(r_planes, planes_d, scale_d, js_by_i, b, r_l, r_r):
+    """One dim's digit-GEMM ladder -> (ghi, glo) (N, r_l, r_r) stage.
+
+    One bf16 GEMM per row plane against the concatenation of its
+    allowed core planes; every product is an integer < 2^24 so the f32
+    accumulation is exact, and the power-of-two per-pair scales
+    recombine losslessly.
+    """
+    q_scale = np.float32(2.0 ** _Q_SCALE_LOG2)
+    width = r_l * r_r
+    by_scale = {}
+    for i, js in enumerate(js_by_i):
+        if not js:
+            continue
+        g_all = jnp.dot(r_planes[i], planes_d[i],
+                        preferred_element_type=jnp.float32)
+        for k, j in enumerate(js):
+            g = jax.lax.slice_in_dim(g_all, k * width,
+                                     (k + 1) * width, axis=1)
+            v = b * (i + 1) + b * (j + 1)
+            by_scale[v] = g if v not in by_scale else by_scale[v] + g
+    ghi = glo = None
+    for v in sorted(by_scale):                      # largest first
+        term = by_scale[v] * np.float32(2.0 ** -v)
+        if ghi is None:
+            ghi, glo = term, jnp.zeros_like(term)
+        else:
+            ghi, glo = _dd_add(ghi, glo, term, jnp.zeros_like(term))
+    # Undo the two power-of-two pre-scales — exact on both words.
+    back = q_scale * scale_d
+    ghi = ghi * back
+    glo = glo * back
+    return ghi.reshape(-1, r_l, r_r), glo.reshape(-1, r_l, r_r)
+
+
+def _chain_model(shapes_m, r_planes_by_dim, planes_m, scales_m,
+                 js_by_i, b):
+    """One model's full stage chain over shared per-dim row planes."""
+    uhi = ulo = None
+    for d, (r_l, n_d, r_r) in enumerate(shapes_m):
+        ghi, glo = _stage_dd(r_planes_by_dim[d], planes_m[d],
+                             scales_m[d], js_by_i, b, r_l, r_r)
+        if uhi is None:                             # r_l == 1
+            uhi, ulo = ghi[:, 0, :], glo[:, 0, :]
+            continue
+        # Rank reduction u <- sum_r u[r] * G[r, :] in double-f32:
+        # exact products (Dekker), compensated sums (TwoSum) —
+        # a static unroll over the small bond rank.
+        ph, pl = _dd_mul(uhi[:, :, None], ulo[:, :, None], ghi, glo)
+        ahi, alo = ph[:, 0, :], pl[:, 0, :]
+        for r in range(1, r_l):
+            ahi, alo = _dd_add(ahi, alo, ph[:, r, :], pl[:, r, :])
+        uhi, ulo = ahi, alo
+    return uhi[:, 0].astype(jnp.float64) + ulo[:, 0].astype(jnp.float64)
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled(shapes: Tuple[Tuple[int, int, int], ...], cutoff: int):
     plan = tt_dd_plan(shapes, cutoff)
     b = plan["b"]
     js_by_i = plan["js_by_i"]
     p_r = 1 + max(i for i, _ in plan["pairs"])
-    q_scale = np.float32(2.0 ** _Q_SCALE_LOG2)
-
-    def _dd_recurrence(xhi, xlo, n_d):
-        """Half-scaled Chebyshev columns T_k(x)/2 in double-f32.
-
-        The three-term recurrence runs entirely on f32 VPU lanes
-        (software f64 here measurably dominated the per-point cost):
-        with u_k = T_k/2, ``u_{k+1} = (2x) * u_k - u_{k-1}`` where the
-        doubling and halving are exact power-of-two word scalings and
-        each step costs one _dd_mul + one TwoSum — error ~k * 2^-47,
-        inside the digit-plane budget.
-        """
-        one_hi = jnp.full_like(xhi, np.float32(0.5))
-        cols = [(one_hi, jnp.zeros_like(xhi))]
-        if n_d > 1:
-            cols.append((xhi * np.float32(0.5), xlo * np.float32(0.5)))
-        txhi, txlo = xhi * np.float32(2.0), xlo * np.float32(2.0)
-        for _ in range(2, n_d):
-            chi, clo = cols[-1]
-            phi, plo = _dd_mul(txhi, txlo, chi, clo)
-            mhi, mlo = cols[-2]
-            nhi, nlo = _dd_add(phi, plo, -mhi, -mlo)
-            cols.append((nhi, nlo))
-        qhi = jnp.stack([c[0] for c in cols], axis=-1)
-        qlo = jnp.stack([c[1] for c in cols], axis=-1)
-        return qhi, qlo
 
     def _one(core_planes, core_scales, lo, hi, pts):
-        uhi = ulo = None
+        r_planes_by_dim = []
         for d, (r_l, n_d, r_r) in enumerate(shapes):
             # Only the scaled coordinate runs in (narrow, (N,)) f64;
             # the (N, n_d) recurrence runs in double-f32.
             x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
             xhi, xlo = _split_f64(x)
             qhi, qlo = _dd_recurrence(xhi, xlo, n_d)
-            r_planes = _digit_planes_pair(qhi, qlo, b, p_r)
-
-            # One bf16 GEMM per row plane against the concatenation of
-            # its allowed core planes; every product is an integer
-            # < 2^24 so the f32 accumulation is exact, and the
-            # power-of-two per-pair scales recombine losslessly.
-            width = r_l * r_r
-            by_scale = {}
-            for i, js in enumerate(js_by_i):
-                if not js:
-                    continue
-                g_all = jnp.dot(r_planes[i], core_planes[d][i],
-                                preferred_element_type=jnp.float32)
-                for k, j in enumerate(js):
-                    g = jax.lax.slice_in_dim(g_all, k * width,
-                                             (k + 1) * width, axis=1)
-                    v = b * (i + 1) + b * (j + 1)
-                    by_scale[v] = g if v not in by_scale else \
-                        by_scale[v] + g
-            ghi = glo = None
-            for v in sorted(by_scale):                  # largest first
-                term = by_scale[v] * np.float32(2.0 ** -v)
-                if ghi is None:
-                    ghi, glo = term, jnp.zeros_like(term)
-                else:
-                    ghi, glo = _dd_add(ghi, glo, term,
-                                       jnp.zeros_like(term))
-            # Undo the two power-of-two pre-scales — exact on both words.
-            back = q_scale * core_scales[d]
-            ghi = ghi * back
-            glo = glo * back
-            ghi = ghi.reshape(-1, r_l, r_r)
-            glo = glo.reshape(-1, r_l, r_r)
-
-            if uhi is None:                             # r_l == 1
-                uhi, ulo = ghi[:, 0, :], glo[:, 0, :]
-                continue
-            # Rank reduction u <- sum_r u[r] * G[r, :] in double-f32:
-            # exact products (Dekker), compensated sums (TwoSum) —
-            # a static unroll over the small bond rank.
-            ph, pl = _dd_mul(uhi[:, :, None], ulo[:, :, None], ghi, glo)
-            ahi, alo = ph[:, 0, :], pl[:, 0, :]
-            for r in range(1, r_l):
-                ahi, alo = _dd_add(ahi, alo, ph[:, r, :], pl[:, r, :])
-            uhi, ulo = ahi, alo
-        return uhi[:, 0].astype(jnp.float64) + ulo[:, 0].astype(
-            jnp.float64)
+            r_planes_by_dim.append(_digit_planes_pair(qhi, qlo, b, p_r))
+        return _chain_model(shapes, r_planes_by_dim, core_planes,
+                            core_scales, js_by_i, b)
 
     @jax.jit
     def run(core_planes, core_scales, lo, hi, points):
@@ -289,3 +302,101 @@ def tt_eval_batch_dd(coeff_cores, domain, points,
     dom = np.asarray(domain, dtype=np.float64)
     return run(planes, scales, jnp.asarray(dom[:, 0]),
                jnp.asarray(dom[:, 1]), pts)
+
+
+# --------------------------------------------------------------------------
+# Near-f64 TT books: M same-grid TT models share the per-dim row planes.
+#
+# The per-point cost of the dd chain splits into a model-independent
+# part (the double-f32 Chebyshev recurrence + row digit planes per dim
+# — same grid, same planes) and a per-model part (GEMM ladders + rank
+# chain).  A book therefore evaluates M models for one recurrence/plane
+# build plus M ladders; with analytic-derivative TTs as the models this
+# is the TT family's near-f64 Greek report.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_book(models_shapes: Tuple[Tuple[Tuple[int, int, int],
+                                              ...], ...], cutoff: int):
+    plan = tt_dd_plan(models_shapes[0], cutoff)
+    b = plan["b"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    dims_n = tuple(s[1] for s in models_shapes[0])
+
+    def _one(models_planes, models_scales, lo, hi, pts):
+        r_planes_by_dim = []
+        for d, n_d in enumerate(dims_n):
+            x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
+            xhi, xlo = _split_f64(x)
+            qhi, qlo = _dd_recurrence(xhi, xlo, n_d)
+            r_planes_by_dim.append(_digit_planes_pair(qhi, qlo, b, p_r))
+        return jnp.stack([
+            _chain_model(shapes_m, r_planes_by_dim, models_planes[m],
+                         models_scales[m], js_by_i, b)
+            for m, shapes_m in enumerate(models_shapes)])
+
+    per_point = sum(
+        max((1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * n_d
+            for r_l, n_d, r_r in shapes_m)
+        for shapes_m in models_shapes)
+
+    @jax.jit
+    def run(models_planes, models_scales, lo, hi, points):
+        from pychebyshev_tpu.ops.eval import _MAX_INTERMEDIATE_ELEMS
+        n = points.shape[0]
+        m = len(models_shapes)
+        chunk = max(256, _MAX_INTERMEDIATE_ELEMS
+                    // max(per_point * p_r, 1))
+        if n <= chunk:
+            return _one(models_planes, models_scales, lo, hi, points)
+        pad = (-n) % chunk
+        padded = jnp.pad(points, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, points.shape[1])
+        out = jax.lax.map(
+            lambda p: _one(models_planes, models_scales, lo, hi, p),
+            chunks)                                  # (C, M, chunk)
+        return out.transpose(1, 0, 2).reshape(m, -1)[:, :n]
+
+    return run, plan
+
+
+def tt_eval_batch_dd_models(models_cores, domain, points,
+                            cutoff: int = None) -> jax.Array:
+    """Book-of-TT-models digit-GEMM evaluation -> (M, N).
+
+    The near-f64 analog of the stacked f32 TT book: M same-grid TT
+    models (ranks may differ) share ONE double-f32 Chebyshev recurrence
+    and row-plane build per dim; each model adds only its exact GEMM
+    ladders and double-f32 rank chain.  With ``differentiate()`` models
+    this serves a whole TT Greek report at ~1e-11 deviation.
+    """
+    models_cores = tuple(tuple(cs) for cs in models_cores)
+    if not models_cores:
+        raise ValueError("models_cores must be a non-empty sequence")
+    models_shapes = tuple(
+        tuple(tuple(int(x) for x in np.shape(c)) for c in cs)
+        for cs in models_cores)
+    grid0 = tuple(s[1] for s in models_shapes[0])
+    for i, sh in enumerate(models_shapes):
+        if not tt_dd_plan(sh, cutoff)["ok"]:
+            raise ValueError(
+                f"model {i} core shapes {sh} outside the digit-GEMM "
+                f"budget; use the stacked f32 TT book")
+        if tuple(s[1] for s in sh) != grid0:
+            raise ValueError(
+                f"model {i} per-dim node counts "
+                f"{tuple(s[1] for s in sh)} differ from model 0's "
+                f"{grid0}; a book shares one grid")
+    run, plan = _compiled_book(
+        models_shapes, tt_dd_plan(models_shapes[0], cutoff)["cutoff"])
+    scales_all, planes_all = [], []
+    for cs in models_cores:
+        scales, planes = _core_planes(cs, plan)
+        scales_all.append(scales)
+        planes_all.append(planes)
+    pts = jnp.asarray(points, jnp.float64)
+    dom = np.asarray(domain, dtype=np.float64)
+    return run(tuple(planes_all), tuple(scales_all),
+               jnp.asarray(dom[:, 0]), jnp.asarray(dom[:, 1]), pts)

@@ -951,16 +951,11 @@ class MultiModelEvaluator:
         first = interpolants[0]
         self._kind = ("tt" if isinstance(first, ChebyshevTT)
                       else "dense")
-        # dtype="dd": the near-f64 book (dense only) — one shared
-        # row-plane build per bucket, per-model exact GEMM ladders.
+        # dtype="dd": the near-f64 book (dense + TT) — shared row-plane
+        # builds per bucket, per-model exact GEMM ladders.
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
             from pychebyshev_tpu.ops import eval_dd as _dd_mod
-            if self._kind != "dense":
-                raise TypeError(
-                    "dtype='dd' book serving supports dense "
-                    "ChebyshevApproximation models only"
-                )
             if len(interpolants) > _dd_mod._PLANE_CACHE_SLOTS:
                 raise ValueError(
                     f"dtype='dd' books hold at most "
@@ -968,7 +963,19 @@ class MultiModelEvaluator:
                     f"plane cache working set); this book has "
                     f"{len(interpolants)}"
                 )
-            if first.tensor_values is not None and \
+            if self._kind == "tt":
+                from pychebyshev_tpu.ops.tt_eval_dd import tt_supports_dd
+                for i, m in enumerate(interpolants):
+                    m._check_built()
+                    core_shapes = [np.shape(c) for c in m._coeff_cores]
+                    if not tt_supports_dd(core_shapes):
+                        raise ValueError(
+                            f"interpolants[{i}] TT core shapes "
+                            f"{core_shapes} are outside the digit-GEMM "
+                            f"plan budget; serve at dtype=jnp.float64 "
+                            f"instead"
+                        )
+            elif first.tensor_values is not None and \
                     not _dd_mod.supports_dd(
                         tuple(first.tensor_values.shape)):
                 raise ValueError(
@@ -1029,6 +1036,18 @@ class MultiModelEvaluator:
                 # Analytic derivative TTs evaluate at full speed.
                 interpolants = [m.differentiate(list(orders))
                                 for m in interpolants]
+            if self._dd:
+                # Per-model core tuples (stable jax arrays keep the
+                # digit-plane cache identity-keyed); the book primitive
+                # shares the per-dim row planes across models.
+                self._tt_dd_cores = tuple(
+                    tuple(jnp.asarray(c, jnp.float64)
+                          for c in m._coeff_cores)
+                    for m in interpolants)
+                self._tt_domain = np.asarray(first.domain,
+                                             dtype=np.float64)
+                self._dim_order = list(first._dim_order)
+                return
             # Zero-pad every bond to the book-wide max rank and stack:
             # one (M, r, n, r) array per dim, vmapped through the chain.
             d = self.num_dimensions
@@ -1075,6 +1094,12 @@ class MultiModelEvaluator:
 
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "tt":
+            if self._dd:
+                from pychebyshev_tpu.ops.tt_eval_dd import (
+                    tt_eval_batch_dd_models,
+                )
+                return tt_eval_batch_dd_models(
+                    self._tt_dd_cores, self._tt_domain, points)
             from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
             return jax.vmap(
                 lambda *cores: tt_eval_batch(cores, self._tt_domain,

@@ -360,14 +360,21 @@ class TestDigitGemmBook:
             scale = np.abs(want).max()
             assert np.abs(got[i] - want).max() / scale < 1e-8
 
-    def test_tt_book_dd_rejected(self):
+    def test_tt_book_dd_now_served(self):
+        """TT dd books are served (tt_eval_batch_dd_models); a TT whose
+        chain is outside the digit plan budget is still rejected."""
         from pychebyshev_tpu import ChebyshevTT
         from pychebyshev_tpu.serving import MultiModelEvaluator
-        tt = ChebyshevTT(lambda x, _: x[0], 1, [[-1, 1]], [7],
-                         max_rank=3)
+        tt = ChebyshevTT(
+            lambda x, _: np.sin(x[0]) + x[1] ** 2, 2,
+            [[-1, 1], [-1, 1]], [9, 9], max_rank=4)
         tt.build(verbose=False)
-        with pytest.raises(TypeError, match="dense"):
-            MultiModelEvaluator([tt], dtype="dd")
+        eng = MultiModelEvaluator([tt], dtype="dd", bucket_sizes=(64,))
+        pts = np.random.default_rng(23).uniform(-1, 1, (100, 2))
+        got = eng(pts)
+        want = tt.eval_batch(pts)
+        assert np.max(np.abs(got[0] - want)) / np.max(
+            np.abs(want)) < 1e-10
 
     def test_oversized_book_rejected(self, book):
         from pychebyshev_tpu.serving import MultiModelEvaluator

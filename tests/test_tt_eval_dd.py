@@ -136,3 +136,85 @@ class TestClassRouting:
         ref = d.eval_batch(pts5)
         got = d.eval_batch_dd(pts5)
         assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-10
+
+
+def _target_b(p, data=None):
+    p = np.asarray(p, dtype=np.float64)
+    if p.ndim == 1:
+        p = p[None, :]
+    return np.cos(p[:, 0] * p[:, 1]) + 0.5 * np.sin(2.0 * p[:, 3])
+
+
+@pytest.fixture(scope="module")
+def tt5b():
+    tt = ChebyshevTT(_target_b, 5, [[0.0, 1.0]] * 5, [11] * 5,
+                     max_rank=8, vectorized=True)
+    tt.build(verbose=False)
+    return tt
+
+
+class TestDigitGemmBook:
+    """tt_eval_batch_dd_models: M same-grid TT models share the
+    per-dim row planes; each adds only its ladders + rank chain."""
+
+    def test_book_matches_per_model_dd(self, tt5, tt5b, pts5):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd_models
+        dom = np.asarray(tt5.domain, dtype=np.float64)
+        models = (tuple(tt5._coeff_cores), tuple(tt5b._coeff_cores))
+        got = np.asarray(tt_eval_batch_dd_models(models, dom, pts5))
+        assert got.shape == (2, len(pts5))
+        for m, cores in enumerate(models):
+            want = np.asarray(tt_eval_batch_dd(cores, dom, pts5))
+            scale = np.max(np.abs(want))
+            assert np.max(np.abs(got[m] - want)) / scale < 1e-12
+
+    def test_book_is_f64_class(self, tt5, tt5b, pts5):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd_models
+        dom = np.asarray(tt5.domain, dtype=np.float64)
+        models = (tuple(tt5._coeff_cores), tuple(tt5b._coeff_cores))
+        got = np.asarray(tt_eval_batch_dd_models(models, dom, pts5))
+        for m, tt in enumerate((tt5, tt5b)):
+            ref = np.asarray(tt_eval_batch(
+                tt._coeff_cores, dom, pts5))
+            scale = np.max(np.abs(ref))
+            assert np.max(np.abs(got[m] - ref)) / scale < 1e-11
+
+    def test_mismatched_grid_rejected(self, tt5, pts5):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd_models
+        tt9 = ChebyshevTT(_target_b, 5, [[0.0, 1.0]] * 5, [9] * 5,
+                          max_rank=6, vectorized=True)
+        tt9.build(verbose=False)
+        dom = np.asarray(tt5.domain, dtype=np.float64)
+        with pytest.raises(ValueError, match="one grid"):
+            tt_eval_batch_dd_models(
+                (tuple(tt5._coeff_cores), tuple(tt9._coeff_cores)),
+                dom, pts5)
+
+    def test_empty_book_rejected(self, pts5):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd_models
+        with pytest.raises(ValueError, match="non-empty"):
+            tt_eval_batch_dd_models((), np.zeros((5, 2)), pts5)
+
+    def test_multimodel_engine_dd_tt(self, tt5, tt5b, pts5):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        eng = MultiModelEvaluator([tt5, tt5b], dtype="dd",
+                                  bucket_sizes=(256,))
+        got = eng(pts5)
+        assert got.shape == (2, len(pts5))
+        for m, tt in enumerate((tt5, tt5b)):
+            want = tt.eval_batch(pts5)
+            scale = np.max(np.abs(want))
+            assert np.max(np.abs(got[m] - want)) / scale < 1e-10
+
+    def test_multimodel_engine_dd_tt_derivative_book(self, tt5, tt5b,
+                                                     pts5):
+        """Greek report: differentiate() models served as a dd book."""
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        eng = MultiModelEvaluator([tt5, tt5b],
+                                  derivative_order=[1, 0, 0, 0, 0],
+                                  dtype="dd", bucket_sizes=(256,))
+        got = eng(pts5)
+        for m, tt in enumerate((tt5, tt5b)):
+            want = tt.differentiate([1, 0, 0, 0, 0]).eval_batch(pts5)
+            scale = np.max(np.abs(want))
+            assert np.max(np.abs(got[m] - want)) / scale < 1e-10
