@@ -310,9 +310,12 @@ def tt_eval_batch_dd(coeff_cores, domain, points,
 # The per-point cost of the dd chain splits into a model-independent
 # part (the double-f32 Chebyshev recurrence + row digit planes per dim
 # — same grid, same planes) and a per-model part (GEMM ladders + rank
-# chain).  A book therefore evaluates M models for one recurrence/plane
-# build plus M ladders; with analytic-derivative TTs as the models this
-# is the TT family's near-f64 Greek report.
+# chain).  A book evaluates M models for one recurrence/plane build
+# plus M ladders; with analytic-derivative TTs as the models this is
+# the TT family's near-f64 Greek report.  Measured on chip the book is
+# compute-NEUTRAL (~1.07x the cost of M separate dd passes — the
+# ladders dominate the shared recurrence); its value is serving the
+# whole book in ONE dispatch per bucket instead of M.
 # --------------------------------------------------------------------------
 
 

@@ -41,8 +41,35 @@ __all__ = [
     "sharded_vectorized",
     "eval_batch_dp",
     "eval_batch_dd_dp",
+    "slider_batch_dd_dp",
+    "tt_eval_batch_dd_dp",
     "eval_batch_tp",
 ]
+
+
+def _dp_points(points, mesh: Mesh, axis_name: str):
+    """Pad a batch to the dp axis size and shard it; -> (pts, n, pad)."""
+    pts = jnp.asarray(points, jnp.float64)
+    n = pts.shape[0]
+    pad = -n % mesh.shape[axis_name]
+    if pad:
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
+    pts = jax.device_put(pts, NamedSharding(mesh, P(axis_name, None)))
+    return pts, n, pad
+
+
+def _dp_run(run, n_ops: int, mesh: Mesh, axis_name: str):
+    """shard_map a jitted ``(op_1..op_n, points) -> (N,)`` runner:
+    operands replicate, points shard (explicit, so chunked ``lax.map``
+    inside the kernel never induces cross-device resharding)."""
+    from jax import shard_map
+    return shard_map(
+        lambda *a: run(*a),
+        mesh=mesh,
+        in_specs=(P(),) * n_ops + (P(axis_name, None),),
+        out_specs=P(axis_name),
+    )
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -149,8 +176,6 @@ def eval_batch_dd_dp(tensor, nodes, weights, diff_matrices, points,
     ``shard_map`` (explicit, so the chunked ``lax.map`` inside the
     kernel never induces cross-device resharding).
     """
-    from jax import shard_map
-
     from pychebyshev_tpu.ops import eval_dd
 
     shape = tuple(int(x) for x in tensor.shape)
@@ -176,21 +201,100 @@ def eval_batch_dd_dp(tensor, nodes, weights, diff_matrices, points,
     weights64 = jax.device_put(
         tuple(jnp.asarray(a, jnp.float64) for a in weights), replicate)
 
-    pts = jnp.asarray(points, jnp.float64)
-    n = pts.shape[0]
-    pad = -n % mesh.shape[axis_name]
-    if pad:
-        pts = jnp.concatenate(
-            [pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
-    pts = jax.device_put(pts, NamedSharding(mesh, P(axis_name, None)))
+    pts, n, pad = _dp_points(points, mesh, axis_name)
+    out = _dp_run(run, 4, mesh, axis_name)(planes, t_scale, nodes64,
+                                           weights64, pts)
+    return out[:n] if pad else out
 
-    fn = shard_map(
-        lambda tp, ts, nd, wt, p: run(tp, ts, nd, wt, p),
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis_name, None)),
-        out_specs=P(axis_name),
-    )
-    out = fn(planes, t_scale, nodes64, weights64, pts)
+
+def slider_batch_dd_dp(slide_data, pivot_value, groups, points,
+                       mesh: Mesh, orders=None, axis_name: str = "dp",
+                       cutoff: int = None) -> jax.Array:
+    """Data-parallel slider digit-GEMM: the concatenated-slide exact
+    contraction at the per-chip dd rate x the mesh axis size.
+
+    Same replication story as :func:`eval_batch_dd_dp`: the slide digit
+    planes and grids replicate (a whole reference slider's operands are
+    KBs), points shard, every device runs the exact-integer pipeline
+    locally — zero collectives past the initial broadcast.
+    """
+    from pychebyshev_tpu.ops import slider_eval as se
+
+    groups = tuple(tuple(int(x) for x in g) for g in groups)
+    n_dims = sum(len(g) for g in groups)
+    if orders is None:
+        orders = (0,) * n_dims
+    orders = tuple(int(o) for o in orders)
+
+    owning = {gi for gi, g in enumerate(groups)
+              if any(orders[d] > 0 for d in g)}
+    if len(owning) > 1:
+        return jnp.zeros(np.shape(points)[0], jnp.float64)
+    if owning:
+        active = (owning.pop(),)
+        with_pivot = False
+    else:
+        active = tuple(range(len(groups)))
+        with_pivot = True
+
+    shapes = tuple(tuple(int(x) for x in np.shape(sd[0]))
+                   for sd in slide_data)
+    plan = se.slider_dd_plan([shapes[i] for i in active], cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"slider slide shapes {[shapes[i] for i in active]} outside "
+            f"the digit-GEMM budget; use eval_batch with shard_map")
+    run, plan = se._compiled_slider_dd(shapes, groups, active,
+                                       with_pivot, plan["cutoff"])
+    orders_key = tuple(tuple(orders[d] for d in groups[i])
+                       for i in active)
+    t_scale, tensor_planes = se._slider_planes(slide_data, active,
+                                               orders_key, plan)
+    replicate = NamedSharding(mesh, P())
+    tensor_planes = jax.device_put(tensor_planes, replicate)
+    grids = jax.device_put(
+        tuple((tuple(jnp.asarray(a, jnp.float64)
+                     for a in slide_data[i][1]),
+               tuple(jnp.asarray(a, jnp.float64)
+                     for a in slide_data[i][2]))
+              for i in active), replicate)
+    t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
+                             replicate)
+    pivot = jax.device_put(jnp.asarray(pivot_value, jnp.float64),
+                           replicate)
+
+    pts, n, pad = _dp_points(points, mesh, axis_name)
+    out = _dp_run(run, 4, mesh, axis_name)(tensor_planes, t_scale,
+                                           grids, pivot, pts)
+    return out[:n] if pad else out
+
+
+def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
+                        axis_name: str = "dp",
+                        cutoff: int = None) -> jax.Array:
+    """Data-parallel TT digit-GEMM chain: core digit planes replicate,
+    points shard, each device runs the recurrence + GEMM ladders + rank
+    chain on its slice."""
+    from pychebyshev_tpu.ops import tt_eval_dd as tdd
+
+    shapes = tuple(tuple(int(x) for x in np.shape(c))
+                   for c in coeff_cores)
+    plan = tdd.tt_dd_plan(shapes, cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"TT core shapes {shapes} outside the digit-GEMM budget; "
+            f"use tt_pipeline or eval_batch with shard_map")
+    run, plan = tdd._compiled(shapes, plan["cutoff"])
+    scales, planes = tdd._core_planes(tuple(coeff_cores), plan)
+
+    replicate = NamedSharding(mesh, P())
+    planes = jax.device_put(planes, replicate)
+    dom = np.asarray(domain, dtype=np.float64)
+    lo = jax.device_put(jnp.asarray(dom[:, 0]), replicate)
+    hi = jax.device_put(jnp.asarray(dom[:, 1]), replicate)
+
+    pts, n, pad = _dp_points(points, mesh, axis_name)
+    out = _dp_run(run, 4, mesh, axis_name)(planes, scales, lo, hi, pts)
     return out[:n] if pad else out
 
 

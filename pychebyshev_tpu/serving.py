@@ -151,11 +151,14 @@ class BatchedEvaluator:
                     f"grid shape {shape} is outside the digit-GEMM "
                     f"plan budget; serve at dtype=jnp.float64 instead"
                 )
-            if mesh is not None or use_fused:
+            if use_fused:
                 raise ValueError(
-                    "dtype='dd' is single-device XLA; it composes with "
-                    "neither mesh nor use_fused"
+                    "dtype='dd' is plain XLA; it does not compose with "
+                    "use_fused"
                 )
+            # mesh + dd composes: the dd kernels are pure per-point
+            # work over replicated digit planes, so the engine serves
+            # dp-sharded near-f64 buckets (parallel.sharding.*_dd_dp).
             dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -336,6 +339,14 @@ class BatchedEvaluator:
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "dense":
             if self._dd:
+                if self._mesh is not None:
+                    from pychebyshev_tpu.parallel.sharding import (
+                        eval_batch_dd_dp,
+                    )
+                    return eval_batch_dd_dp(
+                        self._tensor, self._nodes, self._weights,
+                        self._diffs, points, self._mesh, self._orders,
+                        axis_name=self._data_axis)
                 from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
                 return eval_batch_dd(self._tensor, self._nodes,
                                      self._weights, self._diffs, points,
@@ -364,6 +375,13 @@ class BatchedEvaluator:
         if self._kind == "slider":
             return self._run_slider(points)
         if self._dd:
+            if self._mesh is not None:
+                from pychebyshev_tpu.parallel.sharding import (
+                    tt_eval_batch_dd_dp,
+                )
+                return tt_eval_batch_dd_dp(self._cores, self._domain,
+                                           points, self._mesh,
+                                           axis_name=self._data_axis)
             from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
             return tt_eval_batch_dd(self._cores, self._domain, points)
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
@@ -380,6 +398,14 @@ class BatchedEvaluator:
                 # One-slide digit-GEMM; the snapshot tensor already
                 # carries the derivative passes, and a single active
                 # slide has no pivot correction term.
+                if self._mesh is not None:
+                    from pychebyshev_tpu.parallel.sharding import (
+                        slider_batch_dd_dp,
+                    )
+                    return slider_batch_dd_dp(
+                        (self._slide_arrays[0],), 0.0,
+                        (tuple(range(len(group))),), points[:, group],
+                        self._mesh, axis_name=self._data_axis)
                 from pychebyshev_tpu.ops.slider_eval import (
                     slider_batch_dd,
                 )
@@ -391,6 +417,14 @@ class BatchedEvaluator:
         groups = tuple(tuple(int(d) for d in g)
                        for g in self._slider_groups)
         if self._dd:
+            if self._mesh is not None:
+                from pychebyshev_tpu.parallel.sharding import (
+                    slider_batch_dd_dp,
+                )
+                return slider_batch_dd_dp(
+                    tuple(self._slide_arrays), self._pivot_value,
+                    groups, points, self._mesh,
+                    axis_name=self._data_axis)
             from pychebyshev_tpu.ops.slider_eval import slider_batch_dd
             return slider_batch_dd(
                 tuple(self._slide_arrays), self._pivot_value, groups,
@@ -408,6 +442,13 @@ class BatchedEvaluator:
         """
         tensor, nodes, weights, diffs = self._piece_arrays[piece_idx]
         if self._dd:
+            if self._mesh is not None:
+                from pychebyshev_tpu.parallel.sharding import (
+                    eval_batch_dd_dp,
+                )
+                return eval_batch_dd_dp(
+                    tensor, nodes, weights, diffs, points, self._mesh,
+                    self._orders, axis_name=self._data_axis)
             from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
             return eval_batch_dd(tensor, nodes, weights, diffs, points,
                                  self._orders)

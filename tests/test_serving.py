@@ -343,6 +343,32 @@ class TestMeshServing:
         with pytest.raises(ValueError, match="divisible"):
             BatchedEvaluator(cheb, bucket_sizes=(100,), mesh=mesh)
 
+    def test_dense_dd_dp_sharded(self, cheb, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        engine = BatchedEvaluator(cheb, dtype="dd",
+                                  bucket_sizes=(256,), mesh=mesh)
+        out = engine(pts)
+        want = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(out - want).max() / scale < 1e-10
+
+    def test_slider_dd_dp_sharded(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        sl = ChebyshevSlider(
+            lambda x, _: math.sin(x[0]) + x[1] ** 2 + 0.5 * x[2],
+            3, [[-1, 1]] * 3, [9] * 3, [[0], [1], [2]], [0.0] * 3)
+        sl.build(verbose=False)
+        engine = BatchedEvaluator(sl, dtype="dd", bucket_sizes=(64,),
+                                  mesh=mesh)
+        pts = np.random.default_rng(9).uniform(-1, 1, (150, 3))
+        got = engine(pts)
+        want = sl.eval_batch(pts)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
+
     def test_fused_with_mesh_rejected(self, cheb):
         from pychebyshev_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(8, axis_names=("dp",))
@@ -784,9 +810,19 @@ class TestDigitGemmTTServing:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-10
 
-    def test_dd_composes_with_neither_mesh_nor_fused(self, tt):
-        with pytest.raises(ValueError, match="single-device"):
+    def test_dd_rejects_use_fused(self, tt):
+        with pytest.raises(ValueError, match="use_fused"):
             BatchedEvaluator(tt, dtype="dd", use_fused=True)
+
+    def test_dd_composes_with_mesh(self, tt, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(8, axis_names=("dp",))
+        eng = BatchedEvaluator(tt, dtype="dd", mesh=mesh,
+                               bucket_sizes=(256,))
+        got = eng(pts[:300])
+        want = tt.eval_batch(pts[:300])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
 
     def test_unbuilt_tt_rejected(self):
         t = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=4)

@@ -264,3 +264,59 @@ class TestDigitGemmDP:
         with pytest.raises(ValueError, match="digit-GEMM budget"):
             eval_batch_dd_dp(np.zeros(5), (), (), (),
                              np.zeros((8, 1)), mesh8)
+
+
+@requires_8_devices
+class TestFamilyDigitGemmDP:
+    """slider/TT dd over the mesh: planes replicate, points shard."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        return sh.make_mesh(8)
+
+    def test_slider_dd_dp_matches_single_device(self, mesh8):
+        from pychebyshev_tpu import ChebyshevSlider
+        from pychebyshev_tpu.ops.slider_eval import slider_batch_dd
+        D = 5
+        sl = ChebyshevSlider(
+            lambda p, _: np.sum(np.sin(np.asarray(p, float)), axis=1),
+            D, [[-1, 1]] * D, [9] * D, [[0, 1]] + [[i] for i in
+                                                   range(2, D)],
+            [0.0] * D, vectorized=True)
+        sl.build(verbose=False)
+        data = tuple((s.tensor_values,) + s._grid_tuples()
+                     for s in sl.slides)
+        groups = tuple(tuple(g) for g in sl.partition)
+        pts = np.random.default_rng(3).uniform(-1, 1, (205, D))
+        want = np.asarray(slider_batch_dd(data, sl.pivot_value, groups,
+                                          pts))
+        got = np.asarray(sh.slider_batch_dd_dp(
+            data, sl.pivot_value, groups, pts, mesh8))
+        assert got.shape == (205,)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+        # derivative spec rides the same path
+        o = [0, 0, 1, 0, 0]
+        wd = np.asarray(slider_batch_dd(data, sl.pivot_value, groups,
+                                        pts, orders=o))
+        gd = np.asarray(sh.slider_batch_dd_dp(
+            data, sl.pivot_value, groups, pts, mesh8, orders=o))
+        np.testing.assert_allclose(gd, wd, rtol=0, atol=1e-12)
+
+    def test_tt_dd_dp_matches_single_device(self, mesh8):
+        from pychebyshev_tpu import ChebyshevTT
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
+
+        def f(p, _=None):
+            p = np.atleast_2d(np.asarray(p, float))
+            return np.exp(-p[:, 0]) * np.sin(p.sum(axis=1))
+
+        tt = ChebyshevTT(f, 4, [[0.0, 1.0]] * 4, [9] * 4, max_rank=6,
+                         vectorized=True)
+        tt.build(verbose=False)
+        dom = np.asarray(tt.domain, float)
+        pts = np.random.default_rng(4).uniform(0.03, 0.97, (203, 4))
+        want = np.asarray(tt_eval_batch_dd(tt._coeff_cores, dom, pts))
+        got = np.asarray(sh.tt_eval_batch_dd_dp(
+            tt._coeff_cores, dom, pts, mesh8))
+        assert got.shape == (203,)
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-13)
