@@ -103,6 +103,25 @@ def main():
                 for m, s in enumerate(specs))
     print(f"dd Greek report (N, {len(specs)}) worst dev: {worst:.1e}")
 
+    # Slider near-f64 Greek report: all specs share one row-plane
+    # build over the full slide concatenation.
+    sl_report = MultiSpecEvaluator(slider, specs, dtype="dd",
+                                   bucket_sizes=(4096,))
+    sl_table = sl_report(pts)
+    worst = max(dev(sl_table[:, m], slider.eval_batch(pts, list(s)))
+                for m, s in enumerate(specs))
+    print(f"slider dd report worst dev: {worst:.1e}")
+
+    # TT near-f64 book: differentiate() models, one dispatch per
+    # bucket (MultiModelEvaluator dtype="dd" on TT).
+    from pychebyshev_tpu.serving import MultiModelEvaluator
+    book = MultiModelEvaluator([tt, delta], dtype="dd",
+                               bucket_sizes=(4096,))
+    rows = book(pts)
+    worst = max(dev(rows[0], tt.eval_batch(pts)),
+                dev(rows[1], delta.eval_batch(pts)))
+    print(f"TT dd book worst dev:       {worst:.1e}")
+
 
 if __name__ == "__main__":
     main()
