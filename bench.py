@@ -387,6 +387,47 @@ def main() -> None:
     log(f"TT digit-GEMM (dd) batched: {dt_tt_dd * 1e3:.2f} ms -> "
         f"{n / dt_tt_dd:,.0f} queries/s (dev from f64 {dev_tt_dd:.1e})")
 
+    # ---- slider near-f64 Greek report (one shared row-plane build) --
+    from pychebyshev_tpu import ChebyshevSlider
+    from pychebyshev_tpu.ops.slider_eval import slider_multi_batch_dd
+
+    sd = 10
+    sw = np.linspace(0.5, 1.5, sd)
+
+    def basket(p, _=None):
+        p = np.asarray(p, dtype=np.float64)
+        return (np.sum(sw * np.sin(p), axis=1)
+                + 0.25 * np.sum(p ** 2, axis=1))
+
+    slider = ChebyshevSlider(basket, sd, [[-1.0, 1.0]] * sd, [9] * sd,
+                             [[i] for i in range(sd)], [0.0] * sd,
+                             vectorized=True)
+    slider.build(verbose=False)
+    sl_data = tuple((s.tensor_values,) + s._grid_tuples()
+                    for s in slider.slides)
+    sl_groups = tuple((i,) for i in range(sd))
+    sl_specs = ((0,) * sd,) + tuple(
+        tuple(1 if j == k else 0 for j in range(sd)) for k in (0, 2, 4, 6))
+    ns = n // 4
+    sl_pts = jnp.asarray(np.random.default_rng(11).uniform(
+        -1, 1, (ns, sd)))
+
+    def run_sl_report(p):
+        return slider_multi_batch_dd(sl_data, slider.pivot_value,
+                                     sl_groups, sl_specs, p)
+
+    dt_slr = time_fn(run_sl_report, sl_pts, iters=6, reps=2)
+    slr_check = np.asarray(run_sl_report(sl_pts[:4096]))
+    dev_slr = max(
+        np.abs(slr_check[:, m]
+               - slider.eval_batch(np.asarray(sl_pts[:4096]),
+                                   list(s))).max()
+        / max(np.abs(slr_check[:, m]).max(), 1e-3)
+        for m, s in enumerate(sl_specs))
+    log(f"slider near-f64 Greek report ({len(sl_specs)} specs, 10-D): "
+        f"{dt_slr * 1e3:.2f} ms / {ns:,} pts -> "
+        f"{ns / dt_slr:,.0f} full sets/s (dev from f64 {dev_slr:.1e})")
+
     dt64 = time_fn(run64, pts64, iters=4, reps=2)
     log(f"f64 batched: {dt64 * 1e3:.2f} ms / {n:,} pts -> "
         f"{n / dt64:,.0f} queries/s (software f64 on TPU; digit-GEMM "
