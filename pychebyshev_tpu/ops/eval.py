@@ -87,6 +87,24 @@ def chunked_scalar_map(fn, points, per_point: int):
     return out.reshape(-1)[:n]
 
 
+def chunked_matrix_map(fn, points, per_point: int, n_cols: int):
+    """``chunked_scalar_map`` for (N, n_cols)-output batch fns.
+
+    Same chunk sizing and zero-pad/un-pad scheme (one definition, so
+    the cap/padding convention cannot drift across the multi-spec and
+    book runners).
+    """
+    n = points.shape[0]
+    chunk = max(256, _MAX_INTERMEDIATE_ELEMS // max(per_point, 1))
+    if n <= chunk:
+        return fn(points)
+    pad = (-n) % chunk
+    padded = jnp.pad(points, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, chunk, points.shape[1])
+    out = jax.lax.map(fn, chunks)
+    return out.reshape(-1, n_cols)[:n]
+
+
 def _gemm_precision(dtype):
     """Matmul precision tier by dtype.
 

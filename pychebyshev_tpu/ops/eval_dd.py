@@ -60,8 +60,8 @@ from pychebyshev_tpu.ops.eval import (
 )
 
 __all__ = ["eval_batch_dd", "eval_batch_dd_multi",
-           "eval_batch_dd_models", "supports_dd", "dd_plan",
-           "pair_schedule"]
+           "eval_batch_dd_models", "dd_multi_runner", "supports_dd",
+           "dd_plan", "pair_schedule"]
 
 # Row factors are products of normalized barycentric rows; the Lebesgue
 # bound for Chebyshev-1 grids keeps |row| < ~2.6 per dim, so a fixed
@@ -523,7 +523,27 @@ def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,
     pts = jnp.asarray(points, jnp.float64)
     if not specs:
         return jnp.zeros((pts.shape[0], 0), jnp.float64)
+    return dd_multi_runner(tensor, nodes, weights, diff_matrices,
+                           specs, cutoff)(pts)
 
+
+def dd_multi_runner(tensor, nodes, weights, diff_matrices, specs,
+                    cutoff: int = None):
+    """Prepare-once form of :func:`eval_batch_dd_multi`.
+
+    Returns a ``points -> (N, len(specs))`` callable closing over the
+    prepared per-spec digit planes, so a serving engine holds its whole
+    working set for its lifetime instead of depending on the bounded
+    plane cache (which an M-spec x P-piece engine could thrash).
+    """
+    shape = tuple(int(n) for n in tensor.shape)
+    d = len(shape)
+    specs = tuple(tuple(int(o) for o in s) for s in specs)
+    if not supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use ops.eval.eval_batch_multi"
+        )
     _, run_multi, plan = _compiled(shape, d, cutoff)
     spec_scales = []
     spec_planes = []
@@ -532,8 +552,14 @@ def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,
                                                 orders, plan)
         spec_scales.append(jnp.asarray(t_scale, jnp.float64))
         spec_planes.append(tensor_planes)
+    spec_scales = tuple(spec_scales)
+    spec_planes = tuple(spec_planes)
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
     weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
                       for k in range(d))
-    return run_multi(tuple(spec_planes), tuple(spec_scales), nodes64,
-                     weights64, pts)
+
+    def runner(points):
+        return run_multi(spec_planes, spec_scales, nodes64, weights64,
+                         jnp.asarray(points, jnp.float64))
+
+    return runner

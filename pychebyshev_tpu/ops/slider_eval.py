@@ -23,7 +23,7 @@ from pychebyshev_tpu.ops import eval as eval_ops
 
 __all__ = ["slider_value_batch", "slider_multi_batch",
            "slider_batch_dd", "slider_multi_batch_dd",
-           "slider_dd_plan"]
+           "slider_dd_multi_runner", "slider_dd_plan"]
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -233,14 +233,28 @@ def _compiled_slider_dd(shapes: Tuple[Tuple[int, ...], ...],
 
 # Identity-keyed cache of the concatenated block vector's digit planes
 # (sound for immutable jax-array slide tensors only; numpy rebuilt).
+# Slider plane vectors are KB-scale (the whole concatenation is ~90
+# floats x ~20 planes on the 10-D basket), so the working set can be
+# generous: a value + per-dim-delta report on a 10-D slider holds 11
+# entries, a multi-engine process a few of those.
 _slider_plane_cache: list = []
-_SLIDER_CACHE_SLOTS = 8
+_SLIDER_CACHE_SLOTS = 64
 
 
-def _slider_planes(slide_data, active, orders_key, plan):
-    tensors = tuple(slide_data[i][0] for i in active)
+def _slider_planes(slide_data, blocks, plan):
+    """Concatenated tensor digit planes for a block spec, cached.
+
+    ``blocks`` is a tuple of ``(idx, kind, sub_orders)`` per included
+    slide, kind in ``'raw'`` (the slide tensor), ``'deriv'`` (its
+    D^k-folded tensor), or ``'zero'`` (a same-size zero block — used by
+    the multi-spec path so every spec contracts against the SAME
+    full-width row planes; zero planes contract to exact zeros on the
+    integer MXU).  The ONE plane builder for the single-spec and
+    multi-spec slider dd paths.
+    """
+    tensors = tuple(slide_data[idx][0] for idx, _, _ in blocks)
     key_ok = all(isinstance(t, jax.Array) for t in tensors)
-    plan_key = (plan["cutoff"], plan["b_t"], orders_key)
+    plan_key = (plan["cutoff"], plan["b_t"], blocks)
     if key_ok:
         for i, entry in enumerate(_slider_plane_cache):
             if (entry[1] == plan_key and len(entry[0]) == len(tensors)
@@ -249,17 +263,19 @@ def _slider_planes(slide_data, active, orders_key, plan):
                     0, _slider_plane_cache.pop(i))
                 return entry[2], entry[3]
 
-    blocks = []
-    for k, idx in enumerate(active):
+    parts = []
+    for idx, kind, sub_orders in blocks:
         tensor, nodes, weights, diffs = slide_data[idx]
+        if kind == "zero":
+            parts.append(np.zeros(int(np.prod(np.shape(tensor)))))
+            continue
         t64 = jnp.asarray(tensor, jnp.float64)
-        sub_orders = orders_key[k]
-        if any(o > 0 for o in sub_orders):
+        if kind == "deriv" and any(o > 0 for o in sub_orders):
             t64 = apply_derivative_passes(
                 t64, tuple(jnp.asarray(m, jnp.float64) for m in diffs),
                 sub_orders)
-        blocks.append(np.asarray(t64, dtype=np.float64).ravel())
-    vec = np.concatenate(blocks)
+        parts.append(np.asarray(t64, dtype=np.float64).ravel())
+    vec = np.concatenate(parts)
     t_max = float(np.abs(vec).max()) or 1.0
     t_scale = 2.0 ** np.ceil(np.log2(t_max))
     p_t_used = 1 + max(j for _, j in plan["pairs"])
@@ -315,10 +331,13 @@ def slider_batch_dd(slide_data, pivot_value, groups, points,
             f"the digit-GEMM budget; use slider_value_batch")
     run, plan = _compiled_slider_dd(shapes, groups, active, with_pivot,
                                     plan["cutoff"])
-    orders_key = tuple(tuple(orders[d] for d in groups[i])
-                       for i in active)
-    t_scale, tensor_planes = _slider_planes(slide_data, active,
-                                            orders_key, plan)
+    blocks = []
+    for i in active:
+        sub = tuple(orders[d] for d in groups[i])
+        blocks.append((i, "deriv", sub) if any(o > 0 for o in sub)
+                      else (i, "raw", ()))
+    t_scale, tensor_planes = _slider_planes(slide_data, tuple(blocks),
+                                            plan)
     grids = tuple(
         (tuple(jnp.asarray(a, jnp.float64) for a in slide_data[i][1]),
          tuple(jnp.asarray(a, jnp.float64) for a in slide_data[i][2]))
@@ -373,72 +392,14 @@ def _compiled_slider_dd_multi(shapes: Tuple[Tuple[int, ...], ...],
         return jnp.stack(cols, axis=1)
 
     per_point = plan["k_total"] * (p_r + 2)
-    chunk = max(256, eval_ops._MAX_INTERMEDIATE_ELEMS
-                // max(per_point, 1))
 
     @jax.jit
     def run_multi(spec_planes, spec_scales, grids, pivot, points):
-        n = points.shape[0]
-        if n <= chunk:
-            return _one(spec_planes, spec_scales, grids, pivot, points)
-        pad = (-n) % chunk
-        padded = jnp.pad(points, ((0, pad), (0, 0)))
-        chunks = padded.reshape(-1, chunk, points.shape[1])
-        out = jax.lax.map(
+        return eval_ops.chunked_matrix_map(
             lambda p: _one(spec_planes, spec_scales, grids, pivot, p),
-            chunks)
-        return out.reshape(-1, len(spec_kinds))[:n]
+            points, per_point, len(spec_kinds))
 
     return run_multi, plan
-
-
-def _slider_spec_planes(slide_data, groups, spec_key, plan):
-    """Full-width per-spec tensor digit planes (zeroed inactive blocks).
-
-    ``spec_key`` is either the all-zero per-group orders tuple (value:
-    every raw slide tensor, shared with ``_slider_planes``' cache entry)
-    or ``("mspec", owner, sub_orders)`` (derivative: zeros except the
-    owner's D^k-folded block).  Cached alongside the single-spec planes.
-    """
-    tensors = tuple(sd[0] for sd in slide_data)
-    key_ok = all(isinstance(t, jax.Array) for t in tensors)
-    plan_key = (plan["cutoff"], plan["b_t"], spec_key)
-    if key_ok:
-        for i, entry in enumerate(_slider_plane_cache):
-            if (entry[1] == plan_key and len(entry[0]) == len(tensors)
-                    and all(a is b for a, b in zip(entry[0], tensors))):
-                _slider_plane_cache.insert(0, _slider_plane_cache.pop(i))
-                return entry[2], entry[3]
-
-    owner = spec_key[1] if spec_key[0] == "mspec" else None
-    blocks = []
-    for idx, (tensor, nodes, weights, diffs) in enumerate(slide_data):
-        if owner is not None and idx != owner:
-            blocks.append(np.zeros(int(np.prod(np.shape(tensor)))))
-            continue
-        t64 = jnp.asarray(tensor, jnp.float64)
-        if owner is not None:
-            t64 = apply_derivative_passes(
-                t64, tuple(jnp.asarray(m, jnp.float64) for m in diffs),
-                spec_key[2])
-        blocks.append(np.asarray(t64, dtype=np.float64).ravel())
-    vec = np.concatenate(blocks)
-    t_max = float(np.abs(vec).max()) or 1.0
-    t_scale = 2.0 ** np.ceil(np.log2(t_max))
-    p_t_used = 1 + max(j for _, j in plan["pairs"])
-    planes_host = _digit_planes_tensor(vec[:, None] / t_scale,
-                                       plan["b_t"], p_t_used)
-    tensor_planes = tuple(
-        jnp.asarray(np.concatenate([planes_host[j] for j in js],
-                                   axis=1), jnp.bfloat16)
-        if js else jnp.zeros((plan["k_total"], 0), jnp.bfloat16)
-        for js in plan["js_by_i"])
-
-    if key_ok:
-        _slider_plane_cache.insert(0, (tensors, plan_key, t_scale,
-                                       tensor_planes))
-        del _slider_plane_cache[_SLIDER_CACHE_SLOTS:]
-    return t_scale, tensor_planes
 
 
 def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
@@ -452,15 +413,29 @@ def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
     cross-group mixed partials are exact zeros (reference slider
     semantics, reference slider.py Eq 7.5 derivative routing).
     """
+    runner = slider_dd_multi_runner(slide_data, pivot_value, groups,
+                                    specs, cutoff)
+    return runner(points)
+
+
+def slider_dd_multi_runner(slide_data, pivot_value, groups, specs,
+                           cutoff: int = None):
+    """Prepare-once form of :func:`slider_multi_batch_dd`.
+
+    Returns a ``points -> (N, len(specs))`` callable that closes over
+    the prepared per-spec plane vectors, so a serving engine holds its
+    whole working set for the engine's lifetime instead of re-entering
+    the bounded plane cache on every call.
+    """
     groups = tuple(tuple(int(d) for d in g) for g in groups)
     n_dims = sum(len(g) for g in groups)
     specs = tuple(tuple(int(o) for o in s) for s in specs)
     for s in specs:
         if len(s) != n_dims:
             raise ValueError(f"spec {s} length != num dims {n_dims}")
-    pts = jnp.asarray(points, jnp.float64)
     if not specs:
-        return jnp.zeros((pts.shape[0], 0), jnp.float64)
+        return lambda points: jnp.zeros(
+            (np.shape(points)[0], 0), jnp.float64)
 
     shapes = tuple(tuple(int(x) for x in np.shape(sd[0]))
                    for sd in slide_data)
@@ -470,8 +445,8 @@ def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
             f"slider slide shapes {list(shapes)} outside the "
             f"digit-GEMM budget; use slider_multi_batch")
 
-    value_key = tuple((0,) * len(g) for g in groups)
-    kinds, spec_keys = [], []
+    all_slides = tuple(range(len(groups)))
+    kinds, spec_blocks = [], []
     for s in specs:
         owning = sorted({gi for gi, g in enumerate(groups)
                          if any(s[d] > 0 for d in g)})
@@ -480,23 +455,32 @@ def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
         elif owning:
             idx = owning[0]
             kinds.append("slide")
-            spec_keys.append(("mspec", idx,
-                              tuple(s[d] for d in groups[idx])))
+            sub = tuple(s[d] for d in groups[idx])
+            spec_blocks.append(tuple(
+                (i, "deriv", sub) if i == idx else (i, "zero", ())
+                for i in all_slides))
         else:
             kinds.append("value")
-            spec_keys.append(value_key)
+            spec_blocks.append(tuple((i, "raw", ())
+                                     for i in all_slides))
 
     run_multi, plan = _compiled_slider_dd_multi(shapes, groups,
                                                 tuple(kinds),
                                                 plan["cutoff"])
     scales, planes = [], []
-    for key in spec_keys:
-        t_scale, tp = _slider_spec_planes(slide_data, groups, key, plan)
+    for blocks in spec_blocks:
+        t_scale, tp = _slider_planes(slide_data, blocks, plan)
         scales.append(jnp.asarray(t_scale, jnp.float64))
         planes.append(tp)
+    scales, planes = tuple(scales), tuple(planes)
     grids = tuple(
         (tuple(jnp.asarray(a, jnp.float64) for a in sd[1]),
          tuple(jnp.asarray(a, jnp.float64) for a in sd[2]))
         for sd in slide_data)
-    return run_multi(tuple(planes), tuple(scales), grids,
-                     jnp.asarray(pivot_value, jnp.float64), pts)
+    pivot = jnp.asarray(pivot_value, jnp.float64)
+
+    def runner(points):
+        return run_multi(planes, scales, grids, pivot,
+                         jnp.asarray(points, jnp.float64))
+
+    return runner

@@ -347,20 +347,13 @@ def _compiled_book(models_shapes: Tuple[Tuple[Tuple[int, int, int],
 
     @jax.jit
     def run(models_planes, models_scales, lo, hi, points):
-        from pychebyshev_tpu.ops.eval import _MAX_INTERMEDIATE_ELEMS
-        n = points.shape[0]
+        from pychebyshev_tpu.ops.eval import chunked_matrix_map
         m = len(models_shapes)
-        chunk = max(256, _MAX_INTERMEDIATE_ELEMS
-                    // max(per_point * p_r, 1))
-        if n <= chunk:
-            return _one(models_planes, models_scales, lo, hi, points)
-        pad = (-n) % chunk
-        padded = jnp.pad(points, ((0, pad), (0, 0)))
-        chunks = padded.reshape(-1, chunk, points.shape[1])
-        out = jax.lax.map(
-            lambda p: _one(models_planes, models_scales, lo, hi, p),
-            chunks)                                  # (C, M, chunk)
-        return out.transpose(1, 0, 2).reshape(m, -1)[:, :n]
+        out = chunked_matrix_map(
+            lambda p: _one(models_planes, models_scales, lo, hi,
+                           p).T,                     # (chunk, M)
+            points, per_point * p_r, m)
+        return out.T                                 # (M, N)
 
     return run, plan
 

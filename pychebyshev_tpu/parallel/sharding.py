@@ -23,6 +23,7 @@ when the mesh maps onto a physical torus.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -59,10 +60,16 @@ def _dp_points(points, mesh: Mesh, axis_name: str):
     return pts, n, pad
 
 
+@functools.lru_cache(maxsize=None)
 def _dp_run(run, n_ops: int, mesh: Mesh, axis_name: str):
     """shard_map a jitted ``(op_1..op_n, points) -> (N,)`` runner:
     operands replicate, points shard (explicit, so chunked ``lax.map``
-    inside the kernel never induces cross-device resharding)."""
+    inside the kernel never induces cross-device resharding).
+
+    Memoized: the serving hot path calls a dp wrapper once per bucket,
+    and re-wrapping would re-trace the shard_map closure every call
+    (``run`` comes from an lru_cache, so its identity is stable).
+    """
     from jax import shard_map
     return shard_map(
         lambda *a: run(*a),
@@ -70,6 +77,35 @@ def _dp_run(run, n_ops: int, mesh: Mesh, axis_name: str):
         in_specs=(P(),) * n_ops + (P(axis_name, None),),
         out_specs=P(axis_name),
     )
+
+
+# Identity-keyed cache of replicated operand pytrees (digit planes,
+# grids): without it every engine bucket call re-broadcasts the same
+# single-device-committed arrays across the mesh.  Strong refs keep
+# identity keying sound; bounded LRU.
+_replicate_cache: list = []
+_REPLICATE_SLOTS = 64
+
+
+def _replicated(tree, mesh: Mesh):
+    """``device_put(tree, replicated-on-mesh)``, identity-cached when
+    every leaf is a jax array (engine-held operands are; ad-hoc numpy
+    callers just pay the broadcast each call)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    key_ok = bool(leaves) and all(isinstance(x, jax.Array)
+                                  for x in leaves)
+    if key_ok:
+        for i, entry in enumerate(_replicate_cache):
+            if (entry[1] == mesh and entry[2] == treedef
+                    and len(entry[0]) == len(leaves)
+                    and all(a is b for a, b in zip(entry[0], leaves))):
+                _replicate_cache.insert(0, _replicate_cache.pop(i))
+                return entry[3]
+    out = jax.device_put(tree, NamedSharding(mesh, P()))
+    if key_ok:
+        _replicate_cache.insert(0, (tuple(leaves), mesh, treedef, out))
+        del _replicate_cache[_REPLICATE_SLOTS:]
+    return out
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -192,14 +228,12 @@ def eval_batch_dd_dp(tensor, nodes, weights, diff_matrices, points,
         tensor, tuple(jnp.asarray(m, jnp.float64)
                       for m in diff_matrices), tuple(orders), plan)
 
-    replicate = NamedSharding(mesh, P())
-    planes = jax.device_put(planes, replicate)
+    planes, nodes64, weights64 = _replicated(
+        (planes,
+         tuple(jnp.asarray(a, jnp.float64) for a in nodes),
+         tuple(jnp.asarray(a, jnp.float64) for a in weights)), mesh)
     t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
-                             replicate)
-    nodes64 = jax.device_put(
-        tuple(jnp.asarray(a, jnp.float64) for a in nodes), replicate)
-    weights64 = jax.device_put(
-        tuple(jnp.asarray(a, jnp.float64) for a in weights), replicate)
+                             NamedSharding(mesh, P()))
 
     pts, n, pad = _dp_points(points, mesh, axis_name)
     out = _dp_run(run, 4, mesh, axis_name)(planes, t_scale, nodes64,
@@ -246,18 +280,21 @@ def slider_batch_dd_dp(slide_data, pivot_value, groups, points,
             f"the digit-GEMM budget; use eval_batch with shard_map")
     run, plan = se._compiled_slider_dd(shapes, groups, active,
                                        with_pivot, plan["cutoff"])
-    orders_key = tuple(tuple(orders[d] for d in groups[i])
-                       for i in active)
-    t_scale, tensor_planes = se._slider_planes(slide_data, active,
-                                               orders_key, plan)
+    blocks = []
+    for i in active:
+        sub = tuple(orders[d] for d in groups[i])
+        blocks.append((i, "deriv", sub) if any(o > 0 for o in sub)
+                      else (i, "raw", ()))
+    t_scale, tensor_planes = se._slider_planes(slide_data,
+                                               tuple(blocks), plan)
     replicate = NamedSharding(mesh, P())
-    tensor_planes = jax.device_put(tensor_planes, replicate)
-    grids = jax.device_put(
-        tuple((tuple(jnp.asarray(a, jnp.float64)
-                     for a in slide_data[i][1]),
-               tuple(jnp.asarray(a, jnp.float64)
-                     for a in slide_data[i][2]))
-              for i in active), replicate)
+    tensor_planes, grids = _replicated(
+        (tensor_planes,
+         tuple((tuple(jnp.asarray(a, jnp.float64)
+                      for a in slide_data[i][1]),
+                tuple(jnp.asarray(a, jnp.float64)
+                      for a in slide_data[i][2]))
+               for i in active)), mesh)
     t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
                              replicate)
     pivot = jax.device_put(jnp.asarray(pivot_value, jnp.float64),
@@ -288,7 +325,7 @@ def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
     scales, planes = tdd._core_planes(tuple(coeff_cores), plan)
 
     replicate = NamedSharding(mesh, P())
-    planes = jax.device_put(planes, replicate)
+    planes = _replicated(planes, mesh)
     dom = np.asarray(domain, dtype=np.float64)
     lo = jax.device_put(jnp.asarray(dom[:, 0]), replicate)
     hi = jax.device_put(jnp.asarray(dom[:, 1]), replicate)

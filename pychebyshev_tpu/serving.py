@@ -712,8 +712,9 @@ class MultiSpecEvaluator:
                 )
             if mesh is not None:
                 raise ValueError(
-                    "dtype='dd' is single-device XLA; it does not "
-                    "compose with mesh")
+                    "near-f64 multi-spec/book serving is single-device "
+                    "for now; BatchedEvaluator(dtype='dd', mesh=...) "
+                    "composes dd with a dp mesh")
             dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -753,9 +754,14 @@ class MultiSpecEvaluator:
             # dispatch.
             from pychebyshev_tpu.ops.eval import apply_derivative_passes
             if self._dd:
-                # The dd path folds each spec's derivative passes into
-                # its cached digit planes at first use.
-                self._tensor = tensor
+                # Prepare every spec's digit planes NOW and close over
+                # them: the engine owns its whole working set for its
+                # lifetime instead of leaning on the bounded global
+                # plane cache (which an M-spec engine could thrash).
+                from pychebyshev_tpu.ops.eval_dd import dd_multi_runner
+                self._dd_runner = dd_multi_runner(
+                    tensor, self._nodes, self._weights, self._diffs,
+                    self.specs)
                 self._spec_tensors = ()
             else:
                 self._spec_tensors = tuple(
@@ -773,18 +779,25 @@ class MultiSpecEvaluator:
                 # Host-routed per-piece reports: each occupied piece
                 # serves the whole spec set through the dense dd multi
                 # primitive (one shared row build per piece bucket).
+                # Every piece's per-spec planes are prepared NOW and
+                # closed over, so the engine's pieces x specs working
+                # set never cycles through the bounded plane cache.
+                from pychebyshev_tpu.ops.eval_dd import dd_multi_runner
                 self._kind = "spline"
                 self._knots = [np.asarray(k, dtype=np.float64)
                                for k in interpolant.knots]
                 self._strides = piece_strides(
                     [len(k) for k in self._knots])
                 self._spline_stacked = None
-                self._piece_arrays = tuple(
-                    (jnp.asarray(piece.tensor_values, jnp.float64),)
-                    + tuple(tuple(jnp.asarray(a, jnp.float64)
-                                  for a in grp)
-                            for grp in piece._grid_tuples())
-                    for piece in interpolant._pieces)
+                runners = []
+                for piece in interpolant._pieces:
+                    nodes, weights, diffs = (
+                        tuple(jnp.asarray(a, jnp.float64) for a in grp)
+                        for grp in piece._grid_tuples())
+                    runners.append(dd_multi_runner(
+                        jnp.asarray(piece.tensor_values, jnp.float64),
+                        nodes, weights, diffs, self.specs))
+                self._piece_dd_runners = tuple(runners)
                 self._guard_dims = sorted({
                     d for s in self.specs
                     for d, o in enumerate(s) if o > 0})
@@ -830,17 +843,21 @@ class MultiSpecEvaluator:
                 + tuple(tuple(jnp.asarray(a, self.dtype) for a in grp)
                         for grp in s._grid_tuples())
                 for s in interpolant.slides)
+            if self._dd:
+                # Prepare every spec's plane vector now (engine-owned
+                # working set, same rationale as the dense branch).
+                from pychebyshev_tpu.ops.slider_eval import (
+                    slider_dd_multi_runner,
+                )
+                self._dd_runner = slider_dd_multi_runner(
+                    self._slide_arrays, self._pivot_value,
+                    self._slider_groups, self.specs)
 
     def _run(self, points: jax.Array, *aux) -> jax.Array:
         if self._kind == "dense":
             if self._dd:
-                from pychebyshev_tpu.ops.eval_dd import (
-                    eval_batch_dd_multi,
-                )
                 # (N, M) -> the runner contract's (M, N).
-                return eval_batch_dd_multi(
-                    self._tensor, self._nodes, self._weights,
-                    self._diffs, points, self.specs).T
+                return self._dd_runner(points).T
             from pychebyshev_tpu.ops.eval import eval_batch_models
             return eval_batch_models(
                 self._spec_tensors, self._nodes, self._weights,
@@ -855,13 +872,8 @@ class MultiSpecEvaluator:
                                            diffs, flat, points,
                                            self.specs)
         if self._dd:
-            from pychebyshev_tpu.ops.slider_eval import (
-                slider_multi_batch_dd,
-            )
             # (N, M) -> the runner contract's (M, N).
-            return slider_multi_batch_dd(
-                self._slide_arrays, self._pivot_value,
-                self._slider_groups, self.specs, points).T
+            return self._dd_runner(points).T
         from pychebyshev_tpu.ops.slider_eval import slider_multi_batch
         return slider_multi_batch(
             self._slide_arrays, jnp.asarray(self._pivot_value, self.dtype),
@@ -892,18 +904,16 @@ class MultiSpecEvaluator:
         """Host-routed per-piece dd reports: each occupied piece runs
         the whole spec set through the dense digit-GEMM multi primitive
         (flat grids share one compiled executable per bucket size)."""
-        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
         from pychebyshev_tpu.ops.spline_eval import route_piece_indices
         flat = route_piece_indices(self._knots, self._strides, points)
         out = np.empty((points.shape[0], len(self.specs)),
                        dtype=self.dtype)
         for piece_idx in np.unique(flat):
             sel = np.flatnonzero(flat == piece_idx)
-            arrays = self._piece_arrays[int(piece_idx)]
+            runner = self._piece_dd_runners[int(piece_idx)]
             out[sel] = self._bucketed(
                 points[sel],
-                lambda p, a=arrays: eval_batch_dd_multi(
-                    a[0], a[1], a[2], a[3], p, self.specs).T,
+                lambda p, r=runner: r(p).T,
                 out_cols=len(self.specs))
         return out
 
@@ -911,12 +921,7 @@ class MultiSpecEvaluator:
         for b in self.bucket_sizes:
             pts = jnp.zeros((b, self.num_dimensions), self.dtype) + 0.5
             if self._kind == "spline" and self._dd:
-                from pychebyshev_tpu.ops.eval_dd import (
-                    eval_batch_dd_multi,
-                )
-                a = self._piece_arrays[0]
-                jax.block_until_ready(eval_batch_dd_multi(
-                    a[0], a[1], a[2], a[3], pts, self.specs))
+                jax.block_until_ready(self._piece_dd_runners[0](pts))
                 continue
             aux = ()
             if self._kind == "spline":
@@ -997,12 +1002,17 @@ class MultiModelEvaluator:
         self._dd = (isinstance(dtype, str) and dtype == "dd")
         if self._dd:
             from pychebyshev_tpu.ops import eval_dd as _dd_mod
-            if len(interpolants) > _dd_mod._PLANE_CACHE_SLOTS:
+            from pychebyshev_tpu.ops import tt_eval_dd as _tt_dd_mod
+            # Each family's planes live in its OWN bounded cache; the
+            # book must fit the cache it will actually use.
+            slots = (_tt_dd_mod._PLANE_CACHE_SLOTS
+                     if self._kind == "tt"
+                     else _dd_mod._PLANE_CACHE_SLOTS)
+            if len(interpolants) > slots:
                 raise ValueError(
-                    f"dtype='dd' books hold at most "
-                    f"{_dd_mod._PLANE_CACHE_SLOTS} models (the digit-"
-                    f"plane cache working set); this book has "
-                    f"{len(interpolants)}"
+                    f"dtype='dd' books hold at most {slots} models "
+                    f"(the digit-plane cache working set); this book "
+                    f"has {len(interpolants)}"
                 )
             if self._kind == "tt":
                 from pychebyshev_tpu.ops.tt_eval_dd import tt_supports_dd
@@ -1025,8 +1035,9 @@ class MultiModelEvaluator:
                 )
             if mesh is not None:
                 raise ValueError(
-                    "dtype='dd' is single-device XLA; it does not "
-                    "compose with mesh")
+                    "near-f64 multi-spec/book serving is single-device "
+                    "for now; BatchedEvaluator(dtype='dd', mesh=...) "
+                    "composes dd with a dp mesh")
             dtype = jnp.float64
         for m in interpolants:
             if self._kind == "tt":

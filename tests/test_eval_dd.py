@@ -380,3 +380,64 @@ class TestDigitGemmBook:
         from pychebyshev_tpu.serving import MultiModelEvaluator
         with pytest.raises(ValueError, match="at most"):
             MultiModelEvaluator(book * 6, dtype="dd")
+
+
+class TestEngineOwnedPlanes:
+    """Multi-spec dd engines prepare their digit planes at construction
+    and never re-enter the bounded plane cache on calls (the round-3
+    review caught pieces x specs working sets thrashing the LRU)."""
+
+    def test_spline_multispec_dd_builds_no_planes_per_call(
+            self, monkeypatch):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        from pychebyshev_tpu.ops import eval_dd
+
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) ** 3 + np.sin(x[1]), 2,
+            [[-1, 1], [-1, 1]], [9, 9], [[0.0], []])
+        sp.build(verbose=False)
+        specs = [(0, 0), (1, 0), (0, 1)]
+        eng = MultiSpecEvaluator(sp, specs, dtype="dd",
+                                 bucket_sizes=(64,))
+
+        calls = []
+        real = eval_dd._digit_planes_tensor
+        monkeypatch.setattr(
+            eval_dd, "_digit_planes_tensor",
+            lambda *a, **k: calls.append(1) or real(*a, **k))
+        pts = np.random.default_rng(0).uniform(-0.9, 0.9, (150, 2))
+        pts[:, 0][np.abs(pts[:, 0]) < 1e-3] = 0.1
+        eng(pts)
+        eng(pts)
+        assert calls == []          # planes were closed over at init
+
+    def test_slider_multispec_dd_builds_no_planes_per_call(
+            self, monkeypatch):
+        from pychebyshev_tpu import ChebyshevSlider
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        from pychebyshev_tpu.ops import slider_eval
+
+        D = 4
+        sl = ChebyshevSlider(
+            lambda p, _: np.sum(np.sin(np.asarray(p, float)), axis=1),
+            D, [[-1, 1]] * D, [9] * D, [[i] for i in range(D)],
+            [0.0] * D, vectorized=True)
+        sl.build(verbose=False)
+        # value + one delta per dim: D+1 specs, more than the old
+        # 8-slot cache could hold alongside other entries.
+        specs = [(0,) * D] + [tuple(1 if j == k else 0
+                                    for j in range(D))
+                              for k in range(D)]
+        eng = MultiSpecEvaluator(sl, specs, dtype="dd",
+                                 bucket_sizes=(64,))
+
+        calls = []
+        real = slider_eval._digit_planes_tensor
+        monkeypatch.setattr(
+            slider_eval, "_digit_planes_tensor",
+            lambda *a, **k: calls.append(1) or real(*a, **k))
+        pts = np.random.default_rng(1).uniform(-1, 1, (100, D))
+        eng(pts)
+        eng(pts)
+        assert calls == []
