@@ -528,13 +528,18 @@ def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,
 
 
 def dd_multi_runner(tensor, nodes, weights, diff_matrices, specs,
-                    cutoff: int = None):
+                    cutoff: int = None, mesh=None,
+                    data_axis: str = "dp"):
     """Prepare-once form of :func:`eval_batch_dd_multi`.
 
     Returns a ``points -> (N, len(specs))`` callable closing over the
     prepared per-spec digit planes, so a serving engine holds its whole
     working set for its lifetime instead of depending on the bounded
     plane cache (which an M-spec x P-piece engine could thrash).
+
+    With ``mesh``, the runner replicates the planes once and shards
+    points over ``data_axis`` (explicit shard_map; the batch must
+    divide the axis — serving buckets enforce this).
     """
     shape = tuple(int(n) for n in tensor.shape)
     d = len(shape)
@@ -557,6 +562,23 @@ def dd_multi_runner(tensor, nodes, weights, diff_matrices, specs,
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
     weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
                       for k in range(d))
+
+    if mesh is not None:
+        from pychebyshev_tpu.parallel.sharding import (
+            _dp_points,
+            _dp_run_matrix,
+            _replicated,
+        )
+        spec_planes, spec_scales, nodes64, weights64 = _replicated(
+            (spec_planes, spec_scales, nodes64, weights64), mesh)
+        fn = _dp_run_matrix(run_multi, 4, mesh, data_axis)
+
+        def runner(points):
+            pts, n, pad = _dp_points(points, mesh, data_axis)
+            out = fn(spec_planes, spec_scales, nodes64, weights64, pts)
+            return out[:n] if pad else out
+
+        return runner
 
     def runner(points):
         return run_multi(spec_planes, spec_scales, nodes64, weights64,

@@ -419,13 +419,15 @@ def slider_multi_batch_dd(slide_data, pivot_value, groups, specs,
 
 
 def slider_dd_multi_runner(slide_data, pivot_value, groups, specs,
-                           cutoff: int = None):
+                           cutoff: int = None, mesh=None,
+                           data_axis: str = "dp"):
     """Prepare-once form of :func:`slider_multi_batch_dd`.
 
     Returns a ``points -> (N, len(specs))`` callable that closes over
     the prepared per-spec plane vectors, so a serving engine holds its
     whole working set for the engine's lifetime instead of re-entering
-    the bounded plane cache on every call.
+    the bounded plane cache on every call.  With ``mesh``, plane
+    vectors replicate and points shard over ``data_axis``.
     """
     groups = tuple(tuple(int(d) for d in g) for g in groups)
     n_dims = sum(len(g) for g in groups)
@@ -478,6 +480,23 @@ def slider_dd_multi_runner(slide_data, pivot_value, groups, specs,
          tuple(jnp.asarray(a, jnp.float64) for a in sd[2]))
         for sd in slide_data)
     pivot = jnp.asarray(pivot_value, jnp.float64)
+
+    if mesh is not None:
+        from pychebyshev_tpu.parallel.sharding import (
+            _dp_points,
+            _dp_run_matrix,
+            _replicated,
+        )
+        planes, scales, grids, pivot = _replicated(
+            (planes, scales, grids, pivot), mesh)
+        fn = _dp_run_matrix(run_multi, 4, mesh, data_axis)
+
+        def runner(points):
+            pts, n, pad = _dp_points(points, mesh, data_axis)
+            out = fn(planes, scales, grids, pivot, pts)
+            return out[:n] if pad else out
+
+        return runner
 
     def runner(points):
         return run_multi(planes, scales, grids, pivot,

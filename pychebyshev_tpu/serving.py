@@ -710,11 +710,8 @@ class MultiSpecEvaluator:
                     "ChebyshevApproximation, flat-grid ChebyshevSpline, "
                     "and ChebyshevSlider"
                 )
-            if mesh is not None:
-                raise ValueError(
-                    "near-f64 multi-spec/book serving is single-device "
-                    "for now; BatchedEvaluator(dtype='dd', mesh=...) "
-                    "composes dd with a dp mesh")
+            # mesh composes: the dd report runners replicate their
+            # plane working set and shard points over the data axis.
             dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -761,7 +758,8 @@ class MultiSpecEvaluator:
                 from pychebyshev_tpu.ops.eval_dd import dd_multi_runner
                 self._dd_runner = dd_multi_runner(
                     tensor, self._nodes, self._weights, self._diffs,
-                    self.specs)
+                    self.specs, mesh=self._mesh,
+                    data_axis=self._data_axis)
                 self._spec_tensors = ()
             else:
                 self._spec_tensors = tuple(
@@ -796,7 +794,8 @@ class MultiSpecEvaluator:
                         for grp in piece._grid_tuples())
                     runners.append(dd_multi_runner(
                         jnp.asarray(piece.tensor_values, jnp.float64),
-                        nodes, weights, diffs, self.specs))
+                        nodes, weights, diffs, self.specs,
+                        mesh=self._mesh, data_axis=self._data_axis))
                 self._piece_dd_runners = tuple(runners)
                 self._guard_dims = sorted({
                     d for s in self.specs
@@ -851,7 +850,8 @@ class MultiSpecEvaluator:
                 )
                 self._dd_runner = slider_dd_multi_runner(
                     self._slide_arrays, self._pivot_value,
-                    self._slider_groups, self.specs)
+                    self._slider_groups, self.specs, mesh=self._mesh,
+                    data_axis=self._data_axis)
 
     def _run(self, points: jax.Array, *aux) -> jax.Array:
         if self._kind == "dense":
@@ -1035,9 +1035,9 @@ class MultiModelEvaluator:
                 )
             if mesh is not None:
                 raise ValueError(
-                    "near-f64 multi-spec/book serving is single-device "
-                    "for now; BatchedEvaluator(dtype='dd', mesh=...) "
-                    "composes dd with a dp mesh")
+                    "near-f64 book serving is single-device for now; "
+                    "BatchedEvaluator and MultiSpecEvaluator compose "
+                    "dtype='dd' with a dp mesh")
             dtype = jnp.float64
         for m in interpolants:
             if self._kind == "tt":

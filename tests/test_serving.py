@@ -828,3 +828,68 @@ class TestDigitGemmTTServing:
         t = ChebyshevTT(f3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=4)
         with pytest.raises(RuntimeError, match="build"):
             BatchedEvaluator(t, dtype="dd")
+
+
+class TestMeshMultiSpecDD:
+    """MultiSpecEvaluator(dtype='dd', mesh=...): report runners
+    replicate their plane working set and shard points over dp."""
+
+    def test_dense_report_dp_sharded(self, cheb, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        mesh = make_mesh(8, axis_names=("dp",))
+        specs = [(0, 0, 0), (1, 0, 0), (0, 0, 2)]
+        eng = MultiSpecEvaluator(cheb, specs, dtype="dd", mesh=mesh,
+                                 bucket_sizes=(256,))
+        got = eng(pts[:300])
+        for m, s in enumerate(specs):
+            want = cheb.vectorized_eval_batch(pts[:300], list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
+
+    def test_slider_report_dp_sharded(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        mesh = make_mesh(8, axis_names=("dp",))
+        sl = ChebyshevSlider(
+            lambda x, _: math.sin(x[0]) + x[1] ** 2 + 0.5 * x[2],
+            3, [[-1, 1]] * 3, [9] * 3, [[0], [1], [2]], [0.0] * 3)
+        sl.build(verbose=False)
+        specs = [(0, 0, 0), (0, 1, 0), (1, 0, 1)]
+        eng = MultiSpecEvaluator(sl, specs, dtype="dd", mesh=mesh,
+                                 bucket_sizes=(64,))
+        pts3 = np.random.default_rng(12).uniform(-1, 1, (150, 3))
+        got = eng(pts3)
+        for m, s in enumerate(specs):
+            want = sl.eval_batch(pts3, list(s))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
+
+    def test_spline_report_dp_sharded(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        mesh = make_mesh(8, axis_names=("dp",))
+        sp = ChebyshevSpline(
+            lambda x, _: abs(x[0]) ** 3 + math.sin(x[1]), 2,
+            [[-1, 1], [-1, 1]], [9, 9], [[0.0], []])
+        sp.build(verbose=False)
+        specs = [(0, 0), (1, 0)]
+        eng = MultiSpecEvaluator(sp, specs, dtype="dd", mesh=mesh,
+                                 bucket_sizes=(64,))
+        rng = np.random.default_rng(13)
+        pts2 = rng.uniform(-0.95, 0.95, (200, 2))
+        pts2 = pts2[np.abs(pts2[:, 0]) > 1e-2]
+        got = eng(pts2)
+        for m, s in enumerate(specs):
+            want = sp.vectorized_eval_batch(pts2, list(s))
+            scale = np.abs(want).max()
+            assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
+
+    def test_book_mesh_still_rejected(self, tt):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        mesh = make_mesh(8, axis_names=("dp",))
+        with pytest.raises(ValueError, match="single-device"):
+            MultiModelEvaluator([tt], dtype="dd", mesh=mesh)
