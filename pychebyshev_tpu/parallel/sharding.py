@@ -45,6 +45,8 @@ __all__ = [
     "slider_batch_dd_dp",
     "tt_eval_batch_dd_dp",
     "eval_batch_tp",
+    "eval_batch_dd_tp",
+    "dd_tp_plan",
 ]
 
 
@@ -489,3 +491,281 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
     out = sharded(tensor, nodes[0], weights[0], diffs[0], other_nodes,
                   other_weights, other_diffs, points)
     return out[:nb] if padb else out
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel digit-GEMM: near-f64 BEYOND the single-chip digit
+# budget.
+#
+# The dense dd plan's MXU-exactness constraint is
+# ``K * 2^(b_r + b_t) < 2^24`` with K the contracted right-group size —
+# grids past K ~ 2^14 leave too few digit bits and ``supports_dd``
+# refuses them.  Sharding the FIRST right-group dim over ``tp`` divides
+# K per device, which RAISES the per-device bit budget: each device
+# quantizes and contracts only its slab (exact integers locally), folds
+# its pair ladder with branch-free TwoSum into an f64 partial, and one
+# f64 ``psum`` over ``tp`` completes the contraction at full accuracy.
+# Derivative passes fold into the tensor on HOST before the plane
+# build, so no distributed D-matrix machinery is needed.  The sharded
+# dim's barycentric rows use the same global-psum normalization and
+# pmin one-hot as ``eval_batch_tp``.
+# ---------------------------------------------------------------------------
+
+
+def dd_tp_plan(shape, n_tp: int, cutoff: int = None) -> dict:
+    """Static plan for the tp-sharded digit GEMM (per-device budget)."""
+    from pychebyshev_tpu.ops import eval_dd as _dd
+    from pychebyshev_tpu.ops.eval import _split_index
+
+    if cutoff is None:
+        cutoff = _dd._PAIR_CUTOFF
+    shape = tuple(int(n) for n in shape)
+    if len(shape) < 2:
+        return {"ok": False}
+    s = _split_index(shape)
+    if len(shape) - s > 3:
+        return {"ok": False}
+    n_s = shape[s]
+    n_s_pad = -(-n_s // n_tp) * n_tp
+    n_rest = int(np.prod(shape[s + 1:])) if len(shape) > s + 1 else 1
+    k_local = (n_s_pad // n_tp) * n_rest
+    bits_budget = 24 - int(np.ceil(np.log2(k_local)))
+    b_t = min(6, bits_budget - 6)
+    b_r = min(7, bits_budget - b_t)
+    if b_t < 4:
+        return {"ok": False}
+    pairs, js_by_i = _dd.pair_schedule(b_r, b_t, cutoff)
+    return {"ok": True, "s": s, "n_left": int(np.prod(shape[:s])),
+            "n_s_pad": n_s_pad, "n_rest": n_rest, "k_local": k_local,
+            "b_r": b_r, "b_t": b_t, "pairs": pairs, "js_by_i": js_by_i,
+            "cutoff": int(cutoff)}
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
+                    mesh: Mesh, dp_axis: str, tp_axis: str,
+                    cutoff: int):
+    from pychebyshev_tpu.ops import eval_dd as _dd
+    from pychebyshev_tpu.ops.eval import (
+        _khatri_rao,
+        barycentric_coefficients,
+        chunked_scalar_map,
+    )
+    from jax import shard_map
+
+    n_tp = mesh.shape[tp_axis]
+    plan = dd_tp_plan(shape, n_tp, cutoff)
+    s = plan["s"]
+    d = len(shape)
+    b_r, b_t = plan["b_r"], plan["b_t"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    wr_scale = np.float64(2.0 ** _dd._WR_SCALE_LOG2)
+    blk = plan["n_s_pad"] // n_tp
+
+    def _one(planes, t_scale, nodes_s, weights_s, o_nodes, o_weights,
+             pts):
+        # Left rows: replicated f64 Khatri-Rao (narrow).
+        w_left = _khatri_rao([
+            barycentric_coefficients(pts[:, k], o_nodes[k],
+                                     o_weights[k])
+            for k in range(s)]) if s > 0 else jnp.ones(
+                (pts.shape[0], 1), jnp.float64)
+
+        # Sharded dim-s rows: GLOBAL normalization via psum, global
+        # one-hot via pmin (a point on a node must select the globally
+        # first hit, not sum shards).
+        x0 = pts[:, s]
+        diff0 = x0[:, None] - nodes_s[None, :]
+        exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
+        safe = jnp.where(exact_local, 1.0, diff0)
+        w_over_diff = weights_s[None, :] / safe
+        denom = jax.lax.psum(jnp.sum(w_over_diff, axis=1), tp_axis)
+        has_exact = jax.lax.psum(
+            exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
+        col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
+        local_cols = col0 + jnp.arange(blk, dtype=jnp.int32)
+        big = jnp.int32(2 ** 30)
+        first_local = jnp.where(
+            exact_local.any(axis=1),
+            jnp.argmax(exact_local, axis=1).astype(jnp.int32) + col0,
+            big)
+        first_global = jax.lax.pmin(first_local, tp_axis)
+        one_hot = (local_cols[None, :]
+                   == first_global[:, None]).astype(jnp.float64)
+        c_s = jnp.where(has_exact[:, None], one_hot,
+                        w_over_diff / denom[:, None])
+
+        rest = [barycentric_coefficients(pts[:, k], o_nodes[k],
+                                         o_weights[k])
+                for k in range(s + 1, d)]
+        dd_pairs = [_dd._split_f64(c_s * (1.0 / wr_scale))] + \
+            [_dd._split_f64(r) for r in rest]
+        qhi, qlo = _dd._khatri_rao_dd(dd_pairs)     # (N, k_local)
+        r_planes = _dd._digit_planes_pair(qhi, qlo, b_r, p_r)
+
+        by_scale = {}
+        for i, js in enumerate(js_by_i):
+            if not js:
+                continue
+            g_all = jnp.dot(r_planes[i], planes[i],
+                            preferred_element_type=jnp.float32)
+            for k, j in enumerate(js):
+                g = jax.lax.slice_in_dim(
+                    g_all, k * plan["n_left"], (k + 1) * plan["n_left"],
+                    axis=1)
+                v = b_r * (i + 1) + b_t * (j + 1)
+                by_scale[v] = g if v not in by_scale else \
+                    by_scale[v] + g
+        acc = comp = None
+        for v in sorted(by_scale):
+            term = by_scale[v] * np.float32(2.0 ** -v)
+            if acc is None:
+                acc, comp = term, jnp.zeros_like(term)
+            else:
+                snew = acc + term
+                bv = snew - acc
+                err = (acc - (snew - bv)) + (term - bv)
+                acc, comp = snew, comp + err
+        # Per-device partial in f64 (exact to ~2^-48 of the LOCAL
+        # contribution); the narrow f64 psum finishes the contraction.
+        y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+            * (wr_scale * t_scale)
+        out_local = jnp.sum(w_left * y, axis=1)
+        return jax.lax.psum(out_local, tp_axis)
+
+    def _kernel(planes, t_scale, nodes_s, weights_s, o_nodes,
+                o_weights, pts):
+        return chunked_scalar_map(
+            lambda p: _one(planes, t_scale, nodes_s, weights_s,
+                           o_nodes, o_weights, p),
+            pts, plan["k_local"] * (p_r + 2))
+
+    fn = shard_map(
+        _kernel,
+        mesh=mesh,
+        in_specs=(P(tp_axis, None), P(), P(tp_axis), P(tp_axis),
+                  P(), P(), P(dp_axis, None)),
+        out_specs=P(dp_axis),
+    )
+    return jax.jit(fn), plan
+
+
+# Prepared tp plane arrays, identity-keyed (same soundness rules as the
+# other plane caches: immutable jax-array tensors only).
+_tp_plane_cache: list = []
+_TP_PLANE_SLOTS = 8
+
+
+def eval_batch_dd_tp(tensor, nodes, weights, diff_matrices, points,
+                     mesh: Mesh, orders: Tuple[int, ...] = None,
+                     dp_axis: str = "dp", tp_axis: str = "tp",
+                     cutoff: int = None) -> jax.Array:
+    """Tensor-parallel digit-GEMM evaluation: near-f64 for grids BEYOND
+    the single-chip digit budget.
+
+    The contracted right group shards over ``tp_axis`` (first right dim,
+    zero-padded to the axis like ``eval_batch_tp``), so each device's
+    MXU-exactness budget is set by its LOCAL contraction size — grids
+    ``ops.eval_dd.supports_dd`` refuses become plan-eligible once
+    ``k_local`` fits.  Queries shard over ``dp_axis``.  Check
+    eligibility with :func:`dd_tp_plan`.
+    """
+    shape = tuple(int(x) for x in tensor.shape)
+    d = len(shape)
+    if orders is None:
+        orders = (0,) * d
+    orders = tuple(int(o) for o in orders)
+    n_tp = mesh.shape[tp_axis]
+    plan = dd_tp_plan(shape, n_tp, cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"grid shape {shape} outside the tp digit-GEMM budget on "
+            f"{n_tp} devices; use eval_batch_tp")
+
+    from pychebyshev_tpu.ops import eval_dd as _dd
+    from pychebyshev_tpu.ops.eval import apply_derivative_passes
+
+    run, plan = _compiled_dd_tp(shape, orders, mesh, dp_axis, tp_axis,
+                                plan["cutoff"])
+    s = plan["s"]
+
+    # Host plane build (cached on tensor identity like the other dd
+    # tiers): derivatives fold into the full tensor FIRST, then the
+    # sharded dim pads with zero slabs.
+    diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
+    cache_key = (orders, plan["cutoff"], plan["b_t"], mesh, tp_axis)
+    cacheable = isinstance(tensor, jax.Array) and all(
+        isinstance(a, jax.Array) for a in diffs_key)
+    planes = None
+    if cacheable:
+        for i, entry in enumerate(_tp_plane_cache):
+            if (entry[0] is tensor and entry[1] == cache_key
+                    and len(entry[2]) == len(diffs_key)
+                    and all(a is b for a, b in zip(entry[2], diffs_key))):
+                _tp_plane_cache.insert(0, _tp_plane_cache.pop(i))
+                t_scale, planes = entry[3], entry[4]
+                break
+    if planes is None:
+        t64 = jnp.asarray(tensor, jnp.float64)
+        if any(o > 0 for o in orders):
+            t64 = apply_derivative_passes(
+                t64, tuple(jnp.asarray(m, jnp.float64)
+                           for m in diff_matrices), orders)
+        t_host = np.asarray(t64, dtype=np.float64)
+        pad_s = plan["n_s_pad"] - shape[s]
+        if pad_s:
+            pad_shape = list(t_host.shape)
+            pad_shape[s] = pad_s
+            t_host = np.concatenate(
+                [t_host, np.zeros(pad_shape)], axis=s)
+        flat = t_host.reshape(plan["n_left"], -1)
+        t_max = float(np.abs(flat).max()) or 1.0
+        t_scale = 2.0 ** np.ceil(np.log2(t_max))
+        p_t_used = 1 + max(j for _, j in plan["pairs"])
+        planes_host = _dd._digit_planes_tensor(flat.T / t_scale,
+                                               plan["b_t"], p_t_used)
+        planes = tuple(
+            jax.device_put(
+                jnp.asarray(np.concatenate(
+                    [planes_host[j] for j in js], axis=1), jnp.bfloat16),
+                NamedSharding(mesh, P(tp_axis, None)))
+            if js else jnp.zeros((flat.shape[1], 0), jnp.bfloat16)
+            for js in plan["js_by_i"])
+        if cacheable:
+            _tp_plane_cache.insert(
+                0, (tensor, cache_key, diffs_key, t_scale, planes))
+            del _tp_plane_cache[_TP_PLANE_SLOTS:]
+
+    # Sharded dim-s grid slices (sentinel nodes / zero weights for the
+    # pad — they contribute exactly nothing, as in eval_batch_tp).
+    nodes_s = np.asarray(nodes[s], dtype=np.float64)
+    weights_s = np.asarray(weights[s], dtype=np.float64)
+    pad_s = plan["n_s_pad"] - shape[s]
+    if pad_s:
+        nodes_s = np.concatenate([nodes_s, np.full(pad_s, 1e300)])
+        weights_s = np.concatenate([weights_s, np.zeros(pad_s)])
+    nodes_s = jax.device_put(jnp.asarray(nodes_s),
+                             NamedSharding(mesh, P(tp_axis)))
+    weights_s = jax.device_put(jnp.asarray(weights_s),
+                               NamedSharding(mesh, P(tp_axis)))
+
+    replicate = NamedSharding(mesh, P())
+    o_nodes = jax.device_put(
+        tuple(jnp.asarray(a, jnp.float64) for a in nodes), replicate)
+    o_weights = jax.device_put(
+        tuple(jnp.asarray(a, jnp.float64) for a in weights), replicate)
+    t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
+                             replicate)
+
+    pts = jnp.asarray(points, jnp.float64)
+    n = pts.shape[0]
+    padb = -n % mesh.shape[dp_axis]
+    if padb:
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(pts[:1], (padb, pts.shape[1]))])
+    pts = jax.device_put(pts, NamedSharding(mesh, P(dp_axis, None)))
+
+    out = run(planes, t_scale, nodes_s, weights_s, o_nodes, o_weights,
+              pts)
+    return out[:n] if padb else out

@@ -320,3 +320,118 @@ class TestFamilyDigitGemmDP:
             tt._coeff_cores, dom, pts, mesh8))
         assert got.shape == (203,)
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-13)
+
+
+@requires_8_devices
+class TestDigitGemmTP:
+    """Tensor-parallel dd: sharding the contraction over tp divides K
+    per device, RAISING the MXU-exactness budget — grids the
+    single-chip digit plan refuses become eligible."""
+
+    def test_consistency_with_single_device_dd(self):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [9, 9, 9], vectorized=True)
+        c.build(verbose=False)
+        nodes, weights, diffs = c._grid_tuples()
+        rng = np.random.default_rng(7)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        pts = lo + (hi - lo) * rng.uniform(0.02, 0.98, (130, 3))
+        want = np.asarray(eval_batch_dd(
+            c.tensor_values, nodes, weights, diffs, pts))
+        got = np.asarray(sh.eval_batch_dd_tp(
+            c.tensor_values, nodes, weights, diffs, pts, mesh))
+        assert got.shape == (130,)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
+
+    def test_beyond_single_chip_budget(self):
+        """(9, 16400): n_right > 2^14 — supports_dd says no, but 8-way
+        tp brings k_local to 2050 and the full 6/7-bit digit widths."""
+        from pychebyshev_tpu.ops.eval import eval_batch
+        from pychebyshev_tpu.ops.eval_dd import supports_dd
+        import jax.numpy as jnp
+
+        shape = (9, 16400)
+        assert not supports_dd(shape)
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(1, 8))
+        assert sh.dd_tp_plan(shape, 8)["ok"]
+
+        def cheb1(n):
+            # closed-form Chebyshev-1 barycentric weights (the product
+            # formula overflows f64 past a few hundred nodes; the
+            # barycentric form is weight-scale-invariant)
+            k = np.arange(n)
+            x = np.cos((2 * k + 1) * np.pi / (2 * n))
+            w = ((-1.0) ** k) * np.sin((2 * k + 1) * np.pi / (2 * n))
+            order = np.argsort(x)
+            return x[order], w[order]
+
+        xs, ws = zip(*(cheb1(n) for n in shape))
+        nodes = tuple(jnp.asarray(x) for x in xs)
+        weights = tuple(jnp.asarray(w) for w in ws)
+        gx, gy = np.meshgrid(np.asarray(nodes[0]), np.asarray(nodes[1]),
+                             indexing="ij")
+        tensor = jnp.asarray(np.sin(3 * gx) * np.cos(2 * gy)
+                             + 0.5 * gx * gy)
+        diffs = ((), ())          # value-only; no derivative passes
+
+        rng = np.random.default_rng(8)
+        pts = rng.uniform(-0.97, 0.97, (64, 2))
+        want = np.asarray(eval_batch(tensor, nodes, weights,
+                                     (None, None), jnp.asarray(pts),
+                                     (0, 0)))
+        got = np.asarray(sh.eval_batch_dd_tp(
+            tensor, nodes, weights, diffs, pts, mesh))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
+
+    def test_derivative_orders_fold_on_host(self):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [9, 9, 9], vectorized=True)
+        c.build(verbose=False)
+        nodes, weights, diffs = c._grid_tuples()
+        rng = np.random.default_rng(9)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        pts = lo + (hi - lo) * rng.uniform(0.02, 0.98, (96, 3))
+        for o in [(1, 0, 0), (0, 0, 1)]:
+            want = c.vectorized_eval_batch(pts, list(o))
+            got = np.asarray(sh.eval_batch_dd_tp(
+                c.tensor_values, nodes, weights, diffs, pts, mesh,
+                orders=o))
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got - want).max() / scale < 1e-9, o
+
+    def test_exact_node_points_one_hot_globally(self):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        c = ChebyshevApproximation(
+            lambda pts, d: np.asarray(f_vec(pts, d)), 3, DOMAIN,
+            [9, 9, 9], vectorized=True)
+        c.build(verbose=False)
+        nodes, weights, diffs = c._grid_tuples()
+        # points exactly on grid nodes of the SHARDED dim
+        from pychebyshev_tpu.ops.eval import _split_index
+        s = _split_index((9, 9, 9))
+        node_vals = np.asarray(nodes[s])
+        pts = np.column_stack([
+            np.full(8, 0.5 * (DOMAIN[0][0] + DOMAIN[0][1])),
+            np.full(8, 0.5 * (DOMAIN[1][0] + DOMAIN[1][1])),
+            np.full(8, 0.5 * (DOMAIN[2][0] + DOMAIN[2][1]))])
+        pts[:, s] = node_vals[:8]
+        want = c.vectorized_eval_batch(pts, [0, 0, 0])
+        got = np.asarray(sh.eval_batch_dd_tp(
+            c.tensor_values, nodes, weights, diffs, pts, mesh))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-11
+
+    def test_rejects_wide_right_group(self):
+        mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        with pytest.raises(ValueError, match="tp digit-GEMM"):
+            sh.eval_batch_dd_tp(np.zeros((3,) * 7), (), (), (),
+                                np.zeros((8, 7)), mesh)
