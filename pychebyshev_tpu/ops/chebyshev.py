@@ -63,18 +63,56 @@ def barycentric_weights_np(nodes):
     """
     import numpy as np
     nodes = np.asarray(nodes, dtype=np.float64)
-    diff = nodes[:, None] - nodes[None, :]
-    np.fill_diagonal(diff, 1.0)
-    prod = np.prod(diff, axis=1)
-    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
-        w = 1.0 / prod
+    n = nodes.shape[0]
+    if n <= 512:
+        diff = nodes[:, None] - nodes[None, :]
+        np.fill_diagonal(diff, 1.0)
+        prod = np.prod(diff, axis=1)
+        with np.errstate(divide="ignore", over="ignore",
+                         invalid="ignore"):
+            w = 1.0 / prod
+        if not np.isfinite(w).all() or (w == 0.0).any():
+            raise ValueError(
+                "degenerate Chebyshev grid: coinciding nodes (collapsed "
+                "domain?) give non-finite barycentric weights"
+            )
+        # Power-of-two normalization (see barycentric_weights): exact,
+        # and keeps narrow-domain weights inside f32 range for the
+        # device.
+        return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))
+
+    # Large-n path: the naive product over/underflows f64 past a few
+    # hundred nodes.  Track a (mantissa, binary exponent) pair with
+    # frexp renormalization per 512-column chunk (512 mantissas in
+    # [0.5, 1) bottom out at 2^-512, inside f64 range) — the same
+    # multiply sequence up to exact power-of-two rescaling, so no
+    # log/exp accuracy loss.  Needed for grids served by the
+    # tensor-parallel digit-GEMM tier (node counts past the single-chip
+    # budget).
+    mant = np.ones(n)
+    expo = np.zeros(n, dtype=np.int64)
+    for start in range(0, n, 512):
+        stop = min(start + 512, n)
+        d = nodes[:, None] - nodes[None, start:stop]
+        idx = np.arange(start, stop)
+        d[idx, idx - start] = 1.0
+        m, e = np.frexp(d)
+        mant *= np.prod(m, axis=1)
+        expo += e.sum(axis=1, dtype=np.int64)
+        mant, e2 = np.frexp(mant)
+        expo += e2
+    # mant == 0 marks a coinciding-node row (frexp(0) -> (0, 0)).
+    if (mant == 0.0).any():
+        raise ValueError(
+            "degenerate Chebyshev grid: coinciding nodes (collapsed "
+            "domain?) give non-finite barycentric weights"
+        )
+    w = np.ldexp(1.0 / mant, (-expo + expo.min()).astype(np.int64))
     if not np.isfinite(w).all() or (w == 0.0).any():
         raise ValueError(
             "degenerate Chebyshev grid: coinciding nodes (collapsed "
             "domain?) give non-finite barycentric weights"
         )
-    # Power-of-two normalization (see barycentric_weights): exact, and
-    # keeps narrow-domain weights inside f32 range for the device.
     return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))
 
 

@@ -146,11 +146,29 @@ class BatchedEvaluator:
                     "ChebyshevApproximation, flat-grid ChebyshevSpline, "
                     "ChebyshevTT, and ChebyshevSlider"
                 )
+            self._dd_tp = False
             if shape is not None and not supports_dd(shape):
-                raise ValueError(
-                    f"grid shape {shape} is outside the digit-GEMM "
-                    f"plan budget; serve at dtype=jnp.float64 instead"
-                )
+                # Beyond the single-chip digit budget: a mesh with a
+                # "tp" axis can still serve it — sharding the exact
+                # contraction raises the per-device budget
+                # (parallel.sharding.eval_batch_dd_tp).
+                tp_ok = False
+                if (mesh is not None and "tp" in mesh.axis_names
+                        and isinstance(interpolant,
+                                       ChebyshevApproximation)):
+                    from pychebyshev_tpu.parallel.sharding import (
+                        dd_tp_plan,
+                    )
+                    tp_ok = dd_tp_plan(shape,
+                                       mesh.shape["tp"])["ok"]
+                if not tp_ok:
+                    raise ValueError(
+                        f"grid shape {shape} is outside the digit-GEMM "
+                        f"plan budget; serve at dtype=jnp.float64, or "
+                        f"pass a mesh with a 'tp' axis (tensor-parallel "
+                        f"digit-GEMM raises the per-device budget)"
+                    )
+                self._dd_tp = True
             if use_fused:
                 raise ValueError(
                     "dtype='dd' is plain XLA; it does not compose with "
@@ -339,6 +357,14 @@ class BatchedEvaluator:
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "dense":
             if self._dd:
+                if getattr(self, "_dd_tp", False):
+                    from pychebyshev_tpu.parallel.sharding import (
+                        eval_batch_dd_tp,
+                    )
+                    return eval_batch_dd_tp(
+                        self._tensor, self._nodes, self._weights,
+                        self._diffs, points, self._mesh, self._orders,
+                        dp_axis=self._data_axis)
                 if self._mesh is not None:
                     from pychebyshev_tpu.parallel.sharding import (
                         eval_batch_dd_dp,

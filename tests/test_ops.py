@@ -184,3 +184,48 @@ def test_contract_dim_at_value_matches_take_at_node(cheb_sin3d):
     out = np.asarray(eval_ops.contract_dim_at_value(
         t, 1, nodes, cheb_sin3d.weights[1], float(nodes[4])))
     np.testing.assert_array_equal(out, np.asarray(t)[:, 4, :])
+
+
+class TestLargeNWeights:
+    """barycentric_weights_np large-n path: the chunked frexp product
+    (the naive product over/underflows past a few hundred nodes)."""
+
+    def test_matches_analytic_chebyshev1_weights(self):
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            nodes_for_dim_np,
+        )
+        n = 4096
+        nodes = nodes_for_dim_np(-1.0, 1.0, n)
+        w = barycentric_weights_np(nodes)
+        # analytic Chebyshev-1 weights, reordered to ascending nodes
+        k = np.arange(n)
+        x_nat = np.cos((2 * k + 1) * np.pi / (2 * n))
+        w_nat = ((-1.0) ** k) * np.sin((2 * k + 1) * np.pi / (2 * n))
+        order = np.argsort(x_nat)
+        w_ref = w_nat[order]
+        ratio = w / w_ref
+        assert np.abs(ratio / ratio[0] - 1.0).max() < 1e-9
+
+    def test_continuity_with_small_n_path(self):
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            nodes_for_dim_np,
+        )
+        # 512 runs the dense path, 513 the chunked one; both must give
+        # the same weights for the same normalized problem (up to a
+        # common power-of-two scale and f64 product roundoff).
+        for n in (512, 513):
+            nodes = nodes_for_dim_np(0.0, 2.0, n)
+            w = barycentric_weights_np(nodes)
+            assert np.isfinite(w).all()
+            assert 0.5 <= np.abs(w).max() <= 2.0
+            # alternating signs are a structural property
+            assert np.all(np.sign(w[1:]) == -np.sign(w[:-1]))
+
+    def test_degenerate_large_grid_rejected(self):
+        from pychebyshev_tpu.ops.chebyshev import barycentric_weights_np
+        nodes = np.linspace(-1, 1, 600)
+        nodes[300] = nodes[301]
+        with pytest.raises(ValueError, match="degenerate"):
+            barycentric_weights_np(nodes)

@@ -893,3 +893,41 @@ class TestMeshMultiSpecDD:
         mesh = make_mesh(8, axis_names=("dp",))
         with pytest.raises(ValueError, match="single-device"):
             MultiModelEvaluator([tt], dtype="dd", mesh=mesh)
+
+
+class TestBeyondBudgetDDEngine:
+    """A grid the single-chip digit plan refuses serves through
+    BatchedEvaluator(dtype='dd') when the mesh has a tp axis.
+
+    The heavy numerical capability (a real (9, 16400) grid at < 1e-11)
+    is pinned at ops level in tests/test_sharding.py::TestDigitGemmTP;
+    here a monkeypatched supports_dd exercises the engine ROUTING
+    cheaply on a small grid.
+    """
+
+    def test_tp_engine_routes_refused_grids_through_dd_tp(
+            self, cheb, pts, monkeypatch):
+        import pychebyshev_tpu.serving as serving_mod
+        from pychebyshev_tpu.ops import eval_dd
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+
+        # Pretend the single-chip plan refuses this grid; the tp plan
+        # (which the patch does not touch) still accepts it.
+        monkeypatch.setattr(eval_dd, "supports_dd", lambda *a: False)
+        mesh = make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
+        eng = BatchedEvaluator(cheb, dtype="dd", mesh=mesh,
+                               bucket_sizes=(64,))
+        assert eng._dd_tp
+        got = eng(pts[:150])
+        want = cheb.vectorized_eval_batch(pts[:150], [0, 0, 0])
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-10
+
+    def test_without_tp_axis_still_rejected(self, cheb, monkeypatch):
+        from pychebyshev_tpu.ops import eval_dd
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        monkeypatch.setattr(eval_dd, "supports_dd", lambda *a: False)
+        mesh = make_mesh(8, axis_names=("dp",))
+        with pytest.raises(ValueError, match="tp"):
+            BatchedEvaluator(cheb, dtype="dd", mesh=mesh,
+                             bucket_sizes=(64,))
