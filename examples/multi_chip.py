@@ -90,6 +90,22 @@ def main():
           f"{np.max(np.abs(out_engine - out_dp)):.2e} "
           f"(precompiled buckets, sharded)")
 
+    # --- near-f64 over the mesh ------------------------------------------
+    # dp: digit planes replicate, points shard.
+    out_dd = np.asarray(sh.eval_batch_dd_dp(
+        cheb.tensor_values, nodes, weights, diffs, pts, mesh, (0,) * 5))
+    f64_ref = cheb.vectorized_eval_batch(pts, [0] * 5)
+    print(f"dd dp:     max |dd-f64| "
+          f"{np.max(np.abs(out_dd - f64_ref)):.2e} (near-f64, sharded)")
+    # tp: the exact contraction itself shards, which RAISES each
+    # device's MXU-exactness budget — grids the single-chip digit plan
+    # refuses (supports_dd False) become eligible (dd_tp_plan).
+    out_ddtp = np.asarray(sh.eval_batch_dd_tp(
+        cheb.tensor_values, nodes, weights, diffs, pts, mesh2))
+    print(f"dd tp:     max |ddtp-f64| "
+          f"{np.max(np.abs(out_ddtp - f64_ref)):.2e} "
+          f"(contraction sharded over tp)")
+
 
 if __name__ == "__main__":
     main()
