@@ -67,28 +67,28 @@ def barycentric_weights_np(nodes):
     if n <= 512:
         diff = nodes[:, None] - nodes[None, :]
         np.fill_diagonal(diff, 1.0)
-        prod = np.prod(diff, axis=1)
         with np.errstate(divide="ignore", over="ignore",
                          invalid="ignore"):
+            prod = np.prod(diff, axis=1)
             w = 1.0 / prod
-        if not np.isfinite(w).all() or (w == 0.0).any():
-            raise ValueError(
-                "degenerate Chebyshev grid: coinciding nodes (collapsed "
-                "domain?) give non-finite barycentric weights"
-            )
-        # Power-of-two normalization (see barycentric_weights): exact,
-        # and keeps narrow-domain weights inside f32 range for the
-        # device.
-        return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))
+        if np.isfinite(w).all() and not (w == 0.0).any():
+            # Power-of-two normalization (see barycentric_weights):
+            # exact, and keeps narrow-domain weights inside f32 range
+            # for the device.
+            return w * 2.0 ** -np.round(np.log2(np.abs(w).max()))
+        # Non-finite here is EITHER a truly degenerate grid OR mere
+        # f64 over/underflow of the product (narrow domains make every
+        # diff tiny: (2/width)^(n-1) blows past f64 range well under
+        # n = 512).  The chunked path below distinguishes the two.
 
-    # Large-n path: the naive product over/underflows f64 past a few
-    # hundred nodes.  Track a (mantissa, binary exponent) pair with
-    # frexp renormalization per 512-column chunk (512 mantissas in
-    # [0.5, 1) bottom out at 2^-512, inside f64 range) — the same
-    # multiply sequence up to exact power-of-two rescaling, so no
-    # log/exp accuracy loss.  Needed for grids served by the
-    # tensor-parallel digit-GEMM tier (node counts past the single-chip
-    # budget).
+    # Overflow-free path: the naive product over/underflows f64 past a
+    # few hundred nodes (or far fewer on narrow domains).  Track a
+    # (mantissa, binary exponent) pair with frexp renormalization per
+    # 512-column chunk (512 mantissas in [0.5, 1) bottom out at 2^-512,
+    # inside f64 range) — the same multiply sequence up to exact
+    # power-of-two rescaling, so no log/exp accuracy loss.  Also the
+    # load path for grids served by the tensor-parallel digit-GEMM tier
+    # (node counts past the single-chip budget).
     mant = np.ones(n)
     expo = np.zeros(n, dtype=np.int64)
     for start in range(0, n, 512):

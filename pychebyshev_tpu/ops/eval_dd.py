@@ -244,6 +244,46 @@ def _digit_planes_tensor(qt: np.ndarray, bits: int, planes: int) -> list:
     return out
 
 
+def dd_gemm_ladder(r_planes, tensor_planes, js_by_i, b_r, b_t,
+                   width):
+    """Exact digit-GEMM ladder -> (acc, comp) f32 TwoSum pair.
+
+    Each GEMM output is an exact integer-valued f32 and the per-pair
+    scale is a power of two, so every term is exactly representable in
+    f32.  GEMMs run one-per-row-plane against the concatenated allowed
+    tensor planes (HBM reads each wide row plane once); same-scale
+    outputs pre-sum exactly in f32, then the ~25 scaled terms combine
+    with branch-free TwoSum (Knuth) into a (hi, comp) pair accurate to
+    ~2^-48 — a fraction of the cost of ~33 wide f64 scale-adds.
+    ``width`` is the per-(i, j) output column count (n_left for the
+    dense plan, 1 for the slider's concatenated vector).  Shared by
+    the dense, slider, and tensor-parallel digit plans (CLAUDE.md: one
+    home for the dd machinery).
+    """
+    by_scale = {}
+    for i, js in enumerate(js_by_i):
+        if not js:
+            continue
+        g_all = jnp.dot(r_planes[i], tensor_planes[i],
+                        preferred_element_type=jnp.float32)
+        for k, j in enumerate(js):
+            g = jax.lax.slice_in_dim(g_all, k * width,
+                                     (k + 1) * width, axis=1)
+            v = b_r * (i + 1) + b_t * (j + 1)
+            by_scale[v] = g if v not in by_scale else by_scale[v] + g
+    acc = comp = None
+    for v in sorted(by_scale):                       # largest terms first
+        term = by_scale[v] * np.float32(2.0 ** -v)
+        if acc is None:
+            acc, comp = term, jnp.zeros_like(term)
+        else:
+            snew = acc + term
+            bv = snew - acc
+            err = (acc - (snew - bv)) + (term - bv)
+            acc, comp = snew, comp + err
+    return acc, comp
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
     plan = dd_plan(shape, cutoff)
@@ -276,39 +316,8 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
         return w_left, _digit_planes_pair(qhi, qlo, b_r, p_r)
 
     def _spec_value(w_left, r_planes, tensor_planes, t_scale):
-        # Each GEMM output is an exact integer-valued f32 and the
-        # per-pair scale is a power of two, so every term is exactly
-        # representable in f32.  GEMMs run one-per-row-plane against the
-        # concatenated allowed tensor planes (HBM reads each wide row
-        # plane once); same-scale outputs pre-sum exactly in f32, then
-        # the ~25 scaled terms combine with branch-free TwoSum — a
-        # (hi, comp) f32 pair accurate to ~2^-48, at a fraction of 33
-        # wide f64 scale-adds.
-        by_scale = {}
-        for i, js in enumerate(js_by_i):
-            if not js:
-                continue
-            g_all = jnp.dot(r_planes[i], tensor_planes[i],
-                            preferred_element_type=jnp.float32)
-            for k, j in enumerate(js):
-                g = jax.lax.slice_in_dim(g_all, k * n_left,
-                                         (k + 1) * n_left, axis=1)
-                v = b_r * (i + 1) + b_t * (j + 1)
-                by_scale[v] = g if v not in by_scale else by_scale[v] + g
-        acc = None
-        comp = None
-        for v in sorted(by_scale):                   # largest terms first
-            term = by_scale[v] * np.float32(2.0 ** -v)
-            if acc is None:
-                acc = term
-                comp = jnp.zeros_like(term)
-            else:
-                # TwoSum (Knuth, branch-free): exact error of acc+term.
-                snew = acc + term
-                bv = snew - acc
-                err = (acc - (snew - bv)) + (term - bv)
-                acc = snew
-                comp = comp + err
+        acc, comp = dd_gemm_ladder(r_planes, tensor_planes, js_by_i,
+                                   b_r, b_t, n_left)
         y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
             * (wr_scale * t_scale)                   # (N, nL) f64
         return jnp.sum(w_left * y, axis=1)

@@ -175,28 +175,10 @@ def _dd_row_planes(grids, groups, active, pts, b_r, p_r):
 
 
 def _dd_ladder(r_planes, tensor_planes, js_by_i, b_r, b_t):
-    """Exact digit GEMM ladder -> (acc, comp) f32 TwoSum pair."""
-    by_scale = {}
-    for i, js in enumerate(js_by_i):
-        if not js:
-            continue
-        g_all = jnp.dot(r_planes[i], tensor_planes[i],
-                        preferred_element_type=jnp.float32)
-        for k, j in enumerate(js):
-            g = jax.lax.slice_in_dim(g_all, k, k + 1, axis=1)
-            v = b_r * (i + 1) + b_t * (j + 1)
-            by_scale[v] = g if v not in by_scale else by_scale[v] + g
-    acc = comp = None
-    for v in sorted(by_scale):                          # largest first
-        term = by_scale[v] * np.float32(2.0 ** -v)
-        if acc is None:
-            acc, comp = term, jnp.zeros_like(term)
-        else:
-            snew = acc + term
-            bv = snew - acc
-            err = (acc - (snew - bv)) + (term - bv)
-            acc, comp = snew, comp + err
-    return acc, comp
+    """Exact digit GEMM ladder (width-1 columns): the shared
+    ``eval_dd.dd_gemm_ladder``."""
+    return _eval_dd.dd_gemm_ladder(r_planes, tensor_planes, js_by_i,
+                                   b_r, b_t, 1)
 
 
 @functools.lru_cache(maxsize=None)

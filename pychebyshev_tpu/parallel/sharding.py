@@ -350,6 +350,39 @@ def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
     return out[:n] if pad else out
 
 
+def _sharded_dim_rows(x, nodes_s, weights_s, tp_axis: str):
+    """Globally-normalized barycentric rows of a tp-sharded dim.
+
+    The unnormalized ``w/(x - node)`` terms come from the local node
+    slice; a ``psum`` assembles the global denominator.  Exact hits use
+    a global one-hot: a point within tolerance of a node must select
+    the globally-FIRST hit (pmin over first-local-hit columns), exactly
+    like the single-device argmax path.  Shared by ``eval_batch_tp``
+    and the tp digit-GEMM kernel.  Returns (rows, col0).
+    """
+    blk = nodes_s.shape[0]
+    col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
+    diff0 = x[:, None] - nodes_s[None, :]
+    exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
+    safe = jnp.where(exact_local, 1.0, diff0)
+    w_over_diff = weights_s[None, :] / safe
+    denom = jax.lax.psum(jnp.sum(w_over_diff, axis=1), tp_axis)
+    has_exact = jax.lax.psum(
+        exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
+    local_cols = col0 + jnp.arange(blk, dtype=jnp.int32)
+    big = jnp.int32(2 ** 30)
+    first_local = jnp.where(
+        exact_local.any(axis=1),
+        jnp.argmax(exact_local, axis=1).astype(jnp.int32) + col0,
+        big)
+    first_global = jax.lax.pmin(first_local, tp_axis)
+    one_hot = (local_cols[None, :]
+               == first_global[:, None]).astype(jnp.float64)
+    rows = jnp.where(has_exact[:, None], one_hot,
+                     w_over_diff / denom[:, None])
+    return rows, col0
+
+
 def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
                   mesh: Mesh, orders: Tuple[int, ...] = None,
                   dp_axis: str = "dp", tp_axis: str = "tp") -> jax.Array:
@@ -433,34 +466,11 @@ def eval_batch_tp(tensor, nodes, weights, diff_matrices, points,
             tensor_slab, (dmat0,) + tuple(o_diffs),
             (0,) + tuple(orders[1:]))
 
-        # Dim-0 rows need GLOBAL normalization: compute the unnormalized
-        # w/(x - node) terms on the local slice, psum the denominator.
+        # Dim-0 rows need GLOBAL normalization (shared helper with the
+        # tp digit-GEMM kernel).
+        c0, col0 = _sharded_dim_rows(pts[:, 0], nodes0, weights0,
+                                     tp_axis)
         blk = nodes0.shape[0]
-        col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
-        x0 = pts[:, 0]
-        diff0 = x0[:, None] - nodes0[None, :]
-        exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
-        safe = jnp.where(exact_local, 1.0, diff0)
-        w_over_diff = weights0[None, :] / safe
-        local_denom = jnp.sum(w_over_diff, axis=1)
-        denom = jax.lax.psum(local_denom, tp_axis)
-        has_exact = jax.lax.psum(
-            exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
-        # ONE-hot like the single-device argmax path: a point within
-        # tol of two nodes must select the globally-first hit, not sum
-        # both nodal values.  pmin over (first local hit's global
-        # column, or +inf) finds that node across shards.
-        local_cols = col0 + jnp.arange(blk, dtype=jnp.int32)
-        big = jnp.int32(2 ** 30)
-        first_local = jnp.where(
-            exact_local.any(axis=1),
-            jnp.argmax(exact_local, axis=1).astype(jnp.int32) + col0,
-            big)
-        first_global = jax.lax.pmin(first_local, tp_axis)
-        one_hot = (local_cols[None, :]
-                   == first_global[:, None]).astype(jnp.float64)
-        c0 = jnp.where(has_exact[:, None], one_hot,
-                       w_over_diff / denom[:, None])
 
         # Sharded-axis derivatives: r <- r @ D per order, distributed.
         # Local contribution is r_loc @ D[block, :]; the psum assembles
@@ -542,9 +552,10 @@ def dd_tp_plan(shape, n_tp: int, cutoff: int = None) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
-                    mesh: Mesh, dp_axis: str, tp_axis: str,
-                    cutoff: int):
+def _compiled_dd_tp(shape: Tuple[int, ...], mesh: Mesh, dp_axis: str,
+                    tp_axis: str, cutoff: int):
+    """The tp digit-GEMM program (orders-independent: derivative
+    passes fold into the tensor planes on host)."""
     from pychebyshev_tpu.ops import eval_dd as _dd
     from pychebyshev_tpu.ops.eval import (
         _khatri_rao,
@@ -561,7 +572,6 @@ def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
     js_by_i = plan["js_by_i"]
     p_r = 1 + max(i for i, _ in plan["pairs"])
     wr_scale = np.float64(2.0 ** _dd._WR_SCALE_LOG2)
-    blk = plan["n_s_pad"] // n_tp
 
     def _one(planes, t_scale, nodes_s, weights_s, o_nodes, o_weights,
              pts):
@@ -572,29 +582,10 @@ def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
             for k in range(s)]) if s > 0 else jnp.ones(
                 (pts.shape[0], 1), jnp.float64)
 
-        # Sharded dim-s rows: GLOBAL normalization via psum, global
-        # one-hot via pmin (a point on a node must select the globally
-        # first hit, not sum shards).
-        x0 = pts[:, s]
-        diff0 = x0[:, None] - nodes_s[None, :]
-        exact_local = jnp.abs(diff0) < NODE_COINCIDENCE_TOL
-        safe = jnp.where(exact_local, 1.0, diff0)
-        w_over_diff = weights_s[None, :] / safe
-        denom = jax.lax.psum(jnp.sum(w_over_diff, axis=1), tp_axis)
-        has_exact = jax.lax.psum(
-            exact_local.any(axis=1).astype(jnp.float64), tp_axis) > 0
-        col0 = (jax.lax.axis_index(tp_axis) * blk).astype(jnp.int32)
-        local_cols = col0 + jnp.arange(blk, dtype=jnp.int32)
-        big = jnp.int32(2 ** 30)
-        first_local = jnp.where(
-            exact_local.any(axis=1),
-            jnp.argmax(exact_local, axis=1).astype(jnp.int32) + col0,
-            big)
-        first_global = jax.lax.pmin(first_local, tp_axis)
-        one_hot = (local_cols[None, :]
-                   == first_global[:, None]).astype(jnp.float64)
-        c_s = jnp.where(has_exact[:, None], one_hot,
-                        w_over_diff / denom[:, None])
+        # Sharded dim-s rows: global psum normalization + global
+        # one-hot (shared helper with eval_batch_tp).
+        c_s, _ = _sharded_dim_rows(pts[:, s], nodes_s, weights_s,
+                                   tp_axis)
 
         rest = [barycentric_coefficients(pts[:, k], o_nodes[k],
                                          o_weights[k])
@@ -604,29 +595,8 @@ def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
         qhi, qlo = _dd._khatri_rao_dd(dd_pairs)     # (N, k_local)
         r_planes = _dd._digit_planes_pair(qhi, qlo, b_r, p_r)
 
-        by_scale = {}
-        for i, js in enumerate(js_by_i):
-            if not js:
-                continue
-            g_all = jnp.dot(r_planes[i], planes[i],
-                            preferred_element_type=jnp.float32)
-            for k, j in enumerate(js):
-                g = jax.lax.slice_in_dim(
-                    g_all, k * plan["n_left"], (k + 1) * plan["n_left"],
-                    axis=1)
-                v = b_r * (i + 1) + b_t * (j + 1)
-                by_scale[v] = g if v not in by_scale else \
-                    by_scale[v] + g
-        acc = comp = None
-        for v in sorted(by_scale):
-            term = by_scale[v] * np.float32(2.0 ** -v)
-            if acc is None:
-                acc, comp = term, jnp.zeros_like(term)
-            else:
-                snew = acc + term
-                bv = snew - acc
-                err = (acc - (snew - bv)) + (term - bv)
-                acc, comp = snew, comp + err
+        acc, comp = _dd.dd_gemm_ladder(r_planes, planes, js_by_i,
+                                       b_r, b_t, plan["n_left"])
         # Per-device partial in f64 (exact to ~2^-48 of the LOCAL
         # contribution); the narrow f64 psum finishes the contraction.
         y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
@@ -651,97 +621,68 @@ def _compiled_dd_tp(shape: Tuple[int, ...], orders: Tuple[int, ...],
     return jax.jit(fn), plan
 
 
-# Prepared tp plane arrays, identity-keyed (same soundness rules as the
-# other plane caches: immutable jax-array tensors only).
+# Prepared tp operand bundles (planes, sharded grid slices, replicated
+# grids, scale), identity-keyed on (tensor, nodes, weights, diffs) so
+# the serving hot path never re-reads grids from device or
+# re-broadcasts (same soundness rules as the other plane caches:
+# immutable jax-array operands only).
 _tp_plane_cache: list = []
 _TP_PLANE_SLOTS = 8
 
 
-def eval_batch_dd_tp(tensor, nodes, weights, diff_matrices, points,
-                     mesh: Mesh, orders: Tuple[int, ...] = None,
-                     dp_axis: str = "dp", tp_axis: str = "tp",
-                     cutoff: int = None) -> jax.Array:
-    """Tensor-parallel digit-GEMM evaluation: near-f64 for grids BEYOND
-    the single-chip digit budget.
-
-    The contracted right group shards over ``tp_axis`` (first right dim,
-    zero-padded to the axis like ``eval_batch_tp``), so each device's
-    MXU-exactness budget is set by its LOCAL contraction size — grids
-    ``ops.eval_dd.supports_dd`` refuses become plan-eligible once
-    ``k_local`` fits.  Queries shard over ``dp_axis``.  Check
-    eligibility with :func:`dd_tp_plan`.
-    """
-    shape = tuple(int(x) for x in tensor.shape)
-    d = len(shape)
-    if orders is None:
-        orders = (0,) * d
-    orders = tuple(int(o) for o in orders)
-    n_tp = mesh.shape[tp_axis]
-    plan = dd_tp_plan(shape, n_tp, cutoff)
-    if not plan["ok"]:
-        raise ValueError(
-            f"grid shape {shape} outside the tp digit-GEMM budget on "
-            f"{n_tp} devices; use eval_batch_tp")
-
+def _tp_prepared(tensor, nodes, weights, diff_matrices, orders, mesh,
+                 tp_axis, plan):
     from pychebyshev_tpu.ops import eval_dd as _dd
     from pychebyshev_tpu.ops.eval import apply_derivative_passes
 
-    run, plan = _compiled_dd_tp(shape, orders, mesh, dp_axis, tp_axis,
-                                plan["cutoff"])
+    shape = tuple(int(x) for x in tensor.shape)
     s = plan["s"]
-
-    # Host plane build (cached on tensor identity like the other dd
-    # tiers): derivatives fold into the full tensor FIRST, then the
-    # sharded dim pads with zero slabs.
-    diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) else ()
-    cache_key = (orders, plan["cutoff"], plan["b_t"], mesh, tp_axis)
+    diffs_key = tuple(diff_matrices) if any(o > 0 for o in orders) \
+        else ()
+    op_key = (tuple(nodes), tuple(weights), diffs_key)
+    meta_key = (orders, plan["cutoff"], plan["b_t"], mesh, tp_axis)
     cacheable = isinstance(tensor, jax.Array) and all(
-        isinstance(a, jax.Array) for a in diffs_key)
-    planes = None
+        isinstance(a, jax.Array)
+        for grp in op_key for a in grp)
     if cacheable:
         for i, entry in enumerate(_tp_plane_cache):
-            if (entry[0] is tensor and entry[1] == cache_key
-                    and len(entry[2]) == len(diffs_key)
-                    and all(a is b for a, b in zip(entry[2], diffs_key))):
+            ok = (entry[0] is tensor and entry[1] == meta_key
+                  and all(len(ga) == len(gb)
+                          and all(a is b for a, b in zip(ga, gb))
+                          for ga, gb in zip(entry[2], op_key)))
+            if ok:
                 _tp_plane_cache.insert(0, _tp_plane_cache.pop(i))
-                t_scale, planes = entry[3], entry[4]
-                break
-    if planes is None:
-        t64 = jnp.asarray(tensor, jnp.float64)
-        if any(o > 0 for o in orders):
-            t64 = apply_derivative_passes(
-                t64, tuple(jnp.asarray(m, jnp.float64)
-                           for m in diff_matrices), orders)
-        t_host = np.asarray(t64, dtype=np.float64)
-        pad_s = plan["n_s_pad"] - shape[s]
-        if pad_s:
-            pad_shape = list(t_host.shape)
-            pad_shape[s] = pad_s
-            t_host = np.concatenate(
-                [t_host, np.zeros(pad_shape)], axis=s)
-        flat = t_host.reshape(plan["n_left"], -1)
-        t_max = float(np.abs(flat).max()) or 1.0
-        t_scale = 2.0 ** np.ceil(np.log2(t_max))
-        p_t_used = 1 + max(j for _, j in plan["pairs"])
-        planes_host = _dd._digit_planes_tensor(flat.T / t_scale,
-                                               plan["b_t"], p_t_used)
-        planes = tuple(
-            jax.device_put(
-                jnp.asarray(np.concatenate(
-                    [planes_host[j] for j in js], axis=1), jnp.bfloat16),
-                NamedSharding(mesh, P(tp_axis, None)))
-            if js else jnp.zeros((flat.shape[1], 0), jnp.bfloat16)
-            for js in plan["js_by_i"])
-        if cacheable:
-            _tp_plane_cache.insert(
-                0, (tensor, cache_key, diffs_key, t_scale, planes))
-            del _tp_plane_cache[_TP_PLANE_SLOTS:]
+                return entry[3]
+
+    t64 = jnp.asarray(tensor, jnp.float64)
+    if any(o > 0 for o in orders):
+        t64 = apply_derivative_passes(
+            t64, tuple(jnp.asarray(m, jnp.float64)
+                       for m in diff_matrices), orders)
+    t_host = np.asarray(t64, dtype=np.float64)
+    pad_s = plan["n_s_pad"] - shape[s]
+    if pad_s:
+        pad_shape = list(t_host.shape)
+        pad_shape[s] = pad_s
+        t_host = np.concatenate([t_host, np.zeros(pad_shape)], axis=s)
+    flat = t_host.reshape(plan["n_left"], -1)
+    t_max = float(np.abs(flat).max()) or 1.0
+    t_scale = 2.0 ** np.ceil(np.log2(t_max))
+    p_t_used = 1 + max(j for _, j in plan["pairs"])
+    planes_host = _dd._digit_planes_tensor(flat.T / t_scale,
+                                           plan["b_t"], p_t_used)
+    planes = tuple(
+        jax.device_put(
+            jnp.asarray(np.concatenate(
+                [planes_host[j] for j in js], axis=1), jnp.bfloat16),
+            NamedSharding(mesh, P(tp_axis, None)))
+        if js else jnp.zeros((flat.shape[1], 0), jnp.bfloat16)
+        for js in plan["js_by_i"])
 
     # Sharded dim-s grid slices (sentinel nodes / zero weights for the
     # pad — they contribute exactly nothing, as in eval_batch_tp).
     nodes_s = np.asarray(nodes[s], dtype=np.float64)
     weights_s = np.asarray(weights[s], dtype=np.float64)
-    pad_s = plan["n_s_pad"] - shape[s]
     if pad_s:
         nodes_s = np.concatenate([nodes_s, np.full(pad_s, 1e300)])
         weights_s = np.concatenate([weights_s, np.zeros(pad_s)])
@@ -758,14 +699,45 @@ def eval_batch_dd_tp(tensor, nodes, weights, diff_matrices, points,
     t_scale = jax.device_put(jnp.asarray(t_scale, jnp.float64),
                              replicate)
 
-    pts = jnp.asarray(points, jnp.float64)
-    n = pts.shape[0]
-    padb = -n % mesh.shape[dp_axis]
-    if padb:
-        pts = jnp.concatenate(
-            [pts, jnp.broadcast_to(pts[:1], (padb, pts.shape[1]))])
-    pts = jax.device_put(pts, NamedSharding(mesh, P(dp_axis, None)))
+    bundle = (planes, t_scale, nodes_s, weights_s, o_nodes, o_weights)
+    if cacheable:
+        _tp_plane_cache.insert(0, (tensor, meta_key, op_key, bundle))
+        del _tp_plane_cache[_TP_PLANE_SLOTS:]
+    return bundle
 
-    out = run(planes, t_scale, nodes_s, weights_s, o_nodes, o_weights,
-              pts)
+
+def eval_batch_dd_tp(tensor, nodes, weights, diff_matrices, points,
+                     mesh: Mesh, orders: Tuple[int, ...] = None,
+                     dp_axis: str = "dp", tp_axis: str = "tp",
+                     cutoff: int = None) -> jax.Array:
+    """Tensor-parallel digit-GEMM evaluation: near-f64 for grids BEYOND
+    the single-chip digit budget.
+
+    The contracted right group shards over ``tp_axis`` (first right dim,
+    zero-padded to the axis like ``eval_batch_tp``), so each device's
+    MXU-exactness budget is set by its LOCAL contraction size — grids
+    ``ops.eval_dd.supports_dd`` refuses become plan-eligible once
+    ``k_local`` fits (check with :func:`dd_tp_plan`).  Derivative
+    passes fold into the tensor on host before the plane build.
+    Queries shard over ``dp_axis``.
+    """
+    shape = tuple(int(x) for x in tensor.shape)
+    d = len(shape)
+    if orders is None:
+        orders = (0,) * d
+    orders = tuple(int(o) for o in orders)
+    n_tp = mesh.shape[tp_axis]
+    plan = dd_tp_plan(shape, n_tp, cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"grid shape {shape} outside the tp digit-GEMM budget on "
+            f"{n_tp} devices; use eval_batch_tp")
+
+    run, plan = _compiled_dd_tp(shape, mesh, dp_axis, tp_axis,
+                                plan["cutoff"])
+    bundle = _tp_prepared(tensor, nodes, weights, diff_matrices,
+                          orders, mesh, tp_axis, plan)
+
+    pts, n, padb = _dp_points(points, mesh, dp_axis)
+    out = run(*bundle, pts)
     return out[:n] if padb else out

@@ -162,11 +162,22 @@ class BatchedEvaluator:
                     tp_ok = dd_tp_plan(shape,
                                        mesh.shape["tp"])["ok"]
                 if not tp_ok:
+                    if (mesh is not None and "tp" in mesh.axis_names
+                            and not isinstance(interpolant,
+                                               ChebyshevApproximation)):
+                        raise ValueError(
+                            f"grid shape {shape} is outside the "
+                            f"digit-GEMM plan budget, and the "
+                            f"tensor-parallel dd route serves dense "
+                            f"ChebyshevApproximation engines only; "
+                            f"serve at dtype=jnp.float64 instead"
+                        )
                     raise ValueError(
                         f"grid shape {shape} is outside the digit-GEMM "
                         f"plan budget; serve at dtype=jnp.float64, or "
-                        f"pass a mesh with a 'tp' axis (tensor-parallel "
-                        f"digit-GEMM raises the per-device budget)"
+                        f"(dense engines) pass a mesh with a 'tp' axis "
+                        f"— tensor-parallel digit-GEMM raises the "
+                        f"per-device budget"
                     )
                 self._dd_tp = True
             if use_fused:

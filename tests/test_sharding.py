@@ -350,7 +350,7 @@ class TestDigitGemmTP:
 
     def test_beyond_single_chip_budget(self):
         """(9, 16400): n_right > 2^14 — supports_dd says no, but 8-way
-        tp brings k_local to 2050 and the full 6/7-bit digit widths."""
+        tp brings k_local to 2050 (bits_budget 12 -> b_t = b_r = 6)."""
         from pychebyshev_tpu.ops.eval import eval_batch
         from pychebyshev_tpu.ops.eval_dd import supports_dd
         import jax.numpy as jnp
