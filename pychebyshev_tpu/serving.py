@@ -188,6 +188,19 @@ class BatchedEvaluator:
             # mesh + dd composes: the dd kernels are pure per-point
             # work over replicated digit planes, so the engine serves
             # dp-sharded near-f64 buckets (parallel.sharding.*_dd_dp).
+            # Out-of-domain batches mirror the class-path contract (the
+            # digit planes' exactness bound holds in-domain only): the
+            # whole call falls back to a lazily-built f64 sibling
+            # engine, keeping reference silent-extrapolation semantics
+            # at full accuracy.
+            self._dd_domain = np.asarray(interpolant.domain,
+                                         dtype=np.float64)
+            self._dd_fallback = None
+            self._dd_fallback_ctor = lambda: BatchedEvaluator(
+                interpolant, dtype=jnp.float64,
+                derivative_order=derivative_order,
+                bucket_sizes=bucket_sizes, mesh=mesh,
+                data_axis=data_axis)
             dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -618,6 +631,11 @@ class BatchedEvaluator:
                     self.dtype)
             jax.block_until_ready(self._run(self._place(pts)))
 
+    def _dd_out_of_domain(self, points: np.ndarray) -> bool:
+        dom = self._dd_domain
+        return bool(np.any(points < dom[:, 0])
+                    or np.any(points > dom[:, 1]))
+
     def __call__(self, points) -> np.ndarray:
         """Evaluate at (N, d) points; pads N to a compiled bucket."""
         points = np.asarray(points)
@@ -627,6 +645,19 @@ class BatchedEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        if self._dd:
+            # TT domains are stored in the STORAGE frame; check the
+            # correspondingly-permuted coordinates (the fallback engine
+            # receives the original user-frame points).
+            chk = points
+            if self._kind == "tt" and self._dim_order != list(
+                    range(self.num_dimensions)):
+                chk = points[:, self._dim_order]
+            if self._dd_out_of_domain(np.asarray(chk,
+                                                 dtype=np.float64)):
+                if self._dd_fallback is None:
+                    self._dd_fallback = self._dd_fallback_ctor()
+                return self._dd_fallback(points)
         if self._kind == "spline":
             return self._call_spline(np.asarray(points, dtype=np.float64))
         if self._kind == "tt" and self._dim_order != list(
@@ -749,6 +780,15 @@ class MultiSpecEvaluator:
                 )
             # mesh composes: the dd report runners replicate their
             # plane working set and shard points over the data axis.
+            # Out-of-domain batches fall back to an f64 sibling engine
+            # (the class-path contract; exactness bound is in-domain).
+            self._dd_domain = np.asarray(interpolant.domain,
+                                         dtype=np.float64)
+            self._dd_fallback = None
+            self._dd_fallback_ctor = lambda: MultiSpecEvaluator(
+                interpolant, specs, dtype=jnp.float64,
+                bucket_sizes=bucket_sizes, mesh=mesh,
+                data_axis=data_axis)
             dtype = jnp.float64
         self.dtype = jnp.dtype(dtype)
         self.bucket_sizes = tuple(sorted(int(b) for b in bucket_sizes))
@@ -975,6 +1015,11 @@ class MultiSpecEvaluator:
                 f"points must have shape (N, {self.num_dimensions}); "
                 f"got {points.shape}"
             )
+        if self._dd and BatchedEvaluator._dd_out_of_domain(
+                self, np.asarray(points, dtype=np.float64)):
+            if self._dd_fallback is None:
+                self._dd_fallback = self._dd_fallback_ctor()
+            return self._dd_fallback(points)
         host_aux = None
         if self._kind == "spline":
             points = np.asarray(points, dtype=np.float64)
@@ -1075,6 +1120,16 @@ class MultiModelEvaluator:
                     "near-f64 book serving is single-device for now; "
                     "BatchedEvaluator and MultiSpecEvaluator compose "
                     "dtype='dd' with a dp mesh")
+            # Out-of-domain batches fall back to an f64 sibling book
+            # (the class-path contract; exactness bound is in-domain).
+            _book = list(interpolants)
+            self._dd_domain = np.asarray(first.domain,
+                                         dtype=np.float64)
+            self._dd_fallback = None
+            self._dd_fallback_ctor = lambda: MultiModelEvaluator(
+                _book, dtype=jnp.float64,
+                derivative_order=derivative_order,
+                bucket_sizes=bucket_sizes)
             dtype = jnp.float64
         for m in interpolants:
             if self._kind == "tt":
@@ -1229,6 +1284,19 @@ class MultiModelEvaluator:
         if self._kind == "tt" and self._dim_order != list(
                 range(self.num_dimensions)):
             points = points[:, self._dim_order]
+        if self._dd and BatchedEvaluator._dd_out_of_domain(
+                self, np.asarray(points, dtype=np.float64)):
+            # points are already in the storage frame here; the f64
+            # sibling book permutes for itself, so hand it the
+            # user-frame order back.
+            if self._dd_fallback is None:
+                self._dd_fallback = self._dd_fallback_ctor()
+            back = points
+            if self._kind == "tt" and self._dim_order != list(
+                    range(self.num_dimensions)):
+                inv = np.argsort(np.asarray(self._dim_order))
+                back = points[:, inv]
+            return self._dd_fallback(back)
         max_bucket = self.bucket_sizes[-1]
         out = np.empty((self.num_models, n), dtype=self.dtype)
         start = 0

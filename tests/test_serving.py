@@ -931,3 +931,62 @@ class TestBeyondBudgetDDEngine:
         with pytest.raises(ValueError, match="tp"):
             BatchedEvaluator(cheb, dtype="dd", mesh=mesh,
                              bucket_sizes=(64,))
+
+
+class TestDDOutOfDomainFallback:
+    """dd engines mirror the class-path contract: a batch containing
+    out-of-domain points falls back (whole call) to an f64 sibling —
+    the digit planes' exactness bound holds in-domain only."""
+
+    def test_batched_dense_falls_back(self, cheb):
+        eng = BatchedEvaluator(cheb, dtype="dd", bucket_sizes=(64,))
+        pts = np.random.default_rng(3).uniform(-1, 1, (40, 3))
+        pts[7, 1] = 1.5                      # outside [-1, 1]
+        got = eng(pts)
+        want = cheb.vectorized_eval_batch(pts, [0, 0, 0])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+        assert eng._dd_fallback is not None
+
+    def test_batched_tt_reordered_frame_check(self, tt):
+        # A reordered TT stores its domain in the storage frame; the
+        # domain check must permute coordinates the same way.
+        rt = tt.reorder([2, 0, 1])
+        eng = BatchedEvaluator(rt, dtype="dd", bucket_sizes=(64,))
+        pts = np.random.default_rng(4).uniform(-0.9, 0.9, (30, 3))
+        got_in = eng(pts)                    # in-domain: dd path
+        assert eng._dd_fallback is None
+        pts2 = pts.copy()
+        pts2[0, 2] = 1.4
+        got_out = eng(pts2)
+        want = tt.eval_batch(pts2)
+        np.testing.assert_allclose(got_out, want, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(got_in, tt.eval_batch(pts),
+                                   rtol=0, atol=1e-10)
+
+    def test_multispec_falls_back(self, cheb):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        specs = [(0, 0, 0), (1, 0, 0)]
+        eng = MultiSpecEvaluator(cheb, specs, dtype="dd",
+                                 bucket_sizes=(64,))
+        pts = np.random.default_rng(5).uniform(-1, 1, (25, 3))
+        pts[3, 0] = -1.7
+        got = eng(pts)
+        for m, s in enumerate(specs):
+            want = cheb.vectorized_eval_batch(pts, list(s))
+            np.testing.assert_allclose(got[:, m], want, rtol=0,
+                                       atol=1e-11)
+
+    def test_book_falls_back(self, cheb):
+        from pychebyshev_tpu import ChebyshevApproximation
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        c2 = ChebyshevApproximation(
+            lambda x, _: f3(x, _) * 2.0, 3, [[-1, 1]] * 3, [9] * 3)
+        c2.build(verbose=False)
+        book = MultiModelEvaluator([cheb, c2], dtype="dd",
+                                   bucket_sizes=(64,))
+        pts = np.random.default_rng(6).uniform(-1, 1, (20, 3))
+        pts[2, 2] = 2.0
+        got = book(pts)
+        for m, c in enumerate((cheb, c2)):
+            want = c.vectorized_eval_batch(pts, [0, 0, 0])
+            np.testing.assert_allclose(got[m], want, rtol=0, atol=1e-12)
