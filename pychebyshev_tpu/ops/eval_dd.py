@@ -60,8 +60,9 @@ from pychebyshev_tpu.ops.eval import (
 )
 
 __all__ = ["eval_batch_dd", "eval_batch_dd_multi",
-           "eval_batch_dd_models", "dd_multi_runner", "supports_dd",
-           "dd_plan", "pair_schedule"]
+           "eval_batch_dd_models", "dd_multi_runner",
+           "dd_models_runner", "supports_dd", "dd_plan",
+           "pair_schedule"]
 
 # Row factors are products of normalized barycentric rows; the Lebesgue
 # bound for Chebyshev-1 grids keeps |row| < ~2.6 per dim, so a fixed
@@ -492,6 +493,21 @@ def eval_batch_dd_models(tensors, nodes, weights, diff_matrices,
             f"grid shape {shape} outside digit-GEMM budget; "
             f"use ops.eval.eval_batch_models"
         )
+    return dd_models_runner(tensors, nodes, weights, diff_matrices,
+                            orders, cutoff)(points)
+
+
+def dd_models_runner(tensors, nodes, weights, diff_matrices, orders,
+                     cutoff: int = None, mesh=None,
+                     data_axis: str = "dp"):
+    """Prepare-once form of :func:`eval_batch_dd_models`: returns a
+    ``points -> (M, N)`` callable closing over every model's prepared
+    planes.  With ``mesh``, planes replicate and points shard over
+    ``data_axis``."""
+    tensors = tuple(tensors)
+    shape = tuple(int(n) for n in tensors[0].shape)
+    d = len(shape)
+    orders = tuple(int(o) for o in orders)
     _, run_multi, plan = _compiled(shape, d, cutoff)
     scales, planes = [], []
     for t in tensors:
@@ -499,12 +515,33 @@ def eval_batch_dd_models(tensors, nodes, weights, diff_matrices,
                                                 orders, plan)
         scales.append(jnp.asarray(t_scale, jnp.float64))
         planes.append(tensor_planes)
-    pts = jnp.asarray(points, jnp.float64)
+    scales, planes = tuple(scales), tuple(planes)
     nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
     weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
                       for k in range(d))
-    return run_multi(tuple(planes), tuple(scales), nodes64, weights64,
-                     pts).T
+
+    if mesh is not None:
+        from pychebyshev_tpu.parallel.sharding import (
+            _dp_points,
+            _dp_run_matrix,
+            _replicated,
+        )
+        planes, scales, nodes64, weights64 = _replicated(
+            (planes, scales, nodes64, weights64), mesh)
+        fn = _dp_run_matrix(run_multi, 4, mesh, data_axis)
+
+        def runner(points):
+            pts, n, pad = _dp_points(points, mesh, data_axis)
+            out = fn(planes, scales, nodes64, weights64, pts)
+            return (out[:n] if pad else out).T
+
+        return runner
+
+    def runner(points):
+        return run_multi(planes, scales, nodes64, weights64,
+                         jnp.asarray(points, jnp.float64)).T
+
+    return runner
 
 
 def eval_batch_dd_multi(tensor, nodes, weights, diff_matrices, points,

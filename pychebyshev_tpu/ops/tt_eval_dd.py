@@ -56,7 +56,7 @@ from pychebyshev_tpu.ops.eval_dd import (
 )
 
 __all__ = ["tt_eval_batch_dd", "tt_eval_batch_dd_models",
-           "tt_supports_dd", "tt_dd_plan"]
+           "tt_dd_book_runner", "tt_supports_dd", "tt_dd_plan"]
 
 # Row values are T_k(x) with |T_k(x)| <= 1 for x in [-1, 1]; one halving
 # covers the digit-plane contract |hi + lo| <= 1 with margin for mild
@@ -385,6 +385,19 @@ def tt_eval_batch_dd_models(models_cores, domain, points,
                 f"model {i} per-dim node counts "
                 f"{tuple(s[1] for s in sh)} differ from model 0's "
                 f"{grid0}; a book shares one grid")
+    return tt_dd_book_runner(models_cores, domain, cutoff)(points)
+
+
+def tt_dd_book_runner(models_cores, domain, cutoff: int = None,
+                      mesh=None, data_axis: str = "dp"):
+    """Prepare-once form of :func:`tt_eval_batch_dd_models`: returns a
+    ``points -> (M, N)`` callable closing over every model's prepared
+    core planes.  With ``mesh``, planes replicate and points shard
+    over ``data_axis``."""
+    models_cores = tuple(tuple(cs) for cs in models_cores)
+    models_shapes = tuple(
+        tuple(tuple(int(x) for x in np.shape(c)) for c in cs)
+        for cs in models_cores)
     run, plan = _compiled_book(
         models_shapes, tt_dd_plan(models_shapes[0], cutoff)["cutoff"])
     scales_all, planes_all = [], []
@@ -392,7 +405,33 @@ def tt_eval_batch_dd_models(models_cores, domain, points,
         scales, planes = _core_planes(cs, plan)
         scales_all.append(scales)
         planes_all.append(planes)
-    pts = jnp.asarray(points, jnp.float64)
+    scales_all, planes_all = tuple(scales_all), tuple(planes_all)
     dom = np.asarray(domain, dtype=np.float64)
-    return run(tuple(planes_all), tuple(scales_all),
-               jnp.asarray(dom[:, 0]), jnp.asarray(dom[:, 1]), pts)
+    lo, hi = jnp.asarray(dom[:, 0]), jnp.asarray(dom[:, 1])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pychebyshev_tpu.parallel.sharding import (
+            _dp_points,
+            _dp_run_matrix_t,
+        )
+        replicate = NamedSharding(mesh, P())
+        # One broadcast at prep time (the runner closes over it; the
+        # per-model scales are np scalars, replicated alongside).
+        planes_all = jax.device_put(planes_all, replicate)
+        lo = jax.device_put(lo, replicate)
+        hi = jax.device_put(hi, replicate)
+        fn = _dp_run_matrix_t(run, 4, mesh, data_axis)
+
+        def runner(points):
+            pts, n, pad = _dp_points(points, mesh, data_axis)
+            out = fn(planes_all, scales_all, lo, hi, pts)
+            return out[:, :n] if pad else out
+
+        return runner
+
+    def runner(points):
+        return run(planes_all, scales_all, lo, hi,
+                   jnp.asarray(points, jnp.float64))
+
+    return runner

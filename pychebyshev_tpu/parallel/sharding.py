@@ -94,6 +94,19 @@ def _dp_run_matrix(run, n_ops: int, mesh: Mesh, axis_name: str):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _dp_run_matrix_t(run, n_ops: int, mesh: Mesh, axis_name: str):
+    """:func:`_dp_run` for ``(op_1..op_n, points) -> (M, N)`` runners
+    (the book shape): model rows replicate, point columns shard."""
+    from jax import shard_map
+    return shard_map(
+        lambda *a: run(*a),
+        mesh=mesh,
+        in_specs=(P(),) * n_ops + (P(axis_name, None),),
+        out_specs=P(None, axis_name),
+    )
+
+
 # Identity-keyed cache of replicated operand pytrees (digit planes,
 # grids): without it every engine bucket call re-broadcasts the same
 # single-device-committed arrays across the mesh.  Strong refs keep

@@ -1115,11 +1115,8 @@ class MultiModelEvaluator:
                     f"grid shape {tuple(first.tensor_values.shape)} is "
                     f"outside the digit-GEMM plan budget"
                 )
-            if mesh is not None:
-                raise ValueError(
-                    "near-f64 book serving is single-device for now; "
-                    "BatchedEvaluator and MultiSpecEvaluator compose "
-                    "dtype='dd' with a dp mesh")
+            # mesh composes: the book runners replicate their plane
+            # working set and shard points over the data axis.
             # Out-of-domain batches fall back to an f64 sibling book
             # (the class-path contract; exactness bound is in-domain).
             _book = list(interpolants)
@@ -1182,8 +1179,12 @@ class MultiModelEvaluator:
                                 for m in interpolants]
             if self._dd:
                 # Per-model core tuples (stable jax arrays keep the
-                # digit-plane cache identity-keyed); the book primitive
-                # shares the per-dim row planes across models.
+                # digit-plane cache identity-keyed); the book runner
+                # preps every model's planes NOW and shares the
+                # per-dim row-plane build across models per call.
+                from pychebyshev_tpu.ops.tt_eval_dd import (
+                    tt_dd_book_runner,
+                )
                 self._tt_dd_cores = tuple(
                     tuple(jnp.asarray(c, jnp.float64)
                           for c in m._coeff_cores)
@@ -1191,6 +1192,9 @@ class MultiModelEvaluator:
                 self._tt_domain = np.asarray(first.domain,
                                              dtype=np.float64)
                 self._dim_order = list(first._dim_order)
+                self._dd_book_runner = tt_dd_book_runner(
+                    self._tt_dd_cores, self._tt_domain, mesh=mesh,
+                    data_axis=data_axis)
                 return
             # Zero-pad every bond to the book-wide max rank and stack:
             # one (M, r, n, r) array per dim, vmapped through the chain.
@@ -1222,12 +1226,16 @@ class MultiModelEvaluator:
                               for a in weights)
         self._diffs = tuple(jnp.asarray(a, self.dtype) for a in diffs)
         if self._dd:
-            # The dd path folds the spec's derivative passes into each
-            # model's cached digit planes at first use.
+            # Every model's digit planes (derivative passes folded)
+            # prep NOW and close over — the engine owns its working set.
+            from pychebyshev_tpu.ops.eval_dd import dd_models_runner
             self._tensors = tuple(
                 jnp.asarray(m.tensor_values, self.dtype)
                 for m in interpolants)
             self._orders = orders
+            self._dd_book_runner = dd_models_runner(
+                self._tensors, self._nodes, self._weights, self._diffs,
+                orders, mesh=mesh, data_axis=data_axis)
         else:
             self._tensors = tuple(
                 apply_derivative_passes(
@@ -1239,21 +1247,14 @@ class MultiModelEvaluator:
     def _run(self, points: jax.Array) -> jax.Array:
         if self._kind == "tt":
             if self._dd:
-                from pychebyshev_tpu.ops.tt_eval_dd import (
-                    tt_eval_batch_dd_models,
-                )
-                return tt_eval_batch_dd_models(
-                    self._tt_dd_cores, self._tt_domain, points)
+                return self._dd_book_runner(points)
             from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
             return jax.vmap(
                 lambda *cores: tt_eval_batch(cores, self._tt_domain,
                                              points)
             )(*self._tt_cores)
         if self._dd:
-            from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_models
-            return eval_batch_dd_models(
-                self._tensors, self._nodes, self._weights, self._diffs,
-                points, self._orders)
+            return self._dd_book_runner(points)
         from pychebyshev_tpu.ops.eval import eval_batch_models
         return eval_batch_models(self._tensors, self._nodes,
                                  self._weights, self._diffs, points,

@@ -887,12 +887,6 @@ class TestMeshMultiSpecDD:
             scale = np.abs(want).max()
             assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
 
-    def test_book_mesh_still_rejected(self, tt):
-        from pychebyshev_tpu.parallel.sharding import make_mesh
-        from pychebyshev_tpu.serving import MultiModelEvaluator
-        mesh = make_mesh(8, axis_names=("dp",))
-        with pytest.raises(ValueError, match="single-device"):
-            MultiModelEvaluator([tt], dtype="dd", mesh=mesh)
 
 
 class TestBeyondBudgetDDEngine:
@@ -990,3 +984,51 @@ class TestDDOutOfDomainFallback:
         for m, c in enumerate((cheb, c2)):
             want = c.vectorized_eval_batch(pts, [0, 0, 0])
             np.testing.assert_allclose(got[m], want, rtol=0, atol=1e-12)
+
+
+class TestMeshDDBooks:
+    """dd books compose with the mesh: planes replicate, points shard."""
+
+    def test_dense_dd_book_dp_sharded(self, cheb, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        c2 = ChebyshevApproximation(
+            lambda x, _: f3(x, _) * 1.5 + 0.2, 3, [[-1, 1]] * 3,
+            [9] * 3)
+        c2.build(verbose=False)
+        mesh = make_mesh(8, axis_names=("dp",))
+        book = MultiModelEvaluator([cheb, c2], dtype="dd", mesh=mesh,
+                                   bucket_sizes=(256,))
+        got = book(pts[:300])
+        for m, c in enumerate((cheb, c2)):
+            want = c.vectorized_eval_batch(pts[:300], [0, 0, 0])
+            scale = np.abs(want).max()
+            assert np.abs(got[m] - want).max() / scale < 1e-10
+
+    def test_tt_dd_book_dp_sharded(self, tt, pts):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        mesh = make_mesh(8, axis_names=("dp",))
+        book = MultiModelEvaluator([tt], dtype="dd", mesh=mesh,
+                                   bucket_sizes=(256,))
+        got = book(pts[:300])
+        want = tt.eval_batch(pts[:300])
+        scale = np.abs(want).max()
+        assert np.abs(got[0] - want).max() / scale < 1e-10
+
+    def test_books_build_no_planes_per_call(self, cheb, monkeypatch):
+        """Book engines prep planes at init (the engine-owned working
+        set discipline, same as the multi-spec engines)."""
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        from pychebyshev_tpu.ops import eval_dd
+        book = MultiModelEvaluator([cheb], dtype="dd",
+                                   bucket_sizes=(64,))
+        calls = []
+        real = eval_dd._digit_planes_tensor
+        monkeypatch.setattr(
+            eval_dd, "_digit_planes_tensor",
+            lambda *a, **k: calls.append(1) or real(*a, **k))
+        p = np.random.default_rng(8).uniform(-1, 1, (50, 3))
+        book(p)
+        book(p)
+        assert calls == []
