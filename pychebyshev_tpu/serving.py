@@ -46,9 +46,10 @@ class BatchedEvaluator:
     ----------
     interpolant : any of the four interpolant classes (built).
     dtype : jnp.float32 (throughput), jnp.float64 (parity), or the
-        string ``"dd"`` (digit-GEMM near-f64 for dense, flat-grid
-        spline, and TT engines — f64-class accuracy at ~14x the
-        software-f64 dense rate, ~100x the TT rate).
+        string ``"dd"`` (digit-GEMM near-f64 on all four families —
+        f64-class accuracy at ~14x the software-f64 dense rate, ~35x
+        the slider rate, ~100x the TT rate; out-of-domain batches fall
+        back to an f64 sibling engine).
     derivative_order : fixed per-dim derivative spec; None = values.
         Dense/spline hoist the spectral passes; TT swaps in the
         analytic derivative TT; slider routes to the owning slide.
