@@ -73,6 +73,38 @@ def main():
         print(f"batch {n:>7,}: price+delta in {dt * 1e3:7.2f} ms "
               f"(max |err| {err:.2e}, delta[0] {d[0]:.4f})")
 
+    # --- a book of proxies, built in ONE call ---------------------------
+    # Eight strike-shifted products over the same market grid: the book
+    # oracle returns one column per product, so the whole book evaluates
+    # every (grid point, model) pair in a single batched call.
+    from pychebyshev_tpu.serving import MultiModelEvaluator, build_book
+
+    shifts = np.linspace(-5.0, 5.0, 8)
+
+    def book_fn(points, _data=None):
+        pts = np.asarray(points, dtype=np.float64)
+        cols = []
+        for ds in shifts:
+            shifted = pts.copy()
+            shifted[:, 1] += ds
+            cols.append(bs_price(shifted))
+        return np.column_stack(cols)
+
+    t0 = time.time()
+    book = build_book(book_fn, 5, DOMAIN, [11] * 5)
+    print(f"\nbuilt an 8-model book in {time.time() - t0:.2f}s "
+          f"(one oracle call; models share grid arrays)")
+    book_engine = MultiModelEvaluator(book, dtype=jnp.float32,
+                                      bucket_sizes=(1 << 10, 1 << 14))
+    book_engine.warmup()
+    pts = lo + (hi - lo) * rng.uniform(0.02, 0.98, size=(5_000, 5))
+    t0 = time.perf_counter()
+    surface = book_engine(pts)      # (8, 5000)
+    dt = time.perf_counter() - t0
+    print(f"book of 8 x 5,000 points in {dt * 1e3:.2f} ms "
+          f"-> strike ladder at pts[0]: "
+          f"{np.round(surface[:, 0], 3)}")
+
 
 if __name__ == "__main__":
     main()

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["BatchedEvaluator", "MultiModelEvaluator",
-           "MultiSpecEvaluator"]
+           "MultiSpecEvaluator", "build_book"]
 
 _DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
 
@@ -1316,3 +1316,119 @@ class MultiModelEvaluator:
             out[:, start:stop] = np.asarray(result)[:, :stop - start]
             start = stop
         return out
+
+
+def build_book(function, num_dimensions, domain, n_nodes, *,
+               additional_data=None, num_models=None,
+               max_derivative_order: int = 2, verbose: bool = False):
+    """Build M same-grid dense interpolants from ONE vectorized call.
+
+    The build-side counterpart of :class:`MultiModelEvaluator`: a
+    portfolio book of M products priced over one shared market-state
+    grid evaluates every (grid point, model) pair in a single batched
+    call to *function*, instead of M sequential ``build()`` loops.  On
+    a TPU backend with a JAX-traceable *function* the whole book builds
+    in one device dispatch and the M tensors never leave the device.
+    (The reference has no book concept; each model would re-enumerate
+    the grid and re-dispatch — ``barycentric.py:647-715`` per model.)
+
+    Parameters
+    ----------
+    function : callable ``f(points, additional_data) -> (G, M)`` —
+        *vectorized over both grid points and models*: ``points`` is the
+        full ``(G, num_dimensions)`` Chebyshev grid in C order and the
+        return carries one column per model.  NumPy in -> host build;
+        JAX array out -> the book's tensors stay device-resident.
+    num_dimensions, domain, n_nodes : as in
+        :class:`~pychebyshev_tpu.ChebyshevApproximation`; ``n_nodes``
+        must be explicit positive ints (auto-N applies to one model's
+        error, not a book's).
+    num_models : optional expected M — validates the function's output
+        width up front.
+    max_derivative_order : forwarded to every model.
+
+    Returns
+    -------
+    list[ChebyshevApproximation] — M fully-built models SHARING one set
+    of node/weight/differentiation arrays (immutable, so sharing is
+    free).  Each model reports the book's wall time as its
+    ``build_time`` and the shared grid size G as ``n_evaluations``.
+
+    Example
+    -------
+    >>> book = build_book(price_matrix, 5, domain, [11] * 5)
+    >>> engine = MultiModelEvaluator(book, dtype=jnp.float32)
+    """
+    import time as _time
+
+    from pychebyshev_tpu.models.approximation import (
+        ChebyshevApproximation,
+    )
+
+    if n_nodes is None or any(
+        not isinstance(n, (int, np.integer)) or n <= 0
+        for n in list(n_nodes)
+    ):
+        raise ValueError(
+            "build_book requires explicit positive int n_nodes; "
+            "error-threshold auto-N calibrates one model's error and "
+            "does not extend to a shared book grid"
+        )
+    if num_models is not None and int(num_models) < 1:
+        raise ValueError(f"num_models must be >= 1, got {num_models}")
+
+    start = _time.time()
+    # The template owns the grid arrays every model will share (and
+    # runs the full ctor validation on domain / n_nodes).
+    template = ChebyshevApproximation(
+        None, num_dimensions, domain, n_nodes,
+        max_derivative_order=max_derivative_order, defer_build=True)
+    grid = ChebyshevApproximation.nodes(num_dimensions, domain, n_nodes)
+    points = grid["full_grid"]
+    shape = grid["shape"]
+    n_grid = int(points.shape[0])
+
+    values = function(points, additional_data)
+    on_host = isinstance(values, np.ndarray)
+    values = (np.asarray(values, dtype=np.float64) if on_host
+              else jnp.asarray(values, dtype=jnp.float64))
+    if values.ndim != 2 or int(values.shape[0]) != n_grid:
+        raise ValueError(
+            f"book function must return shape (G, M) = ({n_grid}, "
+            f"num_models); got {tuple(values.shape)}"
+        )
+    n_models = int(values.shape[1])
+    if num_models is not None and n_models != int(num_models):
+        raise ValueError(
+            f"book function returned {n_models} model columns, "
+            f"expected num_models={int(num_models)}"
+        )
+
+    col_finite = (np.isfinite(values).all(axis=0) if on_host
+                  else np.asarray(jnp.isfinite(values).all(axis=0)))
+    if not col_finite.all():
+        bad = np.nonzero(~col_finite)[0].tolist()
+        raise ValueError(
+            f"book function returned non-finite values in model "
+            f"column(s) {bad}; build cannot proceed with NaN/Inf in "
+            f"tensor_values"
+        )
+
+    # (G, M) -> (M, *shape): one transpose+reshape, on device when the
+    # oracle returned a device array (no host round trip per model).
+    stacked = values.T.reshape((n_models,) + tuple(shape))
+    elapsed = _time.time() - start
+
+    models = []
+    for m in range(n_models):
+        model = ChebyshevApproximation._from_grid(template, stacked[m])
+        model.max_derivative_order = max_derivative_order
+        model.build_time = elapsed
+        model.n_evaluations = n_grid
+        models.append(model)
+    if verbose:
+        where = "host" if on_host else "device"
+        print(f"Built a {n_models}-model book in {elapsed:.3f}s "
+              f"({n_grid:,} grid points x {n_models} models, one "
+              f"{where} call)")
+    return models
