@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["BatchedEvaluator", "MultiModelEvaluator",
-           "MultiSpecEvaluator", "build_book"]
+           "MultiSpecEvaluator", "build_book", "save_book", "load_book"]
 
 _DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
 
@@ -1432,3 +1432,21 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
               f"({n_grid:,} grid points x {n_models} models, one "
               f"{where} call)")
     return models
+
+
+def save_book(path, models) -> None:
+    """Checkpoint a same-grid dense book to ONE pickle-free ``.npz``.
+
+    Stores the shared grid once and stacks the M tensors into a single
+    array; :func:`load_book` reconstructs M grid-sharing models.  See
+    :func:`~pychebyshev_tpu.utils.native_save.write_book_npz`.
+    """
+    from pychebyshev_tpu.utils.native_save import write_book_npz
+    write_book_npz(path, models)
+
+
+def load_book(path):
+    """Load a dense book saved by :func:`save_book` (grid-sharing
+    models, validated through ``from_values``)."""
+    from pychebyshev_tpu.utils.native_save import read_book_npz
+    return read_book_npz(path)

@@ -28,7 +28,8 @@ import os
 
 import numpy as np
 
-__all__ = ["write_npz", "read_npz", "detect_npz", "NPZ_VERSION"]
+__all__ = ["write_npz", "read_npz", "detect_npz", "NPZ_VERSION",
+           "write_book_npz", "read_book_npz"]
 
 NPZ_VERSION = 1
 
@@ -128,6 +129,99 @@ def write_npz(path, obj) -> None:
     entries["meta"] = _meta_str(meta)
     with open(os.fspath(path), "wb") as f:
         np.savez(f, **entries)
+
+
+def write_book_npz(path, models) -> None:
+    """Save a same-grid dense book (list of built
+    ``ChebyshevApproximation``) as ONE pickle-free ``.npz`` archive.
+
+    The grid is stored once and the M tensors stack into a single
+    ``(M, *n_nodes)`` array — the checkpoint counterpart of
+    ``serving.build_book`` / ``serving.MultiModelEvaluator``.
+    """
+    from pychebyshev_tpu.models.approximation import ChebyshevApproximation
+
+    models = list(models)
+    if not models:
+        raise ValueError("book must be a non-empty sequence of models")
+    first = models[0]
+    for i, m in enumerate(models):
+        if not isinstance(m, ChebyshevApproximation):
+            raise TypeError(
+                f"book npz supports dense ChebyshevApproximation books; "
+                f"models[{i}] is {type(m).__name__}"
+            )
+        if m.tensor_values is None:
+            raise RuntimeError(f"models[{i}] is unbuilt; cannot save")
+        if (list(m.n_nodes) != list(first.n_nodes)
+                or [list(b) for b in m.domain]
+                != [list(b) for b in first.domain]):
+            raise ValueError(
+                f"models[{i}] grid (n_nodes/domain) differs from "
+                f"models[0]; a book shares one grid"
+            )
+
+    meta = _common_meta(first)
+    meta["n_nodes"] = [int(n) for n in first.n_nodes]
+    meta["num_models"] = len(models)
+    entries = {
+        "__version__": np.asarray(NPZ_VERSION),
+        "__kind__": np.asarray("book"),
+        "meta": _meta_str(meta),
+        "tensors": np.stack([np.asarray(m.tensor_values,
+                                        dtype=np.float64)
+                             for m in models]),
+    }
+    with open(os.fspath(path), "wb") as f:
+        np.savez(f, **entries)
+
+
+def read_book_npz(path):
+    """Load a dense book written by ``write_book_npz``.
+
+    Returns a list of built models SHARING one set of grid arrays
+    (model 0 reconstructs through the validating ``from_values``
+    factory; the rest attach their tensors to its grid).
+    """
+    from pychebyshev_tpu.models.approximation import ChebyshevApproximation
+
+    with np.load(os.fspath(path), allow_pickle=False) as data:
+        version = int(data["__version__"])
+        if version > NPZ_VERSION:
+            raise ValueError(
+                f"npz checkpoint version {version} is newer than this "
+                f"library supports ({NPZ_VERSION})"
+            )
+        kind = str(data["__kind__"])
+        if kind != "book":
+            raise ValueError(
+                f"not a book checkpoint (kind={kind!r}); use read_npz"
+            )
+        meta = _load_meta(data)
+        tensors = np.asarray(data["tensors"], dtype=np.float64)
+
+    n_nodes = [int(n) for n in meta["n_nodes"]]
+    n_models = int(meta["num_models"])
+    expected = (n_models,) + tuple(n_nodes)
+    if tensors.shape != expected:
+        raise ValueError(
+            f"book tensors shape {tensors.shape} does not match "
+            f"meta (num_models, *n_nodes) = {expected}"
+        )
+    mdo = meta.get("max_derivative_order", 2)
+    first = ChebyshevApproximation.from_values(
+        tensor_values=tensors[0],
+        num_dimensions=meta["num_dimensions"], domain=meta["domain"],
+        n_nodes=n_nodes, max_derivative_order=mdo,
+    )
+    models = [first]
+    for m in range(1, n_models):
+        if not np.isfinite(tensors[m]).all():
+            raise ValueError(f"book tensor {m} contains NaN or Inf")
+        models.append(
+            ChebyshevApproximation._from_grid(first, tensors[m]))
+        models[-1].max_derivative_order = mdo
+    return models
 
 
 def read_npz(path):

@@ -174,3 +174,69 @@ class TestBuildBook:
         pt = [0.8, -0.5, 0.7]
         assert loaded.vectorized_eval(pt, [0, 0, 0]) == pytest.approx(
             book[2].vectorized_eval(pt, [0, 0, 0]), abs=1e-14)
+
+
+class TestBookCheckpoint:
+    def test_round_trip(self, book, tmp_path):
+        from pychebyshev_tpu.serving import load_book, save_book
+        path = tmp_path / "book.npz"
+        save_book(path, book)
+        loaded = load_book(path)
+        assert len(loaded) == len(book)
+        for a, b in zip(loaded, book):
+            np.testing.assert_array_equal(
+                np.asarray(a.tensor_values), np.asarray(b.tensor_values))
+            assert list(a.n_nodes) == list(b.n_nodes)
+        # grid arrays shared across loaded members
+        for m in loaded[1:]:
+            assert m.nodes[0] is loaded[0].nodes[0]
+            assert m.weights[0] is loaded[0].weights[0]
+        # loaded book serves
+        engine = MultiModelEvaluator(loaded, dtype=jnp.float64,
+                                     bucket_sizes=(32,))
+        pt = np.array([[1.2, 0.3, 0.5]])
+        out = engine(pt)
+        for i, m in enumerate(book):
+            assert out[i, 0] == pytest.approx(
+                m.vectorized_eval([1.2, 0.3, 0.5], [0, 0, 0]), abs=1e-12)
+
+    def test_mixed_grid_rejected(self, book, tmp_path):
+        from pychebyshev_tpu.serving import save_book
+        other = ChebyshevApproximation(_single_fn(1.0), 3, DOMAIN,
+                                       [4, 4, 4], vectorized=True)
+        other.build(verbose=False)
+        with pytest.raises(ValueError, match="shares one grid"):
+            save_book(tmp_path / "x.npz", book + [other])
+
+    def test_unbuilt_and_wrong_type_rejected(self, tmp_path):
+        from pychebyshev_tpu.serving import save_book
+        stub = ChebyshevApproximation(_single_fn(1.0), 3, DOMAIN, N_NODES)
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            save_book(tmp_path / "x.npz", [stub])
+        with pytest.raises(ValueError, match="non-empty"):
+            save_book(tmp_path / "x.npz", [])
+        with pytest.raises(TypeError, match="dense"):
+            save_book(tmp_path / "x.npz", [object()])
+
+    def test_single_model_npz_not_a_book(self, book, tmp_path):
+        from pychebyshev_tpu.serving import load_book
+        path = tmp_path / "single.npz"
+        book[0].save(path, format="npz")
+        with pytest.raises(ValueError, match="not a book checkpoint"):
+            load_book(path)
+
+    def test_corrupt_meta_rejected(self, book, tmp_path):
+        from pychebyshev_tpu.serving import load_book, save_book
+        import json
+        path = tmp_path / "book.npz"
+        save_book(path, book)
+        with np.load(path, allow_pickle=False) as data:
+            entries = {k: data[k] for k in data.files}
+        meta = json.loads(str(entries["meta"]))
+        meta["num_models"] = 99
+        entries["meta"] = np.asarray(json.dumps(meta))
+        bad = tmp_path / "bad.npz"
+        with open(bad, "wb") as f:
+            np.savez(f, **entries)
+        with pytest.raises(ValueError, match="does not match"):
+            load_book(bad)
