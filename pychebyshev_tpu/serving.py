@@ -1320,7 +1320,8 @@ class MultiModelEvaluator:
 
 def build_book(function, num_dimensions, domain, n_nodes, *,
                additional_data=None, num_models=None,
-               max_derivative_order: int = 2, verbose: bool = False):
+               max_derivative_order: int = 2, verbose: bool = False,
+               mesh=None, data_axis: str = "dp"):
     """Build M same-grid dense interpolants from ONE vectorized call.
 
     The build-side counterpart of :class:`MultiModelEvaluator`: a
@@ -1346,6 +1347,11 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
     num_models : optional expected M — validates the function's output
         width up front.
     max_derivative_order : forwarded to every model.
+    mesh : optional ``jax.sharding.Mesh`` — shard the grid rows over
+        ``data_axis`` so the one oracle call runs data-parallel across
+        the mesh (requires a JAX-traceable *function*; uneven grid
+        sizes pad with the first grid point and drop the tail).  The
+        gathered tensors are replicated device arrays.
 
     Returns
     -------
@@ -1388,7 +1394,36 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
     shape = grid["shape"]
     n_grid = int(points.shape[0])
 
-    values = function(points, additional_data)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.shape[data_axis]
+        pad = -n_grid % axis
+        grid_dev = jnp.asarray(points, dtype=jnp.float64)
+        if pad:
+            # Grid size rarely divides the mesh axis; replicate the
+            # first grid point into the tail and drop it after.
+            grid_dev = jnp.concatenate(
+                [grid_dev,
+                 jnp.broadcast_to(grid_dev[:1], (pad, grid_dev.shape[1]))])
+        grid_dev = jax.device_put(
+            grid_dev, NamedSharding(mesh, PartitionSpec(data_axis, None)))
+        try:
+            values = jax.jit(
+                lambda p: function(p, additional_data))(grid_dev)
+        except jax.errors.TracerArrayConversionError as exc:
+            raise ValueError(
+                "build_book(mesh=...) requires a JAX-traceable book "
+                "function (the sharded grid is evaluated under jit); "
+                "drop mesh= for host/NumPy oracles"
+            ) from exc
+        if values.ndim == 2 and int(values.shape[0]) == n_grid + pad:
+            # Gather, then drop the padded tail; any other row count
+            # falls through to the (G, M) shape validation below.
+            values = jax.device_put(
+                values, NamedSharding(mesh, PartitionSpec()))[:n_grid]
+    else:
+        values = function(points, additional_data)
     on_host = isinstance(values, np.ndarray)
     values = (np.asarray(values, dtype=np.float64) if on_host
               else jnp.asarray(values, dtype=jnp.float64))

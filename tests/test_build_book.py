@@ -240,3 +240,34 @@ class TestBookCheckpoint:
             np.savez(f, **entries)
         with pytest.raises(ValueError, match="does not match"):
             load_book(bad)
+
+
+class TestBuildBookMesh:
+    def _mesh(self, n=8):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        return make_mesh(n)
+
+    def test_sharded_build_matches_unsharded(self):
+        # G = 9*8*7 = 504 divides 8; also run a non-divisible grid.
+        mesh = self._mesh()
+        sharded = build_book(_book_fn_jax, 3, DOMAIN, N_NODES, mesh=mesh)
+        plain = build_book(_book_fn_jax, 3, DOMAIN, N_NODES)
+        for a, b in zip(sharded, plain):
+            np.testing.assert_allclose(
+                np.asarray(a.tensor_values),
+                np.asarray(b.tensor_values), rtol=0, atol=1e-14)
+
+    def test_sharded_uneven_grid(self):
+        mesh = self._mesh()
+        nn = [5, 7, 3]        # G = 105, not divisible by 8
+        sharded = build_book(_book_fn_jax, 3, DOMAIN, nn, mesh=mesh)
+        plain = build_book(_book_fn_jax, 3, DOMAIN, nn)
+        for a, b in zip(sharded, plain):
+            np.testing.assert_allclose(
+                np.asarray(a.tensor_values),
+                np.asarray(b.tensor_values), rtol=0, atol=1e-14)
+
+    def test_numpy_oracle_with_mesh_raises_clearly(self):
+        mesh = self._mesh()
+        with pytest.raises(ValueError, match="JAX-traceable"):
+            build_book(_book_fn_np, 3, DOMAIN, N_NODES, mesh=mesh)
