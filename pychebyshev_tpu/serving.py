@@ -1369,8 +1369,11 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
 
     from pychebyshev_tpu.models.approximation import (
         ChebyshevApproximation,
+        _unwrap_typed,
     )
 
+    # Accept the Domain / Ns typed helpers like every class ctor does.
+    domain, n_nodes, _ = _unwrap_typed(domain, n_nodes, None)
     if n_nodes is None or any(
         not isinstance(n, (int, np.integer)) or n <= 0
         for n in list(n_nodes)

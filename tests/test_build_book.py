@@ -271,3 +271,12 @@ class TestBuildBookMesh:
         mesh = self._mesh()
         with pytest.raises(ValueError, match="JAX-traceable"):
             build_book(_book_fn_np, 3, DOMAIN, N_NODES, mesh=mesh)
+
+
+def test_typed_helpers_accepted():
+    from pychebyshev_tpu import Domain, Ns
+    book = build_book(_book_fn_np, 3, Domain(DOMAIN), Ns(N_NODES))
+    plain = build_book(_book_fn_np, 3, DOMAIN, N_NODES)
+    for a, b in zip(book, plain):
+        np.testing.assert_array_equal(
+            np.asarray(a.tensor_values), np.asarray(b.tensor_values))
