@@ -78,6 +78,10 @@ _WR_SCALE_LOG2 = 5          # |WR| / 2^5 <= 1 for groups of <= 3 dims
 # ~64x error).
 _PAIR_CUTOFF = 44
 
+# (chunk, n_right) working-set bound for the chunked lax.map runner
+# (module-level so tests can shrink it to exercise the chunk path).
+_CHUNK_ELEMS_TARGET = 1 << 21
+
 # The "fast" preset for the class-level mode="fast": picked from the
 # measured cutoff frontier on the 11^5 benchmark (docs/performance.md)
 # as the highest-throughput point still comfortably under 1e-8.
@@ -300,7 +304,7 @@ def _compiled(shape: Tuple[int, ...], n_dims: int, cutoff: int = None):
     # pipeline stays cache-friendly (sweeps on v5e/11^5 favored chunks
     # in the 768-2048 range; larger chunks push the wide pair
     # temporaries into HBM round-trips).
-    chunk = max(512, (1 << 21) // max(n_right, 1))
+    chunk = max(512, _CHUNK_ELEMS_TARGET // max(n_right, 1))
 
     def _row_planes(pts, nodes, weights):
         rows = [barycentric_coefficients(pts[:, d], nodes[d], weights[d])
