@@ -413,3 +413,188 @@ class TestWideDimsStr:
         build_book(book_fn, 2, DOM2, [4, 4], verbose=True)
         out = capsys.readouterr().out
         assert "2-model book" in out and "host" in out
+
+
+class TestServingErrorMatrix:
+    def test_unbuilt_interpolants_rejected(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        dense = ChebyshevApproximation(_f2, 2, DOM2, [7, 6])
+        spline = ChebyshevSpline(_f2, 2, DOM2, [5, 5], [[1.0], []])
+        slider = ChebyshevSlider(_f2, 2, DOM2, [6, 6], [[0], [1]],
+                                 [1.0, 0.0])
+        tt = ChebyshevTT(_f2, 2, DOM2, [5, 5], max_rank=3)
+        for m in (dense, spline, slider, tt):
+            with pytest.raises(RuntimeError):
+                BatchedEvaluator(m, dtype=jnp.float64)
+
+    def test_dd_spline_piece_cap(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        knots = list(np.linspace(0.1, 2.9, 17))   # 18 pieces > 16 slots
+
+        def f(points, _=None):
+            return np.abs(np.asarray(points)[:, 0] - 1.5)
+
+        s = ChebyshevSpline(f, 1, [[0.0, 3.0]], [5], [knots],
+                            vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(ValueError, match="at most"):
+            BatchedEvaluator(s, dtype="dd")
+
+    def test_dd_spline_heterogeneous_pieces_rejected(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+
+        def f(points, _=None):
+            return np.abs(np.asarray(points)[:, 0] - 1.0)
+
+        s = ChebyshevSpline(f, 1, [[0.0, 3.0]], [[5, 7]], [[1.0]],
+                            vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(ValueError, match="flat n_nodes"):
+            BatchedEvaluator(s, dtype="dd")
+
+    def test_batches_beyond_top_bucket_chunk(self):
+        from pychebyshev_tpu.serving import (
+            BatchedEvaluator,
+            MultiModelEvaluator,
+            MultiSpecEvaluator,
+        )
+        m = _dense()
+        pts = np.random.default_rng(5).random((21, 2)) * [2.0, 2.0] \
+            + [0.0, -1.0]
+        want = np.asarray(m.eval_batch_host(pts, [0, 0]))
+
+        eng = BatchedEvaluator(m, dtype=jnp.float64, bucket_sizes=(8,))
+        np.testing.assert_allclose(eng(pts), want, atol=1e-12)
+
+        mse = MultiSpecEvaluator(m, [[0, 0], [1, 0]],
+                                 dtype=jnp.float64, bucket_sizes=(8,))
+        np.testing.assert_allclose(mse(pts)[:, 0], want, atol=1e-12)
+
+        book = MultiModelEvaluator([m, m], dtype=jnp.float64,
+                                   bucket_sizes=(8,))
+        out = book(pts)
+        np.testing.assert_allclose(out[0], want, atol=1e-12)
+        np.testing.assert_allclose(out[1], want, atol=1e-12)
+
+
+class TestServingMeshBranches:
+    def _mesh(self):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        return make_mesh(8)
+
+    def test_spline_masked_engine_under_mesh(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+
+        def f(points, _=None):
+            return np.abs(np.asarray(points)[:, 0] - 1.5)
+
+        s = ChebyshevSpline(f, 1, [[0.0, 3.0]], [6], [[1.5]],
+                            vectorized=True)
+        s.build(verbose=False)
+        pts = np.random.default_rng(6).random((40, 1)) * 3.0
+        plain = BatchedEvaluator(s, dtype=jnp.float64, bucket_sizes=(64,))
+        meshed = BatchedEvaluator(s, dtype=jnp.float64, mesh=self._mesh(),
+                                  bucket_sizes=(64,))
+        np.testing.assert_allclose(meshed(pts), plain(pts), atol=1e-13)
+
+    def test_single_group_slider_dd_report_under_mesh(self):
+        # a whole-domain single-group slider has no pivot correction;
+        # the dd report's value spec runs the bare slide over the mesh
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        sl = ChebyshevSlider(_f2, 2, DOM2, [6, 6], [[0, 1]],
+                             [1.0, 0.0], vectorized=True)
+        sl.build(verbose=False)
+        pts = np.random.default_rng(7).random((32, 2)) * [2.0, 2.0] \
+            + [0.0, -1.0]
+        plain = MultiSpecEvaluator(sl, [[0, 0]], dtype="dd",
+                                   bucket_sizes=(32,))
+        meshed = MultiSpecEvaluator(sl, [[0, 0]], dtype="dd",
+                                    mesh=self._mesh(), bucket_sizes=(32,))
+        np.testing.assert_allclose(meshed(pts), plain(pts), atol=1e-10)
+
+
+class TestSliderDdBudget:
+    def _wide_slider(self):
+        def f(points, _=None):
+            p = np.asarray(points)
+            return p[:, 0] * p[:, 1] + np.sin(p[:, 2]) + p[:, 3] ** 2
+
+        sl = ChebyshevSlider(f, 4, [[0.0, 1.0]] * 4, [4] * 4,
+                             [[0, 1, 2, 3]], [0.5] * 4, vectorized=True)
+        sl.build(verbose=False)
+        return sl
+
+    def test_ops_level_raise_and_class_fallback(self):
+        from pychebyshev_tpu.ops.slider_eval import (
+            slider_batch_dd,
+            slider_dd_plan,
+        )
+        sl = self._wide_slider()
+        shapes = [np.shape(s.tensor_values) for s in sl.slides]
+        assert not slider_dd_plan(shapes)["ok"]
+        pts = np.random.default_rng(8).random((16, 4))
+        slide_data = tuple(
+            (s.tensor_values,) + s._grid_tuples() for s in sl.slides)
+        with pytest.raises(ValueError, match="digit-GEMM budget"):
+            slider_batch_dd(slide_data, sl.pivot_value,
+                            (tuple(range(4)),), pts)
+        # the class path falls back to f64 silently, at full accuracy
+        got = sl.eval_batch_dd(pts)
+        want = sl.eval_batch(pts)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+class TestSensitivityGuards:
+    def test_nonfinite_coeffs_rejected(self):
+        from pychebyshev_tpu.utils.sensitivity import sobol_from_coeffs
+        bad = np.ones((3, 3))
+        bad[1, 1] = np.nan
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            sobol_from_coeffs(bad, 2)
+
+    def test_constant_function_sobol_all_zero(self):
+        m = _dense(lambda p, _=None: np.full(np.asarray(p).shape[0], 3.7))
+        out = m.sobol_indices()
+        assert out["variance"] == pytest.approx(0.0, abs=1e-20)
+        assert all(v == 0.0 for v in out["first_order"].values())
+        assert all(v == 0.0 for v in out["total_order"].values())
+
+    def test_compat_aliases(self):
+        from pychebyshev_tpu.utils.sensitivity import (
+            _compute_chebyshev_coefficients,
+            _compute_sobol_from_coeffs,
+            chebyshev_coefficient_tensor,
+        )
+        vals = np.random.default_rng(9).random((4, 5))
+        np.testing.assert_allclose(
+            np.asarray(_compute_chebyshev_coefficients(vals, 2)),
+            np.asarray(chebyshev_coefficient_tensor(vals)))
+        out = _compute_sobol_from_coeffs(
+            np.asarray(chebyshev_coefficient_tensor(vals)), 2)
+        assert set(out) >= {"first_order", "total_order", "variance"}
+
+
+class TestSmallCompatAliases:
+    def test_tt_eval_promotes_int_points(self):
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        tt = ChebyshevTT(_f2, 2, DOM2, [5, 5], max_rank=3,
+                         vectorized=True)
+        tt.build(verbose=False, seed=0)
+        cores = tuple(jnp.asarray(c) for c in tt._coeff_cores)
+        dom = np.asarray(DOM2, dtype=np.float64)
+        ipts = np.array([[1, 0], [0, 0]], dtype=np.int64)
+        got = np.asarray(tt_eval_batch(cores, dom, jnp.asarray(ipts)))
+        want = np.asarray(tt_eval_batch(
+            cores, dom, jnp.asarray(ipts, dtype=jnp.float64)))
+        np.testing.assert_allclose(got, want, atol=1e-14)
+
+    def test_extrude_slice_nodes_alias(self):
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
+        from pychebyshev_tpu.utils.extrude_slice import _make_nodes_for_dim
+        np.testing.assert_allclose(_make_nodes_for_dim(0.0, 2.0, 7),
+                                   nodes_for_dim_np(0.0, 2.0, 7))
+
+    def test_dct3_matrix_device_constant(self):
+        from pychebyshev_tpu.ops.dct import _dct3_matrix_np, dct3_matrix
+        np.testing.assert_allclose(np.asarray(dct3_matrix(6)),
+                                   _dct3_matrix_np(6))
