@@ -598,3 +598,33 @@ class TestSmallCompatAliases:
         from pychebyshev_tpu.ops.dct import _dct3_matrix_np, dct3_matrix
         np.testing.assert_allclose(np.asarray(dct3_matrix(6)),
                                    _dct3_matrix_np(6))
+
+
+class TestBinaryEdgeBranches:
+    def test_write_spline_with_additional_data_rejected(self, tmp_path):
+        def f(points, data=None):
+            return np.abs(np.asarray(points)[:, 0] - 1.0)
+
+        s = ChebyshevSpline(f, 1, [[0.0, 2.0]], [5], [[1.0]],
+                            additional_data={"k": 1.0}, vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(NotImplementedError, match="additional_data"):
+            s.save(tmp_path / "s.pcb", format="binary")
+
+    def test_write_unbuilt_spline_rejected(self, tmp_path):
+        s = ChebyshevSpline(lambda p, _=None: np.asarray(p)[:, 0],
+                            1, [[0.0, 2.0]], [5], [[1.0]])
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            s.save(tmp_path / "s.pcb", format="binary")
+
+    def test_oversized_n_nodes_header_hits_safety_cap(self, tmp_path):
+        m = _dense(n=(5, 4))
+        path = tmp_path / "m.pcb"
+        m.save(path, format="binary")
+        raw = bytearray(path.read_bytes())
+        # header(12) + u32 d(4) + f64 lo/hi (2*2*8) -> n_nodes at 48
+        raw[48:56] = (0xFFFFFFFF).to_bytes(4, "little") * 2
+        bad = tmp_path / "bad.pcb"
+        bad.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="safety cap"):
+            ChebyshevApproximation.load(bad)
