@@ -163,14 +163,25 @@ class BatchedEvaluator:
                     tp_ok = dd_tp_plan(shape,
                                        mesh.shape["tp"])["ok"]
                 if not tp_ok:
-                    if (mesh is not None and "tp" in mesh.axis_names
-                            and not isinstance(interpolant,
-                                               ChebyshevApproximation)):
+                    has_tp = (mesh is not None
+                              and "tp" in mesh.axis_names)
+                    if has_tp and not isinstance(
+                            interpolant, ChebyshevApproximation):
                         raise ValueError(
                             f"grid shape {shape} is outside the "
                             f"digit-GEMM plan budget, and the "
                             f"tensor-parallel dd route serves dense "
                             f"ChebyshevApproximation engines only; "
+                            f"serve at dtype=jnp.float64 instead"
+                        )
+                    if has_tp:
+                        # The user DID pass a tp mesh; don't tell them
+                        # to pass one — the sharded plan refuses too.
+                        raise ValueError(
+                            f"grid shape {shape} is outside the "
+                            f"digit-GEMM plan budget even tensor-"
+                            f"parallel over tp={mesh.shape['tp']} "
+                            f"(the sharded plan refuses this shape); "
                             f"serve at dtype=jnp.float64 instead"
                         )
                     raise ValueError(

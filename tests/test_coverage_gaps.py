@@ -628,3 +628,64 @@ class TestBinaryEdgeBranches:
         bad.write_bytes(bytes(raw))
         with pytest.raises(ValueError, match="safety cap"):
             ChebyshevApproximation.load(bad)
+
+
+class TestDdTpRefusalMessages:
+    """The three distinct dd-budget refusal messages (a 1-D grid is
+    outside the digit plan, single-chip and tp-sharded alike)."""
+
+    def _mesh_tp(self):
+        from pychebyshev_tpu.parallel.sharding import make_mesh
+        return make_mesh(8, ("dp", "tp"), shape=(4, 2))
+
+    def _dense_1d(self):
+        m = ChebyshevApproximation(
+            lambda p, _=None: np.sin(np.asarray(p)[:, 0]),
+            1, [[0.0, 3.0]], [8], vectorized=True)
+        m.build(verbose=False)
+        return m
+
+    def test_no_mesh_suggests_tp(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        with pytest.raises(ValueError, match="pass a mesh with a 'tp'"):
+            BatchedEvaluator(self._dense_1d(), dtype="dd")
+
+    def test_tp_mesh_refused_does_not_suggest_tp(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        with pytest.raises(ValueError,
+                           match="even tensor-parallel over tp=2"):
+            BatchedEvaluator(self._dense_1d(), dtype="dd",
+                             mesh=self._mesh_tp(), bucket_sizes=(32,))
+
+    def test_non_dense_with_tp_mesh_names_dense_only(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        s = ChebyshevSpline(
+            lambda p, _=None: np.abs(np.asarray(p)[:, 0] - 1.5),
+            1, [[0.0, 3.0]], [6], [[1.5]], vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(ValueError, match="dense .* engines only"):
+            BatchedEvaluator(s, dtype="dd", mesh=self._mesh_tp(),
+                             bucket_sizes=(32,))
+
+
+class TestMaxvolEdgeBranches:
+    def test_wide_matrix_short_circuits(self):
+        from pychebyshev_tpu.models.tt_algorithms import maxvol
+        a = np.random.default_rng(10).random((3, 5))   # m <= r
+        idx = maxvol(a)
+        np.testing.assert_array_equal(np.sort(idx), np.arange(3))
+
+    def test_effective_rank_of_zero_spectrum(self):
+        from pychebyshev_tpu.models import tt_algorithms as tta
+        import inspect
+        fns = [f for n, f in vars(tta).items()
+               if callable(f) and "rank" in n and not n.startswith("__")]
+        # the helper guards s[0] <= 0 -> rank 1
+        for f in fns:
+            sig = inspect.signature(f)
+            if list(sig.parameters)[:1] == ["s"]:
+                assert f(np.array([]), 5) == 1
+                assert f(np.array([0.0, 0.0]), 5) == 1
+                break
+        else:
+            pytest.skip("rank helper not found by name")
