@@ -689,3 +689,26 @@ class TestMaxvolEdgeBranches:
                 break
         else:
             pytest.skip("rank helper not found by name")
+
+
+class TestUnbuiltEntryPoints:
+    def test_dense_batch_entry_points_raise(self):
+        m = ChebyshevApproximation(_f2, 2, DOM2, [7, 6])
+        pts = np.zeros((3, 2))
+        for call in (lambda: m.eval_batch_device(pts),
+                     lambda: m.eval_batch_f32(pts),
+                     lambda: m.eval_batch_dd(pts),
+                     lambda: m.eval_batch_host(pts, [0, 0]),
+                     lambda: m.vectorized_eval_batch_multi(pts, [[0, 0]]),
+                     lambda: m.vectorized_eval([0.5, 0.0], [0, 0])):
+            with pytest.raises(RuntimeError):
+                call()
+
+    def test_npz_cross_class_load_rejected(self, tmp_path):
+        tt = ChebyshevTT(_f2, 2, DOM2, [5, 5], max_rank=3,
+                         vectorized=True)
+        tt.build(verbose=False, seed=0)
+        path = tmp_path / "tt.npz"
+        tt.save(path, format="npz")
+        with pytest.raises(TypeError, match="Expected a"):
+            ChebyshevApproximation.load(path)
