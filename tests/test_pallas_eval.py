@@ -207,3 +207,48 @@ class TestOperandCacheSoundness:
         assert len(pallas_eval._mega_cache) == 1  # hit, not a new slot
         pallas_eval.clear_fused_cache()
         assert pallas_eval._mega_cache == []
+
+
+class TestFlopModelRule:
+    """The static padded-FLOP auto-dispatch rule, pinned against the
+    measured ladder in docs/performance.md (CPU-evaluable: the model
+    is pure arithmetic)."""
+
+    def test_model_matches_geometry_11pow5(self):
+        from pychebyshev_tpu.ops.pallas_eval import (
+            _padded_flops_per_point,
+        )
+        fused, xla = _padded_flops_per_point((11,) * 5)
+        assert fused == 2 * 3 * 128 * 11 * 128
+        assert xla == 3 * 2 * 121 * 11 * 121
+
+    def test_rule_reproduces_measured_ladder(self):
+        from pychebyshev_tpu.ops.pallas_eval import (
+            _FUSED_FLOP_MARGIN,
+            _padded_flops_per_point,
+            supports_fused,
+        )
+        # shapes the v5e sweep measured as fused wins / XLA wins
+        wins = [(11,) * 5, (19,) * 5]
+        losses = [(9,) * 5, (13,) * 5, (15,) * 5, (17,) * 5,
+                  (33,) * 4, (9,) * 6]
+        for shape in wins + losses:
+            if not supports_fused(shape, "float32"):
+                continue
+            fused, xla = _padded_flops_per_point(shape)
+            expected = shape in wins
+            assert (fused <= _FUSED_FLOP_MARGIN * xla) == expected, shape
+
+    def test_no_rp_group_branch(self):
+        from pychebyshev_tpu.ops.pallas_eval import (
+            _geometry,
+            _padded_flops_per_point,
+        )
+        # find a supported small shape whose geometry has no rp group,
+        # exercising the single-GEMV fused-FLOP branch
+        for shape in [(5, 5, 5), (4, 4, 4), (3, 5, 7)]:
+            geo = _geometry(tuple(shape))
+            if not geo[2]:                      # rp_dims empty
+                fused, _ = _padded_flops_per_point(tuple(shape))
+                assert fused == 2 * geo[5] * geo[8]
+                break
