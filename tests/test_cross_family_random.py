@@ -228,3 +228,101 @@ class TestTransformAgreement:
                 dense.eval(p, [0, 0]), abs=1e-11)
             assert tfat.eval(p + [t]) == pytest.approx(
                 tt.eval(p), abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+class TestEvalPathAgreement:
+    """Every dense eval path must agree on random polynomial targets:
+    host single, host batch, device batch, dd, serving engine, and the
+    multi-spec column (the reference's cross-path consistency property,
+    randomized)."""
+
+    def test_all_dense_paths_agree(self, seed):
+        import jax.numpy as jnp
+
+        from pychebyshev_tpu.serving import (
+            BatchedEvaluator,
+            MultiSpecEvaluator,
+        )
+
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, dfdx, _ = _random_poly2(rng)
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+
+        lo = np.array([b[0] for b in dom])
+        hi = np.array([b[1] for b in dom])
+        pts = lo + (hi - lo) * rng.random((40, 2))
+
+        single = np.array([dense.vectorized_eval(list(p), [0, 0])
+                           for p in pts])
+        host = np.asarray(dense.eval_batch_host(pts, [0, 0]))
+        dev = np.asarray(dense.eval_batch_device(pts, [0, 0]))
+        dd = np.asarray(dense.eval_batch_dd(pts))
+        engine = BatchedEvaluator(dense, dtype=jnp.float64,
+                                  bucket_sizes=(64,))(pts)
+        multi = np.asarray(MultiSpecEvaluator(
+            dense, [[0, 0], [1, 0]], dtype=jnp.float64,
+            bucket_sizes=(64,))(pts))
+
+        scale = max(1.0, np.abs(single).max())
+        for other in (host, dev, dd, engine, multi[:, 0]):
+            np.testing.assert_allclose(other / scale, single / scale,
+                                       rtol=0, atol=1e-10)
+        want_dx = np.array([dfdx(p) for p in pts])
+        np.testing.assert_allclose(multi[:, 1] / scale, want_dx / scale,
+                                   rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [8, 44])
+class TestRandomAlgebraChains:
+    def test_dense_chain_matches_pointwise(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        fa, _, _ = _random_poly2(rng)
+        fb, _, _ = _random_poly2(rng)
+        a = ChebyshevApproximation(fa, 2, dom, [6, 6])
+        a.build(verbose=False)
+        b = ChebyshevApproximation(fb, 2, dom, [6, 6])
+        b.build(verbose=False)
+
+        chain = (a * 2.0 - b) / 1.5 + a
+        lo = np.array([bd[0] for bd in dom])
+        hi = np.array([bd[1] for bd in dom])
+        pts = lo + (hi - lo) * rng.random((15, 2))
+        got = np.array([chain.vectorized_eval(list(p), [0, 0])
+                        for p in pts])
+        want = np.array([(2.0 * fa(p, None) - fb(p, None)) / 1.5
+                         + fa(p, None) for p in pts])
+        scale = max(1.0, np.abs(want).max())
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+class TestRandomRoots:
+    def test_every_family_finds_the_planted_root(self, seed):
+        rng = np.random.default_rng(seed)
+        lo = float(rng.uniform(-2.0, 0.0))
+        hi = lo + float(rng.uniform(2.0, 4.0))
+        root = float(rng.uniform(lo + 0.3, hi - 0.3))
+
+        def f1(x, _=None):
+            return (x[0] - root) * (1.0 + 0.25 * (x[0] - lo))
+
+        dense = ChebyshevApproximation(f1, 1, [[lo, hi]], [9])
+        dense.build(verbose=False)
+        assert np.min(np.abs(dense.roots() - root)) < 1e-9
+
+        mid = (lo + hi) / 2.0
+        spline = ChebyshevSpline(f1, 1, [[lo, hi]], [7], [[mid]])
+        spline.build(verbose=False)
+        assert np.min(np.abs(spline.roots() - root)) < 1e-9
+
+        tt = ChebyshevTT(
+            lambda p, _=None: (np.asarray(p)[:, 0] - root)
+            * (1.0 + 0.25 * (np.asarray(p)[:, 0] - lo)),
+            1, [[lo, hi]], [9], max_rank=3, vectorized=True)
+        tt.build(verbose=False, seed=0)
+        assert np.min(np.abs(tt.roots() - root)) < 1e-8
