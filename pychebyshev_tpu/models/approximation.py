@@ -1102,6 +1102,40 @@ class ChebyshevApproximation:
                                              orders)
         return ChebyshevApproximation._from_grid(self, new_tensor)
 
+    def to_tt(self, max_rank=None, tolerance: float = 1e-12):
+        """Compress this dense interpolant into a :class:`ChebyshevTT`.
+
+        The inverse of ``ChebyshevTT.to_dense`` (reference
+        tensor_train.py:1874-1917): TT-SVD of the value tensor at the
+        given relative singular-value ``tolerance`` (beyond the
+        reference surface, which only offers the TT-side
+        ``from_values`` — tensor_train.py:2870-2965).  On the 5-D
+        Black-Scholes benchmark tensor, tolerance 1e-12 compresses
+        11^5 values to ranks [1, 11, 23, 48, 8, 1] at 1.7e-12 max
+        deviation from the dense f64 evaluation (measured frontier:
+        docs/performance.md).  Returns an independent object; grid
+        metadata, ``max_derivative_order``, ``additional_data`` and the
+        descriptor carry over.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.models.tensor_train import ChebyshevTT
+        if max_rank is None:
+            # Uncapped: tight tolerances legitimately need bond ranks
+            # past max(n_nodes), which is from_values' None default.
+            sizes = [int(n) for n in self.n_nodes]
+            max_rank = max(
+                min(int(np.prod(sizes[:k + 1])),
+                    int(np.prod(sizes[k + 1:])))
+                for k in range(len(sizes) - 1)) if len(sizes) > 1 else 1
+        return ChebyshevTT.from_values(
+            np.asarray(self.tensor_values), self.num_dimensions,
+            [list(b) for b in self.domain], list(self.n_nodes),
+            max_rank=max_rank, tolerance=tolerance,
+            max_derivative_order=self.max_derivative_order,
+            additional_data=self.additional_data,
+            descriptor=self.descriptor)
+
     # ------------------------------------------------------------------
     # Plotting (optional host-side extras)
     # ------------------------------------------------------------------

@@ -714,3 +714,71 @@ class TestCrossRobustness:
         keys, vals = oracle.observations()
         assert keys.shape == (0, 3)
         assert vals.shape == (0,)
+
+
+class TestDenseToTT:
+    """ChebyshevApproximation.to_tt — the inverse of to_dense."""
+
+    def test_roundtrip_tensor(self, cheb_bs5d):
+        tt = cheb_bs5d.to_tt(tolerance=1e-12)
+        dense_back = tt.to_dense()
+        tv = np.asarray(cheb_bs5d.tensor_values)
+        scale = np.abs(tv).max()
+        # Sequential per-bond truncation accumulates ~d x tolerance.
+        assert np.abs(dense_back - tv).max() < 2e-11 * scale
+        assert tt.num_dimensions == 5
+        assert tt.n_nodes == [11] * 5
+        assert tt.domain == [list(b) for b in BS_DOMAIN_5D]
+
+    def test_eval_agreement(self, cheb_bs5d):
+        rng = np.random.default_rng(3)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.05, 0.95, size=(64, 5))
+        tt = cheb_bs5d.to_tt(tolerance=1e-12)
+        want = np.asarray(
+            cheb_bs5d.vectorized_eval_batch(pts, [0] * 5))
+        got = np.asarray(tt.eval_batch(pts))
+        assert np.abs(got - want).max() < 5e-12 * np.abs(want).max()
+
+    def test_default_rank_cap_is_unbounded(self, cheb_bs5d):
+        # 1e-12 on the BS tensor needs bond ranks past max(n_nodes)=11;
+        # from_values' None default would cap there and lose accuracy.
+        tt = cheb_bs5d.to_tt(tolerance=1e-12)
+        assert max(tt.tt_ranks) > 11
+
+    def test_explicit_max_rank_honored(self, cheb_bs5d):
+        tt = cheb_bs5d.to_tt(max_rank=5, tolerance=1e-12)
+        assert max(tt.tt_ranks) <= 5
+
+    def test_additive_function_compresses_to_rank_2(self, cheb_sin3d):
+        tt = cheb_sin3d.to_tt(tolerance=1e-10)
+        assert tt.tt_ranks == [1, 2, 2, 1]
+
+    def test_metadata_carries_over(self, cheb_sin3d):
+        cheb = cheb_sin3d.clone()
+        cheb.set_descriptor("sin3d")
+        tt = cheb.to_tt()
+        assert tt.get_descriptor() == "sin3d"
+        assert (tt.get_max_derivative_order()
+                == cheb.get_max_derivative_order())
+        assert tt.function is None
+        assert tt.is_construction_finished()
+
+    def test_unbuilt_raises(self):
+        cheb = ChebyshevApproximation(
+            None, 3, [[-1, 1]] * 3, [9] * 3, defer_build=True)
+        with pytest.raises(RuntimeError, match="build"):
+            cheb.to_tt()
+
+    def test_dd_serving_composes(self, cheb_bs5d):
+        # The compressed model rides the TT digit-GEMM tier directly.
+        tt = cheb_bs5d.to_tt(tolerance=1e-12)
+        rng = np.random.default_rng(5)
+        lo = np.array([b[0] for b in BS_DOMAIN_5D])
+        hi = np.array([b[1] for b in BS_DOMAIN_5D])
+        pts = lo + (hi - lo) * rng.uniform(0.05, 0.95, size=(32, 5))
+        want = np.asarray(
+            cheb_bs5d.vectorized_eval_batch(pts, [0] * 5))
+        got = np.asarray(tt.eval_batch_dd(pts))
+        assert np.abs(got - want).max() < 1e-10 * np.abs(want).max()
