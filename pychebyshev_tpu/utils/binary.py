@@ -228,7 +228,9 @@ def read_approx(f: BinaryIO):
 def write_spline(f: BinaryIO, spline) -> None:
     """Write a built spline: header, grid block, u32 num_knots[d],
     concatenated f64 knots, u32 num_pieces, per-piece C-order tensors."""
-    if any(p is None for p in spline._pieces):
+    if any(p is None or p.tensor_values is None for p in spline._pieces):
+        # Deferred (unfilled) pieces hold tensor_values=None — writing
+        # them would emit a truncated stream, not a readable file.
         raise RuntimeError("Cannot save an unbuilt ChebyshevSpline")
     if getattr(spline, "additional_data", None) is not None:
         raise NotImplementedError(

@@ -407,3 +407,138 @@ class TestServingEnvelope:
         with pytest.raises(ValueError, match="divisible"):
             MultiSpecEvaluator(cheb_sin3d, [[0, 0, 0]], mesh=mesh,
                                bucket_sizes=[100])
+
+
+# ----------------------------------------------------------------------
+# Small ops/utils branches
+# ----------------------------------------------------------------------
+
+class TestOpsUtilsBranches:
+    def test_progress_warns_without_tqdm(self, monkeypatch):
+        import sys
+        from pychebyshev_tpu.utils.progress import progress_iter
+        monkeypatch.setitem(sys.modules, "tqdm", None)
+        with pytest.warns(UserWarning, match="tqdm is not installed"):
+            out = progress_iter([1, 2, 3], enabled=True)
+        assert list(out) == [1, 2, 3]
+
+    def test_degenerate_grid_weights_rejected(self):
+        from pychebyshev_tpu.ops.chebyshev import barycentric_weights_np
+        with pytest.raises(ValueError, match="degenerate"):
+            barycentric_weights_np(np.array([0.0, 0.0, 1.0]))
+
+    def test_sobol_zero_variance_constant_function(self):
+        dense = ChebyshevApproximation(
+            lambda x, _: 4.0, 2, [[-1, 1]] * 2, [5, 5])
+        dense.build(verbose=False)
+        res = dense.sobol_indices()
+        assert res["variance"] == pytest.approx(0.0, abs=1e-20)
+        assert all(v == 0.0 for v in res["first_order"].values())
+        assert all(v == 0.0 for v in res["total_order"].values())
+
+    def test_slider_dd_refuses_4dim_group_class_falls_back(self):
+        from pychebyshev_tpu.ops.slider_eval import (
+            slider_batch_dd,
+            slider_dd_plan,
+        )
+
+        def f4(points, _):
+            points = np.asarray(points)
+            return np.prod(np.cos(points), axis=1)
+
+        s = ChebyshevSlider(f4, 4, [[-1, 1]] * 4, [5] * 4,
+                            partition=[[0, 1, 2, 3]],
+                            pivot_point=[0.0] * 4, vectorized=True)
+        s.build(verbose=False)
+        shapes = [np.shape(sl.tensor_values) for sl in s.slides]
+        assert not slider_dd_plan(shapes)["ok"]
+        slide_data = tuple(
+            (sl.tensor_values,) + sl._grid_tuples() for sl in s.slides)
+        pts = np.full((4, 4), 0.25)
+        with pytest.raises(ValueError, match="digit-GEMM budget"):
+            slider_batch_dd(slide_data, s.pivot_value,
+                            ((0, 1, 2, 3),), pts)
+        # The class path silently serves the same batch at f64.
+        got = s.eval_batch_dd(pts)
+        want = s.eval_batch(pts)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_tt_dd_plan_malformed_shapes(self):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_dd_plan
+        assert not tt_dd_plan([])["ok"]
+        assert not tt_dd_plan([(1, 5)])["ok"]
+        assert not tt_dd_plan([(2, 5, 1)])["ok"]          # left rank != 1
+        assert not tt_dd_plan([(1, 5, 2)])["ok"]          # right rank != 1
+        assert not tt_dd_plan([(1, 5, 3), (2, 5, 1)])["ok"]  # bond break
+        assert not tt_dd_plan([(1, 40000, 1)])["ok"]      # digit budget
+
+    def test_tt_dd_models_budget_error(self):
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd_models
+        big = [np.zeros((1, 40000, 1))]
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            tt_eval_batch_dd_models([big], [[-1.0, 1.0]],
+                                    np.zeros((4, 1)))
+
+    def test_binary_write_spline_unbuilt(self, tmp_path):
+        from pychebyshev_tpu.utils import binary
+        s = ChebyshevSpline(None, 1, [[-1, 1]], [7], knots=[[0.0]],
+                            defer_build=True)
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            with open(tmp_path / "x.pcb", "wb") as f:
+                binary.write_spline(f, s)
+
+
+class TestNativeSaveBranches:
+    def test_unbuilt_saves_raise(self, tmp_path):
+        from pychebyshev_tpu.utils.native_save import write_npz
+        dense = ChebyshevApproximation(sin2, 2, [[-1, 1]] * 2, [7, 7])
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            write_npz(tmp_path / "d.npz", dense)
+        spline = ChebyshevSpline(kink1d, 1, [[-1, 1]], [7],
+                                 knots=[[0.0]])
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            write_npz(tmp_path / "s.npz", spline)
+        slider = ChebyshevSlider(sin3, 3, [[-1, 1]] * 3, [9] * 3,
+                                 partition=[[0], [1], [2]],
+                                 pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError, match="unbuilt"):
+            write_npz(tmp_path / "sl.npz", slider)
+
+    def test_nested_spline_npz_unsupported(self, tmp_path):
+        from pychebyshev_tpu.utils.native_save import write_npz
+        s = ChebyshevSpline(kink1d, 1, [[-1, 1]], [[5, 9]],
+                            knots=[[0.0]])
+        s.build(verbose=False)
+        with pytest.raises(NotImplementedError, match="flat n_nodes"):
+            write_npz(tmp_path / "n.npz", s)
+
+    def test_foreign_object_rejected(self, tmp_path):
+        from pychebyshev_tpu.utils.native_save import write_npz
+        with pytest.raises(TypeError, match="four interpolant classes"):
+            write_npz(tmp_path / "x.npz", {"not": "an interpolant"})
+
+    def test_newer_version_rejected(self, tmp_path, cheb_sin3d):
+        from pychebyshev_tpu.utils.native_save import (
+            NPZ_VERSION,
+            read_npz,
+            write_npz,
+        )
+        p = tmp_path / "v.npz"
+        write_npz(p, cheb_sin3d)
+        with np.load(p, allow_pickle=False) as data:
+            entries = {k: data[k] for k in data.files}
+        entries["__version__"] = np.asarray(NPZ_VERSION + 1)
+        np.savez(p, **entries)
+        with pytest.raises(ValueError, match="newer than"):
+            read_npz(p)
+
+    def test_unknown_kind_rejected(self, tmp_path, cheb_sin3d):
+        from pychebyshev_tpu.utils.native_save import read_npz, write_npz
+        p = tmp_path / "k.npz"
+        write_npz(p, cheb_sin3d)
+        with np.load(p, allow_pickle=False) as data:
+            entries = {k: data[k] for k in data.files}
+        entries["__kind__"] = np.asarray("exotic")
+        np.savez(p, **entries)
+        with pytest.raises(ValueError, match="unknown npz checkpoint"):
+            read_npz(p)
