@@ -542,3 +542,29 @@ class TestNativeSaveBranches:
         np.savez(p, **entries)
         with pytest.raises(ValueError, match="unknown npz checkpoint"):
             read_npz(p)
+
+
+class TestTTAlgorithmBranches:
+    def test_maxvol_singular_matrix_falls_back(self):
+        from pychebyshev_tpu.models.tt_algorithms import maxvol
+        piv = maxvol(np.zeros((6, 3)))
+        assert len(piv) == 3
+        assert len(set(int(i) for i in piv)) == 3
+
+    def test_als_verbose_reports_max_rank_stop(self, capsys):
+        # exp(x+y) has infinite algebraic rank; max_rank=1 cannot meet
+        # a tight tolerance, so the rank loop reports the cap.
+        tt = ChebyshevTT(lambda x, _: math.exp(x[0] + x[1]) + 
+                         math.sin(3 * x[0]) * x[1], 2,
+                         [[-1, 1]] * 2, [9] * 2, max_rank=1,
+                         tolerance=1e-12)
+        tt.build(verbose=True, method="als")
+        out = capsys.readouterr().out
+        assert "reached max_rank" in out
+
+    def test_cross_verbose_converged_message(self, capsys):
+        tt = ChebyshevTT(sin3, 3, [[-1, 1]] * 3, [7] * 3, max_rank=5,
+                         tolerance=1e-8)
+        tt.build(verbose=True, seed=1)
+        out = capsys.readouterr().out
+        assert ("Converged" in out) or ("No improvement" in out)
