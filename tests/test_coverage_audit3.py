@@ -568,3 +568,86 @@ class TestTTAlgorithmBranches:
         tt.build(verbose=True, seed=1)
         out = capsys.readouterr().out
         assert ("Converged" in out) or ("No improvement" in out)
+
+
+class TestSplineMoreBranches:
+    def test_unbuilt_extrude_slice_optimize(self):
+        s = ChebyshevSpline(kink1d, 1, [[-1, 1]], [7], knots=[[0.0]])
+        with pytest.raises(RuntimeError, match="build"):
+            s.extrude([(1, -1.0, 1.0, 7)])
+        with pytest.raises(RuntimeError, match="build"):
+            s.slice([(0, 0.5)])
+        with pytest.raises(RuntimeError, match="build"):
+            s.minimize(0, [])
+
+    def test_slice_value_outside_domain(self, spline_2d):
+        with pytest.raises(ValueError, match="outside"):
+            spline_2d.slice([(0, 5.0)])
+
+    def test_integrate_dim_out_of_range(self, spline_2d):
+        with pytest.raises(ValueError, match="out of range"):
+            spline_2d.integrate(dims=[7])
+
+    def test_algebra_non_spline_is_typeerror(self, spline_2d):
+        with pytest.raises(TypeError):
+            spline_2d + 1.0
+        with pytest.raises(TypeError):
+            spline_2d - [1, 2]
+
+    def test_scalar_ops_non_scalar_is_typeerror(self, spline_2d):
+        with pytest.raises(TypeError):
+            spline_2d * "x"
+        s = spline_2d.clone()
+        with pytest.raises(TypeError):
+            s *= "x"
+
+    def test_hadamard_wrong_type(self, spline_2d):
+        with pytest.raises(TypeError, match="hadamard requires"):
+            spline_2d.hadamard(3.0)
+
+    def test_zero_variance_sobol(self):
+        s = ChebyshevSpline(lambda x, _: 2.5, 1, [[-1, 1]], [5],
+                            knots=[[0.0]])
+        s.build(verbose=False)
+        res = s.sobol_indices()
+        assert res["variance"] == pytest.approx(0.0, abs=1e-20)
+
+    def test_auto_n_build_evals_zero_before_build(self):
+        s = ChebyshevSpline(kink1d, 1, [[-1, 1]], None, knots=[[0.0]],
+                            error_threshold=1e-6)
+        assert s.total_build_evals == 0
+
+    def test_roots_none_found(self):
+        s = ChebyshevSpline(lambda x, _: abs(x[0]) + 2.0, 1, [[-1, 1]],
+                            [7], knots=[[0.0]])
+        s.build(verbose=False)
+        r = s.roots(0, [])
+        assert r.size == 0
+
+    def test_str_truncates_many_dims(self):
+        def addf(points, _):
+            points = np.asarray(points)
+            return np.sum(np.abs(points), axis=1)
+
+        s = ChebyshevSpline(addf, 7, [[-1, 1]] * 7, [3] * 7,
+                            knots=[[0.0]] + [[]] * 6, vectorized=True)
+        s.build(verbose=False)
+        assert "..." in str(s)
+
+    def test_plot_2d_surface(self, spline_2d):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+        matplotlib.use("Agg")
+        ax = spline_2d.plot_2d_surface(n_points=8)
+        assert ax is not None
+        import matplotlib.pyplot as plt
+        plt.close("all")
+
+    def test_slider_plot_2d_surface(self, slider_small):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+        matplotlib.use("Agg")
+        ax = slider_small.plot_2d_surface(n_points=8, fixed={2: 0.0})
+        assert ax is not None
+        import matplotlib.pyplot as plt
+        plt.close("all")
