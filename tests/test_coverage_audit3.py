@@ -651,3 +651,91 @@ class TestSplineMoreBranches:
         assert ax is not None
         import matplotlib.pyplot as plt
         plt.close("all")
+
+
+class TestTTAlgebraGuards:
+    def test_str_unbuilt(self):
+        tt = ChebyshevTT(sin3, 3, [[-1, 1]] * 3, [7] * 3, max_rank=4)
+        text = str(tt)
+        assert "Domain" in text
+
+    def test_add_foreign_type(self, tt_3d):
+        with pytest.raises(TypeError, match="unsupported operand"):
+            tt_3d + 1.0
+
+    def test_add_dim_mismatch(self, tt_3d):
+        tt2 = ChebyshevTT(lambda x, _: math.sin(x[0]) + x[1], 2,
+                          [[-1, 1]] * 2, [9] * 2, max_rank=4)
+        tt2.build(verbose=False, seed=0)
+        with pytest.raises(ValueError, match="num_dimensions mismatch"):
+            tt_3d + tt2
+
+    def test_div_guards(self, tt_3d):
+        with pytest.raises(TypeError, match="not supported"):
+            tt_3d / "x"
+        with pytest.raises(ZeroDivisionError):
+            tt_3d / 0.0
+
+    def test_inplace_add_sub(self, tt_3d):
+        t = tt_3d.clone()
+        t += tt_3d
+        t -= tt_3d
+        pt = [0.2, -0.3, 0.5]
+        assert t.eval(pt) == pytest.approx(tt_3d.eval(pt), abs=1e-9)
+
+    def test_plot_2d_contour(self):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+        matplotlib.use("Agg")
+        tt = ChebyshevTT(lambda x, _: math.sin(x[0]) * x[1], 2,
+                         [[-1, 1]] * 2, [7] * 2, max_rank=4)
+        tt.build(verbose=False, seed=0)
+        ax = tt.plot_2d_contour(n_points=8)
+        assert ax is not None
+        import matplotlib.pyplot as plt
+        plt.close("all")
+
+    def test_reference_als_compat_wrapper(self):
+        from pychebyshev_tpu.models.tensor_train import (
+            _als_fixed_rank_sweeps,
+        )
+        target = np.fromfunction(
+            lambda i, j: np.sin(i / 3.0) + np.cos(j / 3.0), (5, 5))
+        cores = [np.random.default_rng(0).normal(size=(1, 5, 2)),
+                 np.random.default_rng(1).normal(size=(2, 5, 1))]
+        out = _als_fixed_rank_sweeps(
+            cores, lambda idx: target[idx], [5, 5], tolerance=1e-10,
+            max_iter=8)
+        from pychebyshev_tpu.models.tt_algorithms import tt_reconstruct
+        assert np.abs(tt_reconstruct(out) - target).max() < 1e-8
+
+
+class TestServingMoreBranches:
+    def test_unbuilt_spline_slider_tt_engines(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        s = ChebyshevSpline(kink1d, 1, [[-1, 1]], [7], knots=[[0.0]])
+        with pytest.raises(RuntimeError, match="not built"):
+            BatchedEvaluator(s)
+        sl = ChebyshevSlider(sin3, 3, [[-1, 1]] * 3, [9] * 3,
+                             partition=[[0], [1], [2]],
+                             pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError, match="not built"):
+            BatchedEvaluator(sl)
+        tt = ChebyshevTT(sin3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=4)
+        with pytest.raises(RuntimeError):
+            BatchedEvaluator(tt)
+
+    def test_dense_dd_mesh_engine_matches_f64(self, cheb_sin3d):
+        import jax
+        from jax.sharding import Mesh
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        devs = np.array(jax.devices())
+        if devs.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(devs[:8], ("dp",))
+        eng = BatchedEvaluator(cheb_sin3d, dtype="dd", mesh=mesh)
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-0.9, 0.9, size=(64, 3))
+        want = np.asarray(
+            cheb_sin3d.vectorized_eval_batch(pts, [0, 0, 0]))
+        np.testing.assert_allclose(eng(pts), want, atol=1e-9)
