@@ -739,3 +739,49 @@ class TestServingMoreBranches:
         want = np.asarray(
             cheb_sin3d.vectorized_eval_batch(pts, [0, 0, 0]))
         np.testing.assert_allclose(eng(pts), want, atol=1e-9)
+
+
+class TestEvalDDGuards:
+    @pytest.fixture(scope="class")
+    def grid_2d(self):
+        dense = ChebyshevApproximation(sin2, 2, [[-1, 1]] * 2, [7, 7])
+        dense.build(verbose=False)
+        nodes, weights, diffs = dense._grid_tuples()
+        return dense, nodes, weights, diffs
+
+    def test_models_empty_sequence(self, grid_2d):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_models
+        dense, nodes, weights, diffs = grid_2d
+        with pytest.raises(ValueError, match="non-empty"):
+            eval_batch_dd_models((), nodes, weights, diffs,
+                                 np.zeros((2, 2)))
+
+    def test_models_mismatched_shapes(self, grid_2d):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_models
+        dense, nodes, weights, diffs = grid_2d
+        t = np.asarray(dense.tensor_values)
+        with pytest.raises(ValueError, match="one grid shape"):
+            eval_batch_dd_models((t, t[:5, :5]), nodes, weights, diffs,
+                                 np.zeros((2, 2)))
+
+    def test_models_budget_refusal_1d(self):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_models
+        t = np.linspace(0, 1, 9)
+        with pytest.raises(ValueError, match="digit-GEMM budget"):
+            eval_batch_dd_models((t,), (t,), (t,), (np.eye(9),),
+                                 np.zeros((2, 1)))
+
+    def test_multi_bad_spec_length(self, grid_2d):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        dense, nodes, weights, diffs = grid_2d
+        t = np.asarray(dense.tensor_values)
+        with pytest.raises(ValueError, match="length"):
+            eval_batch_dd_multi(t, nodes, weights, diffs,
+                                np.zeros((2, 2)), [(0, 0, 0)])
+
+    def test_multi_budget_refusal_1d(self):
+        from pychebyshev_tpu.ops.eval_dd import eval_batch_dd_multi
+        t = np.linspace(0, 1, 9)
+        with pytest.raises(ValueError, match="digit-GEMM budget"):
+            eval_batch_dd_multi(t, (t,), (t,), (np.eye(9),),
+                                np.zeros((2, 1)), [(0,)])
