@@ -785,3 +785,48 @@ class TestEvalDDGuards:
         with pytest.raises(ValueError, match="digit-GEMM budget"):
             eval_batch_dd_multi(t, (t,), (t,), (np.eye(9),),
                                 np.zeros((2, 1)), [(0,)])
+
+
+class TestPallasEvalGuards:
+    def test_no_right_prime_group_parity(self):
+        # (2, 2, 31) splits as left=(2,2), mid=31, rp=() — the kernel's
+        # rp-less value-contraction branch (interpret mode on CPU).
+        from pychebyshev_tpu.ops import pallas_eval
+        from pychebyshev_tpu.ops.eval import eval_batch
+        shape = (2, 2, 31)
+        geo = pallas_eval._geometry(shape)
+        assert not geo[2]  # rp_dims empty
+        dense = ChebyshevApproximation(
+            lambda x, _: math.sin(x[0]) + x[1] * math.cos(x[2]), 3,
+            [[-1, 1]] * 3, list(shape))
+        dense.build(verbose=False)
+        nodes, weights, diffs = dense._grid_tuples()
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-0.9, 0.9, size=(32, 3))
+        got = np.asarray(pallas_eval.fused_eval_batch(
+            dense.tensor_values, nodes, weights, diffs, pts,
+            interpret=True))
+        want = np.asarray(eval_batch(
+            dense.tensor_values, nodes, weights, diffs, pts,
+            (0, 0, 0)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_oversized_grid_rejected(self):
+        from pychebyshev_tpu.ops import pallas_eval
+        shape = (4096, 5, 5)
+        assert not pallas_eval.supports_fused(shape, np.float32)
+        t = np.zeros(shape, dtype=np.float32)
+        nodes = tuple(np.linspace(-1, 1, n) for n in shape)
+        with pytest.raises(ValueError, match="VMEM budget"):
+            pallas_eval.fused_eval_batch(
+                t, nodes, nodes, (None,) * 3, np.zeros((4, 3)),
+                interpret=True)
+
+    def test_stream_kernel_requires_rp_group(self):
+        from pychebyshev_tpu.ops import pallas_eval
+        with pytest.raises(ValueError, match="right-prime"):
+            pallas_eval._build_stream_kernel((2, 2, 31), 1024, True)
+
+    def test_prefer_fused_false_for_f64(self):
+        from pychebyshev_tpu.ops import pallas_eval
+        assert not pallas_eval.prefer_fused((11,) * 5, np.float64)
