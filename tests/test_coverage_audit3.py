@@ -830,3 +830,32 @@ class TestPallasEvalGuards:
     def test_prefer_fused_false_for_f64(self):
         from pychebyshev_tpu.ops import pallas_eval
         assert not pallas_eval.prefer_fused((11,) * 5, np.float64)
+
+
+class TestServingMeshBranches:
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices())
+        if devs.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        return Mesh(devs[:8], ("dp",))
+
+    def test_slider_dd_mesh_derivative_engine(self, slider_small, mesh8):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(slider_small, dtype="dd", mesh=mesh8,
+                               derivative_order=[1, 0, 0])
+        rng = np.random.default_rng(6)
+        pts = rng.uniform(-0.9, 0.9, size=(48, 3))
+        want = np.asarray(slider_small.eval_batch(
+            pts, derivative_order=[1, 0, 0]))
+        np.testing.assert_allclose(eng(pts), want, atol=1e-9)
+
+    def test_spline_masked_mesh_engine(self, spline_2d, mesh8):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(spline_2d, dtype=np.float64, mesh=mesh8)
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(-0.9, 0.9, size=(40, 2))
+        want = np.asarray(spline_2d.eval_batch(pts, [0, 0]))
+        np.testing.assert_allclose(eng(pts), want, atol=1e-9)
