@@ -859,3 +859,47 @@ class TestServingMeshBranches:
         pts = rng.uniform(-0.9, 0.9, size=(40, 2))
         want = np.asarray(spline_2d.eval_batch(pts, [0, 0]))
         np.testing.assert_allclose(eng(pts), want, atol=1e-9)
+
+
+class TestMultiModelValidation:
+    def test_dd_book_slot_cap(self, cheb_sin3d):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        from pychebyshev_tpu.ops import eval_dd as dd_mod
+        book = [cheb_sin3d] * (dd_mod._PLANE_CACHE_SLOTS + 1)
+        with pytest.raises(ValueError, match="at most"):
+            MultiModelEvaluator(book, dtype="dd")
+
+    def test_dd_tt_book_budget_refusal(self):
+        # White-box: a real 9000-node build would spend minutes in the
+        # DCT matrix; the validation branch only reads core SHAPES.
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        vals = np.fromfunction(
+            lambda i, j: np.sin(i / 2.0) + np.cos(j / 2.0), (3, 3))
+        tt = ChebyshevTT.from_values(vals, 2, [[-1, 1], [-1, 1]],
+                                     [3, 3], tolerance=1e-8)
+        tt._coeff_cores = [np.zeros((1, 9000, 1)), np.zeros((1, 3, 1))]
+        tt.n_nodes = [9000, 3]
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            MultiModelEvaluator([tt], dtype="dd")
+
+    def test_dd_dense_book_budget_refusal(self):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        d1 = ChebyshevApproximation(lambda x, _: math.sin(x[0]), 1,
+                                    [[-1, 1]], [9])
+        d1.build(verbose=False)
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            MultiModelEvaluator([d1, d1], dtype="dd")
+
+    def test_tt_book_unbuilt_member(self, tt_3d):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        unbuilt = ChebyshevTT(sin3, 3, [[-1, 1]] * 3, [9] * 3,
+                              max_rank=6)
+        with pytest.raises(RuntimeError):
+            MultiModelEvaluator([tt_3d, unbuilt])
+
+    def test_book_grid_mismatch(self, cheb_sin3d):
+        from pychebyshev_tpu.serving import MultiModelEvaluator
+        other = ChebyshevApproximation(sin3, 3, [[-1, 1]] * 3, [9] * 3)
+        other.build(verbose=False)
+        with pytest.raises(ValueError, match="shared grid"):
+            MultiModelEvaluator([cheb_sin3d, other])
