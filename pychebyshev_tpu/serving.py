@@ -770,10 +770,16 @@ class MultiSpecEvaluator:
                         "n_nodes (all pieces on one grid shape)"
                     )
                 if len(interpolant._pieces) > _dd_mod._PLANE_CACHE_SLOTS:
+                    # Unlike BatchedEvaluator (whose per-piece calls
+                    # share the bounded global plane cache), this
+                    # engine's runners OWN their planes — the cap here
+                    # bounds the pieces x specs plane sets the engine
+                    # pins in device memory for its lifetime.
                     raise ValueError(
-                        f"dtype='dd' spline serving supports at most "
-                        f"{_dd_mod._PLANE_CACHE_SLOTS} pieces (the digit-"
-                        f"plane cache working set); this spline has "
+                        f"dtype='dd' multi-spec spline serving supports "
+                        f"at most {_dd_mod._PLANE_CACHE_SLOTS} pieces "
+                        f"(each piece pins one plane set per spec in "
+                        f"device memory); this spline has "
                         f"{len(interpolant._pieces)} — serve at "
                         f"dtype=jnp.float64 instead"
                     )
