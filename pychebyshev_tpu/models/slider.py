@@ -536,6 +536,117 @@ class ChebyshevSlider:
         import copy
         return copy.deepcopy(self)
 
+    def to_tt(self, tolerance: float = 1e-12):
+        """Exact TT form of the sliding sum (beyond the reference surface).
+
+        The additive decomposition ``f = sum_g s_g - (G-1) p`` is a sum
+        of group-local terms, which a tensor train represents with a
+        two-channel (accumulator + pass-through) bond between groups
+        and ``slide_rank + 2`` bonds inside multi-dim groups — so a
+        10-D basket of 1-dim slides converts to a rank-2 TT exactly
+        (up to the per-slide TT-SVD at ``tolerance``), with no dense
+        materialization.  Non-contiguous partitions are handled via the
+        TT's ``dim_order`` frame (storage order = groups concatenated).
+        The result rides every TT tier: ``eval_batch`` /
+        ``eval_batch_dd``, TT algebra, ``inner_product``, TT Sobol —
+        e.g. adding a non-additive correction TT onto a slider-built
+        model.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.models import tt_algorithms as tta
+        from pychebyshev_tpu.models.tensor_train import ChebyshevTT
+
+        n_groups = len(self.partition)
+        # Per-group VALUE cores of the slide tensors, constant folded
+        # into the first group so f = sum of group terms exactly.
+        group_cores: List[List[np.ndarray]] = []
+        for g, slide in enumerate(self.slides):
+            w = np.asarray(slide.tensor_values, dtype=np.float64)
+            if g == 0:
+                w = w - (n_groups - 1) * self.pivot_value
+            group_cores.append(
+                tta.tt_svd_from_tensor(w, max_rank=int(w.size),
+                                       tol=tolerance))
+
+        def ones(n):
+            return np.ones(n, dtype=np.float64)
+
+        value_cores: List[np.ndarray] = []
+        for g, cores_g in enumerate(group_cores):
+            k = len(cores_g)
+            first_g, last_g = g == 0, g == n_groups - 1
+            for m, b in enumerate(cores_g):
+                rho_l, n_m, rho_r = b.shape
+                # Channel layout per bond: [acc | partial(rho) | pass],
+                # trimmed to the live channels at the global ends and
+                # at group boundaries (rank 2: [acc | pass]).
+                in_acc = not (first_g and m == 0)
+                in_partial = m > 0
+                out_acc = True
+                out_partial = m < k - 1
+                out_pass = not (last_g and m == k - 1)
+                r_in = ((1 if in_acc else 0) + (rho_l if in_partial else 0)
+                        + 1)  # pass always enters (global left end = pass)
+                r_out = ((1 if out_acc else 0)
+                         + (rho_r if out_partial else 0)
+                         + (1 if out_pass else 0))
+                core = np.zeros((r_in, n_m, r_out))
+                i_acc = 0 if in_acc else None
+                i_par = (1 if in_acc else 0) if in_partial else None
+                i_pass = r_in - 1
+                o_acc = 0 if out_acc else None
+                o_par = (1 if out_acc else 0) if out_partial else None
+                o_pass = r_out - 1 if out_pass else None
+                if i_acc is not None:
+                    core[i_acc, :, o_acc] = ones(n_m)
+                if out_partial:
+                    if in_partial:
+                        core[i_par:i_par + rho_l, :,
+                             o_par:o_par + rho_r] = b
+                    else:
+                        # Group term starts: pass channel seeds partial.
+                        core[i_pass, :, o_par:o_par + rho_r] = b[0]
+                else:
+                    # Group term completes into the accumulator.
+                    if in_partial:
+                        core[i_par:i_par + rho_l, :, o_acc] = b[:, :, 0]
+                    else:
+                        core[i_pass, :, o_acc] = b[0, :, 0]
+                if o_pass is not None:
+                    core[i_pass, :, o_pass] = ones(n_m)
+                value_cores.append(core)
+
+        coeff_cores = [tta.value_core_to_coeff_core(c)
+                       for c in value_cores]
+        storage_dims = [d for group in self.partition for d in group]
+        storage_domain = [list(self.domain[d]) for d in storage_dims]
+        storage_n = [int(self.n_nodes[d]) for d in storage_dims]
+
+        tt = ChebyshevTT.__new__(ChebyshevTT)
+        tt.function = None
+        tt.num_dimensions = self.num_dimensions
+        tt.domain = storage_domain
+        tt.n_nodes = storage_n
+        tt.max_rank = max(c.shape[0] for c in coeff_cores[1:]) \
+            if len(coeff_cores) > 1 else 1
+        tt.tolerance = tolerance
+        tt.max_sweeps = 10
+        tt.max_derivative_order = self.max_derivative_order
+        tt.additional_data = self.additional_data
+        tt.descriptor = self.descriptor
+        tt.method = "slider"
+        tt.vectorized = False
+        tt._coeff_cores = coeff_cores
+        tt._tt_ranks = ([c.shape[0] for c in coeff_cores]
+                        + [coeff_cores[-1].shape[2]])
+        tt._built = True
+        tt._build_time = 0.0
+        tt._total_build_evals = 0
+        tt._cached_error_estimate = None
+        tt._dim_order = storage_dims
+        return tt
+
     @staticmethod
     def is_dimensionality_allowed(num_dimensions: int) -> bool:
         """Whether this class supports ``num_dimensions`` (any >= 1)."""

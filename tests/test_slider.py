@@ -400,3 +400,89 @@ class TestBatchValidation:
         via_id = np.asarray(slider_3d.eval_batch(pts, derivative_id=d_id))
         via_spec = np.asarray(slider_3d.eval_batch(pts, [1, 0, 0]))
         np.testing.assert_array_equal(via_id, via_spec)
+
+
+class TestSliderToTT:
+    """Exact TT form of the sliding sum (accumulator + pass-through)."""
+
+    def test_basket_converts_to_rank_2(self, slider_10d):
+        tt = slider_10d.to_tt()
+        assert tt.tt_ranks == [1] + [2] * 9 + [1]
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-0.95, 0.95, (100, 10))
+        want = np.asarray(slider_10d.eval_batch(pts, [0] * 10))
+        got = np.asarray(tt.eval_batch(pts))
+        assert np.abs(got - want).max() < 1e-11
+
+    def test_grouped_partition_agreement(self, slider_4d):
+        tt = slider_4d.to_tt()
+        rng = np.random.default_rng(12)
+        pts = rng.uniform(-0.95, 0.95, (100, 4))
+        want = np.asarray(slider_4d.eval_batch(pts, [0] * 4))
+        got = np.asarray(tt.eval_batch(pts))
+        assert np.abs(got - want).max() < 1e-12
+        # inter-group bond is the 2-channel accumulator
+        assert tt.tt_ranks[2] == 2
+
+    def test_noncontiguous_partition_dim_order(self):
+        def f(x, _):
+            return math.sin(x[0]) * math.cos(x[2]) + x[1] * x[3] ** 2
+
+        s = ChebyshevSlider(f, 4, [[-1, 1]] * 4, [7] * 4,
+                            partition=[[0, 2], [1, 3]],
+                            pivot_point=[0.0] * 4)
+        s.build(verbose=False)
+        tt = s.to_tt()
+        assert tt.dim_order == [0, 2, 1, 3]
+        rng = np.random.default_rng(13)
+        pts = rng.uniform(-0.9, 0.9, (64, 4))
+        want = np.asarray(s.eval_batch(pts, [0] * 4))
+        got = np.asarray(tt.eval_batch(pts))
+        assert np.abs(got - want).max() < 1e-12
+
+    def test_pivot_value_round_trip(self, slider_3d):
+        tt = slider_3d.to_tt()
+        z = slider_3d.pivot_point
+        assert tt.eval(z) == pytest.approx(
+            slider_3d.eval(z, [0, 0, 0]), abs=1e-13)
+
+    def test_single_group_and_metadata(self):
+        def f(x, _):
+            return math.sin(x[0]) + x[1] ** 2
+
+        s = ChebyshevSlider(f, 2, [[-1, 1]] * 2, [7] * 2,
+                            partition=[[0, 1]], pivot_point=[0.0, 0.0])
+        s.build(verbose=False)
+        s.set_descriptor("one-group")
+        tt = s.to_tt()
+        assert tt.get_descriptor() == "one-group"
+        assert tt.is_construction_finished()
+        assert tt.eval([0.4, -0.3]) == pytest.approx(
+            s.eval([0.4, -0.3], [0, 0]), abs=1e-12)
+
+    def test_unbuilt_raises(self):
+        s = ChebyshevSlider(additive_3d, 3, [[-1, 1]] * 3, [9] * 3,
+                            partition=[[0], [1], [2]],
+                            pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError, match="build"):
+            s.to_tt()
+
+    def test_rides_tt_algebra_and_dd(self, slider_3d):
+        tt = slider_3d.to_tt()
+        doubled = tt + tt
+        pt = [0.2, -0.4, 0.6]
+        assert doubled.eval(pt) == pytest.approx(
+            2 * slider_3d.eval(pt, [0] * 3), abs=1e-11)
+        rng = np.random.default_rng(14)
+        pts = rng.uniform(-0.9, 0.9, (32, 3))
+        got = np.asarray(tt.eval_batch_dd(pts))
+        want = np.asarray(slider_3d.eval_batch(pts, [0] * 3))
+        assert np.abs(got - want).max() < 1e-10
+
+    def test_tt_sobol_matches_slider_sobol(self, slider_3d):
+        tt = slider_3d.to_tt()
+        a = slider_3d.sobol_indices()
+        b = tt.sobol_indices()
+        for d in range(3):
+            assert b["first_order"][d] == pytest.approx(
+                a["first_order"][d], abs=1e-9)
