@@ -25,6 +25,7 @@ EXAMPLES = [
     "serving_engine",
     "greek_report",
     "near_f64_tiers",
+    "interconversion",
     "multi_chip",
     "fdm_baseline",
 ]
