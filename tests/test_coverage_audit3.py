@@ -903,3 +903,72 @@ class TestMultiModelValidation:
         other.build(verbose=False)
         with pytest.raises(ValueError, match="shared grid"):
             MultiModelEvaluator([cheb_sin3d, other])
+
+
+class TestDDCtorGuards:
+    def test_batched_dd_unbuilt_dense_spline_slider(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        dense = ChebyshevApproximation(sin2, 2, [[-1, 1]] * 2, [7, 7])
+        with pytest.raises(RuntimeError, match="not built"):
+            BatchedEvaluator(dense, dtype="dd")
+        spline = ChebyshevSpline(kink1d, 1, [[-1, 1]], [7],
+                                 knots=[[0.0]])
+        with pytest.raises(RuntimeError, match="not built"):
+            BatchedEvaluator(spline, dtype="dd")
+        slider = ChebyshevSlider(sin3, 3, [[-1, 1]] * 3, [9] * 3,
+                                 partition=[[0], [1], [2]],
+                                 pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError, match="not built"):
+            BatchedEvaluator(slider, dtype="dd")
+
+    def test_batched_dd_tt_budget_refusal(self, tt_3d):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        fake = tt_3d.clone()
+        fake._coeff_cores = [np.zeros((1, 40000, 1)),
+                             np.zeros((1, 9, 1)), np.zeros((1, 9, 1))]
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            BatchedEvaluator(fake, dtype="dd")
+
+    def test_batched_dd_slider_plan_refusal(self):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+
+        def f4(points, _):
+            points = np.asarray(points)
+            return np.prod(np.cos(points), axis=1)
+
+        s = ChebyshevSlider(f4, 4, [[-1, 1]] * 4, [5] * 4,
+                            partition=[[0, 1, 2, 3]],
+                            pivot_point=[0.0] * 4, vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            BatchedEvaluator(s, dtype="dd")
+
+    def test_multispec_dd_unbuilt_and_budget(self):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+        dense = ChebyshevApproximation(sin2, 2, [[-1, 1]] * 2, [7, 7])
+        with pytest.raises(RuntimeError, match="not built"):
+            MultiSpecEvaluator(dense, [[0, 0]], dtype="dd")
+        d1 = ChebyshevApproximation(lambda x, _: math.sin(x[0]), 1,
+                                    [[-1, 1]], [9])
+        d1.build(verbose=False)
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            MultiSpecEvaluator(d1, [[0]], dtype="dd")
+        slider = ChebyshevSlider(sin3, 3, [[-1, 1]] * 3, [9] * 3,
+                                 partition=[[0], [1], [2]],
+                                 pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError, match="not built"):
+            MultiSpecEvaluator(slider, [[0, 0, 0]], dtype="dd")
+
+    def test_multispec_dd_slider_plan_refusal(self):
+        from pychebyshev_tpu.serving import MultiSpecEvaluator
+
+        def f4(points, _):
+            points = np.asarray(points)
+            return np.prod(np.cos(points), axis=1)
+
+        s = ChebyshevSlider(f4, 4, [[-1, 1]] * 4, [5] * 4,
+                            partition=[[0, 1, 2, 3]],
+                            pivot_point=[0.0] * 4, vectorized=True)
+        s.build(verbose=False)
+        with pytest.raises(ValueError, match="digit-GEMM"):
+            MultiSpecEvaluator(s, [[0, 0, 0, 0]], dtype="dd")
