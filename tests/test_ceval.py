@@ -7,6 +7,7 @@ Skipped wholesale when no C toolchain/library is available — the NumPy
 path is the always-available implementation.
 """
 
+import os
 import threading
 
 import numpy as np
@@ -319,3 +320,30 @@ class TestFallback:
     def test_degenerate_orders_length_guard(self, model5):
         with pytest.raises(ValueError):
             model5.vectorized_eval([0.3, 0.5, 0.7, 0.2, 0.9], [0] * 4)
+
+
+class TestBuildFallbackPaths:
+    def test_try_build_compiles_fresh(self, monkeypatch, tmp_path):
+        """The cc fallback really compiles hosteval.c into the cache dir."""
+        import tempfile
+        from pychebyshev_tpu.utils import ceval
+        monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+        out = ceval._try_build()
+        assert out is not None and os.path.exists(out)
+        # Second call hits the mtime-fresh cache branch.
+        assert ceval._try_build() == out
+
+    def test_try_build_without_source(self, monkeypatch):
+        from pychebyshev_tpu.utils import ceval
+        monkeypatch.setattr(ceval, "_source_path", lambda: None)
+        assert ceval._try_build() is None
+
+    def test_loader_marks_failed_when_nothing_found(self, monkeypatch):
+        from pychebyshev_tpu.utils import ceval
+        monkeypatch.setattr(ceval, "_LIB", None)
+        monkeypatch.setattr(ceval, "_LIB_FAILED", False)
+        monkeypatch.setattr(ceval, "_candidate_dirs", lambda: [])
+        monkeypatch.setattr(ceval, "_try_build", lambda: None)
+        monkeypatch.delenv("PYCHEBYSHEV_TPU_NO_CEVAL", raising=False)
+        assert ceval._get_lib() is None
+        assert ceval._LIB_FAILED
