@@ -326,3 +326,55 @@ class TestRandomRoots:
             1, [[lo, hi]], [9], max_rank=3, vectorized=True)
         tt.build(verbose=False, seed=0)
         assert np.min(np.abs(tt.roots() - root)) < 1e-8
+
+
+@pytest.mark.parametrize("seed", [5, 23, 71])
+class TestToTTConversionAgreement:
+    """to_tt (dense and slider) under randomized targets/domains."""
+
+    def test_dense_to_tt_reproduces_the_polynomial(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, _, _ = _random_poly2(rng)
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        tt = dense.to_tt(tolerance=1e-13)
+        pts = np.stack([rng.uniform(lo, hi, 50) for lo, hi in dom],
+                       axis=1)
+        want = np.asarray(dense.vectorized_eval_batch(pts, [0, 0]))
+        got = np.asarray(tt.eval_batch(pts))
+        scale = max(np.abs(want).max(), 1.0)
+        assert np.abs(got - want).max() < 1e-10 * scale
+
+    def test_slider_to_tt_roundtrip_random_partition(self, seed):
+        rng = np.random.default_rng(seed)
+        dims = int(rng.integers(3, 6))
+        dom = _random_domain(rng, dims)
+        perm = list(rng.permutation(dims))
+        # Random contiguous cut of a random dim permutation.
+        cut = int(rng.integers(1, dims))
+        partition = [sorted(int(d) for d in perm[:cut]),
+                     sorted(int(d) for d in perm[cut:])]
+        coef = rng.uniform(-1.5, 1.5, dims)
+
+        def f(points, _):
+            p = np.asarray(points)
+            g1 = np.prod(np.cos(p[:, partition[0]]), axis=1)
+            g2 = (p[:, partition[1]] * coef[partition[1]]).sum(axis=1)
+            return g1 + g2
+
+        pivot = [float(0.5 * (lo + hi)) for lo, hi in dom]
+        s = ChebyshevSlider(f, dims, dom, [7] * dims,
+                            partition=partition, pivot_point=pivot,
+                            vectorized=True)
+        s.build(verbose=False)
+        tt = s.to_tt()
+        pts = np.stack([rng.uniform(lo, hi, 60) for lo, hi in dom],
+                       axis=1)
+        want = np.asarray(s.eval_batch(pts, [0] * dims))
+        got = np.asarray(tt.eval_batch(pts))
+        scale = max(np.abs(want).max(), 1.0)
+        assert np.abs(got - want).max() < 1e-11 * scale
+        # and the TT round-trips through the dense frame
+        back = tt.to_dense()
+        assert back.shape == tuple(7 for _ in range(dims))
