@@ -540,17 +540,20 @@ class ChebyshevSlider:
         """Exact TT form of the sliding sum (beyond the reference surface).
 
         The additive decomposition ``f = sum_g s_g - (G-1) p`` is a sum
-        of group-local terms, which a tensor train represents with a
-        two-channel (accumulator + pass-through) bond between groups
-        and ``slide_rank + 2`` bonds inside multi-dim groups — so a
-        10-D basket of 1-dim slides converts to a rank-2 TT exactly
-        (up to the per-slide TT-SVD at ``tolerance``), with no dense
+        of group-local terms, which a tensor train represents with an
+        accumulator + pass-through channel construction: rank 2 between
+        groups, ``slide_rank + 1`` inside the first and last groups and
+        ``slide_rank + 2`` inside middle groups — so a 10-D basket of
+        1-dim slides converts to a rank-2 TT exactly (up to the
+        per-slide TT-SVD at ``tolerance``), with no dense
         materialization.  Non-contiguous partitions are handled via the
         TT's ``dim_order`` frame (storage order = groups concatenated).
         The result rides every TT tier: ``eval_batch`` /
         ``eval_batch_dd``, TT algebra, ``inner_product``, TT Sobol —
         e.g. adding a non-additive correction TT onto a slider-built
-        model.
+        model.  Like ``ChebyshevApproximation.to_tt``, the result's
+        ``max_rank`` is the uncapped TT bound (NOT its current bond
+        ranks), so downstream TT algebra has rounding headroom.
         """
         if not self._built:
             raise RuntimeError("Call build() first")
@@ -569,37 +572,40 @@ class ChebyshevSlider:
                 tta.tt_svd_from_tensor(w, max_rank=int(w.size),
                                        tol=tolerance))
 
-        def ones(n):
-            return np.ones(n, dtype=np.float64)
-
+        # Live-channel construction.  Bond channel layout is
+        # [acc? | partial? | pass?]: acc exists once the first group's
+        # term has completed; partial carries the current group's slide
+        # between its own cores; pass carries the constant 1 needed to
+        # seed future groups and dies after the last group starts.
         value_cores: List[np.ndarray] = []
+        in_acc = in_partial = False
+        in_pass = True
         for g, cores_g in enumerate(group_cores):
             k = len(cores_g)
-            first_g, last_g = g == 0, g == n_groups - 1
+            last_g = g == n_groups - 1
             for m, b in enumerate(cores_g):
                 rho_l, n_m, rho_r = b.shape
-                # Channel layout per bond: [acc | partial(rho) | pass],
-                # trimmed to the live channels at the global ends and
-                # at group boundaries (rank 2: [acc | pass]).
-                in_acc = not (first_g and m == 0)
-                in_partial = m > 0
-                out_acc = True
-                out_partial = m < k - 1
-                out_pass = not (last_g and m == k - 1)
-                r_in = ((1 if in_acc else 0) + (rho_l if in_partial else 0)
-                        + 1)  # pass always enters (global left end = pass)
+                completes = m == k - 1
+                out_acc = in_acc or completes
+                out_partial = not completes
+                out_pass = not last_g
+                r_in = ((1 if in_acc else 0)
+                        + (rho_l if in_partial else 0)
+                        + (1 if in_pass else 0))
                 r_out = ((1 if out_acc else 0)
                          + (rho_r if out_partial else 0)
                          + (1 if out_pass else 0))
                 core = np.zeros((r_in, n_m, r_out))
                 i_acc = 0 if in_acc else None
                 i_par = (1 if in_acc else 0) if in_partial else None
-                i_pass = r_in - 1
+                i_pass = r_in - 1 if in_pass else None
                 o_acc = 0 if out_acc else None
                 o_par = (1 if out_acc else 0) if out_partial else None
                 o_pass = r_out - 1 if out_pass else None
+                one = np.ones(n_m, dtype=np.float64)
                 if i_acc is not None:
-                    core[i_acc, :, o_acc] = ones(n_m)
+                    core[i_acc, :, o_acc] = one
+                src = i_par if in_partial else i_pass
                 if out_partial:
                     if in_partial:
                         core[i_par:i_par + rho_l, :,
@@ -614,38 +620,33 @@ class ChebyshevSlider:
                     else:
                         core[i_pass, :, o_acc] = b[0, :, 0]
                 if o_pass is not None:
-                    core[i_pass, :, o_pass] = ones(n_m)
+                    core[i_pass, :, o_pass] = one
                 value_cores.append(core)
+                in_acc, in_partial = out_acc, out_partial
+                in_pass = out_pass
 
         coeff_cores = [tta.value_core_to_coeff_core(c)
                        for c in value_cores]
         storage_dims = [d for group in self.partition for d in group]
         storage_domain = [list(self.domain[d]) for d in storage_dims]
         storage_n = [int(self.n_nodes[d]) for d in storage_dims]
-
-        tt = ChebyshevTT.__new__(ChebyshevTT)
-        tt.function = None
-        tt.num_dimensions = self.num_dimensions
-        tt.domain = storage_domain
-        tt.n_nodes = storage_n
-        tt.max_rank = max(c.shape[0] for c in coeff_cores[1:]) \
-            if len(coeff_cores) > 1 else 1
-        tt.tolerance = tolerance
-        tt.max_sweeps = 10
-        tt.max_derivative_order = self.max_derivative_order
-        tt.additional_data = self.additional_data
-        tt.descriptor = self.descriptor
-        tt.method = "slider"
-        tt.vectorized = False
-        tt._coeff_cores = coeff_cores
-        tt._tt_ranks = ([c.shape[0] for c in coeff_cores]
-                        + [coeff_cores[-1].shape[2]])
-        tt._built = True
-        tt._build_time = 0.0
-        tt._total_build_evals = 0
-        tt._cached_error_estimate = None
-        tt._dim_order = storage_dims
-        return tt
+        # Uncapped rank bound (like ChebyshevApproximation.to_tt): the
+        # converted model's CURRENT ranks must not become the rounding
+        # cap of later TT algebra, or "slider TT + correction TT"
+        # silently truncates the correction.
+        if len(storage_n) > 1:
+            cap = max(
+                min(int(np.prod(storage_n[:j + 1])),
+                    int(np.prod(storage_n[j + 1:])))
+                for j in range(len(storage_n) - 1))
+        else:
+            cap = 1
+        return ChebyshevTT._from_coeff_cores(
+            coeff_cores, storage_domain, storage_n,
+            dim_order=storage_dims, max_rank=cap, tolerance=tolerance,
+            max_derivative_order=self.max_derivative_order,
+            additional_data=self.additional_data,
+            descriptor=self.descriptor, method="slider")
 
     @staticmethod
     def is_dimensionality_allowed(num_dimensions: int) -> bool:

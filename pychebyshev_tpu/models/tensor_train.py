@@ -1233,28 +1233,48 @@ class ChebyshevTT:
                                              tol=tolerance)
         coeff_cores = [tta.value_core_to_coeff_core(c)
                        for c in value_cores]
+        return cls._from_coeff_cores(
+            coeff_cores, domain, n_nodes,
+            dim_order=list(range(num_dimensions)), max_rank=max_rank,
+            tolerance=tolerance, max_derivative_order=max_derivative_order,
+            additional_data=additional_data, descriptor=descriptor,
+            method="svd")
 
+    @classmethod
+    def _from_coeff_cores(cls, coeff_cores, domain, n_nodes, *,
+                          dim_order, max_rank, tolerance,
+                          max_derivative_order=2, additional_data=None,
+                          descriptor: str = "",
+                          method: str = "cores") -> "ChebyshevTT":
+        """One authoritative built-object factory for external cores.
+
+        ``domain``/``n_nodes`` are STORAGE-frame (position k describes
+        user dim ``dim_order[k]``).  Every factory that fabricates a
+        TT from precomputed coefficient cores (``from_values``,
+        ``ChebyshevSlider.to_tt``) routes here so the attribute list
+        has a single owner.
+        """
         obj = cls.__new__(cls)
         obj.function = None
-        obj.num_dimensions = num_dimensions
+        obj.num_dimensions = len(n_nodes)
         obj.domain = [list(b) for b in domain]
-        obj.n_nodes = list(n_nodes)
-        obj.max_rank = max_rank
+        obj.n_nodes = [int(n) for n in n_nodes]
+        obj.max_rank = int(max_rank)
         obj.tolerance = tolerance
         obj.max_sweeps = 10
         obj.max_derivative_order = max_derivative_order
         obj.additional_data = additional_data
         obj.descriptor = descriptor
-        obj.method = "svd"
+        obj.method = method
         obj.vectorized = False
-        obj._coeff_cores = coeff_cores
+        obj._coeff_cores = list(coeff_cores)
         obj._tt_ranks = ([c.shape[0] for c in coeff_cores]
                          + [coeff_cores[-1].shape[2]])
         obj._built = True
         obj._build_time = 0.0
         obj._total_build_evals = 0
         obj._cached_error_estimate = None
-        obj._dim_order = list(range(num_dimensions))
+        obj._dim_order = list(dim_order)
         return obj
 
     @classmethod

@@ -756,9 +756,10 @@ class MultiSpecEvaluator:
                         f"dtype=jnp.float64 instead"
                     )
             elif isinstance(interpolant, ChebyshevSpline):
-                # Same envelope as the single-spec dd spline engine:
-                # uniform piece grids within the plan budget, piece
-                # count bounded by the digit-plane cache working set.
+                # Uniform piece grids within the plan budget; the piece
+                # cap below bounds the pieces x specs plane sets this
+                # engine's runners pin in device memory (they OWN their
+                # planes — unlike BatchedEvaluator's global cache).
                 if not interpolant._built:
                     raise RuntimeError("interpolant is not built")
                 from pychebyshev_tpu.ops import eval_dd as _dd_mod

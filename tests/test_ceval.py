@@ -325,8 +325,12 @@ class TestFallback:
 class TestBuildFallbackPaths:
     def test_try_build_compiles_fresh(self, monkeypatch, tmp_path):
         """The cc fallback really compiles hosteval.c into the cache dir."""
+        import shutil
         import tempfile
         from pychebyshev_tpu.utils import ceval
+        if ceval._source_path() is None or not any(
+                shutil.which(cc) for cc in ("cc", "gcc", "clang")):
+            pytest.skip("no C toolchain/source on this host")
         monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
         out = ceval._try_build()
         assert out is not None and os.path.exists(out)

@@ -7,7 +7,8 @@ import pickle
 import numpy as np
 import pytest
 
-from pychebyshev_tpu import ChebyshevApproximation, ChebyshevSlider
+from pychebyshev_tpu import (ChebyshevApproximation, ChebyshevSlider,
+                             ChebyshevTT)
 
 
 def additive_3d(x, _):
@@ -486,3 +487,30 @@ class TestSliderToTT:
         for d in range(3):
             assert b["first_order"][d] == pytest.approx(
                 a["first_order"][d], abs=1e-9)
+
+    def test_add_correction_needing_rank_growth(self, slider_3d):
+        # Regression: to_tt's max_rank must leave rounding headroom —
+        # a converted rank-2 TT plus a rank-1 product correction needs
+        # bond rank 3; capping at the converted model's own ranks
+        # silently truncated the sum (measured 1.6e-2 off).
+        def prod3(x, _):
+            return 0.1 * math.sin(x[0]) * math.cos(x[1]) * x[2]
+
+        corr = ChebyshevTT(prod3, 3, [[-1, 1]] * 3, [11] * 3, max_rank=1)
+        corr.build(verbose=False, seed=0)
+        combo = slider_3d.to_tt() + corr
+        rng = np.random.default_rng(15)
+        pts = rng.uniform(-0.9, 0.9, (100, 3))
+        want = (np.asarray(slider_3d.eval_batch(pts, [0] * 3))
+                + np.asarray(corr.eval_batch(pts)))
+        got = np.asarray(combo.eval_batch(pts))
+        assert max(combo.tt_ranks) >= 3
+        assert np.abs(got - want).max() < 1e-11
+
+    def test_end_group_bonds_are_trimmed(self, slider_4d):
+        # First/last multi-dim groups carry no dead acc/pass channel:
+        # interior bonds are slide_rank + 1, not slide_rank + 2.
+        tt = slider_4d.to_tt()
+        slide_rank = 2  # each 2-D slide is a rank-2 function here
+        assert tt.tt_ranks[1] == slide_rank + 1
+        assert tt.tt_ranks[3] == slide_rank + 1
