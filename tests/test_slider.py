@@ -514,3 +514,11 @@ class TestSliderToTT:
         slide_rank = 2  # each 2-D slide is a rank-2 function here
         assert tt.tt_ranks[1] == slide_rank + 1
         assert tt.tt_ranks[3] == slide_rank + 1
+
+    def test_converted_tt_serves_through_dd_engine(self, slider_3d):
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(slider_3d.to_tt(), dtype="dd")
+        rng = np.random.default_rng(16)
+        pts = rng.uniform(-0.9, 0.9, (48, 3))
+        want = np.asarray(slider_3d.eval_batch(pts, [0] * 3))
+        np.testing.assert_allclose(eng(pts), want, atol=1e-10)
