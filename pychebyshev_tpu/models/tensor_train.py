@@ -464,6 +464,78 @@ class ChebyshevTT:
             result = np.transpose(result, axes=inv)
         return result
 
+    def to_slider(self, partition, pivot_point):
+        """Additive (sliding-technique) projection of this TT —
+        zero function evaluations (beyond the reference surface).
+
+        Builds the classical slider decomposition ``f(z) + sum_g
+        [f|_{off-group dims at z}(x_g) - f(z)]`` directly from the TT:
+        every slide is an exact TT ``slice`` at the pivot (barycentric
+        contraction in value space), densified over its few group dims.
+        Exact to the TT's own accuracy when f is additive across
+        ``partition``; otherwise it IS the sliding-technique
+        approximation — useful for dimension analysis and the slider
+        serving tiers without re-sampling the original function.
+        The inverse direction of :meth:`ChebyshevSlider.to_tt`.
+        """
+        self._check_built()
+        from pychebyshev_tpu.models.approximation import (
+            ChebyshevApproximation,
+        )
+        from pychebyshev_tpu.models.slider import ChebyshevSlider
+
+        partition = [list(int(d) for d in g) for g in partition]
+        covered = sorted(d for g in partition for d in g)
+        if covered != list(range(self.num_dimensions)):
+            raise ValueError(
+                f"Partition must cover all dimensions "
+                f"0..{self.num_dimensions - 1} exactly once. "
+                f"Got dimensions: {covered}"
+            )
+        pivot_point = [float(v) for v in pivot_point]
+        if len(pivot_point) != self.num_dimensions:
+            raise ValueError(
+                f"pivot_point length {len(pivot_point)} does not match "
+                f"num_dimensions {self.num_dimensions}"
+            )
+        user_domain = self._user_frame_domain()
+        user_n = [self.n_nodes[self._dim_order.index(u)]
+                  for u in range(self.num_dimensions)]
+        for d, v in enumerate(pivot_point):
+            lo, hi = user_domain[d]
+            if v < lo or v > hi:
+                raise ValueError(
+                    f"pivot_point[{d}] = {v} is outside the domain "
+                    f"[{lo}, {hi}]"
+                )
+
+        pivot_value = float(self.eval(pivot_point))
+        slides = []
+        for group in partition:
+            off = [(d, pivot_point[d]) for d in range(self.num_dimensions)
+                   if d not in group]
+            sub = self.slice(off) if off else self
+            # slice renumbers survivors ascending; reorder the dense
+            # axes to the group's listed order.
+            values = sub.to_dense()
+            ascending = sorted(group)
+            perm = [ascending.index(d) for d in group]
+            if perm != list(range(len(group))):
+                values = np.transpose(values, axes=perm)
+            slides.append(ChebyshevApproximation.from_values(
+                values, len(group), [user_domain[d] for d in group],
+                [user_n[d] for d in group],
+                max_derivative_order=self.max_derivative_order))
+
+        return ChebyshevSlider._assemble(
+            num_dimensions=self.num_dimensions, domain=user_domain,
+            n_nodes=user_n, partition=partition,
+            pivot_point=pivot_point, slides=slides,
+            pivot_value=pivot_value,
+            max_derivative_order=self.max_derivative_order,
+            descriptor=self.descriptor,
+            additional_data=self.additional_data)
+
     # ------------------------------------------------------------------
     # Extrude / slice
     # ------------------------------------------------------------------

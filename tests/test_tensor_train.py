@@ -782,3 +782,87 @@ class TestDenseToTT:
             cheb_bs5d.vectorized_eval_batch(pts, [0] * 5))
         got = np.asarray(tt.eval_batch_dd(pts))
         assert np.abs(got - want).max() < 1e-10 * np.abs(want).max()
+
+
+class TestToSlider:
+    """ChebyshevTT.to_slider — additive projection via exact TT slices."""
+
+    @pytest.fixture(scope="class")
+    def tt_mixed(self):
+        def mixed(x, _):
+            return math.sin(x[0]) + x[1] * x[2]
+
+        tt = ChebyshevTT(mixed, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6,
+                         tolerance=1e-10)
+        tt.build(verbose=False, seed=0)
+        return tt
+
+    def test_additive_projection_is_exact(self):
+        def add3(x, _):
+            return math.sin(x[0]) + math.cos(x[1]) + x[2] ** 2
+
+        tt = ChebyshevTT(add3, 3, [[-1, 1]] * 3, [9] * 3, max_rank=6,
+                         tolerance=1e-10)
+        tt.build(verbose=False, seed=0)
+        sl = tt.to_slider([[0], [1], [2]], [0.0, 0.0, 0.0])
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.9, 0.9, (100, 3))
+        want = np.asarray(tt.eval_batch(pts))
+        got = np.asarray(sl.eval_batch(pts, [0] * 3))
+        assert np.abs(got - want).max() < 1e-9
+
+    def test_matches_directly_built_slider(self, tt_mixed):
+        from pychebyshev_tpu import ChebyshevSlider
+
+        def mixed(x, _):
+            return math.sin(x[0]) + x[1] * x[2]
+
+        direct = ChebyshevSlider(mixed, 3, [[-1, 1]] * 3, [9] * 3,
+                                 partition=[[0], [1, 2]],
+                                 pivot_point=[0.1, -0.2, 0.3])
+        direct.build(verbose=False)
+        projected = tt_mixed.to_slider([[0], [1, 2]], [0.1, -0.2, 0.3])
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-0.9, 0.9, (100, 3))
+        want = np.asarray(direct.eval_batch(pts, [0] * 3))
+        got = np.asarray(projected.eval_batch(pts, [0] * 3))
+        # TT slicing is exact polynomial evaluation, so the projection
+        # matches the sliding technique to TT accuracy.
+        assert np.abs(got - want).max() < 1e-9
+
+    def test_group_order_preserved(self, tt_mixed):
+        a = tt_mixed.to_slider([[2, 1], [0]], [0.1, -0.2, 0.3])
+        b = tt_mixed.to_slider([[1, 2], [0]], [0.1, -0.2, 0.3])
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-0.9, 0.9, (50, 3))
+        np.testing.assert_allclose(
+            np.asarray(a.eval_batch(pts, [0] * 3)),
+            np.asarray(b.eval_batch(pts, [0] * 3)), atol=1e-12)
+
+    def test_round_trips_through_to_tt(self, tt_mixed):
+        sl = tt_mixed.to_slider([[0], [1, 2]], [0.1, -0.2, 0.3])
+        back = sl.to_tt()
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-0.9, 0.9, (50, 3))
+        np.testing.assert_allclose(
+            np.asarray(back.eval_batch(pts)),
+            np.asarray(sl.eval_batch(pts, [0] * 3)), atol=1e-12)
+
+    def test_validation(self, tt_mixed):
+        with pytest.raises(ValueError, match="Partition must cover"):
+            tt_mixed.to_slider([[0], [1]], [0.0, 0.0, 0.0])
+        with pytest.raises(ValueError, match="pivot_point length"):
+            tt_mixed.to_slider([[0], [1], [2]], [0.0, 0.0])
+        with pytest.raises(ValueError, match="outside the domain"):
+            tt_mixed.to_slider([[0], [1], [2]], [0.0, 0.0, 5.0])
+        unbuilt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3)
+        with pytest.raises(RuntimeError):
+            unbuilt.to_slider([[0], [1], [2]], [0.0] * 3)
+
+    def test_single_group_degenerate(self, tt_mixed):
+        sl = tt_mixed.to_slider([[0, 1, 2]], [0.0, 0.0, 0.0])
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-0.9, 0.9, (50, 3))
+        np.testing.assert_allclose(
+            np.asarray(sl.eval_batch(pts, [0] * 3)),
+            np.asarray(tt_mixed.eval_batch(pts)), atol=1e-10)
