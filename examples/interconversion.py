@@ -14,6 +14,10 @@ on TPU the TT serving tiers are often the fastest near-f64 path:
                              groups), so a 10-D basket converts at
                              machine epsilon.
 
+    tt.to_slider(partition, z)  the reverse: the sliding-technique
+                             additive projection of ANY built TT,
+                             from exact TT slices — zero evaluations.
+
 Once in TT form a model gains TT algebra (e.g. adding a low-rank
 non-additive correction onto a slider-built basket), inner_product,
 TT Sobol, ``eval_batch_dd``, and ``.npz`` TT checkpoints.
@@ -97,6 +101,16 @@ def main():
     base = np.asarray(corrected.eval_batch(pts10[:256]))
     print(f"corrected model via eval_batch_dd: max dev vs f64 chain "
           f"{np.abs(got_dd - base).max():.2e}")
+
+    # --- and back: TT -> slider (additive projection, zero evals) ----
+    # The corrected TT is no longer additive; to_slider extracts its
+    # best sliding-technique approximation from exact TT slices.
+    projected = corrected.to_slider([[i] for i in range(d)],
+                                    [0.0] * d)
+    got = np.asarray(projected.eval_batch(pts10[:256], [0] * d))
+    print(f"TT -> slider additive projection: max additive-model "
+          f"residual {np.abs(got - base[:256]).max():.2e} "
+          f"(the cross term the additive family cannot express)")
 
 
 if __name__ == "__main__":
