@@ -55,6 +55,8 @@ class ChebyshevSlider:
         self.additional_data = additional_data
         self.vectorized = bool(vectorized)
 
+        if any(len(g) == 0 for g in self.partition):
+            raise ValueError("Partition groups must be non-empty")
         all_dims = sorted(d for group in self.partition for d in group)
         if all_dims != list(range(num_dimensions)):
             raise ValueError(

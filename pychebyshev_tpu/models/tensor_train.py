@@ -484,7 +484,13 @@ class ChebyshevTT:
         )
         from pychebyshev_tpu.models.slider import ChebyshevSlider
 
-        partition = [list(int(d) for d in g) for g in partition]
+        groups_in = [list(g) for g in partition]
+        if any(len(g) == 0 for g in groups_in):
+            raise ValueError("Partition groups must be non-empty")
+        if any(int(d) != d for g in groups_in for d in g):
+            raise ValueError(
+                f"Partition dims must be integers; got {groups_in}")
+        partition = [[int(d) for d in g] for g in groups_in]
         covered = sorted(d for g in partition for d in g)
         if covered != list(range(self.num_dimensions)):
             raise ValueError(

@@ -522,3 +522,10 @@ class TestSliderToTT:
         pts = rng.uniform(-0.9, 0.9, (48, 3))
         want = np.asarray(slider_3d.eval_batch(pts, [0] * 3))
         np.testing.assert_allclose(eng(pts), want, atol=1e-10)
+
+
+def test_ctor_rejects_empty_partition_group():
+    with pytest.raises(ValueError, match="non-empty"):
+        ChebyshevSlider(additive_3d, 3, [[-1, 1]] * 3, [9] * 3,
+                        partition=[[0, 1, 2], []],
+                        pivot_point=[0.0] * 3)

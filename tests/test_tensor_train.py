@@ -851,6 +851,10 @@ class TestToSlider:
     def test_validation(self, tt_mixed):
         with pytest.raises(ValueError, match="Partition must cover"):
             tt_mixed.to_slider([[0], [1]], [0.0, 0.0, 0.0])
+        with pytest.raises(ValueError, match="non-empty"):
+            tt_mixed.to_slider([[0, 1, 2], []], [0.0, 0.0, 0.0])
+        with pytest.raises(ValueError, match="integers"):
+            tt_mixed.to_slider([[0], [1.5], [2]], [0.0, 0.0, 0.0])
         with pytest.raises(ValueError, match="pivot_point length"):
             tt_mixed.to_slider([[0], [1], [2]], [0.0, 0.0])
         with pytest.raises(ValueError, match="outside the domain"):
