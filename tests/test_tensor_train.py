@@ -870,3 +870,67 @@ class TestToSlider:
         np.testing.assert_allclose(
             np.asarray(sl.eval_batch(pts, [0] * 3)),
             np.asarray(tt_mixed.eval_batch(pts)), atol=1e-10)
+
+
+class TestInteractionAnalysis:
+    """interaction_matrix / suggest_partition (pairwise TT Sobol)."""
+
+    @pytest.fixture(scope="class")
+    def tt_pair(self):
+        def mixed(x, _):
+            return math.sin(x[0]) + x[1] * x[2] + math.cos(x[3])
+
+        tt = ChebyshevTT(mixed, 4, [[-1, 1]] * 4, [9] * 4, max_rank=6,
+                         tolerance=1e-10)
+        tt.build(verbose=False, seed=0)
+        return tt
+
+    def test_detects_the_coupled_pair(self, tt_pair):
+        m = tt_pair.interaction_matrix()
+        assert m[1, 2] > 0.1
+        assert m[1, 2] == m[2, 1]
+        mask = np.ones((4, 4), dtype=bool)
+        mask[1, 2] = mask[2, 1] = False
+        assert np.abs(m[mask]).max() < 1e-12
+        assert tt_pair.suggest_partition() == [[0], [1, 2], [3]]
+
+    def test_additive_function_is_all_singletons(self):
+        tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3, max_rank=4,
+                         tolerance=1e-10)
+        tt.build(verbose=False, seed=0)
+        assert tt.suggest_partition() == [[0], [1], [2]]
+        assert tt.interaction_matrix().max() < 1e-12
+
+    def test_user_frame_invariant_under_reorder(self, tt_pair):
+        m = tt_pair.interaction_matrix()
+        r = tt_pair.reorder([2, 0, 3, 1])
+        np.testing.assert_allclose(r.interaction_matrix(), m,
+                                   atol=1e-12)
+
+    def test_pipeline_to_slider(self, tt_pair):
+        sl = tt_pair.to_slider(tt_pair.suggest_partition(), [0.0] * 4)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.9, 0.9, (64, 4))
+        want = np.asarray(tt_pair.eval_batch(pts))
+        got = np.asarray(sl.eval_batch(pts, [0] * 4))
+        assert np.abs(got - want).max() < 1e-9
+
+    def test_threshold_merges_everything_at_zero(self, tt_pair):
+        # threshold below roundoff merges nothing extra; a negative
+        # threshold merges all pairs with any (even zero) interaction?
+        # No: strictly greater-than, so 0-interactions never merge.
+        assert tt_pair.suggest_partition(threshold=0.5) == [
+            [0], [1], [2], [3]]
+
+    def test_unbuilt_raises(self):
+        tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3)
+        with pytest.raises(RuntimeError):
+            tt.interaction_matrix()
+
+    def test_matches_dense_sobol_decomposition(self, tt_pair):
+        # Sum rule: first-order shares + all pairwise interaction
+        # shares account for the whole variance of this 2-way function.
+        m = tt_pair.interaction_matrix()
+        s = tt_pair.sobol_indices()
+        total_share = sum(s["first_order"].values()) + m.sum() / 2.0
+        assert total_share == pytest.approx(1.0, abs=1e-9)
