@@ -1052,6 +1052,46 @@ class ChebyshevApproximation:
         coeffs = chebyshev_coefficient_tensor(self.tensor_values)
         return sobol_from_coeffs(coeffs, self.num_dimensions)
 
+    def interaction_matrix(self) -> np.ndarray:
+        """(d, d) pure pairwise Sobol interaction shares (beyond
+        reference; the dense counterpart of
+        ``ChebyshevTT.interaction_matrix``).  Zero (to roundoff)
+        exactly where the function separates additively — threshold it
+        with :meth:`suggest_partition` to pick a slider partition."""
+        from pychebyshev_tpu.utils.sensitivity import (
+            chebyshev_coefficient_tensor,
+            pair_interactions_from_coeffs,
+        )
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        coeffs = chebyshev_coefficient_tensor(self.tensor_values)
+        return pair_interactions_from_coeffs(coeffs,
+                                             self.num_dimensions)
+
+    def suggest_partition(self, threshold: float = 1e-8) -> list:
+        """Additive partition implied by :meth:`interaction_matrix`
+        (union-find over above-threshold pairs; beyond reference).
+        Feed to ``ChebyshevSlider`` (or ``to_tt().to_slider``) for a
+        principled sliding-technique decomposition."""
+        inter = self.interaction_matrix()
+        d = self.num_dimensions
+        parent = list(range(d))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(d):
+            for j in range(i + 1, d):
+                if inter[i, j] > threshold:
+                    parent[find(i)] = find(j)
+        groups: dict = {}
+        for i in range(d):
+            groups.setdefault(find(i), []).append(i)
+        return sorted(groups.values())
+
     def get_error_threshold(self):
         """The error_threshold ctor kwarg (target precision), or None."""
         return self.error_threshold

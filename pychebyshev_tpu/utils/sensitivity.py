@@ -97,6 +97,40 @@ def sobol_from_coeffs(coeffs, num_dimensions: int) -> dict:
             "variance": variance}
 
 
+def pair_interactions_from_coeffs(coeffs,
+                                  num_dimensions: int) -> np.ndarray:
+    """(d, d) pure pairwise Sobol interaction shares from a dense
+    coefficient tensor (the dense counterpart of
+    :func:`tt_pair_interactions`; beyond reference).
+
+    Entry (i, j) is the variance share of terms with ``alpha_i >= 1``,
+    ``alpha_j >= 1`` and every other index zero, computed as masked
+    reductions of the weighted-energy tensor.
+    """
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    d = num_dimensions
+    out = np.zeros((d, d))
+    if d < 2:
+        return out
+    energy = coeffs * coeffs
+    for k in range(d):
+        shape = [1] * d
+        shape[k] = coeffs.shape[k]
+        energy = energy * _weight_vector(coeffs.shape[k]).reshape(shape)
+    zero0 = tuple([0] * d)
+    variance = float(energy.sum() - energy[zero0])
+    if variance <= 0:
+        return out
+    for i in range(d):
+        for j in range(i + 1, d):
+            sl = [slice(0, 1)] * d
+            sl[i] = slice(1, None)
+            sl[j] = slice(1, None)
+            share = float(energy[tuple(sl)].sum()) / variance
+            out[i, j] = out[j, i] = max(share, 0.0)
+    return out
+
+
 def sobol_from_tt_cores(cores) -> dict:
     """Sobol indices from TT *coefficient* cores, O(d n r^2).
 

@@ -860,3 +860,39 @@ def test_tail_estimate_threads_through_spline_and_slider():
         8 * x[1]), 2, [[-1, 1]] * 2, [3, 3], [[0], [1]], [0.0, 0.0])
     sl.build(verbose=False)
     assert sl.error_estimate(tail=2) > 0.1 > sl.error_estimate()
+
+
+class TestDenseInteractionAnalysis:
+    def test_detects_planted_coupling(self):
+        import math
+
+        def mixed(x, _):
+            return math.sin(x[0]) + x[1] * x[2] + math.cos(x[3])
+
+        dense = ChebyshevApproximation(mixed, 4, [[-1, 1]] * 4, [9] * 4)
+        dense.build(verbose=False)
+        m = dense.interaction_matrix()
+        assert m[1, 2] > 0.1 and m[1, 2] == m[2, 1]
+        mask = np.ones((4, 4), dtype=bool)
+        mask[1, 2] = mask[2, 1] = False
+        assert np.abs(m[mask]).max() < 1e-12
+        assert dense.suggest_partition() == [[0], [1, 2], [3]]
+
+    def test_matches_tt_interaction_matrix(self):
+        import math
+
+        def mixed(x, _):
+            return math.sin(x[0]) + 0.5 * x[1] * x[2]
+
+        dense = ChebyshevApproximation(mixed, 3, [[-1, 1]] * 3, [9] * 3)
+        dense.build(verbose=False)
+        tt = dense.to_tt(tolerance=1e-13)
+        np.testing.assert_allclose(tt.interaction_matrix(),
+                                   dense.interaction_matrix(),
+                                   atol=1e-10)
+
+    def test_unbuilt_raises(self):
+        dense = ChebyshevApproximation(
+            lambda x, _: x[0], 2, [[-1, 1]] * 2, [5] * 2)
+        with pytest.raises(RuntimeError):
+            dense.interaction_matrix()
