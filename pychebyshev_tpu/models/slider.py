@@ -439,6 +439,42 @@ class ChebyshevSlider:
             "variance": v_total_norm * np.pi ** self.num_dimensions,
         }
 
+    def interaction_matrix(self) -> np.ndarray:
+        """(d, d) pure pairwise Sobol interaction shares (beyond
+        reference, matching the dense/TT surface).
+
+        Cross-group entries are EXACTLY zero by the additive form;
+        within a multi-dim group the slide's own pair shares scale by
+        its variance fraction.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.sensitivity import (
+            chebyshev_coefficient_tensor,
+            pair_interactions_from_coeffs,
+        )
+        out = np.zeros((self.num_dimensions, self.num_dimensions))
+        v_norm = []
+        slide_pairs = []
+        for group, slide in zip(self.partition, self.slides):
+            coeffs = chebyshev_coefficient_tensor(slide.tensor_values)
+            from pychebyshev_tpu.utils.sensitivity import (
+                sobol_from_coeffs,
+            )
+            res = sobol_from_coeffs(coeffs, len(group))
+            v_norm.append(res["variance"] / np.pi ** len(group))
+            slide_pairs.append(
+                pair_interactions_from_coeffs(coeffs, len(group)))
+        v_total = sum(v_norm)
+        if v_total <= 0:
+            return out
+        for group, pairs, v in zip(self.partition, slide_pairs, v_norm):
+            scale = v / v_total
+            for a, da in enumerate(group):
+                for b, db in enumerate(group):
+                    out[da, db] = pairs[a, b] * scale
+        return out
+
     @property
     def total_build_evals(self) -> int:
         """Sum over groups of their grid sizes."""

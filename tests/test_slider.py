@@ -529,3 +529,26 @@ def test_ctor_rejects_empty_partition_group():
         ChebyshevSlider(additive_3d, 3, [[-1, 1]] * 3, [9] * 3,
                         partition=[[0, 1, 2], []],
                         pivot_point=[0.0] * 3)
+
+
+class TestSliderInteractionMatrix:
+    def test_cross_group_exact_zero_within_group_detected(self,
+                                                          slider_4d):
+        m = slider_4d.interaction_matrix()
+        # groups [[0,1],[2,3]]: cross-group entries identically zero
+        assert m[0, 2] == 0.0 and m[1, 3] == 0.0
+        # each slide is a genuinely 2-way function here
+        assert m[0, 1] > 1e-6 and m[2, 3] > 1e-6
+
+    def test_matches_converted_tt(self, slider_4d):
+        tt = slider_4d.to_tt()
+        np.testing.assert_allclose(tt.interaction_matrix(),
+                                   slider_4d.interaction_matrix(),
+                                   atol=1e-9)
+
+    def test_unbuilt_raises(self):
+        s = ChebyshevSlider(additive_3d, 3, [[-1, 1]] * 3, [9] * 3,
+                            partition=[[0], [1], [2]],
+                            pivot_point=[0.0] * 3)
+        with pytest.raises(RuntimeError):
+            s.interaction_matrix()
