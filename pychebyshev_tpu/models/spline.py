@@ -600,6 +600,55 @@ class ChebyshevSpline:
             "variance": total_variance,
         }
 
+    def interaction_matrix(self) -> np.ndarray:
+        """(d, d) pure pairwise Sobol interaction shares, aggregated
+        over pieces by volume x variance like :meth:`sobol_indices`
+        (beyond reference, matching the dense/TT/slider surface)."""
+        from pychebyshev_tpu.utils.sensitivity import (
+            chebyshev_coefficient_tensor,
+            pair_interactions_from_coeffs,
+            sobol_from_coeffs,
+        )
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        d = self.num_dimensions
+        out = np.zeros((d, d))
+        total_variance = 0.0
+        for piece in self._pieces:
+            if piece is None:
+                continue
+            vol = float(np.prod([hi - lo for lo, hi in piece.domain]))
+            coeffs = chebyshev_coefficient_tensor(piece.tensor_values)
+            res = sobol_from_coeffs(coeffs, d)
+            total_variance += vol * res["variance"]
+            out += (vol * res["variance"]
+                    * pair_interactions_from_coeffs(coeffs, d))
+        if total_variance <= 0:
+            return np.zeros((d, d))
+        return out / total_variance
+
+    def suggest_partition(self, threshold: float = 1e-8) -> list:
+        """Additive partition implied by :meth:`interaction_matrix`
+        (union-find over above-threshold pairs; beyond reference)."""
+        inter = self.interaction_matrix()
+        d = self.num_dimensions
+        parent = list(range(d))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(d):
+            for j in range(i + 1, d):
+                if inter[i, j] > threshold:
+                    parent[find(i)] = find(j)
+        groups: dict = {}
+        for i in range(d):
+            groups.setdefault(find(i), []).append(i)
+        return sorted(groups.values())
+
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------

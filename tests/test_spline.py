@@ -603,3 +603,29 @@ class TestAutoNResolutionAndHeterogeneousPieces:
         for piece in sp._pieces:
             assert piece._host_arrays() is not None  # cache seeded
         assert sp.eval([0.4], [0]) == pytest.approx(0.4, abs=1e-12)
+
+
+class TestSplineInteractionAnalysis:
+    def test_detects_coupling_across_pieces(self):
+        import math
+
+        def f(x, _):
+            return abs(x[0]) + x[1] * x[2]
+
+        s = ChebyshevSpline(f, 3, [[-1, 1]] * 3, [7, 7, 7],
+                            knots=[[0.0], [], []])
+        s.build(verbose=False)
+        m = s.interaction_matrix()
+        assert m[1, 2] > 0.1
+        assert abs(m[0, 1]) < 1e-10 and abs(m[0, 2]) < 1e-10
+        assert s.suggest_partition() == [[0], [1, 2]]
+
+    def test_additive_kink_all_singletons(self, spline_abs):
+        m = spline_abs.interaction_matrix()
+        assert m.max() < 1e-10
+
+    def test_unbuilt_raises(self):
+        s = ChebyshevSpline(lambda x, _: abs(x[0]), 1, [[-1, 1]], [7],
+                            knots=[[0.0]])
+        with pytest.raises(RuntimeError):
+            s.interaction_matrix()
