@@ -475,6 +475,30 @@ class ChebyshevSlider:
                     out[da, db] = pairs[a, b] * scale
         return out
 
+    def suggest_partition(self, threshold: float = 1e-8) -> list:
+        """Additive partition implied by :meth:`interaction_matrix`
+        (beyond reference).  Never coarser than the slider's own
+        partition — but it can be FINER, when a multi-dim group's dims
+        turn out not to interact within the slide."""
+        inter = self.interaction_matrix()
+        d = self.num_dimensions
+        parent = list(range(d))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(d):
+            for j in range(i + 1, d):
+                if inter[i, j] > threshold:
+                    parent[find(i)] = find(j)
+        groups: dict = {}
+        for i in range(d):
+            groups.setdefault(find(i), []).append(i)
+        return sorted(groups.values())
+
     @property
     def total_build_evals(self) -> int:
         """Sum over groups of their grid sizes."""
