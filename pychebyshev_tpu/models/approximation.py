@@ -1073,25 +1073,11 @@ class ChebyshevApproximation:
         (union-find over above-threshold pairs; beyond reference).
         Feed to ``ChebyshevSlider`` (or ``to_tt().to_slider``) for a
         principled sliding-technique decomposition."""
-        inter = self.interaction_matrix()
-        d = self.num_dimensions
-        parent = list(range(d))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for i in range(d):
-            for j in range(i + 1, d):
-                if inter[i, j] > threshold:
-                    parent[find(i)] = find(j)
-        groups: dict = {}
-        for i in range(d):
-            groups.setdefault(find(i), []).append(i)
-        return sorted(groups.values())
-
+        from pychebyshev_tpu.utils.sensitivity import (
+            partition_from_interactions,
+        )
+        return partition_from_interactions(self.interaction_matrix(),
+                                           threshold)
     def get_error_threshold(self):
         """The error_threshold ctor kwarg (target precision), or None."""
         return self.error_threshold

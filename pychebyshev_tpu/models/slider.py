@@ -458,13 +458,10 @@ class ChebyshevSlider:
         slide_pairs = []
         for group, slide in zip(self.partition, self.slides):
             coeffs = chebyshev_coefficient_tensor(slide.tensor_values)
-            from pychebyshev_tpu.utils.sensitivity import (
-                sobol_from_coeffs,
-            )
-            res = sobol_from_coeffs(coeffs, len(group))
-            v_norm.append(res["variance"] / np.pi ** len(group))
-            slide_pairs.append(
-                pair_interactions_from_coeffs(coeffs, len(group)))
+            pairs, variance = pair_interactions_from_coeffs(
+                coeffs, len(group), return_variance=True)
+            v_norm.append(variance / np.pi ** len(group))
+            slide_pairs.append(pairs)
         v_total = sum(v_norm)
         if v_total <= 0:
             return out
@@ -480,25 +477,11 @@ class ChebyshevSlider:
         (beyond reference).  Never coarser than the slider's own
         partition — but it can be FINER, when a multi-dim group's dims
         turn out not to interact within the slide."""
-        inter = self.interaction_matrix()
-        d = self.num_dimensions
-        parent = list(range(d))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for i in range(d):
-            for j in range(i + 1, d):
-                if inter[i, j] > threshold:
-                    parent[find(i)] = find(j)
-        groups: dict = {}
-        for i in range(d):
-            groups.setdefault(find(i), []).append(i)
-        return sorted(groups.values())
-
+        from pychebyshev_tpu.utils.sensitivity import (
+            partition_from_interactions,
+        )
+        return partition_from_interactions(self.interaction_matrix(),
+                                           threshold)
     @property
     def total_build_evals(self) -> int:
         """Sum over groups of their grid sizes."""

@@ -607,7 +607,6 @@ class ChebyshevSpline:
         from pychebyshev_tpu.utils.sensitivity import (
             chebyshev_coefficient_tensor,
             pair_interactions_from_coeffs,
-            sobol_from_coeffs,
         )
         if not self._built:
             raise RuntimeError("Call build() first")
@@ -619,10 +618,10 @@ class ChebyshevSpline:
                 continue
             vol = float(np.prod([hi - lo for lo, hi in piece.domain]))
             coeffs = chebyshev_coefficient_tensor(piece.tensor_values)
-            res = sobol_from_coeffs(coeffs, d)
-            total_variance += vol * res["variance"]
-            out += (vol * res["variance"]
-                    * pair_interactions_from_coeffs(coeffs, d))
+            pairs, variance = pair_interactions_from_coeffs(
+                coeffs, d, return_variance=True)
+            total_variance += vol * variance
+            out += vol * variance * pairs
         if total_variance <= 0:
             return np.zeros((d, d))
         return out / total_variance
@@ -630,25 +629,11 @@ class ChebyshevSpline:
     def suggest_partition(self, threshold: float = 1e-8) -> list:
         """Additive partition implied by :meth:`interaction_matrix`
         (union-find over above-threshold pairs; beyond reference)."""
-        inter = self.interaction_matrix()
-        d = self.num_dimensions
-        parent = list(range(d))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for i in range(d):
-            for j in range(i + 1, d):
-                if inter[i, j] > threshold:
-                    parent[find(i)] = find(j)
-        groups: dict = {}
-        for i in range(d):
-            groups.setdefault(find(i), []).append(i)
-        return sorted(groups.values())
-
+        from pychebyshev_tpu.utils.sensitivity import (
+            partition_from_interactions,
+        )
+        return partition_from_interactions(self.interaction_matrix(),
+                                           threshold)
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------

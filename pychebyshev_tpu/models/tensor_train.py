@@ -1311,24 +1311,11 @@ class ChebyshevTT:
 
         >>> slider = tt.to_slider(tt.suggest_partition(), pivot)
         """
-        inter = self.interaction_matrix()
-        d = self.num_dimensions
-        parent = list(range(d))
-
-        def find(a):
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for i in range(d):
-            for j in range(i + 1, d):
-                if inter[i, j] > threshold:
-                    parent[find(i)] = find(j)
-        groups: dict = {}
-        for i in range(d):
-            groups.setdefault(find(i), []).append(i)
-        return sorted(groups.values())
+        from pychebyshev_tpu.utils.sensitivity import (
+            partition_from_interactions,
+        )
+        return partition_from_interactions(self.interaction_matrix(),
+                                           threshold)
 
     @classmethod
     def from_values(cls, tensor_values, num_dimensions: int, domain,

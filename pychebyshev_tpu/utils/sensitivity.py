@@ -19,8 +19,11 @@ from pychebyshev_tpu.ops.dct import values_to_coeffs
 
 __all__ = [
     "chebyshev_coefficient_tensor",
+    "pair_interactions_from_coeffs",
+    "partition_from_interactions",
     "sobol_from_coeffs",
     "sobol_from_tt_cores",
+    "tt_pair_interactions",
 ]
 
 
@@ -97,21 +100,26 @@ def sobol_from_coeffs(coeffs, num_dimensions: int) -> dict:
             "variance": variance}
 
 
-def pair_interactions_from_coeffs(coeffs,
-                                  num_dimensions: int) -> np.ndarray:
+def pair_interactions_from_coeffs(coeffs, num_dimensions: int,
+                                  return_variance: bool = False):
     """(d, d) pure pairwise Sobol interaction shares from a dense
     coefficient tensor (the dense counterpart of
     :func:`tt_pair_interactions`; beyond reference).
 
     Entry (i, j) is the variance share of terms with ``alpha_i >= 1``,
     ``alpha_j >= 1`` and every other index zero, computed as masked
-    reductions of the weighted-energy tensor.
+    reductions of the weighted-energy tensor.  ``return_variance=True``
+    additionally returns the (unnormalized-mass) variance so callers
+    aggregating over pieces/slides need not rebuild the energy tensor.
     """
     coeffs = np.asarray(coeffs, dtype=np.float64)
+    if not np.isfinite(coeffs).all():
+        raise ValueError(
+            "coefficients contain NaN or Inf; interaction_matrix() "
+            "requires finite spectral coefficients"
+        )
     d = num_dimensions
     out = np.zeros((d, d))
-    if d < 2:
-        return out
     energy = coeffs * coeffs
     for k in range(d):
         shape = [1] * d
@@ -119,8 +127,8 @@ def pair_interactions_from_coeffs(coeffs,
         energy = energy * _weight_vector(coeffs.shape[k]).reshape(shape)
     zero0 = tuple([0] * d)
     variance = float(energy.sum() - energy[zero0])
-    if variance <= 0:
-        return out
+    if variance <= 0 or d < 2:
+        return (out, max(variance, 0.0)) if return_variance else out
     for i in range(d):
         for j in range(i + 1, d):
             sl = [slice(0, 1)] * d
@@ -128,7 +136,32 @@ def pair_interactions_from_coeffs(coeffs,
             sl[j] = slice(1, None)
             share = float(energy[tuple(sl)].sum()) / variance
             out[i, j] = out[j, i] = max(share, 0.0)
-    return out
+    return (out, variance) if return_variance else out
+
+
+def partition_from_interactions(inter, threshold: float) -> list:
+    """Additive partition from an interaction matrix: union-find over
+    strictly-above-threshold pairs, singletons otherwise.  The one
+    shared implementation behind every family's ``suggest_partition``.
+    """
+    inter = np.asarray(inter)
+    d = inter.shape[0]
+    parent = list(range(d))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(d):
+        for j in range(i + 1, d):
+            if inter[i, j] > threshold:
+                parent[find(i)] = find(j)
+    groups: dict = {}
+    for i in range(d):
+        groups.setdefault(find(i), []).append(i)
+    return sorted(groups.values())
 
 
 def sobol_from_tt_cores(cores) -> dict:
@@ -211,49 +244,72 @@ def tt_pair_interactions(cores) -> np.ndarray:
 
     Entry (i, j) is ``S^closed_{ij} - S_i - S_j`` — the variance share
     carried by terms depending on BOTH dims i and j (and nothing else),
-    normalized by the total variance.  Computed with the same
-    weighted-energy chain as :func:`sobol_from_tt_cores`: cores outside
-    the pair contract through their constant (alpha=0) slice, the pair
-    through the full Chebyshev-measure energy step — O(d^3 n r^2) for
-    the whole matrix.  Tiny negative roundoff clamps to 0.
+    normalized by the total variance.  The chain outside the pair
+    contracts through the cores' constant (alpha=0) slices; since each
+    zero step is the congruence ``m -> pi * c0.T @ m @ c0``, whole
+    zero segments collapse to products of the c0 matrices — prefix /
+    suffix vectors plus an incrementally-extended middle product give
+    O(1) chain segments per pair (one full-energy step per pair, O(d^2)
+    total vs the naive O(d^3) rebuild).  Tiny negative roundoff clamps
+    to 0.
     """
     cores = [np.asarray(c, dtype=np.float64) for c in cores]
+    if any(not np.isfinite(c).all() for c in cores):
+        raise ValueError(
+            "coefficient cores contain NaN or Inf; interaction_matrix()"
+            " requires finite spectral coefficients"
+        )
     d = len(cores)
     pi = float(np.pi)
     w_full = [_weight_vector(c.shape[1]) for c in cores]
+    c0s = [c[:, 0, :] for c in cores]
 
     def full_step(mat, k):
         cw = cores[k] * w_full[k][None, :, None]
         return np.einsum("ij,ipa,jpb->ab", mat, cw, cores[k])
 
-    def zero_step(mat, k):
-        c0 = cores[k][:, 0, :]
-        return pi * np.einsum("ij,ia,jb->ab", mat, c0, c0)
+    out = np.zeros((d, d))
+    if d < 2:
+        return out
 
     m = np.array([[1.0]])
     for k in range(d):
         m = full_step(m, k)
     total_weighted = float(m[0, 0])
-    v = np.array([1.0])
+    # prefix[k] = c0_0 @ ... @ c0_{k-1}  (a (1, r_k) row);
+    # suffix[k] = c0_k @ ... @ c0_{d-1}  (an (r_k, 1) column).
+    prefix = [np.array([[1.0]])]
     for k in range(d):
-        v = v @ cores[k][:, 0, :]
-    c0_sq_mass = float(v[0]) ** 2 * pi ** d
+        prefix.append(prefix[-1] @ c0s[k])
+    suffix = [None] * (d + 1)
+    suffix[d] = np.array([[1.0]])
+    for k in range(d - 1, -1, -1):
+        suffix[k] = c0s[k] @ suffix[k + 1]
+    c0_sq_mass = float(prefix[d][0, 0]) ** 2 * pi ** d
     variance = total_weighted - c0_sq_mass
-    out = np.zeros((d, d))
-    if variance <= 0 or d < 2:
+    if variance <= 0:
         return out
 
-    def closed(dims):
-        m = np.array([[1.0]])
-        for k in range(d):
-            m = full_step(m, k) if k in dims else zero_step(m, k)
-        return float(m[0, 0]) - c0_sq_mass
+    def tail(mat, j):
+        """Scalar: zero-contract dims j+1..d-1 around *mat*."""
+        v = suffix[j + 1]
+        return pi ** (d - 1 - j) * float(v[:, 0] @ mat @ v[:, 0])
 
-    v_single = [closed({i}) for i in range(d)]
+    v_single = []
     for i in range(d):
+        seed = pi ** i * np.outer(prefix[i][0], prefix[i][0])
+        v_single.append(tail(full_step(seed, i), i) - c0_sq_mass)
+
+    for i in range(d):
+        seed = pi ** i * np.outer(prefix[i][0], prefix[i][0])
+        m_i = full_step(seed, i)
+        mid = np.eye(m_i.shape[0])
         for j in range(i + 1, d):
-            pair = closed({i, j}) - v_single[i] - v_single[j]
+            m_ij = pi ** (j - 1 - i) * (mid.T @ m_i @ mid)
+            closed = tail(full_step(m_ij, j), j) - c0_sq_mass
+            pair = closed - v_single[i] - v_single[j]
             out[i, j] = out[j, i] = max(pair / variance, 0.0)
+            mid = mid @ c0s[j]
     return out
 
 

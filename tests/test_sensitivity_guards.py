@@ -155,3 +155,30 @@ class TestTTSobolParity:
                 a["first_order"][d], abs=1e-8)
             assert b["total_order"][d] == pytest.approx(
                 a["total_order"][d], abs=1e-8)
+
+
+class TestInteractionGuards:
+    def test_dense_pair_rejects_nonfinite(self):
+        from pychebyshev_tpu.utils.sensitivity import (
+            pair_interactions_from_coeffs,
+        )
+        bad = np.ones((5, 5))
+        bad[2, 3] = np.nan
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            pair_interactions_from_coeffs(bad, 2)
+
+    def test_tt_pair_rejects_nonfinite(self):
+        from pychebyshev_tpu.utils.sensitivity import tt_pair_interactions
+        cores = [np.ones((1, 5, 2)), np.ones((2, 5, 1))]
+        cores[1][0, 3, 0] = np.inf
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            tt_pair_interactions(cores)
+
+    def test_shared_partition_helper(self):
+        from pychebyshev_tpu.utils.sensitivity import (
+            partition_from_interactions,
+        )
+        inter = np.zeros((4, 4))
+        inter[0, 3] = inter[3, 0] = 0.2
+        assert partition_from_interactions(inter, 1e-8) == [
+            [0, 3], [1], [2]]

@@ -915,12 +915,15 @@ class TestInteractionAnalysis:
         got = np.asarray(sl.eval_batch(pts, [0] * 4))
         assert np.abs(got - want).max() < 1e-9
 
-    def test_threshold_merges_everything_at_zero(self, tt_pair):
-        # threshold below roundoff merges nothing extra; a negative
-        # threshold merges all pairs with any (even zero) interaction?
-        # No: strictly greater-than, so 0-interactions never merge.
+    def test_threshold_semantics(self, tt_pair):
+        # Above the pair's 0.376 share nothing merges; at the default
+        # threshold (1e-8, above numerical roundoff) only the real
+        # coupling does.  threshold=0 is NOT meaningful: roundoff-level
+        # positive entries (~1e-16) would merge everything.
         assert tt_pair.suggest_partition(threshold=0.5) == [
             [0], [1], [2], [3]]
+        assert tt_pair.suggest_partition(threshold=1e-8) == [
+            [0], [1, 2], [3]]
 
     def test_unbuilt_raises(self):
         tt = ChebyshevTT(sin_sum, 3, [[-1, 1]] * 3, [9] * 3)
