@@ -1615,6 +1615,38 @@ class ChebyshevApproximation:
             return float(tensor)
         return self._assemble(tensor, nodes, weights, diffs, domain, n_nodes)
 
+    def integrate_batch(self, bounds) -> np.ndarray:
+        """Integrals over a batch of axis-aligned boxes — ONE device call.
+
+        Beyond-reference capability: the reference integrates one box per
+        ``integrate(bounds=...)`` call (reference
+        ``barycentric.py:2160-2275``); this computes ``int_box f`` for B
+        boxes in a single MXU contraction by swapping the batched-eval
+        kernel's barycentric rows for per-box sub-interval quadrature
+        rows (``ops/integrate.py``).  Typical uses: bucketed expected
+        values, bucket probabilities over scenario grids, CDF tables.
+
+        Parameters
+        ----------
+        bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) inside
+            the domain.  Zero-measure dims (lo == hi) are allowed and
+            contribute an exact 0.
+
+        Returns
+        -------
+        (B,) ndarray of box integrals.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.ops.integrate import integrate_box_batch
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        arr = normalize_bounds_batch(bounds, self.domain)
+        out = integrate_box_batch(
+            self.tensor_values,
+            np.asarray(self.domain, dtype=np.float64), arr)
+        return np.asarray(out)
+
     def roots(self, dim=None, fixed=None) -> np.ndarray:
         """Roots along one dimension (others fixed), colleague-matrix method."""
         if self.tensor_values is None:

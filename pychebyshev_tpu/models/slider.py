@@ -1025,6 +1025,48 @@ class ChebyshevSlider:
             descriptor=self.descriptor,
             additional_data=self.additional_data)
 
+    def integrate_batch(self, bounds) -> np.ndarray:
+        """Integrals over a batch of axis-aligned boxes — one dispatch
+        per slide.
+
+        Beyond-reference capability: the additive decomposition
+        integrates term by term,
+
+            int_box F = p*V*(1 - m) + sum_i V / V_{G_i} * int_{box_{G_i}} s_i
+
+        with V the box measure, V_{G_i} the measure of the box restricted
+        to group i, and each slide's restricted integral a dense
+        :meth:`ChebyshevApproximation.integrate_batch` over all B boxes
+        at once.  Zero-measure boxes integrate to an exact 0.
+
+        Parameters
+        ----------
+        bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) inside
+            the domain.
+
+        Returns
+        -------
+        (B,) ndarray of box integrals.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        arr = normalize_bounds_batch(bounds, self.domain)
+        widths = arr[..., 1] - arr[..., 0]          # (B, d)
+        vol = np.prod(widths, axis=1)               # (B,)
+        total = self.pivot_value * vol * (1.0 - len(self.slides))
+        for group, slide in zip(self.partition, self.slides):
+            group_vol = np.prod(widths[:, list(group)], axis=1)
+            integrals = np.asarray(slide.integrate_batch(
+                arr[:, list(group), :]))
+            # Where the group's box has zero measure the whole box does
+            # too (vol == 0), so the term is exactly 0 — mask the 0/0.
+            safe = np.where(group_vol > 0.0, group_vol, 1.0)
+            total = total + np.where(group_vol > 0.0,
+                                     vol * integrals / safe, 0.0)
+        return total
+
     # ------------------------------------------------------------------
     # 1-D reduction + roots / optimization
     # ------------------------------------------------------------------

@@ -1193,6 +1193,49 @@ class ChebyshevSpline:
         obj._shape = tuple(shape)
         return obj
 
+    def integrate_batch(self, bounds) -> np.ndarray:
+        """Integrals over a batch of axis-aligned boxes — one dispatch
+        per piece.
+
+        Beyond-reference capability: every piece clips all B boxes to its
+        sub-box at once (disjoint dims clamp to zero measure, which the
+        sub-interval quadrature rows integrate to an exact 0) and runs a
+        dense :meth:`ChebyshevApproximation.integrate_batch` over the
+        whole batch; piece contributions sum.  Boxes may straddle knots
+        freely.
+
+        Parameters
+        ----------
+        bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) inside
+            the domain.
+
+        Returns
+        -------
+        (B,) ndarray of box integrals.
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        arr = normalize_bounds_batch(bounds, self.domain)
+        total = np.zeros(arr.shape[0], dtype=np.float64)
+        pieces_arr = np.array(self._pieces,
+                              dtype=object).reshape(self._shape)
+        d = self.num_dimensions
+        for idx in np.ndindex(*self._shape):
+            piece_lo = np.array([self._intervals[k][idx[k]][0]
+                                 for k in range(d)])
+            piece_hi = np.array([self._intervals[k][idx[k]][1]
+                                 for k in range(d)])
+            lo = np.clip(arr[..., 0], piece_lo, piece_hi)
+            hi = np.clip(arr[..., 1], piece_lo, piece_hi)
+            hi = np.maximum(hi, lo)    # disjoint dims -> zero measure
+            if not (hi > lo).all(axis=1).any():
+                continue               # no box overlaps this piece
+            total += np.asarray(pieces_arr[idx].integrate_batch(
+                np.stack([lo, hi], axis=-1)))
+        return total
+
     def roots(self, dim=None, fixed=None) -> np.ndarray:
         """Merged + deduped roots across all pieces of the 1-D slice."""
         if not self._built:

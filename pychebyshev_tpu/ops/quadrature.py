@@ -15,11 +15,17 @@ from __future__ import annotations
 
 import functools
 
+import jax.numpy as jnp
 import numpy as np
 
 from pychebyshev_tpu.ops.dct import _dct3_matrix_np
 
-__all__ = ["fejer1_weights", "sub_interval_weights"]
+__all__ = [
+    "fejer1_weights",
+    "sub_interval_weights",
+    "chebyshev_moment_matrix",
+    "sub_interval_weight_matrix",
+]
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,3 +69,41 @@ def sub_interval_weights(n: int, t_lo: float, t_hi: float) -> np.ndarray:
 
     weights_desc = _dct3_matrix_np(n) @ moments / n
     return np.ascontiguousarray(weights_desc[::-1])
+
+
+def chebyshev_moment_matrix(t_lo, t_hi, n: int):
+    """Batched sub-interval Chebyshev moments — the traced counterpart of
+    the scalar loop in :func:`sub_interval_weights`.
+
+    For endpoint vectors ``t_lo``/``t_hi`` of shape (B,) returns the
+    (B, n) matrix ``M[b, k] = integral_{t_lo[b]}^{t_hi[b]} T_k(t) dt``
+    via the Chebyshev antiderivative identity.  Endpoints are clipped to
+    [-1, 1] only for the ``arccos`` evaluation, matching the host
+    version's behavior at domain-edge representation noise.
+    """
+    t_lo = jnp.asarray(t_lo)
+    t_hi = jnp.asarray(t_hi)
+    cols = [(t_hi - t_lo)[:, None]]
+    if n > 1:
+        cols.append(((t_hi * t_hi - t_lo * t_lo) * 0.5)[:, None])
+    if n > 2:
+        ks = jnp.arange(n + 1, dtype=t_lo.dtype)
+        th_lo = jnp.arccos(jnp.clip(t_lo, -1.0, 1.0))[:, None]
+        th_hi = jnp.arccos(jnp.clip(t_hi, -1.0, 1.0))[:, None]
+        dT = jnp.cos(ks[None, :] * th_hi) - jnp.cos(ks[None, :] * th_lo)
+        kk = np.arange(2, n)
+        cols.append(0.5 * (dT[:, kk + 1] / (kk + 1)
+                           - dT[:, kk - 1] / (kk - 1)))
+    return jnp.concatenate(cols, axis=1)
+
+
+def sub_interval_weight_matrix(n: int, t_lo, t_hi):
+    """Batched :func:`sub_interval_weights`: (B, n), ascending node order.
+
+    ``sum(W[b] * f(nodes)) ~= integral_{t_lo[b]}^{t_hi[b]} f`` for the
+    interpolant through n Type-I nodes.  Traced (bounds are data); the
+    DCT-III matrix is a static constant folded into the compiled program.
+    """
+    moments = chebyshev_moment_matrix(t_lo, t_hi, n)
+    dct3 = jnp.asarray(_dct3_matrix_np(n), dtype=moments.dtype)
+    return (moments @ dct3.T)[:, ::-1] / n

@@ -16,6 +16,7 @@ from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 
 __all__ = [
     "normalize_bounds",
+    "normalize_bounds_batch",
     "roots_1d",
     "optimize_1d",
     "validate_calculus_args",
@@ -70,6 +71,42 @@ def normalize_bounds(dims, bounds, domain, dim_labels=None):
 
     return [_one(spec, d, label)
             for spec, d, label in zip(bounds, dims, labels)]
+
+
+def normalize_bounds_batch(bounds, domain) -> np.ndarray:
+    """Validate a (B, d, 2) batch of axis-aligned boxes against *domain*.
+
+    The batched counterpart of :func:`normalize_bounds` for the
+    ``integrate_batch`` surface: every box must satisfy lo <= hi per dim
+    and lie inside the domain (same 1e-14 representation slack).  Returns
+    a float64 array clamped to the domain; degenerate (zero-measure)
+    dims are allowed and integrate to exactly zero.
+    """
+    arr = np.asarray(bounds, dtype=np.float64)
+    d = len(domain)
+    if arr.ndim != 3 or arr.shape[1] != d or arr.shape[2] != 2:
+        raise ValueError(
+            f"bounds must have shape (B, {d}, 2) — one (lo, hi) pair per "
+            f"dim per box; got {arr.shape}")
+    if not np.isfinite(arr).all():
+        raise ValueError("bounds contain non-finite values")
+    lo, hi = arr[..., 0], arr[..., 1]
+    inverted = hi < lo
+    if inverted.any():
+        b, dd = np.argwhere(inverted)[0]
+        raise ValueError(
+            f"invalid sub-interval for box {b}, dim {dd}: "
+            f"lo={lo[b, dd]} > hi={hi[b, dd]}")
+    dom = np.asarray(domain, dtype=np.float64)
+    outside = (lo < dom[None, :, 0] - 1e-14) | (hi > dom[None, :, 1] + 1e-14)
+    if outside.any():
+        b, dd = np.argwhere(outside)[0]
+        raise ValueError(
+            f"box {b}, dim {dd}: bounds ({lo[b, dd]}, {hi[b, dd]}) extend "
+            f"outside domain [{dom[dd, 0]}, {dom[dd, 1]}]")
+    lo = np.maximum(lo, dom[None, :, 0])
+    hi = np.maximum(np.minimum(hi, dom[None, :, 1]), lo)
+    return np.stack([lo, hi], axis=-1)
 
 
 def roots_1d(values, domain) -> np.ndarray:

@@ -98,6 +98,7 @@ COMMON_SURFACE = [
     "eval_batch_multi", "vectorized_eval_batch_multi", "eval_batch_dd",
     "error_estimate", "sobol_indices", "interaction_matrix",
     "suggest_partition", "extrude", "slice", "integrate",
+    "integrate_batch",
     "roots", "minimize", "maximize", "save", "load", "clone",
     "set_descriptor", "get_descriptor", "get_constructor_type",
     "get_used_ns", "get_max_derivative_order", "is_construction_finished",
