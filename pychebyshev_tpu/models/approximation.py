@@ -1684,6 +1684,64 @@ class ChebyshevApproximation:
             np.asarray(sliced.diff_matrices[0]),
             sliced.domain[0], mode=mode)
 
+    def _scenario_slice_values(self, dim, fixed_cols, batch):
+        """(B, n) values of the 1-D slice along *dim* for B scenarios —
+        one fused eval_batch over the dim's own nodes (exact: a
+        polynomial resampled at its Type-I nodes)."""
+        from pychebyshev_tpu.utils.calculus import scenario_slice_points
+        pts = scenario_slice_points(
+            self.num_dimensions, dim, fixed_cols, batch,
+            np.asarray(self.nodes[dim]))
+        vals = np.asarray(self.vectorized_eval_batch(
+            pts, [0] * self.num_dimensions))
+        return vals.reshape(batch, -1)
+
+    def roots_batch(self, dim=None, fixed=None) -> list:
+        """Roots along *dim* for a BATCH of scenarios — beyond reference.
+
+        ``fixed`` maps every other dim to a scalar or a (B,) array of
+        scenario values; returns a list of B sorted root arrays.  One
+        fused device resampling dispatch plus one stacked colleague
+        eigensolve replace B ``roots()`` calls — use it for exercise
+        boundaries / breakevens across scenario grids.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            roots_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        vals = self._scenario_slice_values(dim, cols, batch)
+        return roots_1d_batch(vals, self.domain[dim])
+
+    def minimize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`minimize`: ((B,) min values, (B,) locations)
+        for scenario arrays in ``fixed`` — beyond reference."""
+        return self._optimize_batch(dim, fixed, "min")
+
+    def maximize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`maximize`: ((B,) max values, (B,) locations)
+        for scenario arrays in ``fixed`` — beyond reference."""
+        return self._optimize_batch(dim, fixed, "max")
+
+    def _optimize_batch(self, dim, fixed, mode):
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            optimize_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        vals = self._scenario_slice_values(dim, cols, batch)
+        return optimize_1d_batch(
+            vals, np.asarray(self.nodes[dim]),
+            np.asarray(self.weights[dim]),
+            np.asarray(self.diff_matrices[dim]),
+            self.domain[dim], mode=mode)
+
     # ------------------------------------------------------------------
     # Arithmetic operators
     # ------------------------------------------------------------------

@@ -1114,6 +1114,65 @@ class ChebyshevSlider:
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).maximize()
 
+    def _scenario_slice_values(self, dim, fixed_cols, batch):
+        """(B, n) slice values along *dim* — one fused eval_batch over
+        the dim's own nodes (exact: the sliding sum is a polynomial in
+        *dim*)."""
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
+        from pychebyshev_tpu.utils.calculus import scenario_slice_points
+        lo, hi = self.domain[dim]
+        n = int(self.n_nodes[dim])
+        nodes = nodes_for_dim_np(float(lo), float(hi), n)
+        pts = scenario_slice_points(
+            self.num_dimensions, dim, fixed_cols, batch, nodes)
+        vals = np.asarray(self.eval_batch(pts))
+        return vals.reshape(batch, n), nodes, (float(lo), float(hi))
+
+    def roots_batch(self, dim=None, fixed=None) -> list:
+        """Roots along *dim* for a BATCH of scenarios (scalar or (B,)
+        arrays in ``fixed``) — list of B sorted root arrays; one fused
+        eval_batch + one stacked colleague eigensolve (beyond
+        reference)."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            roots_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        vals, _, dom = self._scenario_slice_values(dim, cols, batch)
+        return roots_1d_batch(vals, dom)
+
+    def minimize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`minimize`: ((B,) values, (B,) locations) —
+        beyond reference."""
+        return self._optimize_batch(dim, fixed, "min")
+
+    def maximize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`maximize`: ((B,) values, (B,) locations) —
+        beyond reference."""
+        return self._optimize_batch(dim, fixed, "max")
+
+    def _optimize_batch(self, dim, fixed, mode):
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            differentiation_matrix_np,
+        )
+        from pychebyshev_tpu.utils.calculus import (
+            optimize_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        vals, nodes, dom = self._scenario_slice_values(dim, cols, batch)
+        weights = barycentric_weights_np(nodes)
+        return optimize_1d_batch(
+            vals, nodes, weights,
+            differentiation_matrix_np(nodes, weights), dom, mode=mode)
+
     # ------------------------------------------------------------------
     # Algebra
     # ------------------------------------------------------------------

@@ -1293,6 +1293,101 @@ class ChebyshevSpline:
                 best_val, best_loc = val, loc
         return best_val, best_loc
 
+    def _scenario_interval_values(self, dim, fixed_cols, batch):
+        """Per dim-interval (B, n) slice resamples for batched calculus.
+
+        Yields ``(values, nodes, interval)`` per interval of *dim*: the
+        slice along *dim* is piecewise-polynomial with breaks at the
+        dim's knots, so each interval resamples at its own Type-I nodes
+        (n = the max node count among the interval's pieces — resampling
+        a lower-degree piece at more nodes stays exact, which also
+        covers nested per-piece grids).  One fused eval_batch per
+        interval routes every scenario to its piece.
+        """
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
+        from pychebyshev_tpu.utils.calculus import scenario_slice_points
+
+        pieces_arr = np.array(self._pieces,
+                              dtype=object).reshape(self._shape)
+        for k, (lo, hi) in enumerate(self._intervals[dim]):
+            in_interval = np.take(pieces_arr, k, axis=dim).ravel()
+            n = max(int(p.n_nodes[dim]) for p in in_interval)
+            nodes = nodes_for_dim_np(float(lo), float(hi), n)
+            pts = scenario_slice_points(
+                self.num_dimensions, dim, fixed_cols, batch, nodes)
+            vals = np.asarray(self.eval_batch(
+                pts, [0] * self.num_dimensions)).reshape(batch, n)
+            yield vals, nodes, (float(lo), float(hi))
+
+    def roots_batch(self, dim=None, fixed=None) -> list:
+        """Roots along *dim* for a BATCH of scenarios (scalar or (B,)
+        arrays in ``fixed``) — list of B sorted root arrays, merged +
+        deduped across the dim's intervals exactly like :meth:`roots`
+        (beyond reference)."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import (
+            roots_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        per_row = [[] for _ in range(batch)]
+        for vals, _, interval in self._scenario_interval_values(
+                dim, cols, batch):
+            for b, r in enumerate(roots_1d_batch(vals, interval)):
+                per_row[b].append(r)
+
+        scale = abs(self.domain[dim][1] - self.domain[dim][0]) + 1
+        out = []
+        for chunks in per_row:
+            combined = np.sort(np.concatenate(chunks))
+            if len(combined) > 1:
+                mask = np.concatenate(
+                    [[True], np.diff(combined) > 1e-10 * scale])
+                combined = combined[mask]
+            out.append(combined)
+        return out
+
+    def minimize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`minimize`: ((B,) values, (B,) locations), best
+        across the dim's intervals per scenario — beyond reference."""
+        return self._optimize_batch(dim, fixed, "min")
+
+    def maximize_batch(self, dim=None, fixed=None):
+        """Batched :meth:`maximize`: ((B,) values, (B,) locations), best
+        across the dim's intervals per scenario — beyond reference."""
+        return self._optimize_batch(dim, fixed, "max")
+
+    def _optimize_batch(self, dim, fixed, mode):
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            differentiation_matrix_np,
+        )
+        from pychebyshev_tpu.utils.calculus import (
+            optimize_1d_batch,
+            validate_calculus_args_batch,
+        )
+        dim, cols, batch = validate_calculus_args_batch(
+            self.num_dimensions, dim, fixed, self.domain)
+        best_val = best_loc = None
+        for vals, nodes, interval in self._scenario_interval_values(
+                dim, cols, batch):
+            weights = barycentric_weights_np(nodes)
+            v, loc = optimize_1d_batch(
+                vals, nodes, weights,
+                differentiation_matrix_np(nodes, weights), interval,
+                mode=mode)
+            if best_val is None:
+                best_val, best_loc = v, loc
+            else:
+                take = v < best_val if mode == "min" else v > best_val
+                best_val = np.where(take, v, best_val)
+                best_loc = np.where(take, loc, best_loc)
+        return best_val, best_loc
+
     # ------------------------------------------------------------------
     # Arithmetic operators
     # ------------------------------------------------------------------

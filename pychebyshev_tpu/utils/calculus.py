@@ -18,8 +18,12 @@ __all__ = [
     "normalize_bounds",
     "normalize_bounds_batch",
     "roots_1d",
+    "roots_1d_batch",
     "optimize_1d",
+    "optimize_1d_batch",
     "validate_calculus_args",
+    "validate_calculus_args_batch",
+    "scenario_slice_points",
     "slider_partition_intersect",
 ]
 
@@ -109,6 +113,30 @@ def normalize_bounds_batch(bounds, domain) -> np.ndarray:
     return np.stack([lo, hi], axis=-1)
 
 
+def _filter_candidate_roots(candidates, domain) -> np.ndarray:
+    """Colleague eigenvalues -> sorted deduped real roots in *domain*.
+
+    Nearly-real eigenvalues landing in [-1, 1] (tol slack on both
+    tests) are snapped onto the interval, mapped to the physical
+    domain, sorted, and near-duplicate neighbours collapsed (the
+    colleague matrix can report one root twice).
+    """
+    candidates = np.atleast_1d(candidates)
+    tol = 1e-10
+    keep = ((np.abs(candidates.imag) < tol)
+            & (candidates.real >= -1.0 - tol)
+            & (candidates.real <= 1.0 + tol))
+    t = np.clip(candidates.real[keep], -1.0, 1.0)
+    if t.size == 0:
+        return np.array([], dtype=float)
+
+    a, b = domain
+    xs = np.sort((a + b + (b - a) * t) / 2.0)
+    survivors = np.ones(xs.size, dtype=bool)
+    survivors[1:] = np.diff(xs) > 1e-10 * (abs(b - a) + 1.0)
+    return xs[survivors]
+
+
 def roots_1d(values, domain) -> np.ndarray:
     """All real roots of a 1-D interpolant (values at ascending Type-I nodes).
 
@@ -121,27 +149,60 @@ def roots_1d(values, domain) -> np.ndarray:
     from pychebyshev_tpu.ops.dct import _coeff_matrix_np
 
     values = np.asarray(values, dtype=np.float64)
-    candidates = np.atleast_1d(
-        chebroots(_coeff_matrix_np(values.size) @ values)
-    )
+    candidates = chebroots(_coeff_matrix_np(values.size) @ values)
+    return _filter_candidate_roots(candidates, domain)
 
-    # Vectorized filter: nearly-real eigenvalues landing in [-1, 1]
-    # (with tol slack on both tests), snapped onto the interval.
-    tol = 1e-10
-    keep = ((np.abs(candidates.imag) < tol)
-            & (candidates.real >= -1.0 - tol)
-            & (candidates.real <= 1.0 + tol))
-    t = np.clip(candidates.real[keep], -1.0, 1.0)
-    if t.size == 0:
-        return np.array([], dtype=float)
 
-    a, b = domain
-    xs = np.sort((a + b + (b - a) * t) / 2.0)
-    # The colleague matrix can report one root twice; collapse
-    # neighbours closer than a domain-scaled tolerance.
-    survivors = np.ones(xs.size, dtype=bool)
-    survivors[1:] = np.diff(xs) > 1e-10 * (abs(b - a) + 1.0)
-    return xs[survivors]
+def roots_1d_batch(values, domain) -> list:
+    """Roots of B 1-D interpolants at once — values (B, n) at ascending
+    Type-I nodes -> list of B sorted root arrays.
+
+    Per-row semantics identical to :func:`roots_1d`; the work is
+    batched: one coefficient GEMM, then one stacked colleague-matrix
+    ``np.linalg.eigvals`` per effective-degree group (rows whose
+    trailing coefficients are exact zeros need smaller companions —
+    mirroring numpy's ``as_series`` trimming inside ``chebroots``).
+    Roots agree with the per-call path to machine precision (the
+    batched coefficient GEMM can round a last ulp differently than the
+    per-call GEMV, so agreement is ~1e-15, not bitwise).
+    """
+    from pychebyshev_tpu.ops.dct import _coeff_matrix_np
+
+    values = np.asarray(values, dtype=np.float64)
+    if values.ndim != 2:
+        raise ValueError(f"values must be (B, n); got shape {values.shape}")
+    n_rows, n = values.shape
+    coeffs = values @ _coeff_matrix_np(n).T
+
+    nonzero = coeffs != 0.0
+    length = np.where(nonzero.any(axis=1),
+                      n - np.argmax(nonzero[:, ::-1], axis=1), 1)
+    out = [None] * n_rows
+    for size in np.unique(length):
+        rows = np.nonzero(length == size)[0]
+        if size == 1:
+            empty = np.array([], dtype=float)
+            for b in rows:
+                out[b] = empty
+            continue
+        c = coeffs[rows, :size]
+        if size == 2:
+            eigs = (-c[:, 0] / c[:, 1])[:, None]
+        else:
+            # Batched numpy chebcompanion (symmetrized colleague form).
+            m = size - 1
+            mat = np.zeros((len(rows), m, m))
+            off = np.full(m - 1, 0.5)
+            off[0] = np.sqrt(0.5)
+            diag_idx = np.arange(m - 1)
+            mat[:, diag_idx, diag_idx + 1] = off
+            mat[:, diag_idx + 1, diag_idx] = off
+            scl = np.concatenate([[1.0], np.full(m - 1, np.sqrt(0.5))])
+            mat[:, :, -1] -= (c[:, :-1] / c[:, -1:]) * (scl / scl[-1]) * 0.5
+            eigs = np.linalg.eigvals(mat)
+        for j, b in enumerate(rows):
+            out[b] = _filter_candidate_roots(eigs[j], domain)
+    return out
 
 
 def optimize_1d(values, nodes, bary_weights, diff_matrix, domain,
@@ -173,6 +234,123 @@ def optimize_1d(values, nodes, bary_weights, diff_matrix, domain,
 
     idx = int(np.argmin(vals) if mode == "min" else np.argmax(vals))
     return float(vals[idx]), float(candidates[idx])
+
+
+def optimize_1d_batch(values, nodes, bary_weights, diff_matrix, domain,
+                      mode: str = "min"):
+    """Batched :func:`optimize_1d`: values (B, n) -> ((B,) extrema,
+    (B,) locations).
+
+    Critical points come from :func:`roots_1d_batch` on the spectral
+    derivative; per-row candidate lists (endpoints + critical points)
+    are padded to a rectangle with the left endpoint — a duplicate
+    candidate never changes a min/max — so the barycentric candidate
+    evaluation stays one vectorized (B, K, n) pass.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    nodes = np.asarray(nodes, dtype=np.float64)
+    bary_weights = np.asarray(bary_weights, dtype=np.float64)
+    diff_matrix = np.asarray(diff_matrix, dtype=np.float64)
+    n_rows = values.shape[0]
+
+    critical = roots_1d_batch(values @ diff_matrix.T, domain)
+    a, b = domain
+    width = max(len(c) for c in critical) if critical else 0
+    candidates = np.full((n_rows, width + 2), a, dtype=np.float64)
+    candidates[:, -1] = b
+    for i, c in enumerate(critical):
+        candidates[i, 1:1 + len(c)] = c
+
+    diff = candidates[:, :, None] - nodes[None, None, :]
+    exact = np.abs(diff) < NODE_COINCIDENCE_TOL
+    has_exact = exact.any(axis=2)
+    safe = np.where(exact, 1.0, diff)
+    w_over_diff = bary_weights[None, None, :] / safe
+    vals = ((w_over_diff * values[:, None, :]).sum(axis=2)
+            / w_over_diff.sum(axis=2))
+    if has_exact.any():
+        nearest = np.take_along_axis(
+            np.broadcast_to(values[:, None, :], exact.shape),
+            exact.argmax(axis=2)[:, :, None], axis=2)[:, :, 0]
+        vals = np.where(has_exact, nearest, vals)
+
+    idx = vals.argmin(axis=1) if mode == "min" else vals.argmax(axis=1)
+    rows = np.arange(n_rows)
+    return vals[rows, idx], candidates[rows, idx]
+
+
+def validate_calculus_args_batch(ndim, dim, fixed, domain):
+    """Validate batched roots/minimize/maximize args.
+
+    ``fixed`` maps every dim except *dim* to a scalar or a (B,) array
+    (scalars broadcast).  Returns ``(dim, fixed_cols, B)`` where
+    ``fixed_cols`` is ``{d: (B,) float64 array}``.
+    """
+    if ndim == 1:
+        raise ValueError(
+            "batched calculus needs at least one fixed dim to batch "
+            "over; on a 1-D interpolant use roots()/minimize()/"
+            "maximize()")
+    if dim is None:
+        raise ValueError(
+            "dim is required on a multi-dimensional interpolant")
+    if not 0 <= dim < ndim:
+        raise ValueError(f"dim {dim} out of range [0, {ndim - 1}]")
+
+    fixed = dict(fixed) if fixed else {}
+    required = set(range(ndim)) - {dim}
+    if set(fixed) != required:
+        raise ValueError(
+            f"fixed must pin every dim except {dim}; "
+            f"missing {required - set(fixed)}"
+        )
+
+    cols = {}
+    batch = 1
+    for d, v in fixed.items():
+        arr = np.asarray(v, dtype=np.float64)
+        if arr.ndim > 1:
+            raise ValueError(
+                f"fixed[{d}] must be a scalar or a 1-D array; got shape "
+                f"{arr.shape}")
+        if arr.ndim == 1 and arr.size != 1:
+            if batch not in (1, arr.size):
+                raise ValueError(
+                    f"fixed arrays disagree on batch length: {batch} "
+                    f"vs {arr.size} (fixed[{d}])")
+            batch = arr.size
+        cols[d] = arr
+
+    for d in sorted(cols):
+        arr = np.broadcast_to(np.atleast_1d(cols[d]), (batch,))
+        lo, hi = domain[d]
+        bad = (arr < lo) | (arr > hi)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"fixed[{d}][{i}] = {arr[i]} lies outside that dim's "
+                f"domain [{lo}, {hi}]")
+        cols[d] = np.ascontiguousarray(arr, dtype=np.float64)
+    return dim, cols, batch
+
+
+def scenario_slice_points(ndim, dim, fixed_cols, batch, nodes_dim):
+    """Query points resampling the 1-D slice along *dim* for B scenarios.
+
+    Returns (B * n, ndim): scenario b's block holds ``nodes_dim`` in
+    column *dim* and ``fixed_cols[d][b]`` in every other column — one
+    fused eval_batch over these rows gives the (B, n) slice values that
+    :func:`roots_1d_batch` / :func:`optimize_1d_batch` consume.
+    Resampling a polynomial slice at its own Type-I nodes is exact, so
+    batched calculus matches the per-call slice path.
+    """
+    nodes_dim = np.asarray(nodes_dim, dtype=np.float64)
+    n = nodes_dim.size
+    pts = np.empty((batch, n, ndim), dtype=np.float64)
+    for d, col in fixed_cols.items():
+        pts[:, :, d] = col[:, None]
+    pts[:, :, dim] = nodes_dim[None, :]
+    return pts.reshape(batch * n, ndim)
 
 
 def validate_calculus_args(ndim, dim, fixed, domain):

@@ -99,7 +99,9 @@ COMMON_SURFACE = [
     "error_estimate", "sobol_indices", "interaction_matrix",
     "suggest_partition", "extrude", "slice", "integrate",
     "integrate_batch",
-    "roots", "minimize", "maximize", "save", "load", "clone",
+    "roots", "minimize", "maximize",
+    "roots_batch", "minimize_batch", "maximize_batch",
+    "save", "load", "clone",
     "set_descriptor", "get_descriptor", "get_constructor_type",
     "get_used_ns", "get_max_derivative_order", "is_construction_finished",
     "is_dimensionality_allowed", "get_special_points",
