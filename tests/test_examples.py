@@ -26,6 +26,7 @@ EXAMPLES = [
     "greek_report",
     "near_f64_tiers",
     "interconversion",
+    "scenario_calculus",
     "multi_chip",
     "fdm_baseline",
 ]
