@@ -72,8 +72,9 @@ def integrate_box_batch(tensor, domain, bounds) -> jax.Array:
     tensor = jnp.asarray(tensor, dtype=jnp.float64)
     dom = jnp.asarray(domain, dtype=jnp.float64)
     b = jnp.asarray(bounds, dtype=jnp.float64)
-    return _integrate_box_batch_impl(tensor, dom[:, 0], dom[:, 1],
-                                     b.reshape(b.shape[0], -1))
+    return _integrate_box_batch_impl(
+        tensor, dom[:, 0], dom[:, 1],
+        b.reshape(b.shape[0], 2 * tensor.ndim))
 
 
 def _tt_chain_moments(cores, lo, hi, bounds_flat):
@@ -120,5 +121,6 @@ def tt_integrate_box_batch(coeff_cores, domain, bounds) -> jax.Array:
     cores = tuple(jnp.asarray(c, dtype=jnp.float64) for c in coeff_cores)
     dom = jnp.asarray(domain, dtype=jnp.float64)
     b = jnp.asarray(bounds, dtype=jnp.float64)
-    return _tt_integrate_box_batch_impl(cores, dom[:, 0], dom[:, 1],
-                                        b.reshape(b.shape[0], -1))
+    return _tt_integrate_box_batch_impl(
+        cores, dom[:, 0], dom[:, 1],
+        b.reshape(b.shape[0], 2 * len(cores)))

@@ -313,6 +313,8 @@ def validate_calculus_args_batch(ndim, dim, fixed, domain):
             raise ValueError(
                 f"fixed[{d}] must be a scalar or a 1-D array; got shape "
                 f"{arr.shape}")
+        if arr.size == 0:
+            raise ValueError(f"fixed[{d}] is empty — no scenarios to batch")
         if arr.ndim == 1 and arr.size != 1:
             if batch not in (1, arr.size):
                 raise ValueError(

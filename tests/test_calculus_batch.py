@@ -161,6 +161,10 @@ class TestDenseValidation:
             dense.roots_batch(dim=0, fixed={1: np.zeros((2, 2)),
                                             2: 0.5})
 
+    def test_empty_fixed_array_raises(self, dense):
+        with pytest.raises(ValueError, match="empty"):
+            dense.roots_batch(dim=0, fixed={1: np.zeros(0), 2: 0.5})
+
 
 class TestTT:
     @pytest.fixture(scope="class")

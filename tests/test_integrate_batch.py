@@ -81,6 +81,10 @@ class TestDense:
         got = dense3.integrate_batch(degenerate)
         np.testing.assert_array_equal(got, np.zeros(len(got)))
 
+    def test_empty_batch_returns_empty(self, dense3):
+        out = dense3.integrate_batch(np.zeros((0, 3, 2)))
+        assert out.shape == (0,)
+
     def test_single_box_batch(self, dense3, boxes3):
         one = dense3.integrate_batch(boxes3[:1])
         assert one.shape == (1,)
