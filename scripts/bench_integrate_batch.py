@@ -9,10 +9,14 @@ write.  Prints one summary line per row; diagnostics to stderr.
 Usage: python scripts/bench_integrate_batch.py  (real TPU; canary-gated)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def log(msg):
@@ -38,7 +42,18 @@ def main():
         tt_integrate_box_batch,
     )
     from pychebyshev_tpu.utils.benchtime import chained_time_fn, host_time_fn
-    from tests.conftest import BS_DOMAIN_5D, bs_price_vectorized
+
+    def bs_price_vectorized(points, _data=None):
+        from scipy.stats import norm
+        points = np.asarray(points, dtype=np.float64)
+        s, k, t, sigma, r = (points[:, i] for i in range(5))
+        sqrt_t = np.sqrt(t)
+        d1 = (np.log(s / k) + (r + 0.5 * sigma ** 2) * t) / (sigma * sqrt_t)
+        d2 = d1 - sigma * sqrt_t
+        return s * norm.cdf(d1) - k * np.exp(-r * t) * norm.cdf(d2)
+
+    BS_DOMAIN_5D = [[80.0, 120.0], [90.0, 110.0], [0.25, 2.0],
+                    [0.1, 0.5], [0.01, 0.05]]
 
     cheb = ChebyshevApproximation(bs_price_vectorized, 5, BS_DOMAIN_5D,
                                   [11] * 5, vectorized=True)
