@@ -41,6 +41,7 @@ __all__ = [
     "build_tensor_sharded",
     "sharded_vectorized",
     "eval_batch_dp",
+    "integrate_box_batch_dp",
     "eval_batch_dd_dp",
     "slider_batch_dd_dp",
     "tt_eval_batch_dd_dp",
@@ -223,6 +224,30 @@ def eval_batch_dp(tensor, nodes, weights, diff_matrices, points,
     points = jax.device_put(points, NamedSharding(mesh, P(axis_name, None)))
     out = eval_ops.eval_batch(tensor, nodes, weights, diffs, points,
                               orders)
+    return out[:n] if pad else out
+
+
+def integrate_box_batch_dp(tensor, domain, bounds, mesh: Mesh,
+                           axis_name: str = "dp") -> jax.Array:
+    """Data-parallel batched box integration: boxes shard over
+    ``axis_name``, the value tensor replicates (box integrals are pure
+    per-box work over replicated operands, exactly like dp eval).
+
+    ``bounds`` is (B, d, 2), validated by the caller
+    (``utils.calculus.normalize_bounds_batch``).  Uneven batches pad
+    with the first box; the tail is dropped.
+    """
+    from pychebyshev_tpu.ops.integrate import integrate_box_batch
+
+    replicate = NamedSharding(mesh, P())
+    tensor = jax.device_put(jnp.asarray(tensor, jnp.float64), replicate)
+    dom = jax.device_put(jnp.asarray(domain, jnp.float64), replicate)
+    b = jnp.asarray(bounds, jnp.float64)
+    n = b.shape[0]
+    flat, n, pad = _dp_points(b.reshape(n, 2 * tensor.ndim), mesh,
+                              axis_name)
+    out = integrate_box_batch(
+        tensor, dom, flat.reshape(flat.shape[0], tensor.ndim, 2))
     return out[:n] if pad else out
 
 

@@ -67,6 +67,20 @@ class TestShardedEval:
         expected = cheb.vectorized_eval_batch(pts, [0, 0, 0])
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
 
+    def test_integrate_box_batch_dp(self, cheb):
+        mesh = sh.make_mesh(8)
+        rng = np.random.default_rng(5)
+        lo = np.array([b[0] for b in DOMAIN])
+        hi = np.array([b[1] for b in DOMAIN])
+        box_lo = lo + (hi - lo) * rng.uniform(0, 1, size=(13, 3))
+        box_hi = box_lo + (hi - box_lo) * rng.uniform(0, 1, size=(13, 3))
+        boxes = np.stack([box_lo, box_hi], axis=-1)  # odd B: pads
+        out = sh.integrate_box_batch_dp(
+            cheb.tensor_values, np.asarray(DOMAIN, dtype=np.float64),
+            boxes, mesh)
+        expected = cheb.integrate_batch(boxes)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
     def test_eval_batch_tp(self, cheb):
         mesh = sh.make_mesh(8, axis_names=("dp", "tp"), shape=(2, 4))
         rng = np.random.default_rng(1)
