@@ -236,6 +236,11 @@ def optimize_1d(values, nodes, bary_weights, diff_matrix, domain,
     return float(vals[idx]), float(candidates[idx])
 
 
+# Cap on the (rows x candidates x nodes) intermediate in
+# optimize_1d_batch; rows chunk beyond it.
+_OPT_CHUNK_ELEMS = 1 << 24
+
+
 def optimize_1d_batch(values, nodes, bary_weights, diff_matrix, domain,
                       mode: str = "min"):
     """Batched :func:`optimize_1d`: values (B, n) -> ((B,) extrema,
@@ -252,6 +257,19 @@ def optimize_1d_batch(values, nodes, bary_weights, diff_matrix, domain,
     bary_weights = np.asarray(bary_weights, dtype=np.float64)
     diff_matrix = np.asarray(diff_matrix, dtype=np.float64)
     n_rows = values.shape[0]
+
+    # Bound the (B, K, n) candidate-evaluation intermediate: chunk rows
+    # past ~_OPT_CHUNK_ELEMS worst-case elements (K <= n+1 candidates),
+    # so large scenario batches never allocate gigabytes here.
+    per_row_bound = (nodes.size + 1) * nodes.size
+    chunk = max(256, _OPT_CHUNK_ELEMS // max(per_row_bound, 1))
+    if n_rows > chunk:
+        parts = [optimize_1d_batch(values[i:i + chunk], nodes,
+                                   bary_weights, diff_matrix, domain,
+                                   mode=mode)
+                 for i in range(0, n_rows, chunk)]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
 
     critical = roots_1d_batch(values @ diff_matrix.T, domain)
     a, b = domain
@@ -326,7 +344,8 @@ def validate_calculus_args_batch(ndim, dim, fixed, domain):
     for d in sorted(cols):
         arr = np.broadcast_to(np.atleast_1d(cols[d]), (batch,))
         lo, hi = domain[d]
-        bad = (arr < lo) | (arr > hi)
+        # NaN compares False on both sides — flag non-finite explicitly.
+        bad = (arr < lo) | (arr > hi) | ~np.isfinite(arr)
         if bad.any():
             i = int(np.argmax(bad))
             raise ValueError(

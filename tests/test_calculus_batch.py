@@ -165,6 +165,24 @@ class TestDenseValidation:
         with pytest.raises(ValueError, match="empty"):
             dense.roots_batch(dim=0, fixed={1: np.zeros(0), 2: 0.5})
 
+    def test_nan_fixed_raises(self, dense):
+        bad = np.array([0.5, np.nan, 0.5])
+        with pytest.raises(ValueError, match=r"fixed\[1\]\[1\]"):
+            dense.roots_batch(dim=0, fixed={1: bad, 2: 0.5})
+
+    def test_optimize_chunked_rows_match_direct(self, dense, monkeypatch):
+        # Force the row-chunking path (chunk floor is 256) and compare
+        # against the unchunked result.
+        from pychebyshev_tpu.utils import calculus
+        rng = np.random.default_rng(8)
+        fx1 = rng.uniform(0, 1, 300)
+        fx2 = rng.uniform(0, 1, 300)
+        direct = dense.minimize_batch(dim=0, fixed={1: fx1, 2: fx2})
+        monkeypatch.setattr(calculus, "_OPT_CHUNK_ELEMS", 1)
+        chunked = dense.minimize_batch(dim=0, fixed={1: fx1, 2: fx2})
+        np.testing.assert_array_equal(chunked[0], direct[0])
+        np.testing.assert_array_equal(chunked[1], direct[1])
+
 
 class TestTT:
     @pytest.fixture(scope="class")

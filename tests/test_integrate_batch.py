@@ -85,6 +85,15 @@ class TestDense:
         out = dense3.integrate_batch(np.zeros((0, 3, 2)))
         assert out.shape == (0,)
 
+    def test_1d_model(self):
+        ch = ChebyshevApproximation(
+            lambda p, _=None: p[0] ** 3, 1, [(-1.0, 2.0)], [7])
+        ch.build(verbose=False)
+        boxes = np.array([[[-0.5, 1.5]], [[0.0, 2.0]], [[1.0, 1.0]]])
+        got = ch.integrate_batch(boxes)
+        want = np.array([(1.5 ** 4 - 0.5 ** 4) / 4.0, 4.0, 0.0])
+        np.testing.assert_allclose(got, want, atol=1e-13)
+
     def test_single_box_batch(self, dense3, boxes3):
         one = dense3.integrate_batch(boxes3[:1])
         assert one.shape == (1,)
