@@ -32,12 +32,14 @@ from pychebyshev_tpu.ops.quadrature import (
     sub_interval_weight_matrix,
 )
 
-__all__ = ["integrate_box_batch", "tt_integrate_box_batch"]
+__all__ = ["integrate_box_batch", "integrate_box_batch_models",
+           "tt_integrate_box_batch"]
 
 
-@jax.jit
-def _integrate_box_batch_impl(tensor, lo, hi, bounds_flat):
-    d = tensor.ndim
+def _quadrature_coeff_fn(shape, lo, hi):
+    """Per-box quadrature rows for a (d-dim) grid — the integrate
+    analog of the barycentric ``coeff_fn`` the eval kernels use."""
+    d = len(shape)
 
     def coeff_fn(bf):
         boxes = bf.reshape(bf.shape[0], d, 2)
@@ -48,7 +50,7 @@ def _integrate_box_batch_impl(tensor, lo, hi, bounds_flat):
             t_lo = 2.0 * (boxes[:, dim, 0] - a) / (c - a) - 1.0
             t_hi = 2.0 * (boxes[:, dim, 1] - a) / (c - a) - 1.0
             w = sub_interval_weight_matrix(
-                tensor.shape[dim], t_lo, t_hi) * half
+                shape[dim], t_lo, t_hi) * half
             # Zero-measure dims integrate to an EXACT 0: compare the raw
             # bounds — fused scaling can differ by an ulp between the lo
             # and hi columns, leaving ~1e-20 residue in the weights.
@@ -56,7 +58,20 @@ def _integrate_box_batch_impl(tensor, lo, hi, bounds_flat):
             rows.append(jnp.where(degenerate[:, None], 0.0, w))
         return rows
 
-    return _contract_batched(tensor, coeff_fn, bounds_flat)
+    return coeff_fn
+
+
+@jax.jit
+def _integrate_box_batch_impl(tensor, lo, hi, bounds_flat):
+    return _contract_batched(
+        tensor, _quadrature_coeff_fn(tensor.shape, lo, hi), bounds_flat)
+
+
+@jax.jit
+def _integrate_box_batch_models_impl(tensors, lo, hi, bounds_flat):
+    return _contract_batched(
+        list(tensors), _quadrature_coeff_fn(tensors[0].shape, lo, hi),
+        bounds_flat)
 
 
 def integrate_box_batch(tensor, domain, bounds) -> jax.Array:
@@ -75,6 +90,22 @@ def integrate_box_batch(tensor, domain, bounds) -> jax.Array:
     return _integrate_box_batch_impl(
         tensor, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * tensor.ndim))
+
+
+def integrate_box_batch_models(tensors, domain, bounds) -> jax.Array:
+    """Box integrals of M same-grid value tensors -> (M, B).
+
+    The book analog of :func:`integrate_box_batch`: the per-box
+    quadrature rows build ONCE per chunk and contract against every
+    tensor (one row build + M GEMMs, like ``eval_batch_models``) — a
+    whole book's bucket masses in one dispatch.
+    """
+    ts = tuple(jnp.asarray(t, dtype=jnp.float64) for t in tensors)
+    dom = jnp.asarray(domain, dtype=jnp.float64)
+    b = jnp.asarray(bounds, dtype=jnp.float64)
+    return _integrate_box_batch_models_impl(
+        ts, dom[:, 0], dom[:, 1],
+        b.reshape(b.shape[0], 2 * ts[0].ndim))
 
 
 def _tt_chain_moments(cores, lo, hi, bounds_flat):

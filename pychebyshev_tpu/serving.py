@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["BatchedEvaluator", "MultiModelEvaluator",
-           "MultiSpecEvaluator", "build_book", "save_book", "load_book"]
+           "MultiSpecEvaluator", "build_book", "integrate_book",
+           "save_book", "load_book"]
 
 _DEFAULT_BUCKETS = (1 << 10, 1 << 14, 1 << 17, 1 << 20)
 
@@ -1488,6 +1489,51 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
               f"({n_grid:,} grid points x {n_models} models, one "
               f"{where} call)")
     return models
+
+
+def integrate_book(models, bounds) -> np.ndarray:
+    """Box integrals of a same-grid dense book -> (M, B) in ONE dispatch.
+
+    The book analog of :meth:`ChebyshevApproximation.integrate_batch`:
+    the per-box sub-interval quadrature rows build once per chunk and
+    contract against every model's tensor
+    (``ops.integrate.integrate_box_batch_models``) — a whole portfolio's
+    bucket masses / expected exposures for the cost of one row build
+    plus M GEMMs.
+
+    Parameters
+    ----------
+    models : sequence of built same-grid ``ChebyshevApproximation``.
+    bounds : (B, d, 2) boxes inside the shared domain.
+    """
+    from pychebyshev_tpu.models.approximation import (
+        ChebyshevApproximation,
+    )
+    from pychebyshev_tpu.ops.integrate import integrate_box_batch_models
+    from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+    models = list(models)
+    if not models:
+        raise ValueError("models must be a non-empty sequence")
+    first = models[0]
+    for i, m in enumerate(models):
+        if not isinstance(m, ChebyshevApproximation):
+            raise TypeError(
+                f"models[{i}] is {type(m).__name__}; integrate_book "
+                f"takes a dense book")
+        if m.tensor_values is None:
+            raise RuntimeError("all models must be built")
+        if i and (list(m.n_nodes) != list(first.n_nodes)
+                  or [list(b) for b in m.domain]
+                  != [list(b) for b in first.domain]):
+            raise ValueError(
+                f"models[{i}] grid (n_nodes/domain) differs from "
+                f"models[0]; a book shares one grid")
+    arr = normalize_bounds_batch(bounds, first.domain)
+    out = integrate_box_batch_models(
+        tuple(m.tensor_values for m in models),
+        np.asarray(first.domain, dtype=np.float64), arr)
+    return np.asarray(out)
 
 
 def save_book(path, models) -> None:

@@ -320,6 +320,29 @@ class TestCrossFamily:
             np.testing.assert_allclose(other.integrate_batch(boxes3),
                                        base, atol=1e-7)
 
+    def test_integrate_book_matches_per_model(self, dense3, boxes3):
+        from pychebyshev_tpu.serving import integrate_book
+        second = dense3 * 2.0
+        third = dense3 + dense3
+        out = integrate_book([dense3, second, third], boxes3)
+        assert out.shape == (3, len(boxes3))
+        base = dense3.integrate_batch(boxes3)
+        np.testing.assert_allclose(out[0], base, atol=1e-13)
+        np.testing.assert_allclose(out[1], 2.0 * base, atol=1e-12)
+        np.testing.assert_allclose(out[2], 2.0 * base, atol=1e-12)
+
+    def test_integrate_book_validation(self, dense3, boxes3):
+        from pychebyshev_tpu.serving import integrate_book
+        with pytest.raises(ValueError, match="non-empty"):
+            integrate_book([], boxes3)
+        other = ChebyshevApproximation(_poly3, 3, DOM3, [5, 5, 5])
+        other.build(verbose=False)
+        with pytest.raises(ValueError, match="shares one grid"):
+            integrate_book([dense3, other], boxes3)
+        unbuilt = ChebyshevApproximation(_poly3, 3, DOM3, [9, 8, 7])
+        with pytest.raises(RuntimeError, match="built"):
+            integrate_book([unbuilt], boxes3)
+
     def test_bs5d_bucket_probabilities_shape(self, cheb_bs5d):
         rng = np.random.default_rng(5)
         dom = cheb_bs5d.domain
