@@ -353,3 +353,39 @@ class TestMultiSpecDigitGemmOnChip:
             want = sp.vectorized_eval_batch(pts, list(s))
             scale = np.abs(want).max()
             assert np.abs(got[:, m] - want).max() / scale < 1e-10, s
+
+
+class TestBatchedCalculusOnChip:
+    """Session-8 surfaces: box-integration kernels + scenario calculus
+    on the real chip (Mosaic-free — XLA contractions — but the arccos/
+    cos moment rows and f64 GEMM chain deserve an on-silicon gate)."""
+
+    def test_integrate_batch_parity_on_chip(self, cheb):
+        rng = np.random.default_rng(23)
+        dom = np.asarray(DOMAIN, dtype=np.float64)
+        lo = rng.uniform(dom[:, 0], dom[:, 1], (16, 5))
+        hi = lo + (dom[:, 1] - lo) * rng.uniform(0, 1, (16, 5))
+        boxes = np.stack([lo, hi], axis=-1)
+        boxes[0, 2, 1] = boxes[0, 2, 0]     # zero-measure dim
+        got = cheb.integrate_batch(boxes)
+        assert got[0] == 0.0
+        want = np.array([
+            cheb.integrate(bounds=[tuple(boxes[b, k]) for k in range(5)])
+            for b in range(1, 4)
+        ])
+        scale = max(np.abs(want).max(), 1.0)
+        assert np.abs(got[1:4] - want).max() / scale < 1e-12
+
+    def test_roots_batch_parity_on_chip(self, cheb):
+        rng = np.random.default_rng(29)
+        fixed = {1: rng.uniform(92.0, 108.0, 8),
+                 2: rng.uniform(0.3, 1.9, 8),
+                 3: rng.uniform(0.12, 0.48, 8),
+                 4: 0.03}
+        batch = cheb.roots_batch(dim=0, fixed=fixed)
+        for b in (0, 7):
+            per = cheb.roots(dim=0, fixed={d: (v[b] if np.ndim(v) else v)
+                                           for d, v in fixed.items()})
+            assert len(batch[b]) == len(per)
+            if len(per):
+                assert np.abs(batch[b] - per).max() < 1e-9
