@@ -1615,7 +1615,7 @@ class ChebyshevApproximation:
             return float(tensor)
         return self._assemble(tensor, nodes, weights, diffs, domain, n_nodes)
 
-    def integrate_batch(self, bounds) -> np.ndarray:
+    def integrate_batch(self, bounds, dtype=None) -> np.ndarray:
         """Integrals over a batch of axis-aligned boxes — ONE device call.
 
         Beyond-reference capability: the reference integrates one box per
@@ -1631,6 +1631,9 @@ class ChebyshevApproximation:
         bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) inside
             the domain.  Zero-measure dims (lo == hi) are allowed and
             contribute an exact 0.
+        dtype : None (f64 parity, default) or ``jnp.float32`` — the
+            throughput tier on f64-less TPUs (~1e-7-relative quadrature
+            rows + bf16x3 GEMMs, two orders faster than software f64).
 
         Returns
         -------
@@ -1644,7 +1647,8 @@ class ChebyshevApproximation:
         arr = normalize_bounds_batch(bounds, self.domain)
         out = integrate_box_batch(
             self.tensor_values,
-            np.asarray(self.domain, dtype=np.float64), arr)
+            np.asarray(self.domain, dtype=np.float64), arr,
+            dtype=(jnp.float64 if dtype is None else dtype))
         return np.asarray(out)
 
     def roots(self, dim=None, fixed=None) -> np.ndarray:

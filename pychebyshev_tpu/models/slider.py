@@ -1025,7 +1025,7 @@ class ChebyshevSlider:
             descriptor=self.descriptor,
             additional_data=self.additional_data)
 
-    def integrate_batch(self, bounds) -> np.ndarray:
+    def integrate_batch(self, bounds, dtype=None) -> np.ndarray:
         """Integrals over a batch of axis-aligned boxes — one dispatch
         per slide.
 
@@ -1059,7 +1059,7 @@ class ChebyshevSlider:
         for group, slide in zip(self.partition, self.slides):
             group_vol = np.prod(widths[:, list(group)], axis=1)
             integrals = np.asarray(slide.integrate_batch(
-                arr[:, list(group), :]))
+                arr[:, list(group), :], dtype=dtype))
             # Where the group's box has zero measure the whole box does
             # too (vol == 0), so the term is exactly 0 — mask the 0/0.
             safe = np.where(group_vol > 0.0, group_vol, 1.0)

@@ -1193,7 +1193,7 @@ class ChebyshevSpline:
         obj._shape = tuple(shape)
         return obj
 
-    def integrate_batch(self, bounds) -> np.ndarray:
+    def integrate_batch(self, bounds, dtype=None) -> np.ndarray:
         """Integrals over a batch of axis-aligned boxes — one dispatch
         per piece.
 
@@ -1233,7 +1233,7 @@ class ChebyshevSpline:
             if not (hi > lo).all(axis=1).any():
                 continue               # no box overlaps this piece
             total += np.asarray(pieces_arr[idx].integrate_batch(
-                np.stack([lo, hi], axis=-1)))
+                np.stack([lo, hi], axis=-1), dtype=dtype))
         return total
 
     def roots(self, dim=None, fixed=None) -> np.ndarray:

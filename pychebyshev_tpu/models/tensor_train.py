@@ -404,7 +404,7 @@ class ChebyshevTT:
             dim_order=new_dim_order,
         )
 
-    def integrate_batch(self, bounds) -> np.ndarray:
+    def integrate_batch(self, bounds, dtype=None) -> np.ndarray:
         """Integrals over a batch of axis-aligned boxes — ONE device call.
 
         Beyond-reference capability (the reference integrates one box per
@@ -431,9 +431,11 @@ class ChebyshevTT:
         canonical = list(range(self.num_dimensions))
         if self._dim_order != canonical:
             arr = arr[:, self._dim_order, :]
+        np_dtype = np.float64 if dtype is None else np.dtype(dtype)
         out = tt_integrate_box_batch(
-            self._cores_on_device(np.float64),
-            np.asarray(self.domain, dtype=np.float64), arr)
+            self._cores_on_device(np_dtype),
+            np.asarray(self.domain, dtype=np.float64), arr,
+            dtype=np_dtype)
         return np.asarray(out)
 
     def _to_1d_chebyshev(self, sliced_1d: "ChebyshevTT"):

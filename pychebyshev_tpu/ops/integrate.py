@@ -74,7 +74,8 @@ def _integrate_box_batch_models_impl(tensors, lo, hi, bounds_flat):
         bounds_flat)
 
 
-def integrate_box_batch(tensor, domain, bounds) -> jax.Array:
+def integrate_box_batch(tensor, domain, bounds,
+                        dtype=jnp.float64) -> jax.Array:
     """Integrals of the dense interpolant over (B, d, 2) boxes -> (B,).
 
     Parameters
@@ -83,16 +84,20 @@ def integrate_box_batch(tensor, domain, bounds) -> jax.Array:
     domain : (d, 2) per-dim [lo, hi].
     bounds : (B, d, 2) per-box per-dim (lo, hi), inside the domain
         (callers validate via ``utils.calculus.normalize_bounds_batch``).
+    dtype : f64 (default, the parity tier) or f32 — the throughput tier
+        for f64-less TPUs: ~1e-7-relative quadrature rows + bf16x3
+        GEMMs, two orders faster than software f64 at these shapes.
     """
-    tensor = jnp.asarray(tensor, dtype=jnp.float64)
-    dom = jnp.asarray(domain, dtype=jnp.float64)
-    b = jnp.asarray(bounds, dtype=jnp.float64)
+    tensor = jnp.asarray(tensor, dtype=dtype)
+    dom = jnp.asarray(domain, dtype=dtype)
+    b = jnp.asarray(bounds, dtype=dtype)
     return _integrate_box_batch_impl(
         tensor, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * tensor.ndim))
 
 
-def integrate_box_batch_models(tensors, domain, bounds) -> jax.Array:
+def integrate_box_batch_models(tensors, domain, bounds,
+                               dtype=jnp.float64) -> jax.Array:
     """Box integrals of M same-grid value tensors -> (M, B).
 
     The book analog of :func:`integrate_box_batch`: the per-box
@@ -100,9 +105,9 @@ def integrate_box_batch_models(tensors, domain, bounds) -> jax.Array:
     tensor (one row build + M GEMMs, like ``eval_batch_models``) — a
     whole book's bucket masses in one dispatch.
     """
-    ts = tuple(jnp.asarray(t, dtype=jnp.float64) for t in tensors)
-    dom = jnp.asarray(domain, dtype=jnp.float64)
-    b = jnp.asarray(bounds, dtype=jnp.float64)
+    ts = tuple(jnp.asarray(t, dtype=dtype) for t in tensors)
+    dom = jnp.asarray(domain, dtype=dtype)
+    b = jnp.asarray(bounds, dtype=dtype)
     return _integrate_box_batch_models_impl(
         ts, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * ts[0].ndim))
@@ -134,7 +139,8 @@ def _tt_integrate_box_batch_impl(cores, lo, hi, bounds_flat):
         bounds_flat, per_point)
 
 
-def tt_integrate_box_batch(coeff_cores, domain, bounds) -> jax.Array:
+def tt_integrate_box_batch(coeff_cores, domain, bounds,
+                           dtype=jnp.float64) -> jax.Array:
     """Integrals of a TT over (B, d, 2) boxes -> (B,).
 
     In coefficient space the box integral is the eval chain with the
@@ -148,10 +154,11 @@ def tt_integrate_box_batch(coeff_cores, domain, bounds) -> jax.Array:
     coeff_cores : sequence of (r_{k-1}, n_k, r_k) arrays (storage frame).
     domain : (d, 2) per-dim [lo, hi] (storage frame).
     bounds : (B, d, 2) boxes (storage frame).
+    dtype : f64 (default) or f32 (throughput tier, ~1e-7 relative).
     """
-    cores = tuple(jnp.asarray(c, dtype=jnp.float64) for c in coeff_cores)
-    dom = jnp.asarray(domain, dtype=jnp.float64)
-    b = jnp.asarray(bounds, dtype=jnp.float64)
+    cores = tuple(jnp.asarray(c, dtype=dtype) for c in coeff_cores)
+    dom = jnp.asarray(domain, dtype=dtype)
+    b = jnp.asarray(bounds, dtype=dtype)
     return _tt_integrate_box_batch_impl(
         cores, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * len(cores)))

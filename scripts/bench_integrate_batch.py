@@ -77,6 +77,20 @@ def main():
 
     tensor = cheb.tensor_values
     dev_boxes = jnp.asarray(boxes)
+
+    # f32 tier FIRST (sustained f64 chains degrade later timings).
+    f32 = cheb.integrate_batch(boxes[:2048], dtype=jnp.float32)
+    f64_ref = cheb.integrate_batch(boxes[:2048])
+    dev32 = (np.abs(f32 - f64_ref).max()
+             / max(1.0, np.abs(f64_ref).max()))
+    boxes32 = jnp.asarray(boxes, dtype=jnp.float32)
+    t32 = chained_time_fn(
+        lambda b: integrate_box_batch(tensor, dom, b,
+                                      dtype=jnp.float32), boxes32)
+    log(f"dense f32 integrate_batch: {t32 * 1e3:.2f} ms / {B:,} boxes "
+        f"(dev from f64 {dev32:.1e})")
+    print(f"dense f32 batched: {B / t32 / 1e6:.2f}M boxes/s")
+
     t = chained_time_fn(
         lambda b: integrate_box_batch(tensor, dom, b), dev_boxes)
     rate = B / t

@@ -320,6 +320,44 @@ class TestCrossFamily:
             np.testing.assert_allclose(other.integrate_batch(boxes3),
                                        base, atol=1e-7)
 
+    def test_f32_tier_all_families(self, dense3, boxes3):
+        """dtype=jnp.float32 agrees with f64 at the f32 quadrature
+        level (~1e-6 relative) on every family."""
+        import jax.numpy as jnp
+
+        f64 = dense3.integrate_batch(boxes3)
+        scale = np.abs(f64).max()
+        for model in (dense3,):
+            f32 = model.integrate_batch(boxes3, dtype=jnp.float32)
+            assert np.abs(f32 - f64).max() / scale < 1e-5
+        tt = ChebyshevTT(_poly3, 3, DOM3, [9, 8, 7], max_rank=8,
+                         tolerance=1e-12)
+        tt.build(verbose=False, seed=11)
+        assert np.abs(tt.integrate_batch(boxes3, dtype=jnp.float32)
+                      - f64).max() / scale < 1e-4
+        slider = ChebyshevSlider(
+            lambda p, _=None: np.sin(p[0]) + p[1] ** 2 + 0.5 * p[2],
+            3, DOM3, [7, 7, 7], partition=[[0], [1, 2]],
+            pivot_point=[0.0, 0.5, -0.5])
+        slider.build(verbose=False)
+        s64 = slider.integrate_batch(boxes3)
+        s32 = slider.integrate_batch(boxes3, dtype=jnp.float32)
+        assert np.abs(s32 - s64).max() / max(np.abs(s64).max(), 1) < 1e-5
+        spline = ChebyshevSpline(
+            lambda p, _=None: abs(p[0]) + p[1] + p[2], 3, DOM3,
+            [8, 8, 8], knots=[[0.5], [], []])
+        spline.build(verbose=False)
+        p64 = spline.integrate_batch(boxes3)
+        p32 = spline.integrate_batch(boxes3, dtype=jnp.float32)
+        assert np.abs(p32 - p64).max() / max(np.abs(p64).max(), 1) < 1e-5
+
+    def test_f32_zero_measure_still_exact(self, dense3, boxes3):
+        import jax.numpy as jnp
+        degenerate = boxes3.copy()
+        degenerate[:, 0, 1] = degenerate[:, 0, 0]
+        got = dense3.integrate_batch(degenerate, dtype=jnp.float32)
+        np.testing.assert_array_equal(got, np.zeros(len(got)))
+
     def test_integrate_book_matches_per_model(self, dense3, boxes3):
         from pychebyshev_tpu.serving import integrate_book
         second = dense3 * 2.0
