@@ -1651,6 +1651,88 @@ class ChebyshevApproximation:
             dtype=(jnp.float64 if dtype is None else dtype))
         return np.asarray(out)
 
+    def partial_integrate_batch(self, dims, bounds, points,
+                                derivative_order=None,
+                                dtype=None) -> np.ndarray:
+        """Batched conditional expectations — integrate over per-scenario
+        boxes on ``dims``, evaluate at per-scenario coordinates on the
+        rest, in ONE dispatch (beyond reference).
+
+        Equivalent to ``self.integrate(dims, bounds=bounds[b])
+        .vectorized_eval(points[b], derivative_order)`` for every
+        scenario b, without materializing B intermediate objects: the
+        bilinear kernel runs with quadrature rows on ``dims`` and
+        (derivative-folded) barycentric rows on the remaining dims
+        (``ops.integrate.partial_integrate_eval_batch``).  Typical use:
+        expected exposure over an S-bucket per (vol, rate) scenario.
+
+        Parameters
+        ----------
+        dims : int or sequence — dims to integrate (at least one).
+        bounds : (B, len(dims), 2) per-scenario boxes, columns in sorted
+            ``dims`` order, inside those dims' domain.
+        points : (B, d - len(dims)) coordinates for the remaining dims
+            in ascending dim order.
+        derivative_order : per-REMAINING-dim orders (ascending dim
+            order), or None.
+        dtype : None (f64 parity) or ``jnp.float32`` throughput tier.
+
+        Returns
+        -------
+        (B,) ndarray.
+        """
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.ops.integrate import (
+            partial_integrate_eval_batch,
+        )
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        if isinstance(dims, int):
+            dims = [dims]
+        dims = sorted(set(int(k) for k in dims))
+        if not dims:
+            raise ValueError(
+                "dims must name at least one dim to integrate — use "
+                "eval_batch for pure evaluation")
+        for k in dims:
+            if k < 0 or k >= self.num_dimensions:
+                raise ValueError(
+                    f"dim {k} out of range [0, {self.num_dimensions - 1}]"
+                )
+        arr = normalize_bounds_batch(bounds,
+                                     [self.domain[k] for k in dims])
+        remaining = [k for k in range(self.num_dimensions)
+                     if k not in set(dims)]
+        pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
+            raise ValueError(
+                f"points must have shape ({arr.shape[0]}, "
+                f"{len(remaining)}) — one coordinate per remaining dim "
+                f"{remaining} per box; got {pts.shape}")
+        rem_orders = list(derivative_order
+                          if derivative_order is not None
+                          else [0] * len(remaining))
+        if len(rem_orders) != len(remaining):
+            raise ValueError(
+                f"derivative_order must have one entry per remaining "
+                f"dim {remaining}; got {len(rem_orders)}")
+        full_orders = [0] * self.num_dimensions
+        for k, o in zip(remaining, rem_orders):
+            o = int(o)
+            if o < 0 or o > self.max_derivative_order:
+                raise ValueError(
+                    f"derivative order {o} for dim {k} outside "
+                    f"[0, {self.max_derivative_order}]")
+            full_orders[k] = o
+
+        out = partial_integrate_eval_batch(
+            self.tensor_values, np.asarray(self.domain, dtype=np.float64),
+            self.nodes, self.weights, self.diff_matrices, tuple(dims),
+            arr, pts, orders=tuple(full_orders),
+            dtype=(jnp.float64 if dtype is None else dtype))
+        return np.asarray(out)
+
     def roots(self, dim=None, fixed=None) -> np.ndarray:
         """Roots along one dimension (others fixed), colleague-matrix method."""
         if self.tensor_values is None:

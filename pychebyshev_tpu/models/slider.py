@@ -1128,6 +1128,102 @@ class ChebyshevSlider:
         vals = np.asarray(self.eval_batch(pts))
         return vals.reshape(batch, n), nodes, (float(lo), float(hi))
 
+    def partial_integrate_batch(self, dims, bounds, points,
+                                derivative_order=None,
+                                dtype=None) -> np.ndarray:
+        """Batched conditional expectations through the additive
+        decomposition (beyond reference).
+
+        With box measure ``V`` over the integrated ``dims`` and
+        ``V_{S\\G_i}`` the measure over integrated dims OUTSIDE group i,
+
+            int_box f(., pts) = p*V*(1 - m)
+                                + sum_i V_{S\\G_i} * M_i(b)
+
+        where ``M_i`` integrates slide i over its in-box group dims and
+        evaluates its remaining group dims at the scenario coordinates
+        (a dense :meth:`partial_integrate_batch` / ``eval_batch``).
+        Derivatives on remaining dims route to the owning slide; a mixed
+        partial across groups is exactly 0.
+
+        ``bounds``: (B, len(dims), 2) in sorted ``dims`` order;
+        ``points``: (B, d - len(dims)) ascending remaining-dim order;
+        ``derivative_order``: per-remaining-dim orders or None.
+        Returns (B,).
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        if isinstance(dims, int):
+            dims = [dims]
+        dims = sorted(set(int(k) for k in dims))
+        if not dims:
+            raise ValueError(
+                "dims must name at least one dim to integrate — use "
+                "eval_batch for pure evaluation")
+        if any(k < 0 or k >= self.num_dimensions for k in dims):
+            raise ValueError(
+                f"dims contains out-of-range index "
+                f"(num_dimensions={self.num_dimensions}, dims={dims})")
+        int_set = set(dims)
+        arr = normalize_bounds_batch(bounds,
+                                     [self.domain[k] for k in dims])
+        remaining = [k for k in range(self.num_dimensions)
+                     if k not in int_set]
+        pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
+            raise ValueError(
+                f"points must have shape ({arr.shape[0]}, "
+                f"{len(remaining)}) — one coordinate per remaining dim "
+                f"{remaining} per box; got {pts.shape}")
+        rem_orders = list(derivative_order
+                          if derivative_order is not None
+                          else [0] * len(remaining))
+        if len(rem_orders) != len(remaining):
+            raise ValueError(
+                f"derivative_order must have one entry per remaining "
+                f"dim {remaining}; got {len(rem_orders)}")
+
+        col_of = {k: i for i, k in enumerate(dims)}
+        pcol_of = {k: i for i, k in enumerate(remaining)}
+        order_of = {k: int(o) for k, o in zip(remaining, rem_orders)}
+        widths = arr[..., 1] - arr[..., 0]
+        vol = np.prod(widths, axis=1)
+        n_rows = arr.shape[0]
+
+        deriv_dims = {k for k, o in order_of.items() if o}
+        if deriv_dims:
+            owners = {self._dim_to_slide[k] for k in deriv_dims}
+            if len(owners) > 1:
+                # Cross-group mixed partials of an additive sum vanish.
+                return np.zeros(n_rows)
+            slide_ids = [owners.pop()]
+            total = np.zeros(n_rows)
+        else:
+            slide_ids = list(range(len(self.slides)))
+            total = self.pivot_value * vol * (1.0 - len(self.slides))
+
+        for i in slide_ids:
+            group = self.partition[i]
+            slide = self.slides[i]
+            g_int = [j for j, k in enumerate(group) if k in int_set]
+            g_eval = [j for j, k in enumerate(group) if k not in int_set]
+            off_cols = [col_of[k] for k in dims if k not in set(group)]
+            v_off = (np.prod(widths[:, off_cols], axis=1)
+                     if off_cols else np.ones(n_rows))
+            sub_pts = pts[:, [pcol_of[group[j]] for j in g_eval]]
+            sub_orders = [order_of[group[j]] for j in g_eval]
+            if g_int:
+                sub_bounds = arr[:, [col_of[group[j]] for j in g_int], :]
+                part = slide.partial_integrate_batch(
+                    g_int, sub_bounds, sub_pts,
+                    derivative_order=sub_orders, dtype=dtype)
+            else:
+                part = slide.vectorized_eval_batch(sub_pts, sub_orders)
+            total = total + v_off * np.asarray(part)
+        return total
+
     def roots_batch(self, dim=None, fixed=None) -> list:
         """Roots along *dim* for a BATCH of scenarios (scalar or (B,)
         arrays in ``fixed``) — list of B sorted root arrays; one fused

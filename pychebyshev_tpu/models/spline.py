@@ -1319,6 +1319,88 @@ class ChebyshevSpline:
                 pts, [0] * self.num_dimensions)).reshape(batch, n)
             yield vals, nodes, (float(lo), float(hi))
 
+    def partial_integrate_batch(self, dims, bounds, points,
+                                derivative_order=None,
+                                dtype=None) -> np.ndarray:
+        """Batched conditional expectations across pieces (beyond
+        reference).
+
+        Integrated ``dims`` clip every scenario box to every piece (as
+        in :meth:`integrate_batch`); remaining dims ROUTE each scenario
+        to its piece (``searchsorted side='right'`` — at a knot the
+        right piece answers, matching :meth:`eval_batch`'s silent
+        one-sided behavior, derivatives included); each piece runs a
+        dense :meth:`~ChebyshevApproximation.partial_integrate_batch`
+        over the whole batch and contributes only to its routed
+        scenarios.
+
+        ``bounds``: (B, len(dims), 2) in sorted ``dims`` order;
+        ``points``: (B, d - len(dims)) ascending remaining-dim order;
+        ``derivative_order``: per-remaining-dim orders or None.
+        Returns (B,).
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        if isinstance(dims, int):
+            dims = [dims]
+        dims = sorted(set(int(k) for k in dims))
+        if not dims:
+            raise ValueError(
+                "dims must name at least one dim to integrate — use "
+                "eval_batch for pure evaluation")
+        if any(k < 0 or k >= self.num_dimensions for k in dims):
+            raise ValueError(
+                f"dims contains out-of-range index "
+                f"(num_dimensions={self.num_dimensions}, dims={dims})")
+        arr = normalize_bounds_batch(bounds,
+                                     [self.domain[k] for k in dims])
+        remaining = [k for k in range(self.num_dimensions)
+                     if k not in set(dims)]
+        pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
+            raise ValueError(
+                f"points must have shape ({arr.shape[0]}, "
+                f"{len(remaining)}) — one coordinate per remaining dim "
+                f"{remaining} per box; got {pts.shape}")
+        rem_orders = list(derivative_order
+                          if derivative_order is not None
+                          else [0] * len(remaining))
+        if len(rem_orders) != len(remaining):
+            raise ValueError(
+                f"derivative_order must have one entry per remaining "
+                f"dim {remaining}; got {len(rem_orders)}")
+
+        col_of = {k: i for i, k in enumerate(dims)}
+        route = {k: np.searchsorted(np.asarray(self.knots[k],
+                                               dtype=np.float64),
+                                    pts[:, i], side="right")
+                 for i, k in enumerate(remaining)}
+        total = np.zeros(arr.shape[0], dtype=np.float64)
+        pieces_arr = np.array(self._pieces,
+                              dtype=object).reshape(self._shape)
+        for idx in np.ndindex(*self._shape):
+            mask = np.ones(arr.shape[0], dtype=bool)
+            for k in remaining:
+                mask &= route[k] == idx[k]
+            if not mask.any():
+                continue
+            lo = arr[..., 0].copy()
+            hi = arr[..., 1].copy()
+            for k in dims:
+                p_lo, p_hi = self._intervals[k][idx[k]]
+                lo[:, col_of[k]] = np.clip(lo[:, col_of[k]], p_lo, p_hi)
+                hi[:, col_of[k]] = np.clip(hi[:, col_of[k]], p_lo, p_hi)
+            hi = np.maximum(hi, lo)
+            if not ((hi > lo).all(axis=1) & mask).any():
+                continue
+            vals = pieces_arr[idx].partial_integrate_batch(
+                dims, np.stack([lo, hi], axis=-1), pts,
+                derivative_order=rem_orders, dtype=dtype)
+            total += np.where(mask, np.asarray(vals), 0.0)
+        return total
+
     def roots_batch(self, dim=None, fixed=None) -> list:
         """Roots along *dim* for a BATCH of scenarios (scalar or (B,)
         arrays in ``fixed``) — list of B sorted root arrays, merged +

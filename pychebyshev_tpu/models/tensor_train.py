@@ -438,6 +438,63 @@ class ChebyshevTT:
             dtype=np_dtype)
         return np.asarray(out)
 
+    def partial_integrate_batch(self, dims, bounds, points,
+                                dtype=None) -> np.ndarray:
+        """Batched conditional expectations (user frame) — integrate
+        over per-scenario boxes on ``dims``, evaluate the remaining dims
+        at per-scenario coordinates, in one rank-chain dispatch (moment
+        rows on integrated dims, polynomial rows elsewhere — beyond
+        reference; value only, like ``eval_batch``).
+
+        ``bounds``: (B, len(dims), 2) in sorted user-``dims`` order;
+        ``points``: (B, d - len(dims)) in ascending remaining user-dim
+        order.  Returns (B,).
+        """
+        self._check_built()
+        from pychebyshev_tpu.ops.integrate import (
+            tt_partial_integrate_eval_batch,
+        )
+        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+
+        if isinstance(dims, int):
+            dims = [dims]
+        dims = sorted(set(int(k) for k in dims))
+        if not dims:
+            raise ValueError(
+                "dims must name at least one dim to integrate — use "
+                "eval_batch for pure evaluation")
+        if any(k < 0 or k >= self.num_dimensions for k in dims):
+            raise ValueError(
+                f"dims contains out-of-range index "
+                f"(num_dimensions={self.num_dimensions}, dims={dims})")
+        user_domain = self._user_frame_domain()
+        arr = normalize_bounds_batch(bounds,
+                                     [user_domain[k] for k in dims])
+        remaining = [k for k in range(self.num_dimensions)
+                     if k not in set(dims)]
+        pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
+            raise ValueError(
+                f"points must have shape ({arr.shape[0]}, "
+                f"{len(remaining)}) — one coordinate per remaining dim "
+                f"{remaining} per box; got {pts.shape}")
+
+        # User -> storage frame: the kernel's int_dims are storage
+        # positions; its bounds/points columns follow storage order.
+        storage_int = sorted(self._dim_order.index(k) for k in dims)
+        arr_cols = [dims.index(self._dim_order[sp]) for sp in storage_int]
+        storage_rem = [sp for sp in range(self.num_dimensions)
+                       if sp not in set(storage_int)]
+        pts_cols = [remaining.index(self._dim_order[sp])
+                    for sp in storage_rem]
+        np_dtype = np.float64 if dtype is None else np.dtype(dtype)
+        out = tt_partial_integrate_eval_batch(
+            self._cores_on_device(np_dtype),
+            np.asarray(self.domain, dtype=np.float64),
+            tuple(storage_int), arr[:, arr_cols, :], pts[:, pts_cols],
+            dtype=np_dtype)
+        return np.asarray(out)
+
     def _to_1d_chebyshev(self, sliced_1d: "ChebyshevTT"):
         """1-D dense ChebyshevApproximation from a 1-D TT."""
         from pychebyshev_tpu.models.approximation import (

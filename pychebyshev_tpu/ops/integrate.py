@@ -19,12 +19,16 @@ one host-driven contraction per box.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from pychebyshev_tpu.ops.eval import (
     _contract_batched,
     _gemm_precision,
+    apply_derivative_passes,
+    barycentric_coefficients,
     chunked_scalar_map,
 )
 from pychebyshev_tpu.ops.quadrature import (
@@ -33,7 +37,8 @@ from pychebyshev_tpu.ops.quadrature import (
 )
 
 __all__ = ["integrate_box_batch", "integrate_box_batch_models",
-           "tt_integrate_box_batch"]
+           "partial_integrate_eval_batch", "tt_integrate_box_batch",
+           "tt_partial_integrate_eval_batch"]
 
 
 def _quadrature_coeff_fn(shape, lo, hi):
@@ -43,20 +48,9 @@ def _quadrature_coeff_fn(shape, lo, hi):
 
     def coeff_fn(bf):
         boxes = bf.reshape(bf.shape[0], d, 2)
-        rows = []
-        for dim in range(d):
-            a, c = lo[dim], hi[dim]
-            half = (c - a) * 0.5
-            t_lo = 2.0 * (boxes[:, dim, 0] - a) / (c - a) - 1.0
-            t_hi = 2.0 * (boxes[:, dim, 1] - a) / (c - a) - 1.0
-            w = sub_interval_weight_matrix(
-                shape[dim], t_lo, t_hi) * half
-            # Zero-measure dims integrate to an EXACT 0: compare the raw
-            # bounds — fused scaling can differ by an ulp between the lo
-            # and hi columns, leaving ~1e-20 residue in the weights.
-            degenerate = boxes[:, dim, 0] == boxes[:, dim, 1]
-            rows.append(jnp.where(degenerate[:, None], 0.0, w))
-        return rows
+        return [_quadrature_row(shape[dim], lo[dim], hi[dim],
+                                boxes[:, dim, 0], boxes[:, dim, 1])
+                for dim in range(d)]
 
     return coeff_fn
 
@@ -113,22 +107,128 @@ def integrate_box_batch_models(tensors, domain, bounds,
         b.reshape(b.shape[0], 2 * ts[0].ndim))
 
 
-def _tt_chain_moments(cores, lo, hi, bounds_flat):
-    boxes = bounds_flat.reshape(bounds_flat.shape[0], len(cores), 2)
-    row = jnp.ones((bounds_flat.shape[0], 1), dtype=bounds_flat.dtype)
+def _quadrature_row(n, a, c, b_lo, b_hi):
+    """One dim's (B, n) quadrature rows with the exact-zero-measure mask.
+
+    The mask compares the RAW bounds: fused scaling can round the lo and
+    hi columns an ulp apart, leaving ~1e-20 residue in the weights of a
+    degenerate interval that should integrate to an exact 0.
+    """
+    half = (c - a) * 0.5
+    t_lo = 2.0 * (b_lo - a) / (c - a) - 1.0
+    t_hi = 2.0 * (b_hi - a) / (c - a) - 1.0
+    w = sub_interval_weight_matrix(n, t_lo, t_hi) * half
+    return jnp.where((b_lo == b_hi)[:, None], 0.0, w)
+
+
+@functools.partial(jax.jit, static_argnames=("int_dims", "orders"))
+def _partial_integrate_eval_impl(tensor, nodes, weights, diff_matrices,
+                                 lo, hi, packed, int_dims, orders):
+    d = tensor.ndim
+    t = apply_derivative_passes(tensor, diff_matrices, orders)
+    n_int = len(int_dims)
+    int_pos = {dim: i for i, dim in enumerate(int_dims)}
+    eval_pos = {dim: i for i, dim in
+                enumerate(k for k in range(d) if k not in int_pos)}
+
+    def coeff_fn(pk):
+        boxes = pk[:, :2 * n_int].reshape(pk.shape[0], n_int, 2)
+        pts = pk[:, 2 * n_int:]
+        rows = []
+        for dim in range(d):
+            if dim in int_pos:
+                i = int_pos[dim]
+                rows.append(_quadrature_row(
+                    tensor.shape[dim], lo[dim], hi[dim],
+                    boxes[:, i, 0], boxes[:, i, 1]))
+            else:
+                rows.append(barycentric_coefficients(
+                    pts[:, eval_pos[dim]], nodes[dim], weights[dim]))
+        return rows
+
+    return _contract_batched(t, coeff_fn, packed)
+
+
+def partial_integrate_eval_batch(tensor, domain, nodes, weights,
+                                 diff_matrices, int_dims, bounds, points,
+                                 orders=None,
+                                 dtype=jnp.float64) -> jax.Array:
+    """Conditional expectations in one dispatch: integrate over the
+    ``int_dims`` boxes, evaluate at the remaining dims' coordinates.
+
+        out[b] = (d^|orders| / dx^orders)
+                 int_{bounds[b]} f(x_S, points[b]) dx_S
+
+    Mixed per-dim rows through the same bilinear contraction as
+    ``eval_batch``: quadrature rows for integrated dims, (optionally
+    derivative-folded) barycentric rows for the rest — the batched
+    analog of ``integrate(dims, bounds).vectorized_eval(point, orders)``
+    without materializing B intermediate objects.
+
+    Parameters
+    ----------
+    tensor : (n_0, ..., n_{d-1}) value tensor.
+    domain : (d, 2); nodes/weights/diff_matrices : per-dim grid data.
+    int_dims : static sorted tuple of integrated dims.
+    bounds : (B, |int_dims|, 2) per-scenario boxes (int_dims order).
+    points : (B, d - |int_dims|) remaining-dim coordinates (ascending
+        remaining-dim order).
+    orders : per-TENSOR-dim derivative orders (zeros on int_dims), or
+        None.
+    """
+    d = tensor.ndim
+    int_dims = tuple(int(k) for k in int_dims)
+    orders = tuple(int(o) for o in (orders or (0,) * d))
+    tensor = jnp.asarray(tensor, dtype=dtype)
+    dom = jnp.asarray(domain, dtype=dtype)
+    nodes = tuple(jnp.asarray(n, dtype=dtype) for n in nodes)
+    weights = tuple(jnp.asarray(w, dtype=dtype) for w in weights)
+    diffs = tuple(jnp.asarray(m, dtype=dtype) for m in diff_matrices)
+    b = jnp.asarray(bounds, dtype=dtype).reshape(-1, 2 * len(int_dims))
+    p = jnp.asarray(points, dtype=dtype).reshape(b.shape[0],
+                                                 d - len(int_dims))
+    packed = jnp.concatenate([b, p], axis=1)
+    return _partial_integrate_eval_impl(
+        tensor, nodes, weights, diffs, dom[:, 0], dom[:, 1], packed,
+        int_dims, orders)
+
+
+def _moment_row(n, a, c, b_lo, b_hi):
+    """One dim's (B, n) Chebyshev moment rows (coefficient space), with
+    the exact-zero-measure mask (see ``_quadrature_row``)."""
+    half = (c - a) * 0.5
+    t_lo = 2.0 * (b_lo - a) / (c - a) - 1.0
+    t_hi = 2.0 * (b_hi - a) / (c - a) - 1.0
+    m = chebyshev_moment_matrix(t_lo, t_hi, n) * half
+    return jnp.where((b_lo == b_hi)[:, None], 0.0, m)
+
+
+def _tt_chain_rows(cores, row_fns, packed):
+    """The tt_eval interface chain with arbitrary per-dim row builders.
+
+    ``row_fns[d](packed)`` -> that dim's (B, n_d) rows (moment rows for
+    integrated dims, polynomial rows for evaluated dims).
+    """
+    row = jnp.ones((packed.shape[0], 1), dtype=packed.dtype)
     for d, core in enumerate(cores):
-        a, c = lo[d], hi[d]
-        half = (c - a) * 0.5
-        t_lo = 2.0 * (boxes[:, d, 0] - a) / (c - a) - 1.0
-        t_hi = 2.0 * (boxes[:, d, 1] - a) / (c - a) - 1.0
-        m = chebyshev_moment_matrix(t_lo, t_hi, core.shape[1]) * half
-        # Exact 0 for zero-measure dims (see integrate_box_batch).
-        m = jnp.where((boxes[:, d, 0] == boxes[:, d, 1])[:, None], 0.0, m)
+        q = row_fns[d](packed)
         r_l, n_d, r_r = core.shape
         interface = jnp.matmul(row, core.reshape(r_l, n_d * r_r),
                                precision=_gemm_precision(core.dtype))
-        row = jnp.einsum("nj,njk->nk", m, interface.reshape(-1, n_d, r_r))
+        row = jnp.einsum("nj,njk->nk", q, interface.reshape(-1, n_d, r_r))
     return row[:, 0]
+
+
+def _tt_chain_moments(cores, lo, hi, bounds_flat):
+    boxes = bounds_flat.reshape(bounds_flat.shape[0], len(cores), 2)
+    row_fns = [
+        (lambda pk, d=d, core=core: _moment_row(
+            core.shape[1], lo[d], hi[d],
+            pk.reshape(pk.shape[0], len(cores), 2)[:, d, 0],
+            pk.reshape(pk.shape[0], len(cores), 2)[:, d, 1]))
+        for d, core in enumerate(cores)
+    ]
+    return _tt_chain_rows(cores, row_fns, bounds_flat)
 
 
 @jax.jit
@@ -162,3 +262,58 @@ def tt_integrate_box_batch(coeff_cores, domain, bounds,
     return _tt_integrate_box_batch_impl(
         cores, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * len(cores)))
+
+
+@functools.partial(jax.jit, static_argnames=("int_dims",))
+def _tt_partial_integrate_eval_impl(cores, lo, hi, packed, int_dims):
+    from pychebyshev_tpu.ops.chebyshev import chebyshev_polynomial_matrix
+
+    d = len(cores)
+    n_int = len(int_dims)
+    int_pos = {dim: i for i, dim in enumerate(int_dims)}
+    eval_pos = {dim: i for i, dim in
+                enumerate(k for k in range(d) if k not in int_pos)}
+
+    def row_fn(dim):
+        core_n = cores[dim].shape[1]
+        if dim in int_pos:
+            i = int_pos[dim]
+
+            def fn(pk):
+                return _moment_row(core_n, lo[dim], hi[dim],
+                                   pk[:, 2 * i], pk[:, 2 * i + 1])
+        else:
+            j = 2 * n_int + eval_pos[dim]
+
+            def fn(pk):
+                scaled = (2.0 * (pk[:, j] - lo[dim])
+                          / (hi[dim] - lo[dim]) - 1.0)
+                return chebyshev_polynomial_matrix(scaled, core_n)
+        return fn
+
+    row_fns = [row_fn(dim) for dim in range(d)]
+    per_point = max(c.shape[1] * c.shape[2] for c in cores)
+    return chunked_scalar_map(
+        lambda pk: _tt_chain_rows(cores, row_fns, pk), packed, per_point)
+
+
+def tt_partial_integrate_eval_batch(coeff_cores, domain, int_dims,
+                                    bounds, points,
+                                    dtype=jnp.float64) -> jax.Array:
+    """TT conditional expectations in one dispatch (storage frame).
+
+    The rank chain with moment rows on ``int_dims`` (per-scenario boxes)
+    and Chebyshev polynomial rows on the remaining dims (per-scenario
+    coordinates) — the TT analog of
+    :func:`partial_integrate_eval_batch` (value only; TT has no analytic
+    per-dim derivative folding here).
+    """
+    cores = tuple(jnp.asarray(c, dtype=dtype) for c in coeff_cores)
+    dom = jnp.asarray(domain, dtype=dtype)
+    int_dims = tuple(int(k) for k in int_dims)
+    b = jnp.asarray(bounds, dtype=dtype).reshape(-1, 2 * len(int_dims))
+    p = jnp.asarray(points, dtype=dtype).reshape(
+        b.shape[0], len(cores) - len(int_dims))
+    packed = jnp.concatenate([b, p], axis=1)
+    return _tt_partial_integrate_eval_impl(
+        cores, dom[:, 0], dom[:, 1], packed, int_dims)

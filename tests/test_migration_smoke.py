@@ -98,7 +98,7 @@ COMMON_SURFACE = [
     "eval_batch_multi", "vectorized_eval_batch_multi", "eval_batch_dd",
     "error_estimate", "sobol_indices", "interaction_matrix",
     "suggest_partition", "extrude", "slice", "integrate",
-    "integrate_batch",
+    "integrate_batch", "partial_integrate_batch",
     "roots", "minimize", "maximize",
     "roots_batch", "minimize_batch", "maximize_batch",
     "save", "load", "clone",
