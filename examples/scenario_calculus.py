@@ -62,6 +62,22 @@ def main():
     print(f"bucket 0: batched {masses[b]:+.12f} vs per-call "
           f"{per_call:+.12f} (diff {abs(masses[b] - per_call):.1e})")
 
+    # --- conditional expectation: E over a spot bucket, per scenario -
+    n_cond = 32
+    s_lo = rng.uniform(-1.0, 0.0, n_cond)
+    s_buckets = np.stack([s_lo, s_lo + rng.uniform(0.2, 1.0, n_cond)],
+                         axis=-1)[:, None, :]          # (B, 1, 2)
+    vr = np.stack([rng.uniform(*dom[1], n_cond),
+                   rng.uniform(*dom[2], n_cond)], axis=1)
+    cond = pnl.partial_integrate_batch([0], s_buckets, vr)
+    cond_mean = cond / (s_buckets[:, 0, 1] - s_buckets[:, 0, 0])
+    one = pnl.integrate(dims=0, bounds=tuple(s_buckets[0, 0])) \
+        .vectorized_eval(list(vr[0]), [0, 0])
+    print(f"{n_cond} conditional expectations in one dispatch; "
+          f"E[P&L|bucket] range [{cond_mean.min():+.4f}, "
+          f"{cond_mean.max():+.4f}]; per-call diff "
+          f"{abs(cond[0] - one):.1e}")
+
     # --- breakeven spot moves across (vol, rate) scenarios -----------
     n_scen = 128
     vol_s = rng.uniform(*dom[1], n_scen)
