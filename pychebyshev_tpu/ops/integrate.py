@@ -107,18 +107,30 @@ def integrate_box_batch_models(tensors, domain, bounds,
         b.reshape(b.shape[0], 2 * ts[0].ndim))
 
 
-def _quadrature_row(n, a, c, b_lo, b_hi):
-    """One dim's (B, n) quadrature rows with the exact-zero-measure mask.
+def _scaled_interval_row(matrix_fn, n, a, c, b_lo, b_hi):
+    """(B, n) sub-interval rows for one dim: affine-scale the bounds to
+    [-1, 1], build rows with ``matrix_fn``, scale by the dim measure,
+    and zero degenerate intervals EXACTLY.
 
-    The mask compares the RAW bounds: fused scaling can round the lo and
-    hi columns an ulp apart, leaving ~1e-20 residue in the weights of a
-    degenerate interval that should integrate to an exact 0.
+    The degenerate mask compares the RAW bounds: fused scaling can round
+    the lo and hi columns an ulp apart, leaving ~1e-20 residue in rows
+    of a zero-measure interval that must integrate to an exact 0.  One
+    helper for both the dense (Fejer weights, value space) and TT
+    (Chebyshev moments, coefficient space) paths so the scaling and the
+    mask cannot drift.
     """
     half = (c - a) * 0.5
     t_lo = 2.0 * (b_lo - a) / (c - a) - 1.0
     t_hi = 2.0 * (b_hi - a) / (c - a) - 1.0
-    w = sub_interval_weight_matrix(n, t_lo, t_hi) * half
-    return jnp.where((b_lo == b_hi)[:, None], 0.0, w)
+    rows = matrix_fn(t_lo, t_hi, n) * half
+    return jnp.where((b_lo == b_hi)[:, None], 0.0, rows)
+
+
+def _quadrature_row(n, a, c, b_lo, b_hi):
+    """Dense-path (B, n) sub-interval Fejer weight rows (value space)."""
+    return _scaled_interval_row(
+        lambda lo_t, hi_t, m: sub_interval_weight_matrix(m, lo_t, hi_t),
+        n, a, c, b_lo, b_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("int_dims", "orders"))
@@ -194,13 +206,9 @@ def partial_integrate_eval_batch(tensor, domain, nodes, weights,
 
 
 def _moment_row(n, a, c, b_lo, b_hi):
-    """One dim's (B, n) Chebyshev moment rows (coefficient space), with
-    the exact-zero-measure mask (see ``_quadrature_row``)."""
-    half = (c - a) * 0.5
-    t_lo = 2.0 * (b_lo - a) / (c - a) - 1.0
-    t_hi = 2.0 * (b_hi - a) / (c - a) - 1.0
-    m = chebyshev_moment_matrix(t_lo, t_hi, n) * half
-    return jnp.where((b_lo == b_hi)[:, None], 0.0, m)
+    """TT-path (B, n) Chebyshev moment rows (coefficient space)."""
+    return _scaled_interval_row(chebyshev_moment_matrix,
+                                n, a, c, b_lo, b_hi)
 
 
 def _tt_chain_rows(cores, row_fns, packed):
@@ -220,12 +228,10 @@ def _tt_chain_rows(cores, row_fns, packed):
 
 
 def _tt_chain_moments(cores, lo, hi, bounds_flat):
-    boxes = bounds_flat.reshape(bounds_flat.shape[0], len(cores), 2)
     row_fns = [
         (lambda pk, d=d, core=core: _moment_row(
             core.shape[1], lo[d], hi[d],
-            pk.reshape(pk.shape[0], len(cores), 2)[:, d, 0],
-            pk.reshape(pk.shape[0], len(cores), 2)[:, d, 1]))
+            pk[:, 2 * d], pk[:, 2 * d + 1]))
         for d, core in enumerate(cores)
     ]
     return _tt_chain_rows(cores, row_fns, bounds_flat)

@@ -104,6 +104,11 @@ def sub_interval_weight_matrix(n: int, t_lo, t_hi):
     interpolant through n Type-I nodes.  Traced (bounds are data); the
     DCT-III matrix is a static constant folded into the compiled program.
     """
+    from pychebyshev_tpu.ops.eval import _gemm_precision
+
     moments = chebyshev_moment_matrix(t_lo, t_hi, n)
     dct3 = jnp.asarray(_dct3_matrix_np(n), dtype=moments.dtype)
-    return (moments @ dct3.T)[:, ::-1] / n
+    # Explicit precision: at f32 the TPU-default single-pass-bf16 matmul
+    # (~1e-3 relative) would silently break the documented ~1e-7 tier.
+    return jnp.matmul(moments, dct3.T,
+                      precision=_gemm_precision(moments.dtype))[:, ::-1] / n

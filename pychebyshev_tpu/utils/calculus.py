@@ -318,10 +318,16 @@ def validate_calculus_args_batch(ndim, dim, fixed, domain):
     fixed = dict(fixed) if fixed else {}
     required = set(range(ndim)) - {dim}
     if set(fixed) != required:
+        missing = required - set(fixed)
+        extra = set(fixed) - required
+        parts = []
+        if missing:
+            parts.append(f"missing {sorted(missing)}")
+        if extra:
+            parts.append(f"unexpected {sorted(extra)}")
         raise ValueError(
-            f"fixed must pin every dim except {dim}; "
-            f"missing {required - set(fixed)}"
-        )
+            f"fixed must pin every dim except {dim}: "
+            + "; ".join(parts))
 
     cols = {}
     batch = 1
