@@ -1686,44 +1686,16 @@ class ChebyshevApproximation:
         from pychebyshev_tpu.ops.integrate import (
             partial_integrate_eval_batch,
         )
-        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+        from pychebyshev_tpu.utils.calculus import (
+            validate_partial_integrate_args_batch,
+        )
 
-        if isinstance(dims, int):
-            dims = [dims]
-        dims = sorted(set(int(k) for k in dims))
-        if not dims:
-            raise ValueError(
-                "dims must name at least one dim to integrate — use "
-                "eval_batch for pure evaluation")
-        for k in dims:
-            if k < 0 or k >= self.num_dimensions:
-                raise ValueError(
-                    f"dim {k} out of range [0, {self.num_dimensions - 1}]"
-                )
-        arr = normalize_bounds_batch(bounds,
-                                     [self.domain[k] for k in dims])
-        remaining = [k for k in range(self.num_dimensions)
-                     if k not in set(dims)]
-        pts = np.asarray(points, dtype=np.float64)
-        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
-            raise ValueError(
-                f"points must have shape ({arr.shape[0]}, "
-                f"{len(remaining)}) — one coordinate per remaining dim "
-                f"{remaining} per box; got {pts.shape}")
-        rem_orders = list(derivative_order
-                          if derivative_order is not None
-                          else [0] * len(remaining))
-        if len(rem_orders) != len(remaining):
-            raise ValueError(
-                f"derivative_order must have one entry per remaining "
-                f"dim {remaining}; got {len(rem_orders)}")
+        dims, arr, remaining, pts, rem_orders = \
+            validate_partial_integrate_args_batch(
+                self.num_dimensions, self.domain, dims, bounds, points,
+                derivative_order, max_order=self.max_derivative_order)
         full_orders = [0] * self.num_dimensions
         for k, o in zip(remaining, rem_orders):
-            o = int(o)
-            if o < 0 or o > self.max_derivative_order:
-                raise ValueError(
-                    f"derivative order {o} for dim {k} outside "
-                    f"[0, {self.max_derivative_order}]")
             full_orders[k] = o
 
         out = partial_integrate_eval_batch(

@@ -1153,38 +1153,15 @@ class ChebyshevSlider:
         """
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+        from pychebyshev_tpu.utils.calculus import (
+            validate_partial_integrate_args_batch,
+        )
 
-        if isinstance(dims, int):
-            dims = [dims]
-        dims = sorted(set(int(k) for k in dims))
-        if not dims:
-            raise ValueError(
-                "dims must name at least one dim to integrate — use "
-                "eval_batch for pure evaluation")
-        if any(k < 0 or k >= self.num_dimensions for k in dims):
-            raise ValueError(
-                f"dims contains out-of-range index "
-                f"(num_dimensions={self.num_dimensions}, dims={dims})")
+        dims, arr, remaining, pts, rem_orders = \
+            validate_partial_integrate_args_batch(
+                self.num_dimensions, self.domain, dims, bounds, points,
+                derivative_order, max_order=self.max_derivative_order)
         int_set = set(dims)
-        arr = normalize_bounds_batch(bounds,
-                                     [self.domain[k] for k in dims])
-        remaining = [k for k in range(self.num_dimensions)
-                     if k not in int_set]
-        pts = np.asarray(points, dtype=np.float64)
-        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
-            raise ValueError(
-                f"points must have shape ({arr.shape[0]}, "
-                f"{len(remaining)}) — one coordinate per remaining dim "
-                f"{remaining} per box; got {pts.shape}")
-        rem_orders = list(derivative_order
-                          if derivative_order is not None
-                          else [0] * len(remaining))
-        if len(rem_orders) != len(remaining):
-            raise ValueError(
-                f"derivative_order must have one entry per remaining "
-                f"dim {remaining}; got {len(rem_orders)}")
-
         col_of = {k: i for i, k in enumerate(dims)}
         pcol_of = {k: i for i, k in enumerate(remaining)}
         order_of = {k: int(o) for k, o in zip(remaining, rem_orders)}

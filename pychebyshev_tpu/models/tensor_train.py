@@ -454,30 +454,14 @@ class ChebyshevTT:
         from pychebyshev_tpu.ops.integrate import (
             tt_partial_integrate_eval_batch,
         )
-        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
+        from pychebyshev_tpu.utils.calculus import (
+            validate_partial_integrate_args_batch,
+        )
 
-        if isinstance(dims, int):
-            dims = [dims]
-        dims = sorted(set(int(k) for k in dims))
-        if not dims:
-            raise ValueError(
-                "dims must name at least one dim to integrate — use "
-                "eval_batch for pure evaluation")
-        if any(k < 0 or k >= self.num_dimensions for k in dims):
-            raise ValueError(
-                f"dims contains out-of-range index "
-                f"(num_dimensions={self.num_dimensions}, dims={dims})")
-        user_domain = self._user_frame_domain()
-        arr = normalize_bounds_batch(bounds,
-                                     [user_domain[k] for k in dims])
-        remaining = [k for k in range(self.num_dimensions)
-                     if k not in set(dims)]
-        pts = np.asarray(points, dtype=np.float64)
-        if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
-            raise ValueError(
-                f"points must have shape ({arr.shape[0]}, "
-                f"{len(remaining)}) — one coordinate per remaining dim "
-                f"{remaining} per box; got {pts.shape}")
+        dims, arr, remaining, pts, _ = \
+            validate_partial_integrate_args_batch(
+                self.num_dimensions, self._user_frame_domain(), dims,
+                bounds, points)
 
         # User -> storage frame: the kernel's int_dims are storage
         # positions; its bounds/points columns follow storage order.

@@ -228,26 +228,29 @@ def eval_batch_dp(tensor, nodes, weights, diff_matrices, points,
 
 
 def integrate_box_batch_dp(tensor, domain, bounds, mesh: Mesh,
-                           axis_name: str = "dp") -> jax.Array:
+                           axis_name: str = "dp",
+                           dtype=jnp.float64) -> jax.Array:
     """Data-parallel batched box integration: boxes shard over
     ``axis_name``, the value tensor replicates (box integrals are pure
     per-box work over replicated operands, exactly like dp eval).
 
     ``bounds`` is (B, d, 2), validated by the caller
     (``utils.calculus.normalize_bounds_batch``).  Uneven batches pad
-    with the first box; the tail is dropped.
+    with the first box; the tail is dropped.  ``dtype=jnp.float32``
+    selects the throughput tier.
     """
     from pychebyshev_tpu.ops.integrate import integrate_box_batch
 
     replicate = NamedSharding(mesh, P())
-    tensor = jax.device_put(jnp.asarray(tensor, jnp.float64), replicate)
-    dom = jax.device_put(jnp.asarray(domain, jnp.float64), replicate)
+    tensor = jax.device_put(jnp.asarray(tensor, dtype), replicate)
+    dom = jax.device_put(jnp.asarray(domain, dtype), replicate)
     b = jnp.asarray(bounds, jnp.float64)
     n = b.shape[0]
     flat, n, pad = _dp_points(b.reshape(n, 2 * tensor.ndim), mesh,
                               axis_name)
     out = integrate_box_batch(
-        tensor, dom, flat.reshape(flat.shape[0], tensor.ndim, 2))
+        tensor, dom, flat.reshape(flat.shape[0], tensor.ndim, 2),
+        dtype=dtype)
     return out[:n] if pad else out
 
 

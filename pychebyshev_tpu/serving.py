@@ -1491,7 +1491,7 @@ def build_book(function, num_dimensions, domain, n_nodes, *,
     return models
 
 
-def integrate_book(models, bounds) -> np.ndarray:
+def integrate_book(models, bounds, dtype=None) -> np.ndarray:
     """Box integrals of a same-grid dense book -> (M, B) in ONE dispatch.
 
     The book analog of :meth:`ChebyshevApproximation.integrate_batch`:
@@ -1505,6 +1505,7 @@ def integrate_book(models, bounds) -> np.ndarray:
     ----------
     models : sequence of built same-grid ``ChebyshevApproximation``.
     bounds : (B, d, 2) boxes inside the shared domain.
+    dtype : None (f64 parity) or ``jnp.float32`` throughput tier.
     """
     from pychebyshev_tpu.models.approximation import (
         ChebyshevApproximation,
@@ -1532,7 +1533,8 @@ def integrate_book(models, bounds) -> np.ndarray:
     arr = normalize_bounds_batch(bounds, first.domain)
     out = integrate_box_batch_models(
         tuple(m.tensor_values for m in models),
-        np.asarray(first.domain, dtype=np.float64), arr)
+        np.asarray(first.domain, dtype=np.float64), arr,
+        dtype=(jnp.float64 if dtype is None else dtype))
     return np.asarray(out)
 
 

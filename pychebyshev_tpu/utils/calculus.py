@@ -23,6 +23,7 @@ __all__ = [
     "optimize_1d_batch",
     "validate_calculus_args",
     "validate_calculus_args_batch",
+    "validate_partial_integrate_args_batch",
     "scenario_slice_points",
     "slider_partition_intersect",
 ]
@@ -157,14 +158,15 @@ def roots_1d_batch(values, domain) -> list:
     """Roots of B 1-D interpolants at once — values (B, n) at ascending
     Type-I nodes -> list of B sorted root arrays.
 
-    Per-row semantics identical to :func:`roots_1d`; the work is
-    batched: one coefficient GEMM, then one stacked colleague-matrix
-    ``np.linalg.eigvals`` per effective-degree group (rows whose
-    trailing coefficients are exact zeros need smaller companions —
-    mirroring numpy's ``as_series`` trimming inside ``chebroots``).
-    Roots agree with the per-call path to machine precision (the
-    batched coefficient GEMM can round a last ulp differently than the
-    per-call GEMV, so agreement is ~1e-15, not bitwise).
+    Per-row results are BIT-IDENTICAL to :func:`roots_1d`: the
+    coefficient transform runs as the same per-row GEMV (a batched GEMM
+    can round a last ulp differently, which flips the root COUNT at
+    tangential zeros — a double root's complex eigenvalue pair sits on
+    the 1e-10 imag tolerance), and LAPACK applies the same eigensolve
+    per matrix in a stack.  Only the companion assembly is batched: one
+    stacked ``np.linalg.eigvals`` per effective-degree group (rows
+    whose trailing coefficients are exact zeros need smaller companions
+    — mirroring numpy's ``as_series`` trimming inside ``chebroots``).
     """
     from pychebyshev_tpu.ops.dct import _coeff_matrix_np
 
@@ -172,7 +174,9 @@ def roots_1d_batch(values, domain) -> list:
     if values.ndim != 2:
         raise ValueError(f"values must be (B, n); got shape {values.shape}")
     n_rows, n = values.shape
-    coeffs = values @ _coeff_matrix_np(n).T
+    coeff_mat = _coeff_matrix_np(n)
+    coeffs = np.stack([coeff_mat @ row for row in values]) \
+        if n_rows else np.zeros((0, n))
 
     nonzero = coeffs != 0.0
     length = np.where(nonzero.any(axis=1),
@@ -199,7 +203,12 @@ def roots_1d_batch(values, domain) -> list:
             mat[:, diag_idx + 1, diag_idx] = off
             scl = np.concatenate([[1.0], np.full(m - 1, np.sqrt(0.5))])
             mat[:, :, -1] -= (c[:, :-1] / c[:, -1:]) * (scl / scl[-1]) * 0.5
-            eigs = np.linalg.eigvals(mat)
+            # chebroots rotates the companion 180 degrees before the
+            # eigensolve ("reduces error"); match it exactly, or double
+            # roots flip between a real and a complex pair across the
+            # imag tolerance, changing the root COUNT vs the per-call
+            # path.
+            eigs = np.linalg.eigvals(mat[:, ::-1, ::-1])
         for j, b in enumerate(rows):
             out[b] = _filter_candidate_roots(eigs[j], domain)
     return out
@@ -271,7 +280,11 @@ def optimize_1d_batch(values, nodes, bary_weights, diff_matrix, domain,
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]))
 
-    critical = roots_1d_batch(values @ diff_matrix.T, domain)
+    # Per-row GEMV (not a batched GEMM) so the critical points are
+    # bit-identical to optimize_1d's — see roots_1d_batch.
+    deriv_values = np.stack([diff_matrix @ row for row in values]) \
+        if n_rows else np.zeros_like(values)
+    critical = roots_1d_batch(deriv_values, domain)
     a, b = domain
     width = max(len(c) for c in critical) if critical else 0
     candidates = np.full((n_rows, width + 2), a, dtype=np.float64)
@@ -359,6 +372,50 @@ def validate_calculus_args_batch(ndim, dim, fixed, domain):
                 f"domain [{lo}, {hi}]")
         cols[d] = np.ascontiguousarray(arr, dtype=np.float64)
     return dim, cols, batch
+
+
+def validate_partial_integrate_args_batch(ndim, domain, dims, bounds,
+                                          points, derivative_order=None,
+                                          max_order=None):
+    """Shared preamble for ``partial_integrate_batch`` on every family.
+
+    Normalizes/validates the integrated ``dims``, the (B, |dims|, 2)
+    ``bounds`` (against those dims' domain), the (B, d-|dims|)
+    ``points``, and the per-remaining-dim ``derivative_order`` (bounded
+    by ``max_order`` when given).  Returns
+    ``(dims, bounds_arr, remaining, points_arr, rem_orders)``.
+    """
+    if isinstance(dims, int):
+        dims = [dims]
+    dims = sorted(set(int(k) for k in dims))
+    if not dims:
+        raise ValueError(
+            "dims must name at least one dim to integrate — use "
+            "eval_batch for pure evaluation")
+    for k in dims:
+        if k < 0 or k >= ndim:
+            raise ValueError(f"dim {k} out of range [0, {ndim - 1}]")
+    arr = normalize_bounds_batch(bounds, [domain[k] for k in dims])
+    remaining = [k for k in range(ndim) if k not in set(dims)]
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape != (arr.shape[0], len(remaining)):
+        raise ValueError(
+            f"points must have shape ({arr.shape[0]}, {len(remaining)}) "
+            f"— one coordinate per remaining dim {remaining} per box; "
+            f"got {pts.shape}")
+    rem_orders = [int(o) for o in (derivative_order
+                                   if derivative_order is not None
+                                   else [0] * len(remaining))]
+    if len(rem_orders) != len(remaining):
+        raise ValueError(
+            f"derivative_order must have one entry per remaining dim "
+            f"{remaining}; got {len(rem_orders)}")
+    for k, o in zip(remaining, rem_orders):
+        if o < 0 or (max_order is not None and o > max_order):
+            raise ValueError(
+                f"derivative order {o} for dim {k} outside "
+                f"[0, {max_order}]")
+    return dims, arr, remaining, pts, rem_orders
 
 
 def scenario_slice_points(ndim, dim, fixed_cols, batch, nodes_dim):

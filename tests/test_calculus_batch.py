@@ -275,11 +275,21 @@ class TestRoots1dBatchUnit:
             0.5, 2.0, (16, 1)) + rng.normal(0, 0.1, (16, 9))
         batch = roots_1d_batch(values, (-1.0, 1.0))
         for row, got in zip(values, batch):
-            want = roots_1d(row, (-1.0, 1.0))
-            assert got.size == want.size
-            # Last-ulp coefficient rounding differs between the batched
-            # GEMM and the per-call GEMV; roots agree at machine level.
-            np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+            # Bit-identical: per-row GEMV coefficients + the rotated
+            # companion chebroots uses.
+            np.testing.assert_array_equal(got, roots_1d(row, (-1.0, 1.0)))
+
+    def test_double_root_count_matches_per_call(self):
+        # A tangential zero's eigenvalue pair sits ON the imag
+        # tolerance; an unrotated companion or a batched-GEMM
+        # coefficient transform flips the root COUNT vs roots_1d.
+        from pychebyshev_tpu.ops.chebyshev import nodes_for_dim_np
+        from pychebyshev_tpu.utils.calculus import roots_1d, roots_1d_batch
+        nodes = nodes_for_dim_np(-1.3, 2.7, 13)
+        values = (nodes - 0.5) ** 2
+        per = roots_1d(values, (-1.3, 2.7))
+        got = roots_1d_batch(values[None], (-1.3, 2.7))[0]
+        np.testing.assert_array_equal(got, per)
 
     def test_wrong_ndim_raises(self):
         from pychebyshev_tpu.utils.calculus import roots_1d_batch

@@ -369,6 +369,13 @@ class TestCrossFamily:
         np.testing.assert_allclose(out[1], 2.0 * base, atol=1e-12)
         np.testing.assert_allclose(out[2], 2.0 * base, atol=1e-12)
 
+    def test_integrate_book_f32_tier(self, dense3, boxes3):
+        import jax.numpy as jnp
+        from pychebyshev_tpu.serving import integrate_book
+        f64 = integrate_book([dense3], boxes3)
+        f32 = integrate_book([dense3], boxes3, dtype=jnp.float32)
+        assert np.abs(f32 - f64).max() / max(np.abs(f64).max(), 1) < 1e-5
+
     def test_integrate_book_validation(self, dense3, boxes3):
         from pychebyshev_tpu.serving import integrate_book
         with pytest.raises(ValueError, match="non-empty"):
