@@ -1632,8 +1632,9 @@ class ChebyshevApproximation:
             the domain.  Zero-measure dims (lo == hi) are allowed and
             contribute an exact 0.
         dtype : None (f64 parity, default) or ``jnp.float32`` — the
-            throughput tier on f64-less TPUs (~1e-7-relative quadrature
-            rows + bf16x3 GEMMs, two orders faster than software f64).
+            throughput tier on f64-less TPUs (~1e-5-relative, bf16x3
+            GEMM-limited; measured 39.6M boxes/s vs 0.42M software
+            f64 on the 11^5 benchmark).
 
         Returns
         -------

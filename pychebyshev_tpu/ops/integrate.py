@@ -79,8 +79,9 @@ def integrate_box_batch(tensor, domain, bounds,
     bounds : (B, d, 2) per-box per-dim (lo, hi), inside the domain
         (callers validate via ``utils.calculus.normalize_bounds_batch``).
     dtype : f64 (default, the parity tier) or f32 — the throughput tier
-        for f64-less TPUs: ~1e-7-relative quadrature rows + bf16x3
-        GEMMs, two orders faster than software f64 at these shapes.
+        for f64-less TPUs: ~1e-5-relative integrals (bf16x3
+        GEMM-limited; measured 1.3e-5 on chip), ~94x the software-f64
+        tier at these shapes.
     """
     tensor = jnp.asarray(tensor, dtype=dtype)
     dom = jnp.asarray(domain, dtype=dtype)
