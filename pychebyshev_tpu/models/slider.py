@@ -1050,22 +1050,14 @@ class ChebyshevSlider:
         """
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
-
-        arr = normalize_bounds_batch(bounds, self.domain)
-        widths = arr[..., 1] - arr[..., 0]          # (B, d)
-        vol = np.prod(widths, axis=1)               # (B,)
-        total = self.pivot_value * vol * (1.0 - len(self.slides))
-        for group, slide in zip(self.partition, self.slides):
-            group_vol = np.prod(widths[:, list(group)], axis=1)
-            integrals = np.asarray(slide.integrate_batch(
-                arr[:, list(group), :], dtype=dtype))
-            # Where the group's box has zero measure the whole box does
-            # too (vol == 0), so the term is exactly 0 — mask the 0/0.
-            safe = np.where(group_vol > 0.0, group_vol, 1.0)
-            total = total + np.where(group_vol > 0.0,
-                                     vol * integrals / safe, 0.0)
-        return total
+        # Full-box integration is the no-remaining-dims special case of
+        # the conditional-expectation decomposition (which needs no 0/0
+        # masking: off-group measures multiply instead of dividing).
+        bounds = np.asarray(bounds, dtype=np.float64)
+        return self.partial_integrate_batch(
+            list(range(self.num_dimensions)), bounds,
+            np.zeros((bounds.shape[0] if bounds.ndim else 0, 0)),
+            dtype=dtype)
 
     # ------------------------------------------------------------------
     # 1-D reduction + roots / optimization
@@ -1230,21 +1222,14 @@ class ChebyshevSlider:
     def _optimize_batch(self, dim, fixed, mode):
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.ops.chebyshev import (
-            barycentric_weights_np,
-            differentiation_matrix_np,
-        )
         from pychebyshev_tpu.utils.calculus import (
-            optimize_1d_batch,
+            optimize_resampled_batch,
             validate_calculus_args_batch,
         )
         dim, cols, batch = validate_calculus_args_batch(
             self.num_dimensions, dim, fixed, self.domain)
         vals, nodes, dom = self._scenario_slice_values(dim, cols, batch)
-        weights = barycentric_weights_np(nodes)
-        return optimize_1d_batch(
-            vals, nodes, weights,
-            differentiation_matrix_np(nodes, weights), dom, mode=mode)
+        return optimize_resampled_batch(vals, nodes, dom, mode)
 
     # ------------------------------------------------------------------
     # Algebra

@@ -1215,26 +1215,14 @@ class ChebyshevSpline:
         """
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
-
-        arr = normalize_bounds_batch(bounds, self.domain)
-        total = np.zeros(arr.shape[0], dtype=np.float64)
-        pieces_arr = np.array(self._pieces,
-                              dtype=object).reshape(self._shape)
-        d = self.num_dimensions
-        for idx in np.ndindex(*self._shape):
-            piece_lo = np.array([self._intervals[k][idx[k]][0]
-                                 for k in range(d)])
-            piece_hi = np.array([self._intervals[k][idx[k]][1]
-                                 for k in range(d)])
-            lo = np.clip(arr[..., 0], piece_lo, piece_hi)
-            hi = np.clip(arr[..., 1], piece_lo, piece_hi)
-            hi = np.maximum(hi, lo)    # disjoint dims -> zero measure
-            if not (hi > lo).all(axis=1).any():
-                continue               # no box overlaps this piece
-            total += np.asarray(pieces_arr[idx].integrate_batch(
-                np.stack([lo, hi], axis=-1), dtype=dtype))
-        return total
+        # Full-box integration is the no-remaining-dims special case of
+        # the conditional-expectation path (same per-piece clipping; the
+        # routing mask is trivially all-true).
+        bounds = np.asarray(bounds, dtype=np.float64)
+        return self.partial_integrate_batch(
+            list(range(self.num_dimensions)), bounds,
+            np.zeros((bounds.shape[0] if bounds.ndim else 0, 0)),
+            dtype=dtype)
 
     def roots(self, dim=None, fixed=None) -> np.ndarray:
         """Merged + deduped roots across all pieces of the 1-D slice."""
@@ -1421,12 +1409,8 @@ class ChebyshevSpline:
     def _optimize_batch(self, dim, fixed, mode):
         if not self._built:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.ops.chebyshev import (
-            barycentric_weights_np,
-            differentiation_matrix_np,
-        )
         from pychebyshev_tpu.utils.calculus import (
-            optimize_1d_batch,
+            optimize_resampled_batch,
             validate_calculus_args_batch,
         )
         dim, cols, batch = validate_calculus_args_batch(
@@ -1434,11 +1418,8 @@ class ChebyshevSpline:
         best_val = best_loc = None
         for vals, nodes, interval in self._scenario_interval_values(
                 dim, cols, batch):
-            weights = barycentric_weights_np(nodes)
-            v, loc = optimize_1d_batch(
-                vals, nodes, weights,
-                differentiation_matrix_np(nodes, weights), interval,
-                mode=mode)
+            v, loc = optimize_resampled_batch(vals, nodes, interval,
+                                              mode)
             if best_val is None:
                 best_val, best_loc = v, loc
             else:

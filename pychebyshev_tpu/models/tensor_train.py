@@ -564,21 +564,14 @@ class ChebyshevTT:
 
     def _optimize_batch(self, dim, fixed, mode):
         self._check_built()
-        from pychebyshev_tpu.ops.chebyshev import (
-            barycentric_weights_np,
-            differentiation_matrix_np,
-        )
         from pychebyshev_tpu.utils.calculus import (
-            optimize_1d_batch,
+            optimize_resampled_batch,
             validate_calculus_args_batch,
         )
         dim, cols, batch = validate_calculus_args_batch(
             self.num_dimensions, dim, fixed, self._user_frame_domain())
         vals, nodes, dom = self._scenario_slice_values(dim, cols, batch)
-        weights = barycentric_weights_np(nodes)
-        return optimize_1d_batch(
-            vals, nodes, weights,
-            differentiation_matrix_np(nodes, weights), dom, mode=mode)
+        return optimize_resampled_batch(vals, nodes, dom, mode)
 
     def to_dense(self) -> np.ndarray:
         """Materialize the full value tensor (axes in user-frame order)."""

@@ -21,6 +21,7 @@ __all__ = [
     "roots_1d_batch",
     "optimize_1d",
     "optimize_1d_batch",
+    "optimize_resampled_batch",
     "validate_calculus_args",
     "validate_calculus_args_batch",
     "validate_partial_integrate_args_batch",
@@ -308,6 +309,22 @@ def optimize_1d_batch(values, nodes, bary_weights, diff_matrix, domain,
     idx = vals.argmin(axis=1) if mode == "min" else vals.argmax(axis=1)
     rows = np.arange(n_rows)
     return vals[rows, idx], candidates[rows, idx]
+
+
+def optimize_resampled_batch(values, nodes, domain, mode):
+    """:func:`optimize_1d_batch` over a freshly-resampled slice —
+    derives the barycentric weights and differentiation matrix from the
+    nodes (the shared tail of every family's ``minimize_batch`` /
+    ``maximize_batch`` except dense, which reuses its stored arrays)."""
+    from pychebyshev_tpu.ops.chebyshev import (
+        barycentric_weights_np,
+        differentiation_matrix_np,
+    )
+    weights = barycentric_weights_np(np.asarray(nodes))
+    return optimize_1d_batch(
+        values, nodes, weights,
+        differentiation_matrix_np(np.asarray(nodes), weights), domain,
+        mode=mode)
 
 
 def validate_calculus_args_batch(ndim, dim, fixed, domain):
