@@ -378,3 +378,74 @@ class TestToTTConversionAgreement:
         # and the TT round-trips through the dense frame
         back = tt.to_dense()
         assert back.shape == tuple(7 for _ in range(dims))
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+class TestBatchedCalculusAgreement:
+    """Randomized batched-calculus properties: integrate_batch against
+    the closed-form antiderivative, partial_integrate_batch against the
+    per-call composition, roots_batch against the per-call rootfinder —
+    random polynomial targets, random domains, random boxes."""
+
+    def test_integrate_batch_matches_antiderivative(self, seed):
+        rng = np.random.default_rng(seed)
+        dom = _random_domain(rng, 2)
+        f, _, integral = _random_poly2(rng)
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        mid1 = 0.5 * (dom[1][0] + dom[1][1])
+        sp = ChebyshevSpline(f, 2, dom, [7, 7], knots=[[], [mid1]])
+        sp.build(verbose=False)
+        tt = ChebyshevTT(f, 2, dom, [7, 7], max_rank=7,
+                         tolerance=1e-12)
+        tt.build(verbose=False, seed=0)
+
+        n_boxes = 11
+        lo = np.stack([rng.uniform(a, b, n_boxes) for a, b in dom], 1)
+        hi = lo + ([b for _, b in dom] - lo) * rng.uniform(
+            0, 1, (n_boxes, 2))
+        boxes = np.stack([lo, hi], axis=-1)
+        want = np.array([
+            integral([tuple(boxes[b, 0]), tuple(boxes[b, 1])])
+            for b in range(n_boxes)])
+        scale = max(1.0, np.abs(want).max())
+        for model, tol in ((dense, 1e-11), (sp, 1e-11), (tt, 1e-9)):
+            got = model.integrate_batch(boxes)
+            np.testing.assert_allclose(got / scale, want / scale,
+                                       atol=tol)
+
+    def test_partial_integrate_matches_per_call(self, seed):
+        rng = np.random.default_rng(seed + 100)
+        dom = _random_domain(rng, 2)
+        f, _, _ = _random_poly2(rng)
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        n = 9
+        lo = rng.uniform(dom[0][0], dom[0][1], n)
+        hi = lo + (dom[0][1] - lo) * rng.uniform(0, 1, n)
+        boxes = np.stack([lo, hi], axis=-1)[:, None, :]
+        pts = rng.uniform(dom[1][0], dom[1][1], (n, 1))
+        got = dense.partial_integrate_batch([0], boxes, pts)
+        want = np.array([
+            dense.integrate(dims=0, bounds=tuple(boxes[b, 0]))
+            .vectorized_eval([pts[b, 0]], [0]) for b in range(n)])
+        scale = max(1.0, np.abs(want).max())
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   atol=1e-12)
+
+    def test_roots_batch_matches_per_call(self, seed):
+        rng = np.random.default_rng(seed + 200)
+        dom = _random_domain(rng, 2)
+        f, _, _ = _random_poly2(rng)
+        dense = ChebyshevApproximation(f, 2, dom, [7, 7])
+        dense.build(verbose=False)
+        fx = rng.uniform(dom[1][0], dom[1][1], 8)
+        batch = dense.roots_batch(dim=0, fixed={1: fx})
+        for b in range(8):
+            per = dense.roots(dim=0, fixed={1: float(fx[b])})
+            # Bitwise parity holds at the roots_1d_batch level (same
+            # slice values); the class paths resample vs slice, whose
+            # values differ in the last ulp -> ~1e-14 on the roots.
+            assert len(batch[b]) == len(per)
+            np.testing.assert_allclose(batch[b], per, rtol=0,
+                                       atol=1e-10)
