@@ -1631,10 +1631,12 @@ class ChebyshevApproximation:
         bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) inside
             the domain.  Zero-measure dims (lo == hi) are allowed and
             contribute an exact 0.
-        dtype : None (f64 parity, default) or ``jnp.float32`` — the
+        dtype : None (f64 parity, default), ``jnp.float32`` — the
             throughput tier on f64-less TPUs (~1e-5-relative, bf16x3
             GEMM-limited; measured 39.6M boxes/s vs 0.42M software
-            f64 on the 11^5 benchmark).
+            f64 on the 11^5 benchmark) — or ``"dd"`` — the near-f64
+            digit-GEMM tier (~1e-12-class; falls back to f64 for grids
+            outside the digit-plan budget, like :meth:`eval_batch_dd`).
 
         Returns
         -------
@@ -1642,10 +1644,21 @@ class ChebyshevApproximation:
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
-        from pychebyshev_tpu.ops.integrate import integrate_box_batch
+        from pychebyshev_tpu.ops.integrate import (
+            integrate_box_batch,
+            integrate_box_batch_dd,
+        )
         from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
 
         arr = normalize_bounds_batch(bounds, self.domain)
+        if isinstance(dtype, str) and dtype == "dd":
+            from pychebyshev_tpu.ops.eval_dd import supports_dd
+            if supports_dd(tuple(self.tensor_values.shape)):
+                out = integrate_box_batch_dd(
+                    self.tensor_values,
+                    np.asarray(self.domain, dtype=np.float64), arr)
+                return np.asarray(out)
+            dtype = None    # documented fallback outside the budget
         out = integrate_box_batch(
             self.tensor_values,
             np.asarray(self.domain, dtype=np.float64), arr,

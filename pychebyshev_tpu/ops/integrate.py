@@ -36,7 +36,8 @@ from pychebyshev_tpu.ops.quadrature import (
     sub_interval_weight_matrix,
 )
 
-__all__ = ["integrate_box_batch", "integrate_box_batch_models",
+__all__ = ["integrate_box_batch", "integrate_box_batch_dd",
+           "integrate_box_batch_models",
            "partial_integrate_eval_batch", "tt_integrate_box_batch",
            "tt_partial_integrate_eval_batch"]
 
@@ -226,6 +227,114 @@ def _tt_chain_rows(cores, row_fns, packed):
                                precision=_gemm_precision(core.dtype))
         row = jnp.einsum("nj,njk->nk", q, interface.reshape(-1, n_d, r_r))
     return row[:, 0]
+
+
+# --- near-f64 digit-GEMM tier -----------------------------------------------
+# Box integration through the dense dd machinery: the right-group
+# Khatri-Rao runs over QUADRATURE rows instead of barycentric rows.
+# Exactness bound: sub-interval Fejer weights satisfy |w_i| <= 2
+# rigorously (|moments_k| <= measure <= 2, DCT-III entries <= 1, the
+# 1/n cancels the k-sum), so a per-dim 2^-1 pre-scale keeps the
+# right-group product inside the digit planes' |q| <= 1 contract; the
+# 2^{right dims} and the physical measures (c-a)/2 fold back into the
+# final f64 scale (powers of two and a scalar multiply — exact).
+# Tensor digit planes are shared with eval_batch_dd via the same
+# _tensor_planes cache (CLAUDE.md: one home for the dd machinery).
+
+_DD_CHUNK_ELEMS_TARGET = 1 << 21
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_integrate_dd(shape: tuple, cutoff):
+    from pychebyshev_tpu.ops import eval_dd
+    from pychebyshev_tpu.ops.eval import _khatri_rao
+
+    plan = eval_dd.dd_plan(shape, cutoff)
+    s = plan["s"]
+    n_left, n_right = plan["n_left"], plan["n_right"]
+    b_r, b_t = plan["b_r"], plan["b_t"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    n_dims = len(shape)
+    n_right_dims = n_dims - s
+    chunk = max(512, _DD_CHUNK_ELEMS_TARGET // max(n_right, 1))
+
+    def _t_rows(bflat, lo, hi):
+        """Per-dim (N, n_d) t-domain quadrature rows, f64, unscaled by
+        the physical measure (folded into w_left / the final scale)."""
+        boxes = bflat.reshape(bflat.shape[0], n_dims, 2)
+        rows = []
+        for dim in range(n_dims):
+            a, c = lo[dim], hi[dim]
+            t_lo = 2.0 * (boxes[:, dim, 0] - a) / (c - a) - 1.0
+            t_hi = 2.0 * (boxes[:, dim, 1] - a) / (c - a) - 1.0
+            w = sub_interval_weight_matrix(shape[dim], t_lo, t_hi)
+            degenerate = boxes[:, dim, 0] == boxes[:, dim, 1]
+            rows.append(jnp.where(degenerate[:, None], 0.0, w))
+        return rows
+
+    def _one(tensor_planes, t_scale, lo, hi, halfs, bflat):
+        rows = _t_rows(bflat, lo, hi)
+        # Left group stays f64 (narrow): fold its physical measures in.
+        left_scale = jnp.prod(halfs[:s])
+        w_left = _khatri_rao(rows[:s]) * left_scale
+        # Right group: 2^-1 per dim keeps |q| <= 1 for the digit planes.
+        right_pairs = [eval_dd._split_f64(r * 0.5) for r in rows[s:]]
+        qhi, qlo = eval_dd._khatri_rao_dd(right_pairs)
+        r_planes = eval_dd._digit_planes_pair(qhi, qlo, b_r, p_r)
+        acc, comp = eval_dd.dd_gemm_ladder(r_planes, tensor_planes,
+                                           js_by_i, b_r, b_t, n_left)
+        right_scale = (t_scale * (2.0 ** n_right_dims)
+                       * jnp.prod(halfs[s:]))
+        y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+            * right_scale
+        return jnp.sum(w_left * y, axis=1)
+
+    @jax.jit
+    def run(tensor_planes, t_scale, lo, hi, halfs, bflat):
+        n = bflat.shape[0]
+        if n <= chunk:
+            return _one(tensor_planes, t_scale, lo, hi, halfs, bflat)
+        pad = (-n) % chunk
+        padded = jnp.pad(bflat, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, bflat.shape[1])
+        out = jax.lax.map(
+            lambda b: _one(tensor_planes, t_scale, lo, hi, halfs, b),
+            chunks)
+        return out.reshape(-1)[:n]
+
+    return run, plan
+
+
+def integrate_box_batch_dd(tensor, domain, bounds,
+                           cutoff: int = None) -> jax.Array:
+    """Near-f64 batched box integration via exact integer digit GEMMs.
+
+    The quadrature analog of ``ops.eval_dd.eval_batch_dd``: rows are
+    sub-interval Fejer weights built in f64 (cheap — one (B, n) x (n, n)
+    DCT-III matmul per dim), the wide right-group Khatri-Rao runs in
+    double-f32, and the contraction is the shared exact digit-GEMM
+    ladder against the same cached tensor planes eval_batch_dd uses.
+    ~1e-12-class (scale-normalized) deviation from the f64 path at a
+    large multiple of the software-f64 integration rate.  Raises for
+    grids outside the digit-plan budget (callers fall back to f64).
+    """
+    from pychebyshev_tpu.ops import eval_dd
+
+    shape = tuple(int(n) for n in tensor.shape)
+    if not eval_dd.supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use integrate_box_batch")
+    run, plan = _compiled_integrate_dd(shape, cutoff)
+    t_scale, tensor_planes = eval_dd._tensor_planes(
+        tensor, (), (0,) * len(shape), plan)
+    dom = jnp.asarray(domain, dtype=jnp.float64)
+    halfs = (dom[:, 1] - dom[:, 0]) * 0.5
+    b = jnp.asarray(bounds, dtype=jnp.float64)
+    return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
+               dom[:, 0], dom[:, 1], halfs,
+               b.reshape(b.shape[0], 2 * len(shape)))
 
 
 def _tt_chain_moments(cores, lo, hi, bounds_flat):

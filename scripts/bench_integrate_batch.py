@@ -91,6 +91,17 @@ def main():
         f"(dev from f64 {dev32:.1e})")
     print(f"dense f32 batched: {B / t32 / 1e6:.2f}M boxes/s")
 
+    # dd tier (near-f64): digit-GEMM ladder over quadrature rows.
+    from pychebyshev_tpu.ops.integrate import integrate_box_batch_dd
+    dd_small = cheb.integrate_batch(boxes[:2048], dtype="dd")
+    devdd = (np.abs(dd_small - f64_ref).max()
+             / max(1.0, np.abs(f64_ref).max()))
+    tdd = chained_time_fn(
+        lambda b: integrate_box_batch_dd(tensor, dom, b), dev_boxes)
+    log(f"dense dd integrate_batch: {tdd * 1e3:.2f} ms / {B:,} boxes "
+        f"(dev from f64 {devdd:.1e})")
+    print(f"dense dd batched: {B / tdd / 1e6:.2f}M boxes/s")
+
     t = chained_time_fn(
         lambda b: integrate_box_batch(tensor, dom, b), dev_boxes)
     rate = B / t

@@ -351,6 +351,35 @@ class TestCrossFamily:
         p32 = spline.integrate_batch(boxes3, dtype=jnp.float32)
         assert np.abs(p32 - p64).max() / max(np.abs(p64).max(), 1) < 1e-5
 
+    def test_dd_tier_near_f64(self, cheb_bs5d):
+        rng = np.random.default_rng(9)
+        dom = np.asarray(cheb_bs5d.domain, dtype=np.float64)
+        lo = rng.uniform(dom[:, 0], dom[:, 1], (48, 5))
+        hi = lo + (dom[:, 1] - lo) * rng.uniform(0, 1, (48, 5))
+        boxes = np.stack([lo, hi], axis=-1)
+        # Adversarial shapes: full-domain box + edge slivers + zero
+        # measure (the digit planes' |q| <= 1 contract must hold).
+        boxes[0] = dom
+        boxes[1, :, 0] = dom[:, 0]
+        boxes[1, :, 1] = dom[:, 0] + 1e-6 * (dom[:, 1] - dom[:, 0])
+        boxes[2, 3, 1] = boxes[2, 3, 0]
+        f64 = cheb_bs5d.integrate_batch(boxes)
+        dd = cheb_bs5d.integrate_batch(boxes, dtype="dd")
+        scale = max(1.0, np.abs(f64).max())
+        assert np.abs(dd - f64).max() / scale < 1e-10
+        assert dd[2] == 0.0
+
+    def test_dd_falls_back_outside_budget(self):
+        # 1-D grids are outside the digit plan; dtype='dd' must answer
+        # through the f64 path (class eval_batch_dd contract).
+        ch = ChebyshevApproximation(
+            lambda p, _=None: p[0] ** 3, 1, [(-1.0, 2.0)], [7])
+        ch.build(verbose=False)
+        boxes = np.array([[[-0.5, 1.5]], [[0.0, 2.0]]])
+        np.testing.assert_array_equal(
+            ch.integrate_batch(boxes, dtype="dd"),
+            ch.integrate_batch(boxes))
+
     def test_f32_zero_measure_still_exact(self, dense3, boxes3):
         import jax.numpy as jnp
         degenerate = boxes3.copy()

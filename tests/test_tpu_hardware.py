@@ -376,6 +376,21 @@ class TestBatchedCalculusOnChip:
         scale = max(np.abs(want).max(), 1.0)
         assert np.abs(got[1:4] - want).max() / scale < 1e-12
 
+    def test_integrate_dd_tier_on_chip(self, cheb):
+        # The digit planes' MXU-exactness contract for QUADRATURE rows
+        # (|w| <= 2, per-dim 2^-1 pre-scale) can only be proven on real
+        # bf16 MXU dots — CPU f32 accumulation hides violations.
+        rng = np.random.default_rng(31)
+        dom = np.asarray(DOMAIN, dtype=np.float64)
+        lo = rng.uniform(dom[:, 0], dom[:, 1], (32, 5))
+        hi = lo + (dom[:, 1] - lo) * rng.uniform(0, 1, (32, 5))
+        boxes = np.stack([lo, hi], axis=-1)
+        boxes[0] = dom                       # full-domain box
+        f64 = cheb.integrate_batch(boxes)
+        dd = cheb.integrate_batch(boxes, dtype="dd")
+        scale = max(1.0, np.abs(f64).max())
+        assert np.abs(dd - f64).max() / scale < 1e-10
+
     def test_roots_batch_parity_on_chip(self, cheb):
         rng = np.random.default_rng(29)
         fixed = {1: rng.uniform(92.0, 108.0, 8),
