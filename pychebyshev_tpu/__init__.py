@@ -32,6 +32,7 @@ from pychebyshev_tpu.models.approximation import ChebyshevApproximation
 from pychebyshev_tpu.models.spline import ChebyshevSpline
 from pychebyshev_tpu.models.slider import ChebyshevSlider
 from pychebyshev_tpu.models.tensor_train import ChebyshevTT
+from pychebyshev_tpu.utils.globalcalc import CriticalPoint, solve_system
 
 
 @dataclass(frozen=True)
@@ -65,8 +66,10 @@ __all__ = [
     "ChebyshevSlider",
     "ChebyshevSpline",
     "ChebyshevTT",
+    "CriticalPoint",
     "Domain",
     "Ns",
     "SpecialPoints",
+    "solve_system",
     "__version__",
 ]

@@ -1732,17 +1732,62 @@ class ChebyshevApproximation:
         sliced = self.slice(slice_params) if slice_params else self
         return roots_1d(np.asarray(sliced.tensor_values), sliced.domain[0])
 
-    def minimize(self, dim=None, fixed=None):
-        """(min value, location) along one dimension."""
-        return self._optimize(dim, fixed, "min")
+    def minimize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Minimum of the interpolant.
 
-    def maximize(self, dim=None, fixed=None):
-        """(max value, location) along one dimension."""
-        return self._optimize(dim, fixed, "max")
+        With ``dim`` given: the 1-D minimum along that dim with every
+        other dim pinned by ``fixed`` (reference semantics,
+        ``_calculus.py:300-355``) — returns ``(value, location)`` floats.
 
-    def _optimize(self, dim, fixed, mode):
+        With ``dim=None`` on a multi-dimensional interpolant: the
+        CERTIFIED GLOBAL minimum over the whole box (``fixed`` may pin
+        any subset of dims) — returns ``(value, point)`` with ``point``
+        an ``(ndim,)`` array.  The reference roadmap plans this surface
+        (v0.21 "Advanced Calculus") but never shipped it; here it runs
+        as branch-and-bound over Chebyshev enclosures in coefficient
+        space (``ops/subdivision.py``), certified to ``tol`` unless a
+        RuntimeWarning reports the remaining gap.
+        """
+        return self._optimize(dim, fixed, "min", tol=tol,
+                              max_boxes=max_boxes, polish=polish)
+
+    def maximize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Maximum of the interpolant — see :meth:`minimize` for the
+        1-D (``dim`` given) vs certified-global (``dim=None``) forms."""
+        return self._optimize(dim, fixed, "max", tol=tol,
+                              max_boxes=max_boxes, polish=polish)
+
+    def critical_points(self, fixed=None, *, grad_tol=1e-8, delta=5e-3,
+                        max_boxes=50000, separation=1e-6):
+        """All interior stationary points, classified.
+
+        Subdivision isolation on the spectral gradient system plus one
+        fused batched Newton polish; each result is a
+        ``CriticalPoint(point, value, kind)`` with kind one of
+        ``"minimum" | "maximum" | "saddle" | "degenerate"`` (Hessian
+        eigenvalue test).  ``fixed`` pins a subset of dims first.
+        Beyond the reference surface (its roadmap assigns this to the
+        unshipped v0.21).
+        """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.globalcalc import critical_points_dense
+        return critical_points_dense(
+            self, fixed=fixed, grad_tol=grad_tol, delta=delta,
+            max_boxes=max_boxes, separation=separation)
+
+    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=20000,
+                  polish=True):
+        if self.tensor_values is None:
+            raise RuntimeError("Call build() first")
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import (
+                global_optimize_dense)
+            return global_optimize_dense(
+                self, mode, fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import (
             optimize_1d,
             validate_calculus_args,

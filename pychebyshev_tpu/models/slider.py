@@ -1086,20 +1086,45 @@ class ChebyshevSlider:
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).roots()
 
-    def minimize(self, dim=None, fixed=None):
-        """(min value, location) along *dim*."""
+    def minimize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Minimum of the slider.
+
+        With ``dim``: the 1-D minimum along that dim (reference
+        semantics) — ``(value, location)`` floats.  With ``dim=None``
+        on a multi-dimensional slider: the GLOBAL minimum over the
+        whole box — EXACT under the additive decomposition (the sum of
+        per-slide global minima; cross-group curvature is zero), each
+        slide solved by the certified branch-and-bound of
+        ``ops/subdivision.py``.  Returns ``(value, point)`` with an
+        ``(ndim,)`` point; ``fixed`` may pin a subset of dims.
+        """
         if not self._built:
             raise RuntimeError("Call build() first")
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import (
+                global_optimize_slider)
+            return global_optimize_slider(
+                self, "min", fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import validate_calculus_args
         dim, slice_params = validate_calculus_args(
             self.num_dimensions, dim, fixed, self.domain)
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).minimize()
 
-    def maximize(self, dim=None, fixed=None):
-        """(max value, location) along *dim*."""
+    def maximize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Maximum of the slider — see :meth:`minimize` for the 1-D
+        (``dim`` given) vs exact-global (``dim=None``) forms."""
         if not self._built:
             raise RuntimeError("Call build() first")
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import (
+                global_optimize_slider)
+            return global_optimize_slider(
+                self, "max", fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import validate_calculus_args
         dim, slice_params = validate_calculus_args(
             self.num_dimensions, dim, fixed, self.domain)

@@ -1250,17 +1250,51 @@ class ChebyshevSpline:
             combined = combined[mask]
         return combined
 
-    def minimize(self, dim=None, fixed=None):
-        """(min value, location): best over pieces of the 1-D slice."""
-        return self._optimize(dim, fixed, "min")
+    def minimize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Minimum of the spline.
 
-    def maximize(self, dim=None, fixed=None):
-        """(max value, location): best over pieces of the 1-D slice."""
-        return self._optimize(dim, fixed, "max")
+        With ``dim``: the 1-D minimum along that dim, best over pieces
+        (reference semantics) — ``(value, location)`` floats.  With
+        ``dim=None`` on a multi-dimensional spline: the CERTIFIED GLOBAL
+        minimum over the whole domain (``fixed`` may pin a subset of
+        dims) — ``(value, point)`` with an ``(ndim,)`` point.  Each
+        piece runs the coefficient-space branch-and-bound of
+        ``ops/subdivision.py``; kinks are handled exactly because every
+        knot plane belongs to both neighboring pieces' closed boxes.
+        """
+        return self._optimize(dim, fixed, "min", tol=tol,
+                              max_boxes=max_boxes, polish=polish)
 
-    def _optimize(self, dim, fixed, mode):
+    def maximize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=20000, polish=True):
+        """Maximum of the spline — see :meth:`minimize` for the 1-D
+        (``dim`` given) vs certified-global (``dim=None``) forms."""
+        return self._optimize(dim, fixed, "max", tol=tol,
+                              max_boxes=max_boxes, polish=polish)
+
+    def critical_points(self, fixed=None, *, grad_tol=1e-8, delta=5e-3,
+                        max_boxes=50000, separation=1e-6):
+        """Stationary points per piece (one-sided at knot planes),
+        merged and classified — see
+        ``ChebyshevApproximation.critical_points``."""
         if not self._built:
             raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.globalcalc import critical_points_spline
+        return critical_points_spline(
+            self, fixed=fixed, grad_tol=grad_tol, delta=delta,
+            max_boxes=max_boxes, separation=separation)
+
+    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=20000,
+                  polish=True):
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import (
+                global_optimize_spline)
+            return global_optimize_spline(
+                self, mode, fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import (
             optimize_1d,
             validate_calculus_args,

@@ -506,18 +506,42 @@ class ChebyshevTT:
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).roots()
 
-    def minimize(self, dim=None, fixed=None):
-        """(min value, location) along *dim* (user-frame)."""
+    def minimize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=50000, polish=True):
+        """Minimum of the TT.
+
+        With ``dim``: the 1-D minimum along that user-frame dim
+        (reference semantics) — ``(value, location)`` floats.  With
+        ``dim=None`` on a multi-dimensional TT: the GLOBAL minimum over
+        the whole box via branch-and-bound directly through the
+        coefficient cores (``ops/subdivision.py::minimize_tt_cores`` —
+        no ``n^d`` materialization; the enclosure is the
+        interval transfer-matrix bound, so certification can need more
+        boxes than the dense path).  Returns ``(value, point)`` with an
+        ``(ndim,)`` user-frame point; ``fixed`` may pin a subset.
+        """
         self._check_built()
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import global_optimize_tt
+            return global_optimize_tt(
+                self, "min", fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import validate_calculus_args
         dim, slice_params = validate_calculus_args(
             self.num_dimensions, dim, fixed, self._user_frame_domain())
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).minimize()
 
-    def maximize(self, dim=None, fixed=None):
-        """(max value, location) along *dim* (user-frame)."""
+    def maximize(self, dim=None, fixed=None, *, tol=1e-9,
+                 max_boxes=50000, polish=True):
+        """Maximum of the TT — see :meth:`minimize` for the 1-D
+        (``dim`` given) vs global (``dim=None``) forms."""
         self._check_built()
+        if dim is None and self.num_dimensions > 1:
+            from pychebyshev_tpu.utils.globalcalc import global_optimize_tt
+            return global_optimize_tt(
+                self, "max", fixed, tol=tol, max_boxes=max_boxes,
+                polish=polish)
         from pychebyshev_tpu.utils.calculus import validate_calculus_args
         dim, slice_params = validate_calculus_args(
             self.num_dimensions, dim, fixed, self._user_frame_domain())
