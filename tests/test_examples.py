@@ -27,6 +27,7 @@ EXAMPLES = [
     "near_f64_tiers",
     "interconversion",
     "scenario_calculus",
+    "global_calculus",
     "multi_chip",
     "fdm_baseline",
 ]
