@@ -1733,7 +1733,7 @@ class ChebyshevApproximation:
         return roots_1d(np.asarray(sliced.tensor_values), sliced.domain[0])
 
     def minimize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Minimum of the interpolant.
 
         With ``dim`` given: the 1-D minimum along that dim with every
@@ -1753,7 +1753,7 @@ class ChebyshevApproximation:
                               max_boxes=max_boxes, polish=polish)
 
     def maximize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Maximum of the interpolant — see :meth:`minimize` for the
         1-D (``dim`` given) vs certified-global (``dim=None``) forms."""
         return self._optimize(dim, fixed, "max", tol=tol,
@@ -1778,7 +1778,7 @@ class ChebyshevApproximation:
             self, fixed=fixed, grad_tol=grad_tol, delta=delta,
             max_boxes=max_boxes, separation=separation)
 
-    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=20000,
+    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=5000,
                   polish=True):
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")

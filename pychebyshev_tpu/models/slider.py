@@ -1087,7 +1087,7 @@ class ChebyshevSlider:
         return self._to_1d_chebyshev(sliced).roots()
 
     def minimize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Minimum of the slider.
 
         With ``dim``: the 1-D minimum along that dim (reference
@@ -1114,7 +1114,7 @@ class ChebyshevSlider:
         return self._to_1d_chebyshev(sliced).minimize()
 
     def maximize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Maximum of the slider — see :meth:`minimize` for the 1-D
         (``dim`` given) vs exact-global (``dim=None``) forms."""
         if not self._built:

@@ -1251,7 +1251,7 @@ class ChebyshevSpline:
         return combined
 
     def minimize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Minimum of the spline.
 
         With ``dim``: the 1-D minimum along that dim, best over pieces
@@ -1267,7 +1267,7 @@ class ChebyshevSpline:
                               max_boxes=max_boxes, polish=polish)
 
     def maximize(self, dim=None, fixed=None, *, tol=1e-9,
-                 max_boxes=20000, polish=True):
+                 max_boxes=5000, polish=True):
         """Maximum of the spline — see :meth:`minimize` for the 1-D
         (``dim`` given) vs certified-global (``dim=None``) forms."""
         return self._optimize(dim, fixed, "max", tol=tol,
@@ -1285,7 +1285,7 @@ class ChebyshevSpline:
             self, fixed=fixed, grad_tol=grad_tol, delta=delta,
             max_boxes=max_boxes, separation=separation)
 
-    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=20000,
+    def _optimize(self, dim, fixed, mode, *, tol=1e-9, max_boxes=5000,
                   polish=True):
         if not self._built:
             raise RuntimeError("Call build() first")

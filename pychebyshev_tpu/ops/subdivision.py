@@ -69,6 +69,13 @@ class GlobalResult(NamedTuple):
 
 @functools.lru_cache(maxsize=4096)
 def _restriction_matrix_cached(n: int, lo: float, hi: float) -> np.ndarray:
+    if lo == hi:
+        # Point restriction: the "sub-interval" basis is the constant
+        # f(lo) — row 0 evaluates the parent basis at lo, the rest is 0.
+        out = np.zeros((n, n))
+        out[0] = np.polynomial.chebyshev.chebvander(
+            np.array([lo]), n - 1)[0]
+        return out
     from pychebyshev_tpu.ops.chebyshev import _chebpts1_np
     from pychebyshev_tpu.ops.dct import _coeff_matrix_np
 
@@ -89,10 +96,12 @@ def restriction_matrix(n: int, lo: float, hi: float) -> np.ndarray:
     recovered exactly from its values at n Type-I points, so composing
     "evaluate parent basis at the sub-box nodes" with the values->
     coefficients transform reproduces the restriction with no
-    truncation.  Bisection produces dyadic endpoints, so the cache hits
-    constantly during a search.
+    truncation.  ``lo == hi`` gives the point restriction (coefficients
+    of the constant f(lo) — what a monotonicity collapse produces).
+    Bisection produces dyadic endpoints, so the cache hits constantly
+    during a search.
     """
-    if not (-1.0 <= lo < hi <= 1.0):
+    if not (-1.0 <= lo <= hi <= 1.0):
         raise ValueError(f"sub-interval [{lo}, {hi}] not inside [-1, 1]")
     return _restriction_matrix_cached(int(n), float(lo), float(hi))
 
@@ -101,35 +110,47 @@ def restrict_box_coeffs(coeffs: np.ndarray,
                         boxes: np.ndarray) -> np.ndarray:
     """Re-expand one coefficient tensor on a batch of sub-boxes.
 
-    coeffs: (n_1, ..., n_d) parent coefficients on [-1, 1]^d.
+    coeffs: (n_1, ..., n_d) parent coefficients on [-1, 1]^d, or
+            (B, n_1, ..., n_d) per-box tensors (e.g. to re-restrict
+            after a monotonicity collapse).
     boxes:  (B, d, 2) local sub-boxes.
     Returns (B, n_1, ..., n_d) per-box coefficient tensors.
 
-    Each dim is one batched mode-product with that dim's per-box
+    Each dim is one BLAS-batched mode product with that dim's per-box
     restriction matrix; dims whose interval is the full [-1, 1] are
     skipped (identity).
     """
     boxes = np.asarray(boxes, dtype=np.float64)
     bsz, d = boxes.shape[0], boxes.shape[1]
-    if coeffs.ndim != d:
+    if coeffs.ndim == d:
+        out = np.broadcast_to(coeffs, (bsz,) + coeffs.shape).copy()
+    elif coeffs.ndim == d + 1 and coeffs.shape[0] == bsz:
+        out = np.ascontiguousarray(coeffs)
+    else:
         raise ValueError(
-            f"coeffs rank {coeffs.ndim} != boxes dim count {d}")
-    out = np.broadcast_to(coeffs, (bsz,) + coeffs.shape).copy()
+            f"coeffs shape {coeffs.shape} does not match boxes "
+            f"({bsz}, {d}, 2)")
+    shape = out.shape
     for axis in range(d):
-        full = np.all((boxes[:, axis, 0] == -1.0)
-                      & (boxes[:, axis, 1] == 1.0))
-        if full:
+        pairs = boxes[:, axis, :]
+        full_rows = (pairs[:, 0] == -1.0) & (pairs[:, 1] == 1.0)
+        if full_rows.all():
             continue
-        n = coeffs.shape[axis]
-        mats = np.stack([
-            restriction_matrix(n, boxes[b, axis, 0], boxes[b, axis, 1])
-            for b in range(bsz)])
-        moved = np.moveaxis(out, axis + 1, -1)         # (B, ..., n)
-        lead = moved.shape[1:-1]
-        prod = np.einsum("bri,bki->brk",
-                         moved.reshape(bsz, -1, n), mats)
-        out = np.moveaxis(prod.reshape((bsz,) + lead + (n,)), -1,
-                          axis + 1)
+        # Contiguous (B, pre, n, post) view: matmul contracts the node
+        # mode in place with NO transposes or layout copies.
+        n = shape[axis + 1]
+        pre = int(np.prod(shape[1:axis + 1], dtype=np.int64))
+        post = int(np.prod(shape[axis + 2:], dtype=np.int64))
+        x = out.reshape(bsz, pre, n, post)
+        # Bisection reuses the same dyadic intervals across many boxes:
+        # group by distinct interval so each group is ONE batched GEMM.
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        for u, (lo, hi) in enumerate(uniq):
+            if lo == -1.0 and hi == 1.0:
+                continue
+            mask = inv == u
+            mat = restriction_matrix(n, lo, hi)
+            x[mask] = np.matmul(mat, x[mask])
     return out
 
 
@@ -162,6 +183,42 @@ def center_values(coeffs: np.ndarray) -> np.ndarray:
     out = coeffs
     for _ in range(coeffs.ndim - 1):
         out = out @ _t_at_zero(out.shape[-1])
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def _coeff_diff_matrix(n: int) -> np.ndarray:
+    """(n, n) Chebyshev-coefficient differentiation operator: maps the
+    coefficients of p to those of p' on the SAME [-1, 1] interval
+    (the physical 2/width chain factor is a positive constant, so sign
+    tests — all the monotonicity reduction needs — can skip it)."""
+    out = np.zeros((n, n))
+    for k in range(1, n):
+        # T_k' = 2k * sum_{j<k, j+k odd} T_j / (2 - delta_{j0})
+        for j in range(k - 1, -1, -2):
+            out[j, k] = 2.0 * k if j > 0 else float(k)
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def _corner_eval_matrix(n: int) -> np.ndarray:
+    """(2, n): T_k(-1) = (-1)^k on row 0, T_k(+1) = 1 on row 1."""
+    k = np.arange(n)
+    return np.stack([(-1.0) ** k, np.ones(n)])
+
+
+def corner_values(coeffs: np.ndarray) -> np.ndarray:
+    """Exact interpolant values at every box corner: (B, n_1..n_d) ->
+    (B, 2, ..., 2) (index 0 = the dim's lower face, 1 = upper)."""
+    out = np.ascontiguousarray(coeffs)
+    for axis in range(1, coeffs.ndim):
+        shape = out.shape
+        n = shape[axis]
+        pre = int(np.prod(shape[:axis], dtype=np.int64))
+        post = int(np.prod(shape[axis + 1:], dtype=np.int64))
+        out = np.matmul(_corner_eval_matrix(n),
+                        out.reshape(pre, n, post)).reshape(
+            shape[:axis] + (2,) + shape[axis + 1:])
     return out
 
 
@@ -208,13 +265,23 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
     bounders.
 
     ``evaluate_boxes(boxes)`` maps a (B, d, 2) batch of local sub-boxes
-    to ``(lb, center_val, split_score)`` — a proved per-box lower bound,
-    the exact interpolant value at each box center, and a (B, d) score
-    for choosing the bisection dim.  Children are always re-derived from
-    the ROOT representation (exact restriction; no error accumulation
-    down the tree), and the incumbent is only ever an exact interpolant
-    value, so the returned ``value`` is attained and ``gap`` bounds its
-    distance from the true minimum.
+    to ``(boxes, lb, cand_val, cand_loc, split_dim)``:
+
+    - ``boxes``: the boxes, possibly NARROWED in place (a monotonicity
+      collapse pins a dim to one face when the gradient's enclosure has
+      a fixed sign there — the minimum over the original box provably
+      lies on that face, so bounds on the narrowed box bound the
+      original);
+    - ``lb``: a proved lower bound on each (narrowed) box;
+    - ``cand_val`` / ``cand_loc``: the best EXACT interpolant value the
+      bounder saw in the box (center/corners) and its local coords;
+    - ``split_dim``: the bisection dim, or -1 when nothing is left to
+      split (the box is then retired, its lb folded into the gap).
+
+    Children are always re-derived from the ROOT representation (exact
+    restriction; no error accumulation down the tree), and the incumbent
+    is only ever an exact interpolant value, so the returned ``value``
+    is attained and ``gap`` bounds its distance from the true minimum.
     """
     tol = float(tol)
     if tol <= 0.0:
@@ -223,22 +290,31 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
     best = float(seed_value)
     best_loc = np.asarray(seed_loc, dtype=np.float64).copy()
 
-    root_box = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
-    lb, cval, _ = evaluate_boxes(root_box)
-    if cval[0] < best:
-        best = float(cval[0])
-        best_loc = np.zeros(d)
-    # Heap of (lower_bound, counter, box); counter breaks value ties.
-    heap: List[Tuple[float, int, np.ndarray]] = []
+    def take_incumbent(cand_val, cand_loc):
+        nonlocal best, best_loc
+        imin = int(np.argmin(cand_val))
+        if cand_val[imin] < best:
+            best = float(cand_val[imin])
+            best_loc = cand_loc[imin].copy()
+
+    root = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
+    boxes, lb, cand_val, cand_loc, split_dim = evaluate_boxes(root)
+    take_incumbent(cand_val, cand_loc)
+    # Heap of (lower_bound, counter, box, split_dim).
+    heap: List[Tuple[float, int, np.ndarray, int]] = []
     counter = 0
+    retired_lb = np.inf  # best-possible value inside retired boxes
     lb0 = float(lb[0])
     if lb0 < best - tol:
-        heapq.heappush(heap, (lb0, counter, root_box[0]))
-        counter += 1
+        if split_dim[0] < 0:
+            retired_lb = lb0
+        else:
+            heapq.heappush(heap, (lb0, counter, boxes[0],
+                                  int(split_dim[0])))
+            counter += 1
 
     processed = 1
     proved_lb = lb0
-    retired_lb = np.inf  # best-possible value inside retired boxes
     while heap and processed < max_boxes:
         # The heap min is the global proved lower bound over open boxes.
         proved_lb = heap[0][0]
@@ -246,35 +322,28 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
             lb_all = min(proved_lb, retired_lb)
             return GlobalResult(best, best_loc, max(best - lb_all, 0.0),
                                 lb_all >= best - tol, processed)
-        batch = []
+        batch, dims = [], []
         while heap and len(batch) < beam:
-            box_lb, _, box = heapq.heappop(heap)
+            box_lb, _, box, sd = heapq.heappop(heap)
             if box_lb >= best - tol:
                 continue
-            if np.all(box[:, 1] - box[:, 0] <= _MIN_BOX_WIDTH):
-                retired_lb = min(retired_lb, box_lb)
-                continue
             batch.append(box)
+            dims.append(sd)
         if not batch:
             continue
-        parents = np.stack(batch)
-        _, _, score = evaluate_boxes(parents)
-        widths = parents[:, :, 1] - parents[:, :, 0]
-        ranked = np.where(widths > _MIN_BOX_WIDTH,
-                          score * widths + widths * 1e-300, -np.inf)
-        dims = np.argmax(ranked, axis=1)
-        children = _split_boxes(parents, dims)
-        lbs, cval, _ = evaluate_boxes(children)
+        children = _split_boxes(np.stack(batch), np.asarray(dims))
+        boxes, lbs, cand_val, cand_loc, split_dim = evaluate_boxes(
+            children)
         processed += children.shape[0]
-
-        imin = int(np.argmin(cval))
-        if cval[imin] < best:
-            best = float(cval[imin])
-            best_loc = 0.5 * (children[imin, :, 0] + children[imin, :, 1])
+        take_incumbent(cand_val, cand_loc)
         for i in np.argsort(lbs):
             if lbs[i] < best - tol:
-                heapq.heappush(heap, (float(lbs[i]), counter, children[i]))
-                counter += 1
+                if split_dim[i] < 0:
+                    retired_lb = min(retired_lb, float(lbs[i]))
+                else:
+                    heapq.heappush(heap, (float(lbs[i]), counter,
+                                          boxes[i], int(split_dim[i])))
+                    counter += 1
 
     if heap:
         proved_lb = min(proved_lb, heap[0][0], retired_lb)
@@ -288,40 +357,294 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
                         True, processed)
 
 
+def truncate_coeff_tensor(coeffs: np.ndarray, budget: float
+                          ) -> Tuple[np.ndarray, float]:
+    """Crop trailing coefficient slices while the dropped |c| mass fits
+    in ``budget``.  Returns (cropped tensor, dropped mass).
+
+    Rigorous: |p - p_cropped| <= dropped everywhere on [-1, 1]^d
+    (each dropped coefficient contributes at most |c_k|), so a search
+    on the cropped tensor certifies the original up to ``dropped``.
+    Smooth builds drop most of their n^d coefficients at any realistic
+    tolerance — the single biggest cost lever for the subdivision
+    search, whose per-box work is proportional to the tensor size.
+    """
+    out = coeffs
+    dropped = 0.0
+    if budget <= 0.0:
+        return out, dropped
+    for axis in range(out.ndim):
+        mass = np.abs(out)
+        other = tuple(i for i in range(out.ndim) if i != axis)
+        if other:
+            mass = mass.sum(axis=other)
+        keep = out.shape[axis]
+        while keep > 2 and dropped + mass[keep - 1] <= budget:
+            dropped += float(mass[keep - 1])
+            keep -= 1
+        if keep < out.shape[axis]:
+            out = np.ascontiguousarray(
+                np.take(out, np.arange(keep), axis=axis))
+    return out, dropped
+
+
+def eval_coeff_tensor_at(coeffs: np.ndarray, loc: np.ndarray) -> float:
+    """Exact value of the polynomial at one local point."""
+    v = coeffs
+    for x in np.asarray(loc, dtype=np.float64):
+        v = np.tensordot(
+            np.polynomial.chebyshev.chebvander(
+                np.array([x]), v.shape[0] - 1)[0],
+            v, axes=([0], [0]))
+    return float(v)
+
+
+def _choose_split_dims(boxes: np.ndarray, score: np.ndarray) -> np.ndarray:
+    """Bisection dim per box from (tail score x width); -1 when every
+    dim is at the width floor (nothing left to split)."""
+    widths = boxes[:, :, 1] - boxes[:, :, 0]
+    ranked = np.where(widths > _MIN_BOX_WIDTH,
+                      score * widths + widths * 1e-300, -np.inf)
+    dims = np.argmax(ranked, axis=1)
+    dims[~np.isfinite(ranked.max(axis=1))] = -1
+    return dims
+
+
+def _best_exact_in_box(cen: np.ndarray, corners: np.ndarray,
+                       boxes: np.ndarray):
+    """Cheapest exact candidates per box: its center and all 2^d
+    corners (both precomputed).  Returns (values (B,), local
+    locations (B, d))."""
+    bsz, d = boxes.shape[0], boxes.shape[1]
+    ci = np.argmin(corners, axis=1)
+    cvals = corners[np.arange(bsz), ci]
+    # Decode corner index bits -> lo/hi face per dim.
+    bits = (ci[:, None] >> np.arange(d - 1, -1, -1)[None, :]) & 1
+    clocs = np.where(bits == 0, boxes[:, :, 0], boxes[:, :, 1])
+    mids = 0.5 * (boxes[:, :, 0] + boxes[:, :, 1])
+    use_center = cen < cvals
+    return (np.where(use_center, cen, cvals),
+            np.where(use_center[:, None], mids, clocs))
+
+
+# Above this coefficient-tensor size, per-round bound evaluation runs
+# through one fused jitted XLA program instead of numpy passes: the
+# inner loop is batched restriction GEMMs + reductions — exactly what
+# XLA fuses — and at 5-D sizes the numpy version is memory-bound on
+# temporaries.  Small tensors stay on numpy (jit compile time would
+# dominate).
+_JAX_STATS_MIN_SIZE = 20000
+_JAX_STATS_BUCKETS = (64, 256, 1024)
+
+
+@functools.lru_cache(maxsize=64)
+def _box_stats_jitted(shape: Tuple[int, ...]):
+    """Fused per-round statistics for a batch of sub-boxes of one
+    coefficient-tensor shape: restriction chain, |c| enclosure, axis
+    mass profiles, center and corner values, and derivative-range
+    ingredients — one XLA program, cached per (shape, bucket)."""
+    import jax
+    import jax.numpy as jnp
+
+    d = len(shape)
+
+    def stats(coeffs, mats):
+        bsz = mats[0].shape[0]
+        sub = jnp.broadcast_to(coeffs, (bsz,) + shape)
+        # Per-box restriction: mode products via moveaxis + batched
+        # einsum (XLA plans the layouts and fuses the chain).
+        for i in range(d):
+            moved = jnp.moveaxis(sub, i + 1, -1)      # (B, lead..., n)
+            lead = moved.shape[1:-1]
+            flat = moved.reshape(bsz, -1, moved.shape[-1])
+            prod = jnp.einsum("brn,bkn->brk", flat, mats[i])
+            sub = jnp.moveaxis(
+                prod.reshape((bsz,) + lead + (prod.shape[-1],)), -1,
+                i + 1)
+        flat = sub.reshape(bsz, -1)
+        a = jnp.abs(sub)
+        total = a.reshape(bsz, -1).sum(axis=1)
+        c0 = flat[:, 0]
+        masses = []
+        fibers = []
+        for i in range(d):
+            other = tuple(ax + 1 for ax in range(d) if ax != i)
+            masses.append(a.sum(axis=other))
+            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
+                              + (0,) * (d - 1 - i)])
+        cen = sub
+        for i in range(d):
+            cen = jnp.tensordot(
+                cen, jnp.asarray(_t_at_zero(shape[i])), axes=([1], [0]))
+        cor = sub
+        for i in range(d):
+            cor = jnp.moveaxis(
+                jnp.tensordot(cor, jnp.asarray(_corner_eval_matrix(
+                    shape[i])), axes=([i + 1], [1])), -1, i + 1)
+        return (c0, total, cen, cor.reshape(bsz, -1),
+                tuple(masses), tuple(fibers))
+
+    return jax.jit(stats, backend="cpu")
+
+
 def minimize_coeff_tensor(
     coeffs: np.ndarray,
     *,
     tol: float = 1e-9,
     max_boxes: int = 20000,
-    beam: int = 64,
+    beam: int = 256,
     node_values: Optional[np.ndarray] = None,
     node_coords: Optional[Sequence[np.ndarray]] = None,
+    monotonicity: bool = True,
 ) -> GlobalResult:
     """Certified global minimum of the polynomial with Chebyshev
     coefficient tensor ``coeffs`` over [-1, 1]^d.
 
     ``node_values``/``node_coords`` (the build tensor and its local
     node vectors) seed the incumbent for free when provided.
+
+    ``monotonicity`` enables the reduction that makes boundary-attained
+    optima fast: each partial's enclosure comes from differentiating
+    the box-restricted coefficients in place (one shared matrix per
+    dim — a single fat GEMM over the batch); wherever it has a fixed
+    sign, the minimum provably lies on the corresponding face, so that
+    dim collapses to a point restriction instead of being bisected.  A
+    monotone region resolves in one collapse instead of splitting
+    linearly toward the corner.
     """
     d = coeffs.ndim
     if d == 0:
         raise ValueError("scalar coefficient tensor")
+    tol = float(tol)
+    if tol <= 0.0:
+        raise ValueError(f"tol must be positive, got {tol}")
+
+    # Degree truncation: search the cropped polynomial q (|p - q| <=
+    # eps <= tol/4 everywhere), then hand back an EXACT p value at the
+    # winner with the eps folded into the certificate.
+    work, eps = truncate_coeff_tensor(coeffs, 0.25 * tol)
+    tol_q = max(tol - 2.0 * eps, 0.5 * tol)
 
     best = np.inf
     best_loc = np.zeros(d)
     if node_values is not None:
         flat_idx = int(np.argmin(node_values))
-        best = float(np.asarray(node_values).reshape(-1)[flat_idx])
+        # Node values are p values; q(x) <= p(x) + eps keeps the seed a
+        # valid q incumbent.
+        best = float(np.asarray(node_values).reshape(-1)[flat_idx]) + eps
         multi = np.unravel_index(flat_idx, node_values.shape)
         best_loc = np.array([node_coords[i][multi[i]] for i in range(d)])
 
-    def evaluate_boxes(boxes):
-        sub = restrict_box_coeffs(coeffs, boxes)
-        c0, rad = box_enclosure(sub)
-        return c0 - rad, center_values(sub), _tail_mass_per_dim(sub)
+    use_jax = work.size >= _JAX_STATS_MIN_SIZE
+    jit_stats = _box_stats_jitted(work.shape) if use_jax else None
 
-    return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
-                         beam=beam, seed_value=best, seed_loc=best_loc)
+    def _raw_stats(boxes):
+        """(c0, total, centers, corners, axis masses, axis-0 fibers)
+        for a batch of boxes — through the fused jitted program for
+        large tensors (bucket-padded with full-domain boxes so the
+        compile caches), host numpy otherwise."""
+        bsz = boxes.shape[0]
+        if use_jax:
+            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
+            padded = boxes
+            if nb != bsz:
+                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
+                padded = np.concatenate([boxes, pad])
+            mats = tuple(
+                np.stack([restriction_matrix(work.shape[i],
+                                             padded[b, i, 0],
+                                             padded[b, i, 1])
+                          for b in range(nb)])
+                for i in range(d))
+            c0, total, cen, cor, masses, fibers = jit_stats(work, mats)
+            return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
+                    np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
+                    [np.asarray(m)[:bsz] for m in masses],
+                    [np.asarray(f)[:bsz] for f in fibers])
+        sub = restrict_box_coeffs(work, boxes)
+        a = np.abs(sub)
+        masses = []
+        fibers = []
+        for i in range(d):
+            other = tuple(ax + 1 for ax in range(d) if ax != i)
+            masses.append(a.sum(axis=other))
+            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
+                              + (0,) * (d - 1 - i)])
+        total = masses[0].sum(axis=1)
+        c0 = sub.reshape(bsz, -1)[:, 0]
+        return (c0, total, center_values(sub),
+                corner_values(sub).reshape(bsz, -1), masses, fibers)
+
+    def _derivative_ranges(masses, fibers):
+        """Per-dim enclosures of d q / d local_i on each box WITHOUT
+        materializing derivative tensors: the exact constant term is an
+        O(n) fiber dot, and the variation is bounded by the
+        |.|-triangle-inequality column weights of the coefficient
+        differentiation operator applied to the axis mass profile."""
+        bsz = fibers[0].shape[0]
+        lo = np.empty((bsz, d))
+        hi = np.empty((bsz, d))
+        for i in range(d):
+            dm = _coeff_diff_matrix(work.shape[i])
+            g0 = fibers[i] @ dm[0]
+            full = masses[i] @ np.abs(dm).sum(axis=0)  # >= sum |c'_km|
+            rest = np.maximum(full - np.abs(g0), 0.0)
+            lo[:, i] = g0 - rest
+            hi[:, i] = g0 + rest
+        return lo, hi
+
+    def _full_stats(boxes):
+        c0, total, cen, cor, masses, fibers = _raw_stats(boxes)
+        lb = c0 - (total - np.abs(c0))
+        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
+        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
+        glo, ghi = _derivative_ranges(masses, fibers)
+        # Mean-value form: q >= q(center) - sum_i max|dq/d local_i| —
+        # quadratically tighter than the coefficient enclosure on small
+        # boxes, rigorous by the mean value theorem.
+        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
+        lb = np.maximum(lb, cen - mv_slack)
+        return lb, cand_val, cand_loc, tails, glo, ghi
+
+    def evaluate_boxes(boxes):
+        boxes = boxes.copy()
+        lb, cand_val, cand_loc, tails, glo, ghi = _full_stats(boxes)
+        if monotonicity:
+            # Monotonicity: wherever partial i has a fixed sign on the
+            # box, the minimum lies on that face — collapse dim i to a
+            # point restriction there and re-evaluate the narrowed box.
+            # The collapse proves q's own face-minimality; the p
+            # certificate only uses |p - q| <= eps on values.
+            pinned = np.zeros(boxes.shape[0], dtype=bool)
+            for i in range(d):
+                still_wide = boxes[:, i, 0] < boxes[:, i, 1]
+                to_lo = still_wide & (glo[:, i] > 0.0)
+                to_hi = still_wide & (ghi[:, i] < 0.0)
+                boxes[to_lo, i, 1] = boxes[to_lo, i, 0]
+                boxes[to_hi, i, 0] = boxes[to_hi, i, 1]
+                pinned |= to_lo | to_hi
+            if pinned.any():
+                idx = np.where(pinned)[0]
+                klb, kcv, kcl, ktails, _, _ = _full_stats(boxes[idx])
+                lb[idx] = np.maximum(lb[idx], klb)
+                better = kcv < cand_val[idx]
+                cand_val[idx] = np.where(better, kcv, cand_val[idx])
+                cand_loc[idx] = np.where(better[:, None], kcl,
+                                         cand_loc[idx])
+                tails[idx] = ktails
+        split_dim = _choose_split_dims(boxes, tails)
+        return boxes, lb, cand_val, cand_loc, split_dim
+
+    res = _bnb_minimize(d, evaluate_boxes, tol=tol_q, max_boxes=max_boxes,
+                        beam=beam, seed_value=best, seed_loc=best_loc)
+    if eps == 0.0:
+        return res
+    # Translate the q certificate to p: p_min >= (q_best - gap_q) - eps
+    # and the winner's exact p value is one cheap contraction.
+    p_val = eval_coeff_tensor_at(coeffs, res.location)
+    gap_p = p_val - (res.value - res.gap) + eps
+    return GlobalResult(p_val, res.location, max(gap_p, 0.0),
+                        res.certified and gap_p <= tol, res.boxes)
 
 
 # ----------------------------------------------------------------------
@@ -410,7 +733,9 @@ def minimize_tt_cores(
             lb[b] = mid - radius
             cv[b] = center
             sc[b] = tails
-        return lb, cv, sc
+        mids = 0.5 * (boxes[:, :, 0] + boxes[:, :, 1])
+        return (boxes, lb, cv, mids,
+                _choose_split_dims(boxes, sc))
 
     return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
                          beam=beam, seed_value=seed_value,

@@ -60,7 +60,17 @@ class TestSubdivisionPrimitives:
         with pytest.raises(ValueError, match="not inside"):
             restriction_matrix(5, -1.5, 0.0)
         with pytest.raises(ValueError, match="not inside"):
-            restriction_matrix(5, 0.3, 0.3)
+            restriction_matrix(5, 0.4, 0.3)
+
+    def test_point_restriction_evaluates(self):
+        # lo == hi -> the point restriction: coefficients of f(lo).
+        rng = np.random.default_rng(9)
+        c = rng.normal(size=8)
+        mat = restriction_matrix(8, 0.3, 0.3)
+        got = mat @ c
+        want = float(np.polynomial.chebyshev.chebval(0.3, c))
+        assert abs(got[0] - want) < 1e-14
+        np.testing.assert_allclose(got[1:], 0.0, atol=0.0)
 
     def test_enclosure_contains_samples(self):
         rng = np.random.default_rng(3)
