@@ -125,7 +125,9 @@ def restrict_box_coeffs(coeffs: np.ndarray,
     if coeffs.ndim == d:
         out = np.broadcast_to(coeffs, (bsz,) + coeffs.shape).copy()
     elif coeffs.ndim == d + 1 and coeffs.shape[0] == bsz:
-        out = np.ascontiguousarray(coeffs)
+        # Always copy: the mode products below write in place, and the
+        # caller's per-box tensors must survive the call.
+        out = np.array(coeffs, dtype=np.float64, order="C")
     else:
         raise ValueError(
             f"coeffs shape {coeffs.shape} does not match boxes "
@@ -496,6 +498,7 @@ def minimize_coeff_tensor(
     node_values: Optional[np.ndarray] = None,
     node_coords: Optional[Sequence[np.ndarray]] = None,
     monotonicity: bool = True,
+    seed_value: Optional[float] = None,
 ) -> GlobalResult:
     """Certified global minimum of the polynomial with Chebyshev
     coefficient tensor ``coeffs`` over [-1, 1]^d.
@@ -534,6 +537,14 @@ def minimize_coeff_tensor(
         best = float(np.asarray(node_values).reshape(-1)[flat_idx]) + eps
         multi = np.unravel_index(flat_idx, node_values.shape)
         best_loc = np.array([node_coords[i][multi[i]] for i in range(d)])
+    seeded = False
+    if seed_value is not None and seed_value + eps < best:
+        # An attainable value of the same objective found ELSEWHERE
+        # (e.g. another spline piece): boxes that cannot beat it prune,
+        # so per-piece searches share one incumbent.  Never reported as
+        # this search's own location.
+        best = float(seed_value) + eps
+        seeded = True
 
     use_jax = work.size >= _JAX_STATS_MIN_SIZE
     jit_stats = _box_stats_jitted(work.shape) if use_jax else None
@@ -637,6 +648,13 @@ def minimize_coeff_tensor(
 
     res = _bnb_minimize(d, evaluate_boxes, tol=tol_q, max_boxes=max_boxes,
                         beam=beam, seed_value=best, seed_loc=best_loc)
+    if seeded and res.value == float(seed_value) + eps:
+        # The external incumbent stood: this tensor holds nothing below
+        # seed - gap, and the search's own location is meaningless.
+        # Report against the seed (q >= seed + eps - gap_q everywhere
+        # here, so p >= seed - gap_q) without re-evaluating.
+        return GlobalResult(float(seed_value), res.location, res.gap,
+                            res.certified, res.boxes)
     if eps == 0.0:
         return res
     # Translate the q certificate to p: p_min >= (q_best - gap_q) - eps
@@ -770,6 +788,8 @@ def isolate_common_zeros(
                              "dimensionality")
     if not (0.0 < delta < 1.0):
         raise ValueError(f"delta must be in (0, 1), got {delta}")
+    margins = [1e-12 * max(float(np.abs(t).sum()), 1e-300)
+               for t in coeff_tensors]
 
     active = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
     done: List[np.ndarray] = []
@@ -784,10 +804,14 @@ def isolate_common_zeros(
         batch, active = active[:beam], active[beam:]
         keep = np.ones(batch.shape[0], dtype=bool)
         tails = np.zeros((batch.shape[0], d))
-        for tensor in coeff_tensors:
+        for tensor, margin in zip(coeff_tensors, margins):
             sub = restrict_box_coeffs(tensor, batch)
             c0, rad = box_enclosure(sub)
-            keep &= np.abs(c0) <= rad
+            # The roundoff margin keeps zeros attained exactly on the
+            # domain boundary or a bisection plane from being "proved"
+            # away by ~eps noise in the restriction products (the
+            # enclosure there is a knife edge: [c0 - rad, 0]).
+            keep &= np.abs(c0) <= rad + margin
             tails += _tail_mass_per_dim(sub)
         batch = batch[keep]
         tails = tails[keep]

@@ -108,13 +108,21 @@ def _local_to_phys(domain: np.ndarray, loc: np.ndarray) -> np.ndarray:
 
 def _warn_uncertified(what: str, res: GlobalResult, tol: float,
                       max_boxes: int) -> None:
-    if not res.certified:
-        warnings.warn(
-            f"{what}: branch-and-bound hit max_boxes={max_boxes} with a "
-            f"remaining bound gap of {res.gap:.3e} (> tol={tol:.1e}); the "
-            "returned optimum is the best point found but is not "
-            "certified — raise max_boxes or loosen tol",
-            RuntimeWarning, stacklevel=3)
+    if res.certified:
+        return
+    if res.boxes >= max_boxes:
+        why = (f"branch-and-bound hit max_boxes={max_boxes}; raise "
+               "max_boxes, or loosen tol (certifying below the build's "
+               "own error estimate examines every oscillation cell)")
+    else:
+        why = ("the remaining gap is at the f64 roundoff/width floor — "
+               "loosen tol (the certificate cannot go below ~1e-13 "
+               "relative)")
+    warnings.warn(
+        f"{what}: remaining bound gap {res.gap:.3e} (> tol={tol:.1e}); "
+        f"the returned optimum is the best point found but is not "
+        f"certified — {why}",
+        RuntimeWarning, stacklevel=3)
 
 
 def _fill_point(ndim: int, free_dims: Sequence[int], free_loc: np.ndarray,
@@ -128,25 +136,26 @@ def _fill_point(ndim: int, free_dims: Sequence[int], free_loc: np.ndarray,
 
 
 def _value_batch_fn(model):
-    """Zero-order batched evaluation closure for one model."""
+    """Zero-order batched evaluation closure for one model.
+
+    Prefers the host tier when the model has one: polish fibers are
+    ~n-point micro-batches, where a device dispatch (tunnel RTT on the
+    dev platform) dominates the arithmetic."""
     zero = [0] * model.num_dimensions
-    return lambda pts: model.vectorized_eval_batch(pts, zero)
+    fn = getattr(model, "eval_batch_host", None)
+    if fn is None:
+        fn = model.vectorized_eval_batch
+    return lambda pts: fn(pts, zero)
 
 
 def _host_grid_1d(lo: float, hi: float, n: int):
     """(nodes, barycentric weights, differentiation matrix) on host."""
     from pychebyshev_tpu.ops.chebyshev import (
-        barycentric_weights_np, nodes_for_dim_np)
+        barycentric_weights_np, differentiation_matrix_np,
+        nodes_for_dim_np)
     nodes = nodes_for_dim_np(lo, hi, n)
     weights = barycentric_weights_np(nodes)
-    diff = np.empty((n, n))
-    w_ratio = weights[None, :] / weights[:, None]
-    dx = nodes[:, None] - nodes[None, :]
-    np.fill_diagonal(dx, 1.0)
-    diff = w_ratio / dx
-    np.fill_diagonal(diff, 0.0)
-    np.fill_diagonal(diff, -diff.sum(axis=1))
-    return nodes, weights, diff
+    return nodes, weights, differentiation_matrix_np(nodes, weights)
 
 
 def _coordinate_polish(eval_batch_fn, domain: np.ndarray,
@@ -193,7 +202,7 @@ def _coordinate_polish(eval_batch_fn, domain: np.ndarray,
 # ----------------------------------------------------------------------
 
 def _optimize_dense_core(model, mode: str, tol: float, max_boxes: int,
-                         polish: bool,
+                         polish: bool, seed_value: Optional[float] = None,
                          ) -> Tuple[float, np.ndarray, GlobalResult]:
     """Global optimum of one (already sliced) dense model.  Returns
     (value, physical location (m,), raw GlobalResult)."""
@@ -216,7 +225,8 @@ def _optimize_dense_core(model, mode: str, tol: float, max_boxes: int,
     node_coords = [_chebpts1_np(n) for n in values.shape]
     res = minimize_coeff_tensor(
         coeffs, tol=tol, max_boxes=max_boxes,
-        node_values=sign * values, node_coords=node_coords)
+        node_values=sign * values, node_coords=node_coords,
+        seed_value=None if seed_value is None else sign * seed_value)
     value = sign * res.value
     loc = _local_to_phys(domain, res.location)
     if polish:
@@ -267,7 +277,7 @@ def global_optimize_spline(spline, mode: str, fixed, *, tol: float,
     for idx in order:
         piece = pieces[idx]
         val, loc, res = _optimize_dense_core(
-            piece, mode, tol, max_boxes, polish=False)
+            piece, mode, tol, max_boxes, polish=False, seed_value=best)
         if not res.certified:
             _warn_uncertified(f"{mode}imize (spline piece)", res, tol,
                               max_boxes)
@@ -300,6 +310,12 @@ def global_optimize_slider(slider, mode: str, fixed, *, tol: float,
     point = np.empty(ndim)
     for d, v in fixed.items():
         point[d] = v
+    # The groups' optima ADD, so each group's certificate must carry a
+    # share of tol for the summed result to be certified to tol.
+    n_searched = sum(
+        1 for group in slider.partition
+        if any(d not in fixed for d in group))
+    tol_group = tol / max(n_searched, 1)
     for group, slide in zip(slider.partition, slider.slides):
         group = list(group)
         local_fixed = {i: fixed[d] for i, d in enumerate(group)
@@ -311,8 +327,8 @@ def global_optimize_slider(slider, mode: str, fixed, *, tol: float,
             continue
         sub = (slide.slice(sorted(local_fixed.items()))
                if local_fixed else slide)
-        val, loc, res = _optimize_dense_core(sub, mode, tol, max_boxes,
-                                             polish)
+        val, loc, res = _optimize_dense_core(sub, mode, tol_group,
+                                             max_boxes, polish)
         _warn_uncertified(f"{mode}imize (slider group {group})", res, tol,
                           max_boxes)
         total += val - float(slider.pivot_value)

@@ -484,3 +484,58 @@ class TestSolveSystem:
     def test_empty_raises(self):
         with pytest.raises(ValueError, match="at least one"):
             solve_system([])
+
+
+class TestReviewRegressions:
+    """Pins for review-found defects (round-3 session-9 review pass)."""
+
+    def test_boundary_zero_not_pruned(self):
+        # The unique common zero sits exactly on the domain corner; the
+        # knife-edge enclosure there must not lose it to roundoff.
+        f1 = _build_dense(lambda p, d: p[:, 0] - 1.0, 2,
+                          [[-1, 1], [-1, 1]], [5, 5])
+        f2 = _build_dense(lambda p, d: p[:, 1] + 1.0, 2,
+                          [[-1, 1], [-1, 1]], [5, 5])
+        roots = solve_system([f1, f2])
+        assert roots.shape == (1, 2)
+        np.testing.assert_allclose(roots[0], [1.0, -1.0], atol=1e-9)
+
+    def test_restrict_does_not_mutate_per_box_input(self):
+        rng = np.random.default_rng(2)
+        per_box = rng.normal(size=(2, 5, 5))
+        keep = per_box.copy()
+        boxes = np.array([[[-1.0, 0.0], [0.0, 1.0]],
+                          [[-0.5, 0.5], [-1.0, 1.0]]])
+        restrict_box_coeffs(per_box, boxes)
+        np.testing.assert_array_equal(per_box, keep)
+
+    def test_slider_summed_certificate(self):
+        # Each group certifies to tol/groups so the SUM meets tol.
+        def f(p, d):
+            p = np.atleast_2d(np.asarray(p, float))
+            return sum((p[:, i] - 0.1 * i) ** 2 for i in range(4))
+
+        sl = ChebyshevSlider(f, 4, [[-1, 1]] * 4, [7] * 4,
+                             partition=[[0], [1], [2], [3]],
+                             pivot_point=[0.0] * 4, vectorized=True)
+        sl.build(verbose=False)
+        value, point = sl.minimize(tol=1e-10)
+        assert abs(value) < 1e-10
+        np.testing.assert_allclose(point, [0.0, 0.1, 0.2, 0.3],
+                                   atol=1e-8)
+
+    def test_spline_incumbent_shared_across_pieces(self):
+        # A many-piece spline where most pieces are far above the
+        # minimum: the shared incumbent keeps the search cheap and the
+        # answer exact.
+        def g(p, d):
+            p = np.asarray(p, float)
+            return (p[:, 0] - 0.9) ** 2 + p[:, 1] ** 2
+
+        sp = ChebyshevSpline(g, 2, [[-1, 1], [-1, 1]], [[5] * 4, [5]],
+                             knots=[[-0.5, 0.0, 0.5], []],
+                             vectorized=True)
+        sp.build(verbose=False)
+        value, point = sp.minimize()
+        assert abs(value) < 1e-10
+        np.testing.assert_allclose(point, [0.9, 0.0], atol=1e-8)
