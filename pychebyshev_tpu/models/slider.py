@@ -1113,6 +1113,21 @@ class ChebyshevSlider:
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).minimize()
 
+    def critical_points(self, fixed=None, *, grad_tol=1e-8, delta=5e-3,
+                        max_boxes=50000, separation=1e-6,
+                        max_points=10000):
+        """All interior stationary points — EXACT under the additive
+        decomposition: the cartesian product of per-slide stationary
+        sets, classified from the block-diagonal Hessian.  See
+        ``ChebyshevApproximation.critical_points``; beyond reference."""
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        from pychebyshev_tpu.utils.globalcalc import critical_points_slider
+        return critical_points_slider(
+            self, fixed=fixed, grad_tol=grad_tol, delta=delta,
+            max_boxes=max_boxes, separation=separation,
+            max_points=max_points)
+
     def maximize(self, dim=None, fixed=None, *, tol=1e-9,
                  max_boxes=5000, polish=True):
         """Maximum of the slider — see :meth:`minimize` for the 1-D

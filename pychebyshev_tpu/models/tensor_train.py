@@ -532,6 +532,19 @@ class ChebyshevTT:
         sliced = self.slice(slice_params) if slice_params else self
         return self._to_1d_chebyshev(sliced).minimize()
 
+    def critical_points(self, fixed=None, *, grad_tol=1e-8, delta=5e-3,
+                        max_boxes=50000, separation=1e-6):
+        """All interior stationary points: interval-transfer-chain
+        isolation on the d analytic gradient TTs (no ``n^d``
+        materialization), Newton polish through gradient/Hessian TTs,
+        Hessian classification.  See
+        ``ChebyshevApproximation.critical_points``; beyond reference."""
+        self._check_built()
+        from pychebyshev_tpu.utils.globalcalc import critical_points_tt
+        return critical_points_tt(
+            self, fixed=fixed, grad_tol=grad_tol, delta=delta,
+            max_boxes=max_boxes, separation=separation)
+
     def maximize(self, dim=None, fixed=None, *, tol=1e-9,
                  max_boxes=50000, polish=True):
         """Maximum of the TT — see :meth:`minimize` for the 1-D

@@ -49,6 +49,7 @@ __all__ = [
     "minimize_coeff_tensor",
     "minimize_tt_cores",
     "isolate_common_zeros",
+    "isolate_common_zeros_tt",
     "GlobalResult",
 ]
 
@@ -758,6 +759,80 @@ def minimize_tt_cores(
     return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
                          beam=beam, seed_value=seed_value,
                          seed_loc=seed_loc)
+
+
+def isolate_common_zeros_tt(
+    core_lists: Sequence[Sequence[np.ndarray]],
+    *,
+    delta: float = 1e-3,
+    max_boxes: int = 50000,
+    beam: int = 128,
+) -> np.ndarray:
+    """Boxes (local storage-frame coords) that may contain a common
+    zero of every TT in ``core_lists`` (each a list of coefficient
+    cores), refined until narrower than ``delta`` per dim — the
+    tensor-train counterpart of :func:`isolate_common_zeros`, bounding
+    each component with the interval transfer-matrix chain instead of a
+    dense enclosure (no n^d materialization).
+
+    Returns surviving box centers (K, d).  Raises on budget exhaustion
+    with wide boxes open (likely a non-isolated zero set).
+    """
+    d = len(core_lists[0])
+    for cores in core_lists:
+        if len(cores) != d:
+            raise ValueError("all system components must share one "
+                             "dimensionality")
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    margins = []
+    for cores in core_lists:
+        z = np.ones((1, 1))
+        for core in cores:
+            z = z @ np.abs(core).sum(axis=1)
+        margins.append(1e-12 * max(float(z[0, 0]), 1e-300))
+
+    active = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
+    done: List[np.ndarray] = []
+    processed = 1
+    while active.shape[0]:
+        if processed > max_boxes:
+            raise ValueError(
+                f"zero isolation exceeded max_boxes={max_boxes} with "
+                f"{active.shape[0]} boxes still open — the solution set "
+                "is probably not isolated points (try a larger delta, "
+                "or reduce the system)")
+        batch, active = active[:beam], active[beam:]
+        keep = np.ones(batch.shape[0], dtype=bool)
+        tails = np.zeros((batch.shape[0], d))
+        for cores, margin in zip(core_lists, margins):
+            for b in range(batch.shape[0]):
+                if not keep[b]:
+                    continue
+                mid, radius, _, t = _tt_box_stats(cores, batch[b])
+                keep[b] &= abs(mid) <= radius + margin
+                tails[b] += t
+        batch = batch[keep]
+        tails = tails[keep]
+        if not batch.shape[0]:
+            continue
+        widths = batch[:, :, 1] - batch[:, :, 0]
+        narrow = np.all(widths <= delta, axis=1)
+        done.extend(batch[narrow])
+        wide = batch[~narrow]
+        tails = tails[~narrow]
+        if wide.shape[0]:
+            w = wide[:, :, 1] - wide[:, :, 0]
+            score = np.where(w > delta, w * (tails + 1e-300), -np.inf)
+            dims = np.argmax(score, axis=1)
+            children = _split_boxes(wide, dims)
+            processed += children.shape[0]
+            active = (np.concatenate([active, children])
+                      if active.shape[0] else children)
+
+    if not done:
+        return np.zeros((0, d))
+    return np.stack([0.5 * (b[:, 0] + b[:, 1]) for b in done])
 
 
 # ----------------------------------------------------------------------

@@ -48,7 +48,9 @@ __all__ = [
     "global_optimize_slider",
     "global_optimize_tt",
     "critical_points_dense",
+    "critical_points_slider",
     "critical_points_spline",
+    "critical_points_tt",
     "solve_system",
 ]
 
@@ -579,6 +581,186 @@ def critical_points_spline(spline, *, fixed=None, grad_tol: float = 1e-8,
         c = found[int(i)]
         out.append(CriticalPoint(
             _fill_point(ndim, free_dims, c.point, fixed), c.value, c.kind))
+    return sorted(out, key=lambda c: c.value)
+
+
+def _combine_kinds(kinds: Sequence[str]) -> str:
+    """Classification of a block-diagonal Hessian from its blocks'
+    kinds (the eigenvalue set is the union of the blocks')."""
+    if "degenerate" in kinds:
+        return "degenerate"
+    if all(k == "minimum" for k in kinds):
+        return "minimum"
+    if all(k == "maximum" for k in kinds):
+        return "maximum"
+    return "saddle"
+
+
+def critical_points_slider(slider, *, fixed=None, grad_tol: float = 1e-8,
+                           delta: float = 5e-3, max_boxes: int = 50000,
+                           separation: float = 1e-6,
+                           max_points: int = 10000,
+                           ) -> List[CriticalPoint]:
+    """Stationary points of an additive slider — EXACT by structure:
+    the gradient vanishes iff every slide's gradient vanishes on its
+    own group, so the critical set is the cartesian product of per-slide
+    critical sets, and the block-diagonal Hessian classifies from the
+    per-slide kinds.  Beyond reference (and beyond its roadmap, which
+    only assigns N-D rootfinding to the dense and spline classes)."""
+    import itertools
+
+    ndim = slider.num_dimensions
+    fixed = validate_global_args(ndim, fixed, slider.domain)
+
+    pivot = float(slider.pivot_value)
+    factors = []   # per group: list of (dims, coords, value, kind|None)
+    for group, slide in zip(slider.partition, slider.slides):
+        group = list(group)
+        local_fixed = {i: fixed[d] for i, d in enumerate(group)
+                       if d in fixed}
+        if len(local_fixed) == len(group):
+            pt = [local_fixed[i] for i in range(len(group))]
+            val = float(slide.vectorized_eval(pt, [0] * len(group)))
+            factors.append([(group, np.asarray(pt, dtype=np.float64),
+                             val, None)])
+            continue
+        local = {i: v for i, v in local_fixed.items()}
+        cps = critical_points_dense(
+            slide, fixed=local or None, grad_tol=grad_tol, delta=delta,
+            max_boxes=max_boxes, separation=separation)
+        if not cps:
+            # One group with no interior stationary point means the
+            # full gradient never vanishes.
+            return []
+        factors.append([(group, cp.point, cp.value, cp.kind)
+                        for cp in cps])
+
+    count = 1
+    for f in factors:
+        count *= len(f)
+    if count > max_points:
+        raise ValueError(
+            f"the slider's critical set is the product of per-group "
+            f"sets: {count} points exceeds max_points={max_points} — "
+            "raise max_points or pin dims via fixed")
+
+    out: List[CriticalPoint] = []
+    for combo in itertools.product(*factors):
+        point = np.empty(ndim)
+        value = pivot
+        kinds = []
+        for group, coords, val, kind in combo:
+            point[np.asarray(group, dtype=np.intp)] = coords
+            value += val - pivot
+            if kind is not None:
+                kinds.append(kind)
+        out.append(CriticalPoint(point, value, _combine_kinds(kinds)))
+    return sorted(out, key=lambda c: c.value)
+
+
+def critical_points_tt(tt, *, fixed=None, grad_tol: float = 1e-8,
+                       delta: float = 5e-3, max_boxes: int = 50000,
+                       separation: float = 1e-6) -> List[CriticalPoint]:
+    """Stationary points of a TT: interval-transfer-chain isolation on
+    the d analytic gradient TTs (no n^d materialization), then Newton
+    polish with gradient/Hessian TTs evaluated through the shared batch
+    kernel, then Hessian classification.  Beyond reference (and beyond
+    its roadmap)."""
+    from pychebyshev_tpu.ops.subdivision import isolate_common_zeros_tt
+
+    ndim = tt.num_dimensions
+    fixed = validate_global_args(ndim, fixed, tt._user_frame_domain())
+    target = tt.slice(sorted(fixed.items())) if fixed else tt
+    free_dims = [d for d in range(ndim) if d not in fixed]
+
+    m = target.num_dimensions
+    dom_user = np.asarray(target._user_frame_domain(), dtype=np.float64)
+
+    def grad_spec(i):
+        return tuple(1 if j == i else 0 for j in range(m))
+
+    grads = [target.differentiate(grad_spec(i)) for i in range(m)]
+
+    if m == 1:
+        from pychebyshev_tpu.utils.calculus import roots_1d
+        xs = roots_1d(np.asarray(grads[0].to_dense(), dtype=np.float64),
+                      tuple(dom_user[0]))
+        out: List[CriticalPoint] = []
+        for x in xs:
+            val = float(_value_batch_fn(target)(np.array([[x]]))[0])
+            d2 = float(np.asarray(grads[0].vectorized_eval_batch(
+                np.array([[x]]), [1]))[0])
+            scale = max(abs(d2), 1.0)
+            kind = ("minimum" if d2 > 1e-7 * scale else
+                    "maximum" if d2 < -1e-7 * scale else "degenerate")
+            out.append(CriticalPoint(
+                _fill_point(ndim, free_dims, np.array([x]), fixed),
+                val, kind))
+        return sorted(out, key=lambda c: c.value)
+
+    # Storage-frame isolation: every gradient TT shares target's
+    # dim order.
+    order = list(target._dim_order)
+    dom_s = np.asarray(target.domain, dtype=np.float64)
+    core_lists = [[np.asarray(c, dtype=np.float64)
+                   for c in g._coeff_cores] for g in grads]
+    cands_s = isolate_common_zeros_tt(core_lists, delta=delta,
+                                      max_boxes=max_boxes)
+    if cands_s.shape[0] == 0:
+        return []
+    phys_s = dom_s[:, 0] + (cands_s + 1.0) * 0.5 * (dom_s[:, 1]
+                                                    - dom_s[:, 0])
+    cands = np.empty_like(phys_s)
+    for k, d in enumerate(order):
+        cands[:, d] = phys_s[:, k]
+
+    hessians = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            hessians[i][j] = grads[i].differentiate(grad_spec(j))
+
+    zero_m = [0] * m
+
+    def fg(pts):
+        F = np.stack([np.asarray(g.vectorized_eval_batch(pts, zero_m),
+                                 dtype=np.float64).reshape(-1)
+                      for g in grads], axis=1)
+        H = np.zeros((pts.shape[0], m, m))
+        for i in range(m):
+            for j in range(i, m):
+                h = np.asarray(hessians[i][j].vectorized_eval_batch(
+                    pts, zero_m), dtype=np.float64).reshape(-1)
+                H[:, i, j] = h
+                H[:, j, i] = h
+        return F, H
+
+    pts, F = _newton_polish(cands, dom_user, fg, grad_tol)
+    resid = np.abs(F).max(axis=1)
+    ok = resid <= grad_tol
+    pts, resid = pts[ok], resid[ok]
+    keep = _dedupe(pts, resid, dom_user, separation)
+    pts = pts[keep]
+
+    out = []
+    if pts.shape[0]:
+        vals = np.asarray(_value_batch_fn(target)(pts),
+                          dtype=np.float64).reshape(-1)
+        _, H = fg(pts)
+        for k in range(pts.shape[0]):
+            eig = np.linalg.eigvalsh(H[k])
+            scale = max(np.abs(eig).max(), 1.0)
+            lam = 1e-7 * scale
+            if (eig > lam).all():
+                kind = "minimum"
+            elif (eig < -lam).all():
+                kind = "maximum"
+            elif (np.abs(eig) > lam).all():
+                kind = "saddle"
+            else:
+                kind = "degenerate"
+            out.append(CriticalPoint(
+                _fill_point(ndim, free_dims, pts[k], fixed),
+                float(vals[k]), kind))
     return sorted(out, key=lambda c: c.value)
 
 

@@ -539,3 +539,88 @@ class TestReviewRegressions:
         value, point = sp.minimize()
         assert abs(value) < 1e-10
         np.testing.assert_allclose(point, [0.9, 0.0], atol=1e-8)
+
+
+class TestCriticalPointsSliderTT:
+    def test_slider_product_structure(self):
+        def f(p, d):
+            p = np.atleast_2d(np.asarray(p, float))
+            return (p[:, 0] ** 2 - 0.25) ** 2 + (p[:, 1] + 0.5) ** 2
+
+        sl = ChebyshevSlider(f, 2, [[-1, 1]] * 2, [9, 9],
+                             partition=[[0], [1]], pivot_point=[0, 0],
+                             vectorized=True)
+        sl.build(verbose=False)
+        cps = sl.critical_points()
+        kinds = sorted(c.kind for c in cps)
+        assert kinds == ["minimum", "minimum", "saddle"]
+        saddle = [c for c in cps if c.kind == "saddle"][0]
+        np.testing.assert_allclose(saddle.point, [0.0, -0.5], atol=1e-8)
+        assert abs(saddle.value - 0.0625) < 1e-10
+
+    def test_slider_empty_when_one_group_monotone(self):
+        def f(p, d):
+            p = np.atleast_2d(np.asarray(p, float))
+            return p[:, 0] + (p[:, 1] + 0.5) ** 2
+
+        sl = ChebyshevSlider(f, 2, [[-1, 1]] * 2, [5, 7],
+                             partition=[[0], [1]], pivot_point=[0, 0],
+                             vectorized=True)
+        sl.build(verbose=False)
+        assert sl.critical_points() == []
+
+    def test_slider_fixed_and_cap(self):
+        def f(p, d):
+            p = np.atleast_2d(np.asarray(p, float))
+            return ((p[:, 0] ** 2 - 0.25) ** 2
+                    + (p[:, 1] ** 2 - 0.25) ** 2)
+
+        sl = ChebyshevSlider(f, 2, [[-1, 1]] * 2, [9, 9],
+                             partition=[[0], [1]], pivot_point=[0, 0],
+                             vectorized=True)
+        sl.build(verbose=False)
+        cps = sl.critical_points(fixed={1: 0.5})
+        assert all(c.point[1] == 0.5 for c in cps)
+        assert sorted(c.kind for c in cps) == [
+            "maximum", "minimum", "minimum"]
+        with pytest.raises(ValueError, match="max_points"):
+            sl.critical_points(max_points=2)
+
+    def test_tt_matches_dense(self):
+        def q(p, d):
+            p = np.asarray(p, float)
+            return (p[:, 0] ** 2 - 0.25) ** 2 + (p[:, 1] - 0.3) ** 2
+
+        tt = ChebyshevTT(q, 2, [[-1, 1]] * 2, [9, 9], tolerance=1e-12,
+                         max_rank=6, vectorized=True)
+        tt.build(verbose=False)
+        dense = _build_dense(q, 2, [[-1, 1]] * 2, [9, 9])
+        t_cps = tt.critical_points()
+        d_cps = dense.critical_points()
+        assert len(t_cps) == len(d_cps) == 3
+        t_set = {(tuple(np.round(c.point, 6)), c.kind) for c in t_cps}
+        d_set = {(tuple(np.round(c.point, 6)), c.kind) for c in d_cps}
+        assert t_set == d_set
+
+    def test_tt_one_dim(self):
+        tt = ChebyshevTT(lambda p, d: (p[:, 0] ** 2 - 1.0) ** 2, 1,
+                         [[-2, 2]], [9], tolerance=1e-12, max_rank=4,
+                         vectorized=True)
+        tt.build(verbose=False)
+        kinds = [c.kind for c in sorted(tt.critical_points(),
+                                        key=lambda c: c.point[0])]
+        assert kinds == ["minimum", "maximum", "minimum"]
+
+    def test_tt_reordered_frame(self):
+        def q(p, d):
+            p = np.asarray(p, float)
+            return ((p[:, 0] - 0.2) ** 2 + (p[:, 1] + 0.4) ** 2
+                    + (p[:, 2] ** 2 - 0.25) ** 2)
+
+        tt = ChebyshevTT(q, 3, [[-1, 1]] * 3, [7, 7, 9],
+                         tolerance=1e-12, max_rank=6, vectorized=True)
+        tt.build(verbose=False)
+        tt2 = tt.reorder([2, 0, 1])
+        p1 = {tuple(np.round(c.point, 6)) for c in tt.critical_points()}
+        p2 = {tuple(np.round(c.point, 6)) for c in tt2.critical_points()}
+        assert p1 == p2
