@@ -624,3 +624,23 @@ class TestCriticalPointsSliderTT:
         p1 = {tuple(np.round(c.point, 6)) for c in tt.critical_points()}
         p2 = {tuple(np.round(c.point, 6)) for c in tt2.critical_points()}
         assert p1 == p2
+
+
+class TestJittedStatsParity:
+    def test_jax_path_matches_numpy(self, monkeypatch):
+        # Force the fused XLA bound evaluator on a small tensor and
+        # check the search agrees with the NumPy path digit-for-digit
+        # on value and location.
+        import pychebyshev_tpu.ops.subdivision as sd
+
+        coeffs = _coeffs_2d(
+            lambda x, y: (x ** 2 - 0.25) ** 2 + (y - 0.3) ** 2
+            + 0.1 * np.sin(1.0 + x) * 0.0)
+        res_np = minimize_coeff_tensor(coeffs, tol=1e-11)
+        monkeypatch.setattr(sd, "_JAX_STATS_MIN_SIZE", 1)
+        res_jax = minimize_coeff_tensor(coeffs, tol=1e-11)
+        assert res_jax.certified
+        assert abs(res_jax.value - res_np.value) < 1e-13
+        np.testing.assert_allclose(res_jax.location, res_np.location,
+                                   atol=1e-12)
+        assert res_jax.boxes == res_np.boxes
