@@ -581,6 +581,60 @@ class ChebyshevSlider:
         import copy
         return copy.deepcopy(self)
 
+    def differentiate(self, derivative_order) -> "ChebyshevSlider":
+        """A first-class slider of the given derivative.
+
+        Differentiates the additive decomposition term-by-term and
+        returns a new slider on the same partition — the slider
+        counterpart of the dense/TT/spline methods, completing the 4/4
+        common surface (beyond the reference, whose slider exposes
+        derivatives only through per-call routing — reference
+        slider.py eval paths).
+
+        Under ``f = p + sum_g (s_g - p)``: if the requested orders are
+        all zero the slider is copied; if they touch exactly one group,
+        that slide differentiates spectrally and every other term
+        vanishes (a slide never depends on foreign dims); if they span
+        more than one group, the derivative is identically zero —
+        the same exact-zero cross-partial rule the per-call router
+        applies.  Orders are NOT capped by ``max_derivative_order``
+        (that cap governs the derivative-id registry only).
+        """
+        if not self._built:
+            raise RuntimeError("Call build() before differentiate().")
+        orders = [int(o) for o in derivative_order]
+        if len(orders) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(orders)} does not match "
+                f"num_dimensions {self.num_dimensions}"
+            )
+        if any(o < 0 for o in orders):
+            raise ValueError("derivative orders must be >= 0")
+
+        def _zero_like(slide):
+            return ChebyshevApproximation._from_grid(
+                slide, slide.tensor_values * 0.0)
+
+        active = {self._dim_to_slide[d]
+                  for d, o in enumerate(orders) if o > 0}
+        if not active:
+            new_slides = [s.differentiate([0] * len(g))
+                          for s, g in zip(self.slides, self.partition)]
+            return ChebyshevSlider._from_slides(
+                self, new_slides, self.pivot_value)
+        if len(active) > 1:
+            # Cross-group mixed partial: identically zero under the
+            # additive decomposition.
+            return ChebyshevSlider._from_slides(
+                self, [_zero_like(s) for s in self.slides], 0.0)
+        owner = active.pop()
+        new_slides = [
+            s.differentiate([orders[d] for d in g]) if i == owner
+            else _zero_like(s)
+            for i, (s, g) in enumerate(zip(self.slides, self.partition))
+        ]
+        return ChebyshevSlider._from_slides(self, new_slides, 0.0)
+
     def to_tt(self, tolerance: float = 1e-12):
         """Exact TT form of the sliding sum (beyond the reference surface).
 

@@ -1224,6 +1224,42 @@ class ChebyshevSpline:
             np.zeros((bounds.shape[0] if bounds.ndim else 0, 0)),
             dtype=dtype)
 
+    def differentiate(self, derivative_order) -> "ChebyshevSpline":
+        """A first-class spline of the given derivative.
+
+        Differentiates every piece spectrally (the dense
+        :meth:`ChebyshevApproximation.differentiate` per piece) and
+        returns a new spline on the same knot layout — the spline
+        counterpart of the dense/TT methods, completing the 4/4
+        common surface (beyond the reference, whose spline exposes
+        derivatives only through per-call ``derivative_order`` —
+        reference spline.py eval paths).
+
+        The result serves value queries at full batched speed and can
+        be saved, combined with algebra, or differentiated again.
+        Orders are NOT capped by ``max_derivative_order`` (that cap
+        governs the derivative-id registry only).
+
+        Note: the original spline is typically only C0 at knots, so
+        its derivative is discontinuous there; the returned spline's
+        value queries AT a knot resolve one-sided exactly like
+        derivative evaluation on the original (batch paths take the
+        right/owning piece; single-point ``eval`` keeps its
+        knot-boundary guard semantics for its own derivative calls).
+        """
+        if not self._built:
+            raise RuntimeError("Call build() first")
+        orders = [int(o) for o in derivative_order]
+        if len(orders) != self.num_dimensions:
+            raise ValueError(
+                f"derivative_order length {len(orders)} does not match "
+                f"num_dimensions {self.num_dimensions}"
+            )
+        if any(o < 0 for o in orders):
+            raise ValueError("derivative orders must be >= 0")
+        new_pieces = [piece.differentiate(orders) for piece in self._pieces]
+        return ChebyshevSpline._from_pieces(self, new_pieces)
+
     def roots(self, dim=None, fixed=None) -> np.ndarray:
         """Merged + deduped roots across all pieces of the 1-D slice."""
         if not self._built:
