@@ -1429,6 +1429,59 @@ class ChebyshevApproximation:
         return obj
 
     @classmethod
+    def fit(cls, points, values, num_dimensions, domain, n_nodes, *,
+            l2: float = 0.0, sample_weight=None, rcond=None,
+            max_derivative_order: int = 2, additional_data=None
+            ) -> "ChebyshevApproximation":
+        """Least-squares interpolant from SCATTERED samples.
+
+        Beyond-reference constructor: ``build()``/``from_values``
+        require exact values on the Chebyshev grid (reference
+        ``barycentric.py`` construction paths); ``fit`` solves for the
+        nodal-value tensor that best explains arbitrary in-domain
+        samples ``(points, values)`` in the (optionally weighted,
+        optionally ``l2``-regularized) least-squares sense — the model
+        is linear in its tensor, so the fit is a single linear solve
+        (``utils/fitting.py``).  Use it for Monte-Carlo / PDE / quote
+        data that never sat on a grid; the result is an ordinary,
+        fully-built interpolant (all eval tiers, calculus, serving,
+        ``to_tt``, ...).
+
+        Parameters
+        ----------
+        points : (N, num_dimensions) in-domain sample coordinates.
+        values : (N,) sample values.
+        l2 : Tikhonov penalty on the nodal values (required > 0 when
+            N < prod(n_nodes); recommended for noisy data).
+        sample_weight : optional (N,) non-negative weights.
+        rcond : pseudoinverse cutoff for the unregularized path.
+
+        Returns
+        -------
+        A built ``ChebyshevApproximation``; ``fit_diagnostics`` on the
+        result records ``rms`` / ``max_abs_residual`` (training
+        residuals), ``n_samples``, ``grid_points``, ``l2``, ``rank``.
+        """
+        from pychebyshev_tpu.utils.fitting import fit_dense_tensor
+
+        if len(n_nodes) != num_dimensions or len(domain) != num_dimensions:
+            raise ValueError(
+                f"len(domain)={len(domain)} and len(n_nodes)="
+                f"{len(n_nodes)} must both equal num_dimensions="
+                f"{num_dimensions}"
+            )
+        tensor, diagnostics = fit_dense_tensor(
+            points, values, domain, n_nodes, l2=l2,
+            sample_weight=sample_weight, rcond=rcond)
+        obj = cls.from_values(tensor, num_dimensions, domain,
+                              list(n_nodes),
+                              max_derivative_order=max_derivative_order)
+        obj.additional_data = additional_data
+        obj.fit_diagnostics = diagnostics
+        obj.n_evaluations = int(diagnostics["n_samples"])
+        return obj
+
+    @classmethod
     def _from_grid(cls, source, tensor_values):
         """New built instance sharing grid arrays from *source* (operator
         factory; arrays are immutable so sharing is free)."""

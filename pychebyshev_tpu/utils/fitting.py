@@ -1,0 +1,254 @@
+"""Least-squares construction of dense interpolants from scattered data.
+
+Beyond-reference capability: the reference can only construct models
+from exact nodal evaluations (``build()`` samples the Chebyshev grid;
+``from_values`` ingests a precomputed grid tensor — reference
+``barycentric.py`` construction paths).  Production surfaces are often
+known only at scattered, possibly noisy sample points (Monte-Carlo
+prices, PDE solver output on its own mesh, market quotes), where the
+grid is unreachable.
+
+The dense model is *linear* in its nodal-value tensor: with per-dim
+barycentric coefficient rows ``r_k(x)`` (the same rows the batched
+eval kernel builds — ``ops/eval.py::barycentric_coefficients``),
+
+    f_T(x) = < r_1(x) (x) ... (x) r_d(x) , T >
+
+so fitting T to samples ``(x_j, y_j)`` is ordinary (optionally
+Tikhonov-regularized, optionally weighted) linear least squares with
+the Khatri-Rao design matrix ``A[j] = kron_k r_k(x_j)``.  This module
+solves the normal equations with chunked accumulation (never
+materializes A beyond one chunk) — the result is a standard
+``ChebyshevApproximation`` that serves through every existing tier.
+
+Sizing: the normal matrix is (G, G) with ``G = prod(n_nodes)``;
+accumulation costs ``N * G**2`` flops.  Practical for G up to a few
+thousand (e.g. 3-D 15^3 = 3,375).  For higher dimensions, fit a
+moderate dense grid and compress (``to_tt``), or fit group-wise and
+assemble a slider.
+
+Conditioning note: normal equations square the design's condition
+number.  Barycentric rows are bounded and Chebyshev-node bases are
+well-conditioned, so with samples spread over the domain and either
+``N >> G`` or a small ``l2``, this is benign; for rank-deficient
+sampling the ``l2 = 0`` path falls back to a pseudoinverse solve
+(``rcond`` exposed).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
+from pychebyshev_tpu.ops.chebyshev import (
+    barycentric_weights_np,
+    nodes_for_dim_np,
+)
+
+__all__ = ["barycentric_rows_np", "fit_dense_tensor"]
+
+# Normal-matrix cap: 4096**2 f64 = 128 MB.
+_MAX_GRID_POINTS = 4096
+# Target elements per design chunk (chunk_rows * G): ~268 MB f64.
+_CHUNK_ELEMS = 1 << 25
+
+
+def barycentric_rows_np(x: np.ndarray, nodes: np.ndarray,
+                        weights: np.ndarray) -> np.ndarray:
+    """Host mirror of ``ops.eval.barycentric_coefficients``.
+
+    (N,) coordinates -> (N, n) normalized coefficient rows; exact node
+    hits (within ``NODE_COINCIDENCE_TOL``) degrade to one-hot rows.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    diff = x[:, None] - nodes[None, :]
+    exact = np.abs(diff) < NODE_COINCIDENCE_TOL
+    has_exact = exact.any(axis=1)
+    safe = np.where(exact, 1.0, diff)
+    w_over_diff = weights[None, :] / safe
+    rows = w_over_diff / w_over_diff.sum(axis=1, keepdims=True)
+    if has_exact.any():
+        hot = np.zeros_like(rows)
+        hot[np.arange(x.shape[0]), exact.argmax(axis=1)] = 1.0
+        rows = np.where(has_exact[:, None], hot, rows)
+    return rows
+
+
+def _khatri_rao_rows(per_dim_rows: Sequence[np.ndarray]) -> np.ndarray:
+    """Row-wise Kronecker product: list of (C, n_k) -> (C, prod n_k)."""
+    out = per_dim_rows[0]
+    for rows_k in per_dim_rows[1:]:
+        out = (out[:, :, None] * rows_k[:, None, :]).reshape(
+            out.shape[0], -1)
+    return out
+
+
+def fit_dense_tensor(
+    points: np.ndarray,
+    values: np.ndarray,
+    domain: Sequence[Sequence[float]],
+    n_nodes: Sequence[int],
+    *,
+    l2: float = 0.0,
+    sample_weight: Optional[np.ndarray] = None,
+    rcond: Optional[float] = None,
+) -> Tuple[np.ndarray, dict]:
+    """Solve the scattered-data least-squares fit for a dense grid.
+
+    Parameters
+    ----------
+    points : (N, d) sample coordinates, finite, inside ``domain``.
+    values : (N,) sample values, finite.
+    domain : d pairs (lo, hi).
+    n_nodes : d positive ints (explicit; no auto-N).
+    l2 : Tikhonov penalty ``l2 * ||T||^2`` on the nodal values.
+        Required (> 0) when N < prod(n_nodes).
+    sample_weight : optional (N,) non-negative per-sample weights
+        (weighted SSE ``sum w_j (f(x_j) - y_j)^2``).
+    rcond : cutoff for the pseudoinverse solve used when ``l2 == 0``
+        (forwarded to ``np.linalg.lstsq``).
+
+    Returns
+    -------
+    (tensor, diagnostics): the (n_1, ..., n_d) nodal-value tensor and a
+    dict with ``rms`` / ``max_abs_residual`` (training residuals,
+    weighted if weights were given), ``n_samples``, ``grid_points``,
+    ``l2``, ``rank`` (None for the Cholesky path).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    d = len(n_nodes)
+    if len(domain) != d:
+        raise ValueError(
+            f"len(domain)={len(domain)} must equal len(n_nodes)={d}")
+    if points.ndim != 2 or points.shape[1] != d:
+        raise ValueError(
+            f"points must be (N, {d}), got {points.shape}")
+    n_samples = points.shape[0]
+    if values.shape != (n_samples,):
+        raise ValueError(
+            f"values must be ({n_samples},), got {values.shape}")
+    if n_samples == 0:
+        raise ValueError("need at least one sample")
+    if not np.isfinite(points).all():
+        raise ValueError("points contain NaN or Inf")
+    if not np.isfinite(values).all():
+        raise ValueError("values contain NaN or Inf")
+    l2 = float(l2)
+    if l2 < 0.0 or not np.isfinite(l2):
+        raise ValueError(f"l2 must be finite and >= 0, got {l2}")
+
+    counts: List[int] = []
+    for k, n in enumerate(n_nodes):
+        if not isinstance(n, (int, np.integer)) or n < 1:
+            raise ValueError(
+                f"n_nodes[{k}] must be a positive int, got {n!r}")
+        counts.append(int(n))
+    grid_points = int(np.prod(counts))
+    if grid_points > _MAX_GRID_POINTS:
+        raise ValueError(
+            f"prod(n_nodes)={grid_points} exceeds the fit solver cap "
+            f"({_MAX_GRID_POINTS}); fit a coarser grid (then refine "
+            f"with to_tt/spline composition) — the normal matrix is "
+            f"dense (G, G)"
+        )
+    for k in range(d):
+        lo, hi = float(domain[k][0]), float(domain[k][1])
+        if not (lo < hi):
+            raise ValueError(
+                f"domain[{k}]: lo={lo} must be strictly less than "
+                f"hi={hi}")
+        col = points[:, k]
+        if col.min() < lo - 1e-12 or col.max() > hi + 1e-12:
+            raise ValueError(
+                f"points[:, {k}] outside domain [{lo}, {hi}] — "
+                f"fitting does not extrapolate; clip or widen the "
+                f"domain"
+            )
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n_samples,):
+            raise ValueError(
+                f"sample_weight must be ({n_samples},), got "
+                f"{sample_weight.shape}")
+        if not np.isfinite(sample_weight).all() or (
+                sample_weight < 0).any():
+            raise ValueError(
+                "sample_weight must be finite and non-negative")
+        if not (sample_weight > 0).any():
+            raise ValueError("sample_weight must not be all zero")
+    if l2 == 0.0 and n_samples < grid_points:
+        raise ValueError(
+            f"underdetermined fit: {n_samples} samples < "
+            f"{grid_points} grid values; pass l2 > 0 or add samples"
+        )
+
+    nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
+                              counts[k]) for k in range(d)]
+    weights = [barycentric_weights_np(nd) for nd in nodes]
+
+    ata = np.zeros((grid_points, grid_points))
+    aty = np.zeros(grid_points)
+    yty = 0.0
+    chunk = max(1024, _CHUNK_ELEMS // max(grid_points, 1))
+    for start in range(0, n_samples, chunk):
+        sl = slice(start, min(start + chunk, n_samples))
+        rows = _khatri_rao_rows([
+            barycentric_rows_np(points[sl, k], nodes[k], weights[k])
+            for k in range(d)
+        ])
+        y = values[sl]
+        if sample_weight is not None:
+            sw = np.sqrt(sample_weight[sl])
+            rows = rows * sw[:, None]
+            y = y * sw
+        ata += rows.T @ rows
+        aty += rows.T @ y
+        yty += float(y @ y)
+
+    rank = None
+    if l2 > 0.0:
+        solve_mat = ata + l2 * np.eye(grid_points)
+        try:
+            flat = np.linalg.solve(solve_mat, aty)
+        except np.linalg.LinAlgError:
+            flat, _, rank, _ = np.linalg.lstsq(solve_mat, aty,
+                                               rcond=rcond)
+    else:
+        flat, _, rank, _ = np.linalg.lstsq(ata, aty, rcond=rcond)
+
+    # Training SSE from the accumulated quadratic form (no second data
+    # pass): ||A t - y||^2 = t'At A t - 2 t'A'y + y'y, clamped at 0
+    # against roundoff.  The cancellation floor is ~eps * y'y, so for
+    # near-exact fits the direct residual pass below (exact) overrides
+    # it whenever the probe covers the full sample set.
+    sse = max(float(flat @ (ata @ flat) - 2.0 * (flat @ aty) + yty), 0.0)
+    w_total = (float(np.sum(sample_weight)) if sample_weight is not None
+               else float(n_samples))
+    # Residual re-pass on a bounded probe (fit-quality report, not part
+    # of the solve): up to 65,536 samples.
+    n_probe = min(n_samples, 65536)
+    probe = slice(0, n_probe)
+    rows = _khatri_rao_rows([
+        barycentric_rows_np(points[probe, k], nodes[k], weights[k])
+        for k in range(d)
+    ])
+    res = rows @ flat - values[probe]
+    if sample_weight is not None:
+        wres_sq = sample_weight[probe] * res * res
+    else:
+        wres_sq = res * res
+    if n_probe == n_samples:
+        sse = float(np.sum(wres_sq))
+    diagnostics = {
+        "rms": float(np.sqrt(sse / w_total)) if w_total > 0 else 0.0,
+        "sse": sse,
+        "n_samples": n_samples,
+        "grid_points": grid_points,
+        "l2": l2,
+        "rank": None if rank is None else int(rank),
+        "max_abs_residual": float(np.max(np.abs(res))),
+    }
+    return flat.reshape(tuple(counts)), diagnostics

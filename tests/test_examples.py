@@ -28,6 +28,7 @@ EXAMPLES = [
     "interconversion",
     "scenario_calculus",
     "global_calculus",
+    "fit_scattered",
     "multi_chip",
     "fdm_baseline",
 ]

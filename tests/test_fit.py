@@ -1,0 +1,196 @@
+"""Scattered-data least-squares construction (ChebyshevApproximation.fit).
+
+Beyond-reference capability (the reference constructs only from exact
+nodal evaluations — reference barycentric.py build/from_values); these
+tests pin the solver (utils/fitting.py) and the classmethod surface.
+"""
+
+import numpy as np
+import pytest
+
+from pychebyshev_tpu import ChebyshevApproximation
+from pychebyshev_tpu.utils.fitting import (
+    barycentric_rows_np,
+    fit_dense_tensor,
+)
+from pychebyshev_tpu.ops.chebyshev import (
+    barycentric_weights_np,
+    nodes_for_dim_np,
+)
+
+DOM2 = [[-1.0, 1.0], [0.0, 2.0]]
+
+
+def _f2(x, y):
+    return np.sin(1.3 * x) * np.exp(-0.5 * y) + 0.2 * x * y
+
+
+def _samples(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-1, 0], [1, 2], size=(n, 2))
+    return pts, _f2(pts[:, 0], pts[:, 1])
+
+
+class TestBarycentricRows:
+    def test_rows_interpolate_polynomials_exactly(self):
+        nodes = nodes_for_dim_np(-1.0, 1.0, 9)
+        weights = barycentric_weights_np(nodes)
+        x = np.linspace(-0.95, 0.95, 17)
+        rows = barycentric_rows_np(x, nodes, weights)
+        # exact for any poly of degree < n on the nodal values
+        for poly in (lambda t: t ** 3 - 0.5 * t,
+                     lambda t: 2 * t ** 7 + t ** 2):
+            np.testing.assert_allclose(rows @ poly(nodes), poly(x),
+                                       rtol=0, atol=1e-12)
+
+    def test_exact_node_hit_is_one_hot(self):
+        nodes = nodes_for_dim_np(0.0, 2.0, 7)
+        weights = barycentric_weights_np(nodes)
+        rows = barycentric_rows_np(np.array([nodes[3]]), nodes, weights)
+        want = np.zeros(7)
+        want[3] = 1.0
+        np.testing.assert_array_equal(rows[0], want)
+
+    def test_rows_sum_to_one(self):
+        nodes = nodes_for_dim_np(-2.0, 5.0, 11)
+        weights = barycentric_weights_np(nodes)
+        x = np.linspace(-2, 5, 23)
+        rows = barycentric_rows_np(x, nodes, weights)
+        np.testing.assert_allclose(rows.sum(axis=1), 1.0, atol=1e-12)
+
+
+class TestFitSolver:
+    def test_clean_data_recovers_interpolant_accuracy(self):
+        pts, vals = _samples(4000)
+        tensor, diag = fit_dense_tensor(pts, vals, DOM2, [11, 11])
+        m = ChebyshevApproximation.from_values(tensor, 2, DOM2, [11, 11])
+        test, want = _samples(500, seed=9)
+        err = np.max(np.abs(m.eval_batch(test, [0, 0]) - want))
+        assert err < 1e-8
+        assert diag["rank"] == 121
+        assert diag["rms"] < 1e-9
+        assert diag["max_abs_residual"] < 1e-8
+
+    def test_grid_samples_reproduce_from_values_exactly(self):
+        g = ChebyshevApproximation(
+            lambda p, d=None: _f2(p[0], p[1]), 2, DOM2, n_nodes=[7, 7])
+        g.build(verbose=False)
+        gp = g.get_evaluation_points()
+        gv = np.asarray(g.eval_batch(gp, [0, 0]))
+        tensor, _ = fit_dense_tensor(gp, gv, DOM2, [7, 7])
+        np.testing.assert_allclose(
+            tensor, np.asarray(g.tensor_values), rtol=0, atol=1e-12)
+
+    def test_noise_is_averaged_down(self):
+        rng = np.random.default_rng(4)
+        pts, vals = _samples(20000, seed=4)
+        noisy = vals + rng.normal(0, 1e-2, vals.shape)
+        tensor, diag = fit_dense_tensor(pts, noisy, DOM2, [7, 7],
+                                        l2=1e-8)
+        m = ChebyshevApproximation.from_values(tensor, 2, DOM2, [7, 7])
+        test, want = _samples(500, seed=5)
+        err = np.max(np.abs(m.eval_batch(test, [0, 0]) - want))
+        # ~N/G = 400 samples per dof: noise shrinks well below sigma
+        assert err < 3e-3
+        assert 5e-3 < diag["rms"] < 2e-2  # rms ~ sigma, not ~ err
+
+    def test_weighted_fit_prefers_heavy_samples(self):
+        # two inconsistent constant levels; weights pick the heavy one
+        pts = np.concatenate([_samples(300, seed=1)[0],
+                              _samples(300, seed=2)[0]])
+        vals = np.concatenate([np.zeros(300), np.ones(300)])
+        w = np.concatenate([np.full(300, 1e4), np.full(300, 1.0)])
+        tensor, _ = fit_dense_tensor(pts, vals, DOM2, [3, 3], l2=1e-10,
+                                     sample_weight=w)
+        m = ChebyshevApproximation.from_values(tensor, 2, DOM2, [3, 3])
+        mid = float(m.eval([0.0, 1.0], [0, 0]))
+        assert abs(mid) < 0.01  # pulled to the heavy level 0
+
+    def test_l2_shrinks_toward_zero(self):
+        pts, vals = _samples(500, seed=3)
+        t_small, _ = fit_dense_tensor(pts, vals, DOM2, [5, 5], l2=1e-12)
+        t_big, _ = fit_dense_tensor(pts, vals, DOM2, [5, 5], l2=1e6)
+        assert np.linalg.norm(t_big) < 1e-3 * np.linalg.norm(t_small)
+
+    def test_underdetermined_requires_l2(self):
+        pts, vals = _samples(50)
+        with pytest.raises(ValueError, match="underdetermined"):
+            fit_dense_tensor(pts, vals, DOM2, [11, 11])
+        tensor, _ = fit_dense_tensor(pts, vals, DOM2, [11, 11], l2=1e-6)
+        assert np.isfinite(tensor).all()
+
+    def test_validation_errors(self):
+        pts, vals = _samples(100)
+        with pytest.raises(ValueError, match="outside domain"):
+            fit_dense_tensor(pts + 10.0, vals, DOM2, [5, 5])
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            bad = vals.copy()
+            bad[3] = np.nan
+            fit_dense_tensor(pts, bad, DOM2, [5, 5])
+        with pytest.raises(ValueError, match="NaN or Inf"):
+            badp = pts.copy()
+            badp[0, 0] = np.inf
+            fit_dense_tensor(badp, vals, DOM2, [5, 5])
+        with pytest.raises(ValueError, match="l2"):
+            fit_dense_tensor(pts, vals, DOM2, [5, 5], l2=-1.0)
+        with pytest.raises(ValueError, match="positive int"):
+            fit_dense_tensor(pts, vals, DOM2, [5, None])
+        with pytest.raises(ValueError, match="must be \\(100,\\)"):
+            fit_dense_tensor(pts, vals[:50], DOM2, [5, 5])
+        with pytest.raises(ValueError, match="at least one"):
+            fit_dense_tensor(np.zeros((0, 2)), np.zeros(0), DOM2, [5, 5])
+        with pytest.raises(ValueError, match="exceeds the fit solver"):
+            fit_dense_tensor(pts, vals, DOM2, [65, 65])
+        with pytest.raises(ValueError, match="non-negative"):
+            fit_dense_tensor(pts, vals, DOM2, [5, 5],
+                             sample_weight=-np.ones(100))
+        with pytest.raises(ValueError, match="all zero"):
+            fit_dense_tensor(pts, vals, DOM2, [5, 5],
+                             sample_weight=np.zeros(100))
+
+
+class TestFitClassmethod:
+    def test_returns_fully_built_model(self):
+        pts, vals = _samples(3000)
+        m = ChebyshevApproximation.fit(pts, vals, 2, DOM2, [9, 9])
+        assert m.is_construction_finished()
+        assert m.fit_diagnostics["n_samples"] == 3000
+        assert m.n_evaluations == 3000
+        # derivative + calculus + serialization all work
+        test, want = _samples(200, seed=8)
+        err = np.max(np.abs(m.eval_batch(test, [0, 0]) - want))
+        assert err < 1e-6
+        d = m.eval([0.3, 1.0], [1, 0])
+        analytic = 1.3 * np.cos(1.3 * 0.3) * np.exp(-0.5) + 0.2
+        assert d == pytest.approx(analytic, rel=1e-5)
+        assert np.isfinite(m.integrate())
+
+    def test_length_validation(self):
+        pts, vals = _samples(100)
+        with pytest.raises(ValueError, match="num_dimensions"):
+            ChebyshevApproximation.fit(pts, vals, 2, DOM2, [9])
+
+    def test_pickle_round_trip(self, tmp_path):
+        pts, vals = _samples(500)
+        m = ChebyshevApproximation.fit(pts, vals, 2, DOM2, [7, 7],
+                                       l2=1e-10)
+        p = tmp_path / "fit.pkl"
+        m.save(str(p))
+        back = ChebyshevApproximation.load(str(p))
+        pt = [0.2, 0.9]
+        assert back.eval(pt, [0, 0]) == pytest.approx(
+            m.eval(pt, [0, 0]), rel=0, abs=0)
+
+    def test_composes_with_to_tt_and_serving(self):
+        pts, vals = _samples(3000)
+        m = ChebyshevApproximation.fit(pts, vals, 2, DOM2, [9, 9])
+        tt = m.to_tt(tolerance=1e-12)
+        test, _ = _samples(64, seed=12)
+        np.testing.assert_allclose(
+            np.asarray(tt.eval_batch(test)),
+            m.eval_batch(test, [0, 0]), atol=1e-9)
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(m, dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(eng(test)),
+                                   m.eval_batch(test, [0, 0]),
+                                   rtol=1e-12)
