@@ -945,6 +945,111 @@ class ChebyshevSpline:
         return obj
 
     @classmethod
+    def fit(cls, points, values, num_dimensions, domain, n_nodes, knots,
+            *, l2: float = 0.0, sample_weight=None, rcond=None,
+            max_derivative_order: int = 2) -> "ChebyshevSpline":
+        """Least-squares spline from SCATTERED samples (kinked data).
+
+        The spline counterpart of
+        :meth:`ChebyshevApproximation.fit` (beyond reference): points
+        route to their pieces exactly like ``eval_batch`` (a point on
+        a knot belongs to the right piece) and each piece solves its
+        own independent linear least-squares fit over its sub-domain
+        (`utils/fitting.py`) — pieces never see each other's samples,
+        which is what lets the result capture a kink the samples
+        straddle.  Flat ``n_nodes`` only (as ``from_values``).
+
+        Every piece must contain samples (and at least
+        ``prod(n_nodes)`` of them when ``l2 == 0``) — a clear
+        ``ValueError`` names the starved piece otherwise.
+
+        Returns a fully-built spline; ``fit_diagnostics`` aggregates
+        the overall training rms plus one per-piece diagnostics dict.
+        """
+        from pychebyshev_tpu.utils.fitting import fit_dense_tensor
+
+        if is_nested_n_nodes(n_nodes):
+            raise NotImplementedError(
+                "ChebyshevSpline.fit() accepts only flat n_nodes (one "
+                "int per dim, shared across pieces), like from_values()."
+            )
+        cls._validate_domain_knots(num_dimensions, domain, knots)
+        points = np.asarray(points, dtype=np.float64)
+        values = np.asarray(values, dtype=np.float64)
+        if points.ndim != 2 or points.shape[1] != num_dimensions:
+            raise ValueError(
+                f"points must be (N, {num_dimensions}), got "
+                f"{points.shape}")
+        if values.shape != (points.shape[0],):
+            raise ValueError(
+                f"values must be ({points.shape[0]},), got "
+                f"{values.shape}")
+        if sample_weight is not None:
+            sample_weight = np.asarray(sample_weight, dtype=np.float64)
+            if sample_weight.shape != (points.shape[0],):
+                raise ValueError(
+                    f"sample_weight must be ({points.shape[0]},), got "
+                    f"{sample_weight.shape}")
+
+        intervals = cls._compute_intervals(num_dimensions, domain, knots)
+        piece_shape = tuple(len(iv) for iv in intervals)
+        # eval_batch routing semantics: side="right", clipped.
+        multi = np.zeros((points.shape[0], num_dimensions), dtype=int)
+        for d in range(num_dimensions):
+            if len(knots[d]) > 0:
+                multi[:, d] = np.clip(
+                    np.searchsorted(knots[d], points[:, d],
+                                    side="right"),
+                    0, piece_shape[d] - 1)
+        flat_idx = np.ravel_multi_index(multi.T, piece_shape)
+
+        piece_values, per_piece = [], []
+        sse, w_total = 0.0, 0.0
+        for p, multi_idx in enumerate(np.ndindex(*piece_shape)):
+            mask = flat_idx == p
+            if not mask.any():
+                sub = [list(intervals[d][multi_idx[d]])
+                       for d in range(num_dimensions)]
+                raise ValueError(
+                    f"piece {p} (sub-domain {sub}) received no "
+                    f"samples; add samples there or move the knots"
+                )
+            sub_domain = [list(intervals[d][multi_idx[d]])
+                          for d in range(num_dimensions)]
+            try:
+                tensor, diag = fit_dense_tensor(
+                    points[mask], values[mask], sub_domain, n_nodes,
+                    l2=l2, rcond=rcond,
+                    sample_weight=(None if sample_weight is None
+                                   else sample_weight[mask]))
+            except ValueError as e:
+                if "underdetermined" in str(e):
+                    raise ValueError(
+                        f"piece {p} (sub-domain {sub_domain}): {e}"
+                    ) from None
+                raise
+            piece_values.append(tensor)
+            per_piece.append(diag)
+            sse += diag["sse"]
+            w_total += (float(np.sum(sample_weight[mask]))
+                        if sample_weight is not None
+                        else float(diag["n_samples"]))
+
+        obj = cls.from_values(piece_values, num_dimensions, domain,
+                              list(n_nodes), knots,
+                              max_derivative_order=max_derivative_order)
+        obj.fit_diagnostics = {
+            "rms": float(np.sqrt(sse / w_total)) if w_total > 0 else 0.0,
+            "sse": sse,
+            "n_samples": int(points.shape[0]),
+            "l2": float(l2),
+            "per_piece": per_piece,
+            "max_abs_residual": max(
+                d["max_abs_residual"] for d in per_piece),
+        }
+        return obj
+
+    @classmethod
     def _from_pieces(cls, source, pieces):
         """New spline sharing grid metadata from *source* with new pieces."""
         obj = object.__new__(cls)

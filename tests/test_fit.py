@@ -194,3 +194,84 @@ class TestFitClassmethod:
         np.testing.assert_allclose(np.asarray(eng(test)),
                                    m.eval_batch(test, [0, 0]),
                                    rtol=1e-12)
+
+
+class TestSplineFit:
+    DOM = [[-1.0, 1.0], [0.0, 2.0]]
+
+    @staticmethod
+    def _kinked(x, y):
+        return np.abs(x) * (1.0 + 0.5 * y) + 0.1 * y * y
+
+    def _samples(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform([-1, 0], [1, 2], size=(n, 2))
+        return pts, self._kinked(pts[:, 0], pts[:, 1])
+
+    def test_kinked_data_fits_through_the_knot(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        pts, vals = self._samples(8000)
+        sp = ChebyshevSpline.fit(pts, vals, 2, self.DOM, [7, 7],
+                                 knots=[[0.0], []])
+        test, want = self._samples(800, seed=3)
+        err = np.max(np.abs(sp.eval_batch(test, [0, 0]) - want))
+        assert err < 1e-9  # piecewise-smooth: spectral through the kink
+        # a DENSE fit on the same data cannot do this
+        m = ChebyshevApproximation.fit(pts, vals, 2, self.DOM, [7, 7])
+        dense_err = np.max(np.abs(m.eval_batch(test, [0, 0]) - want))
+        assert dense_err > 100 * err
+
+    def test_diagnostics_aggregate(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        pts, vals = self._samples(4000, seed=1)
+        sp = ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                 knots=[[0.0], []])
+        d = sp.fit_diagnostics
+        assert d["n_samples"] == 4000
+        assert len(d["per_piece"]) == 2
+        assert d["rms"] < 1e-9
+        assert sum(p["n_samples"] for p in d["per_piece"]) == 4000
+
+    def test_empty_piece_raises(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        rng = np.random.default_rng(2)
+        pts = rng.uniform([0.1, 0], [1, 2], size=(200, 2))  # x>0 only
+        vals = self._kinked(pts[:, 0], pts[:, 1])
+        with pytest.raises(ValueError, match="received no samples"):
+            ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                knots=[[0.0], []])
+
+    def test_underdetermined_piece_names_piece(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        rng = np.random.default_rng(5)
+        # 5 samples on the left piece, plenty on the right
+        left = rng.uniform([-1, 0], [-0.01, 2], size=(5, 2))
+        right = rng.uniform([0.01, 0], [1, 2], size=(500, 2))
+        pts = np.concatenate([left, right])
+        vals = self._kinked(pts[:, 0], pts[:, 1])
+        with pytest.raises(ValueError, match="piece 0 .*underdetermined"):
+            ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                knots=[[0.0], []])
+        sp = ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                 knots=[[0.0], []], l2=1e-8)
+        assert sp.is_construction_finished()
+
+    def test_nested_n_nodes_rejected(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        pts, vals = self._samples(100)
+        with pytest.raises(NotImplementedError):
+            ChebyshevSpline.fit(pts, vals, 2, self.DOM, [[5, 5], [5]],
+                                knots=[[0.0], []])
+
+    def test_weighted_routing_consistency(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        pts, vals = self._samples(3000, seed=7)
+        w = np.ones(3000)
+        sp_w = ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                   knots=[[0.0], []], sample_weight=w)
+        sp = ChebyshevSpline.fit(pts, vals, 2, self.DOM, [5, 5],
+                                 knots=[[0.0], []])
+        test, _ = self._samples(100, seed=8)
+        np.testing.assert_allclose(sp_w.eval_batch(test, [0, 0]),
+                                   sp.eval_batch(test, [0, 0]),
+                                   rtol=1e-12)
