@@ -31,6 +31,26 @@ from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 __all__ = ["ChebyshevSpline", "is_nested_n_nodes"]
 
 
+def route_points_to_pieces(knots, piece_shape, points) -> np.ndarray:
+    """Flat C-order piece index per point — THE routing convention.
+
+    One definition shared by ``eval_batch`` routing and ``fit`` so the
+    point-to-piece convention (``searchsorted side='right'`` — a point
+    on a knot belongs to the right piece — clipped at the edges)
+    cannot drift between fitting and evaluation.
+    """
+    n = points.shape[0]
+    d = len(piece_shape)
+    multi_indices = np.zeros((n, d), dtype=int)
+    for dim in range(d):
+        if len(knots[dim]) > 0:
+            multi_indices[:, dim] = np.searchsorted(
+                knots[dim], points[:, dim], side="right")
+            np.clip(multi_indices[:, dim], 0, piece_shape[dim] - 1,
+                    out=multi_indices[:, dim])
+    return np.ravel_multi_index(multi_indices.T, piece_shape)
+
+
 def is_nested_n_nodes(n_nodes) -> bool:
     """True if n_nodes is in nested (per-sub-interval) form."""
     return n_nodes is not None and any(
@@ -477,15 +497,7 @@ class ChebyshevSpline:
 
     def _route_batch(self, points: np.ndarray) -> np.ndarray:
         """Vectorized host routing: flat C-order piece index per point."""
-        n = points.shape[0]
-        multi_indices = np.zeros((n, self.num_dimensions), dtype=int)
-        for d in range(self.num_dimensions):
-            if len(self.knots[d]) > 0:
-                multi_indices[:, d] = np.searchsorted(
-                    self.knots[d], points[:, d], side="right")
-                np.clip(multi_indices[:, d], 0, self._shape[d] - 1,
-                        out=multi_indices[:, d])
-        return np.ravel_multi_index(multi_indices.T, self._shape)
+        return route_points_to_pieces(self.knots, self._shape, points)
 
     def vectorized_eval_batch_multi(self, points, derivative_orders):
         """Batch x multi-spec evaluation -> (N, len(derivative_orders)).
@@ -993,15 +1005,7 @@ class ChebyshevSpline:
 
         intervals = cls._compute_intervals(num_dimensions, domain, knots)
         piece_shape = tuple(len(iv) for iv in intervals)
-        # eval_batch routing semantics: side="right", clipped.
-        multi = np.zeros((points.shape[0], num_dimensions), dtype=int)
-        for d in range(num_dimensions):
-            if len(knots[d]) > 0:
-                multi[:, d] = np.clip(
-                    np.searchsorted(knots[d], points[:, d],
-                                    side="right"),
-                    0, piece_shape[d] - 1)
-        flat_idx = np.ravel_multi_index(multi.T, piece_shape)
+        flat_idx = route_points_to_pieces(knots, piece_shape, points)
 
         piece_values, per_piece = [], []
         sse, w_total = 0.0, 0.0
@@ -1023,11 +1027,12 @@ class ChebyshevSpline:
                     sample_weight=(None if sample_weight is None
                                    else sample_weight[mask]))
             except ValueError as e:
-                if "underdetermined" in str(e):
-                    raise ValueError(
-                        f"piece {p} (sub-domain {sub_domain}): {e}"
-                    ) from None
-                raise
+                # Per-piece failures (underdetermined, all-zero weights
+                # within the piece, ...) name the piece — the global
+                # inputs may look fine while one piece starves.
+                raise ValueError(
+                    f"piece {p} (sub-domain {sub_domain}): {e}"
+                ) from None
             piece_values.append(tensor)
             per_piece.append(diag)
             sse += diag["sse"]

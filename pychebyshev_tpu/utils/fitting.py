@@ -46,6 +46,11 @@ from pychebyshev_tpu.ops.chebyshev import (
     barycentric_weights_np,
     nodes_for_dim_np,
 )
+# The ONE row-wise Kronecker definition (pure broadcasting — works on
+# NumPy inputs unchanged); the fitted tensor's reshape depends on its
+# C-order index convention, so fitting must share it with the eval
+# kernel rather than keep a second copy.
+from pychebyshev_tpu.ops.eval import _khatri_rao
 
 __all__ = ["barycentric_rows_np", "fit_dense_tensor"]
 
@@ -76,15 +81,6 @@ def barycentric_rows_np(x: np.ndarray, nodes: np.ndarray,
     return rows
 
 
-def _khatri_rao_rows(per_dim_rows: Sequence[np.ndarray]) -> np.ndarray:
-    """Row-wise Kronecker product: list of (C, n_k) -> (C, prod n_k)."""
-    out = per_dim_rows[0]
-    for rows_k in per_dim_rows[1:]:
-        out = (out[:, :, None] * rows_k[:, None, :]).reshape(
-            out.shape[0], -1)
-    return out
-
-
 def fit_dense_tensor(
     points: np.ndarray,
     values: np.ndarray,
@@ -113,9 +109,10 @@ def fit_dense_tensor(
     Returns
     -------
     (tensor, diagnostics): the (n_1, ..., n_d) nodal-value tensor and a
-    dict with ``rms`` / ``max_abs_residual`` (training residuals,
-    weighted if weights were given), ``n_samples``, ``grid_points``,
-    ``l2``, ``rank`` (None for the Cholesky path).
+    dict with ``rms`` (weighted training rms over all samples),
+    ``max_abs_residual`` (unweighted |residual| max, excluding
+    zero-weight samples), ``n_samples``, ``grid_points``, ``l2``,
+    ``rank`` (None for the Cholesky path).
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -191,14 +188,17 @@ def fit_dense_tensor(
 
     ata = np.zeros((grid_points, grid_points))
     aty = np.zeros(grid_points)
-    yty = 0.0
     chunk = max(1024, _CHUNK_ELEMS // max(grid_points, 1))
-    for start in range(0, n_samples, chunk):
-        sl = slice(start, min(start + chunk, n_samples))
-        rows = _khatri_rao_rows([
+
+    def _design_chunk(sl):
+        return _khatri_rao([
             barycentric_rows_np(points[sl, k], nodes[k], weights[k])
             for k in range(d)
         ])
+
+    for start in range(0, n_samples, chunk):
+        sl = slice(start, min(start + chunk, n_samples))
+        rows = _design_chunk(sl)
         y = values[sl]
         if sample_weight is not None:
             sw = np.sqrt(sample_weight[sl])
@@ -206,7 +206,6 @@ def fit_dense_tensor(
             y = y * sw
         ata += rows.T @ rows
         aty += rows.T @ y
-        yty += float(y @ y)
 
     rank = None
     if l2 > 0.0:
@@ -219,29 +218,28 @@ def fit_dense_tensor(
     else:
         flat, _, rank, _ = np.linalg.lstsq(ata, aty, rcond=rcond)
 
-    # Training SSE from the accumulated quadratic form (no second data
-    # pass): ||A t - y||^2 = t'At A t - 2 t'A'y + y'y, clamped at 0
-    # against roundoff.  The cancellation floor is ~eps * y'y, so for
-    # near-exact fits the direct residual pass below (exact) overrides
-    # it whenever the probe covers the full sample set.
-    sse = max(float(flat @ (ata @ flat) - 2.0 * (flat @ aty) + yty), 0.0)
+    # Training residuals: one exact chunked re-pass over ALL samples
+    # (O(N*G) — negligible next to the O(N*G^2) accumulation, and it
+    # avoids the catastrophic cancellation of the t'AtAt - 2t'Aty + yty
+    # quadratic form on near-exact fits).  max_abs_residual is the
+    # unweighted |residual|, excluding zero-weight samples (they do not
+    # participate in the fit); sse/rms are weighted.
+    sse = 0.0
+    max_abs = 0.0
+    for start in range(0, n_samples, chunk):
+        sl = slice(start, min(start + chunk, n_samples))
+        res = _design_chunk(sl) @ flat - values[sl]
+        if sample_weight is not None:
+            sw = sample_weight[sl]
+            sse += float(np.sum(sw * res * res))
+            live = sw > 0
+            if live.any():
+                max_abs = max(max_abs, float(np.max(np.abs(res[live]))))
+        else:
+            sse += float(np.sum(res * res))
+            max_abs = max(max_abs, float(np.max(np.abs(res))))
     w_total = (float(np.sum(sample_weight)) if sample_weight is not None
                else float(n_samples))
-    # Residual re-pass on a bounded probe (fit-quality report, not part
-    # of the solve): up to 65,536 samples.
-    n_probe = min(n_samples, 65536)
-    probe = slice(0, n_probe)
-    rows = _khatri_rao_rows([
-        barycentric_rows_np(points[probe, k], nodes[k], weights[k])
-        for k in range(d)
-    ])
-    res = rows @ flat - values[probe]
-    if sample_weight is not None:
-        wres_sq = sample_weight[probe] * res * res
-    else:
-        wres_sq = res * res
-    if n_probe == n_samples:
-        sse = float(np.sum(wres_sq))
     diagnostics = {
         "rms": float(np.sqrt(sse / w_total)) if w_total > 0 else 0.0,
         "sse": sse,
@@ -249,6 +247,6 @@ def fit_dense_tensor(
         "grid_points": grid_points,
         "l2": l2,
         "rank": None if rank is None else int(rank),
-        "max_abs_residual": float(np.max(np.abs(res))),
+        "max_abs_residual": max_abs,
     }
     return flat.reshape(tuple(counts)), diagnostics

@@ -275,3 +275,67 @@ class TestSplineFit:
         np.testing.assert_allclose(sp_w.eval_batch(test, [0, 0]),
                                    sp.eval_batch(test, [0, 0]),
                                    rtol=1e-12)
+
+
+class TestReviewRegressions:
+    """Round-3 session-10 review findings (fixed)."""
+
+    def test_zero_weight_outlier_excluded_from_max_residual(self):
+        pts, vals = _samples(400, seed=20)
+        bad = vals.copy()
+        bad[7] = 1e6  # known-bad sample, excluded by weight 0
+        w = np.ones(400)
+        w[7] = 0.0
+        tensor, diag = fit_dense_tensor(pts, bad, DOM2, [7, 7],
+                                        sample_weight=w)
+        # truncation-level residuals only (7-node fit of sin*exp is
+        # ~2e-5); the 1e6 outlier is neither reported nor fitted
+        assert diag["max_abs_residual"] < 1e-3
+        assert diag["rms"] < 1e-4
+        m = ChebyshevApproximation.from_values(tensor, 2, DOM2, [7, 7])
+        test, want = _samples(100, seed=21)
+        assert np.max(np.abs(m.eval_batch(test, [0, 0]) - want)) < 1e-3
+
+    def test_residuals_cover_all_samples_chunked(self):
+        # force multiple chunks through the residual pass by monkeying
+        # the chunk target down; the last sample carries the worst
+        # residual and must be seen.
+        import pychebyshev_tpu.utils.fitting as fitting
+        pts, vals = _samples(5000, seed=22)
+        noisy = vals.copy()
+        noisy[-1] += 0.5  # outlier at the END of the data
+        old = fitting._CHUNK_ELEMS
+        fitting._CHUNK_ELEMS = 1 << 14  # ~330 rows/chunk at G=49
+        try:
+            _, diag = fitting.fit_dense_tensor(pts, noisy, DOM2, [7, 7])
+        finally:
+            fitting._CHUNK_ELEMS = old
+        assert diag["max_abs_residual"] > 0.4  # outlier residual seen
+
+    def test_spline_fit_zero_weight_piece_names_piece(self):
+        from pychebyshev_tpu import ChebyshevSpline
+        rng = np.random.default_rng(23)
+        pts = rng.uniform([-1, 0], [1, 2], size=(800, 2))
+        vals = np.abs(pts[:, 0]) * pts[:, 1]
+        w = np.where(pts[:, 0] < 0, 0.0, 1.0)  # left piece all-zero
+        with pytest.raises(ValueError, match="piece 0 .*all zero"):
+            ChebyshevSpline.fit(pts, vals, 2, [[-1, 1], [0, 2]],
+                                [5, 5], knots=[[0.0], []],
+                                sample_weight=w)
+
+    def test_fit_routing_matches_eval_routing(self):
+        # the shared helper IS eval's routing: fit a function of the
+        # piece index and check knot-boundary points agree with
+        # eval_batch's piece choice.
+        from pychebyshev_tpu import ChebyshevSpline
+        from pychebyshev_tpu.models.spline import route_points_to_pieces
+        rng = np.random.default_rng(24)
+        pts = rng.uniform([-1, 0], [1, 2], size=(2000, 2))
+        pts[:50, 0] = 0.0  # exactly on the knot
+        vals = np.where(pts[:, 0] >= 0, 1.0, -1.0)  # right piece at knot
+        sp = ChebyshevSpline.fit(pts, vals, 2, [[-1, 1], [0, 2]],
+                                 [5, 5], knots=[[0.0], []])
+        flat = route_points_to_pieces(sp.knots, sp._shape, pts)
+        np.testing.assert_array_equal(flat, sp._route_batch(pts))
+        out = sp.eval_batch(pts[:50], [0, 0])
+        np.testing.assert_allclose(out, 1.0, atol=1e-10)
