@@ -68,6 +68,27 @@ def main():
     tt = m.to_tt(tolerance=1e-10)
     print(f"compressed to TT ranks {tt.tt_ranks}")
 
+    # High dimension: the additive (slider) fit needs no grid at all —
+    # a 10-D basket from 50k scattered samples is one 331-column solve.
+    from pychebyshev_tpu import ChebyshevSlider
+
+    def basket(p):
+        p = np.asarray(p)
+        return sum(np.maximum(p[..., 2 * i] - 0.2 * p[..., 2 * i + 1],
+                              0.0) ** 2 + 0.1 * np.sin(p[..., 2 * i])
+                   for i in range(5))
+
+    pts10 = rng.uniform(-1.0, 1.0, size=(50_000, 10))
+    sl = ChebyshevSlider.fit(
+        pts10, basket(pts10), 10, [[-1.0, 1.0]] * 10, [8] * 10,
+        partition=[[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]],
+        pivot_point=[0.0] * 10)
+    test10 = rng.uniform(-1.0, 1.0, size=(2000, 10))
+    err10 = sl.eval_batch(test10) - basket(test10)
+    print(f"10-D additive fit from scattered samples: "
+          f"{sl.fit_diagnostics['columns']} columns, out-of-sample rms "
+          f"{np.sqrt(np.mean(err10 ** 2)):.2e}")
+
 
 if __name__ == "__main__":
     main()

@@ -794,6 +794,101 @@ class ChebyshevSlider:
         return obj
 
     @classmethod
+    def fit(cls, points, values, num_dimensions, domain, n_nodes,
+            partition, pivot_point, *, l2: float = 0.0,
+            sample_weight=None, rcond=None,
+            max_derivative_order: int = 2) -> "ChebyshevSlider":
+        """Least-squares slider from SCATTERED high-dimensional samples.
+
+        The high-dimensional leg of the scattered-data constructors
+        (dense :meth:`ChebyshevApproximation.fit`, spline
+        :meth:`ChebyshevSpline.fit` — beyond reference): the additive
+        model ``c0 + sum_i h_i(x_{G_i})`` is jointly linear in the
+        intercept and every slide's nodal tensor, so a 10-D fit is ONE
+        small solve with ``1 + sum_i prod(n[G_i])`` columns
+        (``utils/fitting.py::fit_additive_tensors``) — no grid of
+        ``prod(n)`` evaluations anywhere.  Use it when the target is
+        (near-)additive over the partition and only scattered samples
+        exist; non-additive residual structure is exactly what the fit
+        cannot capture (check ``fit_diagnostics['rms']`` against the
+        noise level, or discover a better partition from a built
+        model's ``suggest_partition``).
+
+        The additive decomposition's k constant redundancies are
+        resolved by re-gauging every slide to the pivot (``g_i(z_{G_i})
+        = f_hat(z)``), so the assembled slider satisfies the usual
+        sliding identity exactly; predictions are gauge-invariant.
+
+        Returns a fully-built slider; ``fit_diagnostics`` as in the
+        dense fit (plus ``columns``).
+        """
+        from pychebyshev_tpu.utils.fitting import (
+            barycentric_rows_np,
+            fit_additive_tensors,
+        )
+        from pychebyshev_tpu.ops.chebyshev import (
+            barycentric_weights_np,
+            nodes_for_dim_np,
+        )
+
+        if any(len(g) == 0 for g in partition):
+            raise ValueError("Partition groups must be non-empty")
+        all_dims = sorted(d for group in partition for d in group)
+        if all_dims != list(range(num_dimensions)):
+            raise ValueError(
+                f"Partition must cover all dimensions "
+                f"0..{num_dimensions - 1} exactly once. "
+                f"Got dimensions: {all_dims}"
+            )
+        if len(pivot_point) != num_dimensions:
+            raise ValueError(
+                f"pivot_point length {len(pivot_point)} does not match "
+                f"num_dimensions {num_dimensions}")
+        if len(domain) != num_dimensions or len(n_nodes) != num_dimensions:
+            raise ValueError(
+                f"len(domain)={len(domain)} and len(n_nodes)="
+                f"{len(n_nodes)} must both equal num_dimensions="
+                f"{num_dimensions}")
+
+        tensors, c0, diagnostics = fit_additive_tensors(
+            points, values, domain, n_nodes, partition, l2=l2,
+            sample_weight=sample_weight, rcond=rcond)
+
+        # Re-gauge: pin every slide to the pivot.  With b_i = h_i(z_i)
+        # and p = c0 + sum b_i, the slides g_i = h_i + (p - b_i) give
+        # p + sum(g_i - p) = c0 + sum h_i — the same predictions, now
+        # in slider form with g_i(z_i) = p = f_hat(z).
+        pivot_vals = []
+        for group, tensor in zip(partition, tensors):
+            v = tensor
+            for dim in group:
+                nd = nodes_for_dim_np(float(domain[dim][0]),
+                                      float(domain[dim][1]),
+                                      int(n_nodes[dim]))
+                row = barycentric_rows_np(
+                    np.asarray([float(pivot_point[dim])]), nd,
+                    barycentric_weights_np(nd))[0]
+                v = np.tensordot(row, v, axes=(0, 0))
+            pivot_vals.append(float(v))
+        p = c0 + float(np.sum(pivot_vals))
+
+        slides = [
+            ChebyshevApproximation.from_values(
+                tensor + (p - b), len(group),
+                [list(domain[dim]) for dim in group],
+                [int(n_nodes[dim]) for dim in group],
+                max_derivative_order=max_derivative_order)
+            for group, tensor, b in zip(partition, tensors, pivot_vals)
+        ]
+        obj = cls._assemble(
+            num_dimensions=num_dimensions, domain=domain,
+            n_nodes=list(n_nodes), partition=partition,
+            pivot_point=list(pivot_point), slides=slides, pivot_value=p,
+            max_derivative_order=max_derivative_order)
+        obj.fit_diagnostics = diagnostics
+        return obj
+
+    @classmethod
     def _from_slides(cls, source, slides, pivot_value):
         """New slider sharing metadata from *source* with new slides."""
         obj = object.__new__(cls)

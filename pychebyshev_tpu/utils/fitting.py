@@ -52,7 +52,8 @@ from pychebyshev_tpu.ops.chebyshev import (
 # kernel rather than keep a second copy.
 from pychebyshev_tpu.ops.eval import _khatri_rao
 
-__all__ = ["barycentric_rows_np", "fit_dense_tensor"]
+__all__ = ["barycentric_rows_np", "fit_dense_tensor",
+           "fit_additive_tensors"]
 
 # Normal-matrix cap: 4096**2 f64 = 128 MB.
 _MAX_GRID_POINTS = 4096
@@ -250,3 +251,186 @@ def fit_dense_tensor(
         "max_abs_residual": max_abs,
     }
     return flat.reshape(tuple(counts)), diagnostics
+
+
+def fit_additive_tensors(
+    points: np.ndarray,
+    values: np.ndarray,
+    domain: Sequence[Sequence[float]],
+    n_nodes: Sequence[int],
+    groups: Sequence[Sequence[int]],
+    *,
+    l2: float = 0.0,
+    sample_weight: Optional[np.ndarray] = None,
+    rcond: Optional[float] = None,
+) -> Tuple[List[np.ndarray], float, dict]:
+    """Scattered-data least squares for an ADDITIVE (slider) model.
+
+    Fits ``f(x) ~ c0 + sum_i h_i(x_{G_i})`` where each ``h_i`` is a
+    dense Chebyshev interpolant over its group's dims — jointly linear
+    in (c0, all nodal tensors), so the whole high-dimensional additive
+    fit is ONE small solve: the design is ``[1 | A_1 | ... | A_k]``
+    with per-group Khatri-Rao blocks, ``P = 1 + sum_i prod(n[G_i])``
+    columns (e.g. five 2-dim groups of 7 nodes in 10-D: 246 columns —
+    where a dense 10-D fit is impossible).  The additive decomposition
+    carries k inherent constant redundancies (a constant moves freely
+    between blocks and the intercept); the ``l2 = 0`` path resolves
+    them with the pseudoinverse's minimum-norm solution and callers
+    re-gauge (``ChebyshevSlider.fit`` pins every slide to the pivot).
+
+    Returns ``(tensors, c0, diagnostics)`` — one (n[g] ...) tensor per
+    group, the intercept, and the same diagnostics dict as
+    ``fit_dense_tensor`` (plus ``columns``); residual semantics match
+    it (weighted rms over all samples; unweighted max excluding
+    zero-weight samples).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    d = len(n_nodes)
+    if len(domain) != d:
+        raise ValueError(
+            f"len(domain)={len(domain)} must equal len(n_nodes)={d}")
+    if points.ndim != 2 or points.shape[1] != d:
+        raise ValueError(f"points must be (N, {d}), got {points.shape}")
+    n_samples = points.shape[0]
+    if values.shape != (n_samples,):
+        raise ValueError(
+            f"values must be ({n_samples},), got {values.shape}")
+    if n_samples == 0:
+        raise ValueError("need at least one sample")
+    if not np.isfinite(points).all():
+        raise ValueError("points contain NaN or Inf")
+    if not np.isfinite(values).all():
+        raise ValueError("values contain NaN or Inf")
+    l2 = float(l2)
+    if l2 < 0.0 or not np.isfinite(l2):
+        raise ValueError(f"l2 must be finite and >= 0, got {l2}")
+    if any(len(g) == 0 for g in groups):
+        raise ValueError("groups must be non-empty")
+    flat_dims = sorted(dim for g in groups for dim in g)
+    if flat_dims != list(range(d)):
+        raise ValueError(
+            f"groups must cover dims 0..{d - 1} exactly once, got "
+            f"{flat_dims}")
+
+    counts: List[int] = []
+    for k, n in enumerate(n_nodes):
+        if not isinstance(n, (int, np.integer)) or n < 1:
+            raise ValueError(
+                f"n_nodes[{k}] must be a positive int, got {n!r}")
+        counts.append(int(n))
+    group_sizes = [int(np.prod([counts[dim] for dim in g]))
+                   for g in groups]
+    columns = 1 + int(np.sum(group_sizes))
+    if columns > _MAX_GRID_POINTS:
+        raise ValueError(
+            f"additive design has {columns} columns, exceeding the fit "
+            f"solver cap ({_MAX_GRID_POINTS}); reduce group node counts"
+        )
+    for k in range(d):
+        lo, hi = float(domain[k][0]), float(domain[k][1])
+        if not (lo < hi):
+            raise ValueError(
+                f"domain[{k}]: lo={lo} must be strictly less than "
+                f"hi={hi}")
+        col = points[:, k]
+        if col.min() < lo - 1e-12 or col.max() > hi + 1e-12:
+            raise ValueError(
+                f"points[:, {k}] outside domain [{lo}, {hi}] — "
+                f"fitting does not extrapolate; clip or widen the "
+                f"domain"
+            )
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n_samples,):
+            raise ValueError(
+                f"sample_weight must be ({n_samples},), got "
+                f"{sample_weight.shape}")
+        if not np.isfinite(sample_weight).all() or (
+                sample_weight < 0).any():
+            raise ValueError(
+                "sample_weight must be finite and non-negative")
+        if not (sample_weight > 0).any():
+            raise ValueError("sample_weight must not be all zero")
+    # Effective dof excludes the k constant redundancies.
+    dof = columns - len(groups)
+    if l2 == 0.0 and n_samples < dof:
+        raise ValueError(
+            f"underdetermined fit: {n_samples} samples < {dof} "
+            f"effective unknowns; pass l2 > 0 or add samples"
+        )
+
+    nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
+                              counts[k]) for k in range(d)]
+    weights = [barycentric_weights_np(nd) for nd in nodes]
+
+    def _design_chunk(sl):
+        n_rows = points[sl].shape[0]
+        blocks = [np.ones((n_rows, 1))]
+        for g in groups:
+            blocks.append(_khatri_rao([
+                barycentric_rows_np(points[sl, dim], nodes[dim],
+                                    weights[dim]) for dim in g
+            ]))
+        return np.concatenate(blocks, axis=1)
+
+    ata = np.zeros((columns, columns))
+    aty = np.zeros(columns)
+    chunk = max(1024, _CHUNK_ELEMS // max(columns, 1))
+    for start in range(0, n_samples, chunk):
+        sl = slice(start, min(start + chunk, n_samples))
+        rows = _design_chunk(sl)
+        y = values[sl]
+        if sample_weight is not None:
+            sw = np.sqrt(sample_weight[sl])
+            rows = rows * sw[:, None]
+            y = y * sw
+        ata += rows.T @ rows
+        aty += rows.T @ y
+
+    rank = None
+    if l2 > 0.0:
+        reg = np.full(columns, l2)
+        reg[0] = 0.0  # never penalize the intercept
+        solve_mat = ata + np.diag(reg)
+        try:
+            theta = np.linalg.solve(solve_mat, aty)
+        except np.linalg.LinAlgError:
+            theta, _, rank, _ = np.linalg.lstsq(solve_mat, aty,
+                                                rcond=rcond)
+    else:
+        theta, _, rank, _ = np.linalg.lstsq(ata, aty, rcond=rcond)
+
+    sse = 0.0
+    max_abs = 0.0
+    for start in range(0, n_samples, chunk):
+        sl = slice(start, min(start + chunk, n_samples))
+        res = _design_chunk(sl) @ theta - values[sl]
+        if sample_weight is not None:
+            sw = sample_weight[sl]
+            sse += float(np.sum(sw * res * res))
+            live = sw > 0
+            if live.any():
+                max_abs = max(max_abs, float(np.max(np.abs(res[live]))))
+        else:
+            sse += float(np.sum(res * res))
+            max_abs = max(max_abs, float(np.max(np.abs(res))))
+    w_total = (float(np.sum(sample_weight)) if sample_weight is not None
+               else float(n_samples))
+
+    c0 = float(theta[0])
+    tensors, offset = [], 1
+    for g, size in zip(groups, group_sizes):
+        shape = tuple(counts[dim] for dim in g)
+        tensors.append(theta[offset:offset + size].reshape(shape))
+        offset += size
+    diagnostics = {
+        "rms": float(np.sqrt(sse / w_total)) if w_total > 0 else 0.0,
+        "sse": sse,
+        "n_samples": n_samples,
+        "columns": columns,
+        "l2": l2,
+        "rank": None if rank is None else int(rank),
+        "max_abs_residual": max_abs,
+    }
+    return tensors, c0, diagnostics

@@ -339,3 +339,122 @@ class TestReviewRegressions:
         np.testing.assert_array_equal(flat, sp._route_batch(pts))
         out = sp.eval_batch(pts[:50], [0, 0])
         np.testing.assert_allclose(out, 1.0, atol=1e-10)
+
+
+class TestSliderFit:
+    PART = [[0, 1], [2], [3, 4]]
+    PIVOT = [0.1] * 5
+    DOM5 = [[-1.0, 1.0]] * 5
+
+    @staticmethod
+    def _additive(p):
+        p = np.asarray(p)
+        return (np.sin(p[..., 0]) * p[..., 1] + p[..., 2] ** 3
+                + np.cos(p[..., 3] + 0.5 * p[..., 4]) + 2.0)
+
+    def _samples(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-1, 1, (n, 5))
+        return pts, self._additive(pts)
+
+    def test_recovers_additive_function(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        pts, vals = self._samples(20000)
+        sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [9] * 5,
+                                 self.PART, self.PIVOT)
+        test, want = self._samples(500, seed=2)
+        err = np.max(np.abs(sl.eval_batch(test) - want))
+        assert err < 1e-6
+        d = sl.fit_diagnostics
+        assert d["columns"] == 1 + 81 + 9 + 81
+        # rank excludes exactly the k=3 constant redundancies
+        assert d["rank"] == d["columns"] - 3
+
+    def test_matches_direct_build(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        pts, vals = self._samples(20000, seed=1)
+        sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [9] * 5,
+                                 self.PART, self.PIVOT)
+        direct = ChebyshevSlider(
+            lambda p, d=None: self._additive(p), 5, self.DOM5, [9] * 5,
+            self.PART, self.PIVOT)
+        direct.build(verbose=False)
+        test, _ = self._samples(300, seed=3)
+        np.testing.assert_allclose(sl.eval_batch(test),
+                                   direct.eval_batch(test), atol=1e-6)
+
+    def test_pivot_gauge_identity(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        pts, vals = self._samples(5000, seed=4)
+        sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [7] * 5,
+                                 self.PART, self.PIVOT)
+        # every slide passes through the pivot value (sliding identity)
+        assert sl.eval(self.PIVOT, [0] * 5) == pytest.approx(
+            sl.pivot_value, rel=0, abs=1e-12)
+        for slide, group in zip(sl.slides, sl.partition):
+            sub = [self.PIVOT[d] for d in group]
+            assert slide.eval(sub, [0] * len(group)) == pytest.approx(
+                sl.pivot_value, abs=1e-9)
+
+    def test_result_is_ordinary_slider(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        pts, vals = self._samples(8000, seed=5)
+        sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [7] * 5,
+                                 self.PART, self.PIVOT)
+        assert sl.is_construction_finished()
+        assert np.isfinite(sl.integrate())
+        # derivative routing + differentiate + to_tt all compose
+        g = sl.eval([0.2] * 5, [1, 0, 0, 0, 0])
+        assert g == pytest.approx(np.cos(0.2) * 0.2, rel=1e-4)
+        d = sl.differentiate([0, 0, 1, 0, 0])
+        assert d.eval([0.0] * 5, [0] * 5) == pytest.approx(0.0, abs=1e-6)
+        tt = sl.to_tt()
+        test, _ = self._samples(50, seed=6)
+        np.testing.assert_allclose(np.asarray(tt.eval_batch(test)),
+                                   sl.eval_batch(test), atol=1e-9)
+
+    def test_noise_and_l2(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        rng = np.random.default_rng(7)
+        pts, vals = self._samples(30000, seed=7)
+        noisy = vals + rng.normal(0, 1e-2, 30000)
+        sl = ChebyshevSlider.fit(pts, noisy, 5, self.DOM5, [7] * 5,
+                                 self.PART, self.PIVOT, l2=1e-8)
+        test, want = self._samples(500, seed=8)
+        err = np.max(np.abs(sl.eval_batch(test) - want))
+        assert err < 5e-3  # well below sigma
+        assert 5e-3 < sl.fit_diagnostics["rms"] < 2e-2
+
+    def test_underdetermined_counts_effective_dof(self):
+        from pychebyshev_tpu.utils.fitting import fit_additive_tensors
+        pts, vals = self._samples(100, seed=9)
+        # columns = 1+81+9+81 = 172, dof = 169 > 100 samples
+        with pytest.raises(ValueError, match="underdetermined"):
+            fit_additive_tensors(pts, vals, self.DOM5, [9] * 5,
+                                 self.PART)
+        tensors, c0, _ = fit_additive_tensors(
+            pts, vals, self.DOM5, [9] * 5, self.PART, l2=1e-6)
+        assert all(np.isfinite(t).all() for t in tensors)
+
+    def test_validation(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        pts, vals = self._samples(100, seed=10)
+        with pytest.raises(ValueError, match="cover all dimensions"):
+            ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [5] * 5,
+                                [[0, 1], [3, 4]], self.PIVOT)
+        with pytest.raises(ValueError, match="non-empty"):
+            ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [5] * 5,
+                                [[0, 1], [], [2, 3, 4]], self.PIVOT)
+        with pytest.raises(ValueError, match="pivot_point length"):
+            ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [5] * 5,
+                                self.PART, [0.1] * 3)
+
+    def test_nonadditive_residual_shows_in_rms(self):
+        from pychebyshev_tpu import ChebyshevSlider
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-1, 1, (10000, 5))
+        # strong cross-group coupling the additive model cannot fit
+        vals = self._additive(pts) + 0.5 * pts[:, 0] * pts[:, 2]
+        sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [7] * 5,
+                                 self.PART, self.PIVOT)
+        assert sl.fit_diagnostics["rms"] > 0.05  # honest lack-of-fit
