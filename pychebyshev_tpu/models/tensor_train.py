@@ -1518,6 +1518,59 @@ class ChebyshevTT:
             method="svd")
 
     @classmethod
+    def fit(cls, points, values, num_dimensions: int, domain, n_nodes,
+            *, max_rank: int = 5, l2: float = 1e-10, sweeps: int = 10,
+            seed: int = 0, sample_weight=None,
+            max_derivative_order: int = 2, additional_data=None,
+            descriptor: str = "") -> "ChebyshevTT":
+        """TT completion from SCATTERED samples (beyond reference).
+
+        The high-dimensional NON-additive leg of the scattered-data
+        constructors (dense/spline/slider ``fit``): alternating least
+        squares over the sample set — holding all cores but one fixed,
+        the model is linear in that core, so each sweep is d small
+        regularized solves with per-sample TT interface vectors
+        (``utils/fitting.py::fit_tt_cores``).  No grid of ``prod(n)``
+        evaluations anywhere; what the additive slider fit cannot
+        express (cross-group structure), a rank-``max_rank`` TT can.
+
+        NONCONVEX, unlike the other fits: the result is a local
+        optimum dependent on ``seed``'s random init.  Low-rank targets
+        recover reliably; check ``fit_diagnostics['rms']`` (and its
+        per-sweep history) against the noise level, and re-seed or
+        raise ``max_rank`` when it plateaus high.  For grid-cache
+        completion after a cross build, prefer
+        ``build(refine_sweeps=...)``.
+        """
+        from pychebyshev_tpu.utils.fitting import fit_tt_cores
+        from pychebyshev_tpu import Domain, Ns
+        if isinstance(domain, Domain):
+            domain = list(domain.bounds)
+        if isinstance(n_nodes, Ns):
+            n_nodes = list(n_nodes.counts)
+        if len(domain) != num_dimensions or len(n_nodes) != num_dimensions:
+            raise ValueError(
+                f"len(domain)={len(domain)} and len(n_nodes)="
+                f"{len(n_nodes)} must both equal num_dimensions="
+                f"{num_dimensions}")
+
+        value_cores, diagnostics = fit_tt_cores(
+            points, values, domain, n_nodes, max_rank=max_rank, l2=l2,
+            sweeps=sweeps, seed=seed, sample_weight=sample_weight)
+        coeff_cores = [tta.value_core_to_coeff_core(c)
+                       for c in value_cores]
+        # tolerance feeds downstream algebra's TT-rounding; 1e-12 keeps
+        # the fitted structure (the fit itself has no grid tolerance).
+        obj = cls._from_coeff_cores(
+            coeff_cores, domain, n_nodes,
+            dim_order=list(range(num_dimensions)), max_rank=max_rank,
+            tolerance=1e-12, max_derivative_order=max_derivative_order,
+            additional_data=additional_data, descriptor=descriptor,
+            method="als")
+        obj.fit_diagnostics = diagnostics
+        return obj
+
+    @classmethod
     def _from_coeff_cores(cls, coeff_cores, domain, n_nodes, *,
                           dim_order, max_rank, tolerance,
                           max_derivative_order=2, additional_data=None,

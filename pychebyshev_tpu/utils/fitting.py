@@ -53,7 +53,7 @@ from pychebyshev_tpu.ops.chebyshev import (
 from pychebyshev_tpu.ops.eval import _khatri_rao
 
 __all__ = ["barycentric_rows_np", "fit_dense_tensor",
-           "fit_additive_tensors"]
+           "fit_additive_tensors", "fit_tt_cores"]
 
 # Normal-matrix cap: 4096**2 f64 = 128 MB.
 _MAX_GRID_POINTS = 4096
@@ -434,3 +434,219 @@ def fit_additive_tensors(
         "max_abs_residual": max_abs,
     }
     return tensors, c0, diagnostics
+
+
+def fit_tt_cores(
+    points: np.ndarray,
+    values: np.ndarray,
+    domain: Sequence[Sequence[float]],
+    n_nodes: Sequence[int],
+    *,
+    max_rank: int = 5,
+    l2: float = 1e-10,
+    sweeps: int = 10,
+    seed: int = 0,
+    sample_weight: Optional[np.ndarray] = None,
+) -> Tuple[List[np.ndarray], dict]:
+    """Scattered-data TT completion via alternating least squares.
+
+    Fits a tensor-train of VALUE cores to arbitrary in-domain samples:
+    holding all cores but one fixed, the model is linear in that core
+    (design row ``kron(L_j, r_k(x_j), R_j)`` with per-sample left/right
+    interface vectors), so each ALS step is a small regularized solve;
+    sweeps run left-to-right with QR re-orthogonalization after every
+    core (interfaces stay well-conditioned, the standard TT-ALS
+    discipline — cf. the grid-based ``tt_algorithms.tt_als``).
+
+    Unlike the dense/additive fits this objective is NONCONVEX (the TT
+    manifold): convergence is to a local optimum dependent on the
+    random init (``seed``).  Low-rank-representable targets recover
+    reliably; check ``diagnostics['rms']`` (per-sweep history in
+    ``diagnostics['sweep_rms']``) against the noise level and re-seed
+    or raise ``max_rank`` when it plateaus high.
+
+    Returns ``(value_cores, diagnostics)`` — cores are
+    ``(r_{k-1}, n_k, r_k)`` value-space tensors (convert with
+    ``tt_algorithms.value_core_to_coeff_core``).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    d = len(n_nodes)
+    if d < 2:
+        raise ValueError("TT fit needs at least 2 dimensions")
+    if len(domain) != d:
+        raise ValueError(
+            f"len(domain)={len(domain)} must equal len(n_nodes)={d}")
+    if points.ndim != 2 or points.shape[1] != d:
+        raise ValueError(f"points must be (N, {d}), got {points.shape}")
+    n_samples = points.shape[0]
+    if values.shape != (n_samples,):
+        raise ValueError(
+            f"values must be ({n_samples},), got {values.shape}")
+    if n_samples == 0:
+        raise ValueError("need at least one sample")
+    if not np.isfinite(points).all():
+        raise ValueError("points contain NaN or Inf")
+    if not np.isfinite(values).all():
+        raise ValueError("values contain NaN or Inf")
+    l2 = float(l2)
+    if l2 < 0.0 or not np.isfinite(l2):
+        raise ValueError(f"l2 must be finite and >= 0, got {l2}")
+    if not isinstance(max_rank, (int, np.integer)) or max_rank < 1:
+        raise ValueError(f"max_rank must be a positive int, got "
+                         f"{max_rank!r}")
+    if not isinstance(sweeps, (int, np.integer)) or sweeps < 1:
+        raise ValueError(f"sweeps must be a positive int, got {sweeps!r}")
+    counts: List[int] = []
+    for k, n in enumerate(n_nodes):
+        if not isinstance(n, (int, np.integer)) or n < 1:
+            raise ValueError(
+                f"n_nodes[{k}] must be a positive int, got {n!r}")
+        counts.append(int(n))
+    for k in range(d):
+        lo, hi = float(domain[k][0]), float(domain[k][1])
+        if not (lo < hi):
+            raise ValueError(
+                f"domain[{k}]: lo={lo} must be strictly less than "
+                f"hi={hi}")
+        col = points[:, k]
+        if col.min() < lo - 1e-12 or col.max() > hi + 1e-12:
+            raise ValueError(
+                f"points[:, {k}] outside domain [{lo}, {hi}] — "
+                f"fitting does not extrapolate; clip or widen the "
+                f"domain"
+            )
+    if sample_weight is not None:
+        sample_weight = np.asarray(sample_weight, dtype=np.float64)
+        if sample_weight.shape != (n_samples,):
+            raise ValueError(
+                f"sample_weight must be ({n_samples},), got "
+                f"{sample_weight.shape}")
+        if not np.isfinite(sample_weight).all() or (
+                sample_weight < 0).any():
+            raise ValueError(
+                "sample_weight must be finite and non-negative")
+        if not (sample_weight > 0).any():
+            raise ValueError("sample_weight must not be all zero")
+
+    # Valid TT ranks: clamp against both boundary products.
+    ranks = [1] + [int(max_rank)] * (d - 1) + [1]
+    for k in range(1, d):
+        ranks[k] = min(ranks[k], ranks[k - 1] * counts[k - 1])
+    for k in range(d - 1, 0, -1):
+        ranks[k] = min(ranks[k], ranks[k + 1] * counts[k])
+    max_core = max(ranks[k] * counts[k] * ranks[k + 1] for k in range(d))
+    if l2 == 0.0 and n_samples < max_core:
+        raise ValueError(
+            f"underdetermined fit: {n_samples} samples < {max_core} "
+            f"unknowns in the largest core; pass l2 > 0 or add samples"
+        )
+
+    nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
+                              counts[k]) for k in range(d)]
+    weights = [barycentric_weights_np(nd) for nd in nodes]
+    # Per-dim barycentric rows, computed once: d arrays (N, n_k).
+    rows = [barycentric_rows_np(points[:, k], nodes[k], weights[k])
+            for k in range(d)]
+    sqrt_w = (np.sqrt(sample_weight) if sample_weight is not None
+              else None)
+    w_total = (float(np.sum(sample_weight)) if sample_weight is not None
+               else float(n_samples))
+
+    from pychebyshev_tpu.models.tt_algorithms import orth_right_core
+
+    rng = np.random.default_rng(seed)
+    scale = (np.std(values) or 1.0) ** (1.0 / d)
+    cores = [rng.standard_normal((ranks[k], counts[k], ranks[k + 1]))
+             * scale / np.sqrt(ranks[k] * ranks[k + 1])
+             for k in range(d)]
+    # Right-orthogonalize 2..d so the first solve sees conditioned
+    # interfaces.
+    for k in range(d - 1, 0, -1):
+        cores[k - 1], cores[k] = orth_right_core(cores[k - 1], cores[k])
+
+    def _interface_step(interface, core, rows_k, side):
+        """Advance a per-sample interface through one core."""
+        m = np.einsum("ni,aib->nab", rows_k, core)
+        if side == "left":
+            return np.einsum("na,nab->nb", interface, m)
+        return np.einsum("nab,nb->na", m, interface)
+
+    sweep_rms: List[float] = []
+    for sweep in range(int(sweeps)):
+        # Right interfaces for every position, from the current cores.
+        right = [None] * (d + 1)
+        right[d] = np.ones((n_samples, 1))
+        for k in range(d - 1, 0, -1):
+            right[k] = _interface_step(right[k + 1], cores[k], rows[k],
+                                       "right")
+        left = np.ones((n_samples, 1))
+        preds = None
+        for k in range(d):
+            r0, nk, r1 = ranks[k], counts[k], ranks[k + 1]
+            p_cols = r0 * nk * r1
+            chunk = max(1024, _CHUNK_ELEMS // max(p_cols, 1))
+
+            def _design_chunk(sl):
+                return np.einsum(
+                    "na,ni,nb->naib", left[sl], rows[k][sl],
+                    right[k + 1][sl]).reshape(-1, p_cols)
+
+            ata = np.zeros((p_cols, p_cols))
+            aty = np.zeros(p_cols)
+            for start in range(0, n_samples, chunk):
+                sl = slice(start, min(start + chunk, n_samples))
+                dchunk = _design_chunk(sl)
+                y = values[sl]
+                if sqrt_w is not None:
+                    dchunk = dchunk * sqrt_w[sl, None]
+                    y = y * sqrt_w[sl]
+                ata += dchunk.T @ dchunk
+                aty += dchunk.T @ y
+            if l2 > 0.0:
+                ata = ata + l2 * np.eye(p_cols)
+            try:
+                sol = np.linalg.solve(ata, aty)
+            except np.linalg.LinAlgError:
+                sol, _, _, _ = np.linalg.lstsq(ata, aty, rcond=None)
+            cores[k] = sol.reshape(r0, nk, r1)
+            if k < d - 1:
+                # Left-orthogonalize and advance the left interface.
+                rm, nm, r1m = cores[k].shape
+                q, rr = np.linalg.qr(cores[k].reshape(rm * nm, r1m))
+                cores[k] = q.reshape(rm, nm, q.shape[1])
+                cores[k + 1] = np.einsum("ij,jpk->ipk", rr,
+                                         cores[k + 1])
+                ranks[k + 1] = cores[k].shape[2]
+                left = _interface_step(left, cores[k], rows[k], "left")
+            else:
+                preds = np.empty(n_samples)
+                for start in range(0, n_samples, chunk):
+                    sl = slice(start, min(start + chunk, n_samples))
+                    preds[sl] = _design_chunk(sl) @ sol
+        res = preds - values
+        if sample_weight is not None:
+            sse = float(np.sum(sample_weight * res * res))
+        else:
+            sse = float(np.sum(res * res))
+        sweep_rms.append(float(np.sqrt(sse / w_total)))
+        if sweep > 0 and sweep_rms[-2] - sweep_rms[-1] < (
+                1e-4 * max(sweep_rms[-2], 1e-300)):
+            break
+
+    if sample_weight is not None:
+        live = sample_weight > 0
+        max_abs = float(np.max(np.abs(res[live]))) if live.any() else 0.0
+    else:
+        max_abs = float(np.max(np.abs(res)))
+    diagnostics = {
+        "rms": sweep_rms[-1],
+        "sse": sse,
+        "sweep_rms": sweep_rms,
+        "n_samples": n_samples,
+        "tt_ranks": list(ranks),
+        "l2": l2,
+        "seed": int(seed),
+        "max_abs_residual": max_abs,
+    }
+    return cores, diagnostics

@@ -458,3 +458,115 @@ class TestSliderFit:
         sl = ChebyshevSlider.fit(pts, vals, 5, self.DOM5, [7] * 5,
                                  self.PART, self.PIVOT)
         assert sl.fit_diagnostics["rms"] > 0.05  # honest lack-of-fit
+
+
+class TestTTFit:
+    DOM4 = [[-1.0, 1.0]] * 4
+
+    @staticmethod
+    def _lowrank(p):
+        p = np.asarray(p)
+        return (np.sin(p[..., 0]) * np.sin(p[..., 1])
+                * np.sin(p[..., 2]) * np.sin(p[..., 3])
+                + np.exp(0.3 * (p[..., 0] + p[..., 3])))
+
+    def _samples(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-1, 1, (n, 4))
+        return pts, self._lowrank(pts)
+
+    def test_recovers_lowrank_nonadditive(self):
+        from pychebyshev_tpu import ChebyshevTT
+        pts, vals = self._samples(40000)
+        tt = ChebyshevTT.fit(pts, vals, 4, self.DOM4, [9] * 4,
+                             max_rank=4, seed=1)
+        test, want = self._samples(500, seed=2)
+        err = np.max(np.abs(np.asarray(tt.eval_batch(test)) - want))
+        assert err < 1e-6
+        d = tt.fit_diagnostics
+        assert d["rms"] < 1e-7
+        assert len(d["sweep_rms"]) >= 2
+        assert d["sweep_rms"][-1] <= d["sweep_rms"][0]
+
+    def test_beats_additive_fit_on_product_structure(self):
+        # the product term is cross-group for ANY partition — a slider
+        # fit cannot express it, a rank-4 TT can.
+        from pychebyshev_tpu import ChebyshevSlider, ChebyshevTT
+        pts, vals = self._samples(30000, seed=3)
+        sl = ChebyshevSlider.fit(pts, vals, 4, self.DOM4, [9] * 4,
+                                 [[0, 1], [2, 3]], [0.0] * 4)
+        tt = ChebyshevTT.fit(pts, vals, 4, self.DOM4, [9] * 4,
+                             max_rank=4, seed=0)
+        assert tt.fit_diagnostics["rms"] < 1e-6
+        assert sl.fit_diagnostics["rms"] > 1e-3  # honest lack of fit
+
+    def test_result_is_ordinary_tt(self):
+        from pychebyshev_tpu import ChebyshevTT
+        pts, vals = self._samples(30000, seed=4)
+        tt = ChebyshevTT.fit(pts, vals, 4, self.DOM4, [7] * 4,
+                             max_rank=3, seed=0)
+        assert tt.is_construction_finished()
+        assert tt.get_constructor_type() == "ChebyshevTT"
+        assert np.isfinite(tt.integrate())
+        d = tt.differentiate([1, 0, 0, 0])
+        test, _ = self._samples(50, seed=5)
+        assert np.isfinite(np.asarray(d.eval_batch(test))).all()
+        # TT algebra + npz round trip work on the fitted object
+        two = tt + tt
+        np.testing.assert_allclose(np.asarray(two.eval_batch(test)),
+                                   2 * np.asarray(tt.eval_batch(test)),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_seed_determinism(self):
+        from pychebyshev_tpu.utils.fitting import fit_tt_cores
+        pts, vals = self._samples(5000, seed=6)
+        c1, d1 = fit_tt_cores(pts, vals, self.DOM4, [7] * 4,
+                              max_rank=2, seed=42, sweeps=3)
+        c2, d2 = fit_tt_cores(pts, vals, self.DOM4, [7] * 4,
+                              max_rank=2, seed=42, sweeps=3)
+        for a, b in zip(c1, c2):
+            np.testing.assert_array_equal(a, b)
+        assert d1["sweep_rms"] == d2["sweep_rms"]
+
+    def test_noise_and_convergence_reporting(self):
+        from pychebyshev_tpu import ChebyshevTT
+        rng = np.random.default_rng(7)
+        pts, vals = self._samples(40000, seed=7)
+        noisy = vals + rng.normal(0, 1e-3, 40000)
+        tt = ChebyshevTT.fit(pts, noisy, 4, self.DOM4, [7] * 4,
+                             max_rank=4, seed=0, l2=1e-8)
+        test, want = self._samples(500, seed=8)
+        err = np.max(np.abs(np.asarray(tt.eval_batch(test)) - want))
+        assert err < 2e-3  # below ~2 sigma
+        # rms reports ~sigma, not the (smaller) true error
+        assert 5e-4 < tt.fit_diagnostics["rms"] < 5e-3
+
+    def test_validation(self):
+        from pychebyshev_tpu.utils.fitting import fit_tt_cores
+        pts, vals = self._samples(100, seed=9)
+        with pytest.raises(ValueError, match="at least 2"):
+            fit_tt_cores(pts[:, :1], vals, [[-1, 1]], [5],
+                         max_rank=2)
+        with pytest.raises(ValueError, match="underdetermined"):
+            fit_tt_cores(pts, vals, self.DOM4, [9] * 4, max_rank=5,
+                         l2=0.0)
+        with pytest.raises(ValueError, match="max_rank"):
+            fit_tt_cores(pts, vals, self.DOM4, [5] * 4, max_rank=0)
+        with pytest.raises(ValueError, match="sweeps"):
+            fit_tt_cores(pts, vals, self.DOM4, [5] * 4, max_rank=2,
+                         sweeps=0)
+        with pytest.raises(ValueError, match="outside domain"):
+            fit_tt_cores(pts + 5.0, vals, self.DOM4, [5] * 4,
+                         max_rank=2)
+
+    def test_rank_clamping_at_boundaries(self):
+        from pychebyshev_tpu.utils.fitting import fit_tt_cores
+        pts, vals = self._samples(3000, seed=10)
+        # max_rank 50 must clamp to valid TT ranks for n=5 grids
+        cores, diag = fit_tt_cores(pts, vals, self.DOM4, [5] * 4,
+                                   max_rank=50, sweeps=2, l2=1e-8)
+        r = diag["tt_ranks"]
+        assert r[0] == 1 and r[-1] == 1
+        assert r[1] <= 5 and r[3] <= 5
+        for k, c in enumerate(cores):
+            assert c.shape[1] == 5
