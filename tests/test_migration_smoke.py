@@ -101,7 +101,7 @@ COMMON_SURFACE = [
     "integrate_batch", "partial_integrate_batch",
     "roots", "minimize", "maximize",
     "roots_batch", "minimize_batch", "maximize_batch",
-    "critical_points", "differentiate",
+    "critical_points", "differentiate", "fit",
     "save", "load", "clone",
     "set_descriptor", "get_descriptor", "get_constructor_type",
     "get_used_ns", "get_max_derivative_order", "is_construction_finished",
