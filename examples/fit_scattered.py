@@ -58,6 +58,32 @@ def main():
           f"max {np.max(np.abs(err)):.5f}  (denoised ~"
           f"{sigma / np.sqrt(np.mean(err**2)):.0f}x below sample noise)")
 
+    # Gradient-enhanced ("differential ML") leg: when the sampler also
+    # returns pathwise/AAD deltas, derivative_data= feeds them into the
+    # SAME linear solve — at small sample counts the gradient rows cut
+    # out-of-sample error well below the values-only fit.
+    def true_delta(s, v):
+        mm = (s - 100.0) / (v * 100.0)
+        return (-0.39894 * mm * np.exp(-0.5 * mm * mm)
+                + 0.5 * (1.0 + np.tanh(0.8 * mm))
+                + 0.4 * mm / np.cosh(0.8 * mm) ** 2)
+
+    n_small = 400
+    pts_s = pts[:n_small]
+    noisy_s = noisy[:n_small]
+    deltas = (true_delta(pts_s[:, 0], pts_s[:, 1])
+              + rng.normal(0.0, sigma / 40.0, n_small))
+    plain = ChebyshevApproximation.fit(
+        pts_s, noisy_s, 2, DOMAIN, [11, 11], l2=1e-9)
+    graded = ChebyshevApproximation.fit(
+        pts_s, noisy_s, 2, DOMAIN, [11, 11], l2=1e-9,
+        derivative_data=[(pts_s, [1, 0], deltas)])
+    for tag, mdl in (("values only", plain), ("values+deltas", graded)):
+        e = mdl.eval_batch(test, [0, 0]) - true_price(test[:, 0],
+                                                      test[:, 1])
+        print(f"  {n_small} samples, {tag:>13}: out-of-sample rms "
+              f"{np.sqrt(np.mean(e ** 2)):.5f}")
+
     # The result is an ordinary model: spectral delta, calculus, TT.
     delta = m.eval([100.0, 0.3], [1, 0])
     h = 1e-4

@@ -1431,6 +1431,7 @@ class ChebyshevApproximation:
     @classmethod
     def fit(cls, points, values, num_dimensions, domain, n_nodes, *,
             l2: float = 0.0, sample_weight=None, rcond=None,
+            derivative_data=None,
             max_derivative_order: int = 2, additional_data=None
             ) -> "ChebyshevApproximation":
         """Least-squares interpolant from SCATTERED samples.
@@ -1455,12 +1456,23 @@ class ChebyshevApproximation:
             N < prod(n_nodes); recommended for noisy data).
         sample_weight : optional (N,) non-negative weights.
         rcond : pseudoinverse cutoff for the unregularized path.
+        derivative_data : optional gradient-enhanced observation blocks
+            ``[(points_b, orders_b, values_b[, weight_b]), ...]`` —
+            derivative samples (AAD / pathwise Greeks) fitted jointly
+            with the values; each block's design rows fold
+            ``D_k^{o_k}`` into the barycentric rows, so the system
+            stays one linear solve
+            (``utils/fitting.py::normalize_derivative_data``).  Block
+            rows count toward the determinedness requirement, letting
+            ``N < prod(n_nodes)`` value samples still pin the model.
 
         Returns
         -------
         A built ``ChebyshevApproximation``; ``fit_diagnostics`` on the
         result records ``rms`` / ``max_abs_residual`` (training
-        residuals), ``n_samples``, ``grid_points``, ``l2``, ``rank``.
+        residuals), ``n_samples``, ``grid_points``, ``l2``, ``rank``
+        (plus per-block ``derivative_blocks`` when derivative data was
+        given).
         """
         from pychebyshev_tpu.utils.fitting import fit_dense_tensor
 
@@ -1472,7 +1484,8 @@ class ChebyshevApproximation:
             )
         tensor, diagnostics = fit_dense_tensor(
             points, values, domain, n_nodes, l2=l2,
-            sample_weight=sample_weight, rcond=rcond)
+            sample_weight=sample_weight, rcond=rcond,
+            derivative_data=derivative_data)
         obj = cls.from_values(tensor, num_dimensions, domain,
                               list(n_nodes),
                               max_derivative_order=max_derivative_order)

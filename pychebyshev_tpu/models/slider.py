@@ -796,7 +796,7 @@ class ChebyshevSlider:
     @classmethod
     def fit(cls, points, values, num_dimensions, domain, n_nodes,
             partition, pivot_point, *, l2: float = 0.0,
-            sample_weight=None, rcond=None,
+            sample_weight=None, rcond=None, derivative_data=None,
             max_derivative_order: int = 2) -> "ChebyshevSlider":
         """Least-squares slider from SCATTERED high-dimensional samples.
 
@@ -821,6 +821,12 @@ class ChebyshevSlider:
 
         Returns a fully-built slider; ``fit_diagnostics`` as in the
         dense fit (plus ``columns``).
+
+        ``derivative_data`` blocks (gradient-enhanced fitting, as in
+        the dense :meth:`ChebyshevApproximation.fit`) must
+        differentiate dims of at most one partition group — the
+        additive model's cross-group mixed partials are identically
+        zero, matching the per-call eval router's exact-zero rule.
         """
         from pychebyshev_tpu.utils.fitting import (
             barycentric_rows_np,
@@ -852,7 +858,8 @@ class ChebyshevSlider:
 
         tensors, c0, diagnostics = fit_additive_tensors(
             points, values, domain, n_nodes, partition, l2=l2,
-            sample_weight=sample_weight, rcond=rcond)
+            sample_weight=sample_weight, rcond=rcond,
+            derivative_data=derivative_data)
 
         # Re-gauge: pin every slide to the pivot.  With b_i = h_i(z_i)
         # and p = c0 + sum b_i, the slides g_i = h_i + (p - b_i) give

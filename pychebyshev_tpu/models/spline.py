@@ -959,6 +959,7 @@ class ChebyshevSpline:
     @classmethod
     def fit(cls, points, values, num_dimensions, domain, n_nodes, knots,
             *, l2: float = 0.0, sample_weight=None, rcond=None,
+            derivative_data=None,
             max_derivative_order: int = 2) -> "ChebyshevSpline":
         """Least-squares spline from SCATTERED samples (kinked data).
 
@@ -977,8 +978,20 @@ class ChebyshevSpline:
 
         Returns a fully-built spline; ``fit_diagnostics`` aggregates
         the overall training rms plus one per-piece diagnostics dict.
+
+        ``derivative_data`` blocks (gradient-enhanced fitting, as in
+        the dense :meth:`ChebyshevApproximation.fit`) route to pieces
+        exactly like the value samples (a derivative observed ON a
+        knot informs the right piece — the batched one-sided
+        convention); each piece fits its own sub-blocks.  Value
+        samples alone decide piece starvation: a piece seen only by
+        derivative rows is constant-indeterminate, so the usual
+        "received no samples" error still fires for it.
         """
-        from pychebyshev_tpu.utils.fitting import fit_dense_tensor
+        from pychebyshev_tpu.utils.fitting import (
+            fit_dense_tensor,
+            normalize_derivative_data,
+        )
 
         if is_nested_n_nodes(n_nodes):
             raise NotImplementedError(
@@ -1003,9 +1016,14 @@ class ChebyshevSpline:
                     f"sample_weight must be ({points.shape[0]},), got "
                     f"{sample_weight.shape}")
 
+        deriv_blocks = normalize_derivative_data(
+            derivative_data, num_dimensions, domain, n_nodes)
+
         intervals = cls._compute_intervals(num_dimensions, domain, knots)
         piece_shape = tuple(len(iv) for iv in intervals)
         flat_idx = route_points_to_pieces(knots, piece_shape, points)
+        block_idx = [route_points_to_pieces(knots, piece_shape, pts)
+                     for pts, _, _, _ in deriv_blocks]
 
         piece_values, per_piece = [], []
         sse, w_total = 0.0, 0.0
@@ -1020,10 +1038,17 @@ class ChebyshevSpline:
                 )
             sub_domain = [list(intervals[d][multi_idx[d]])
                           for d in range(num_dimensions)]
+            piece_blocks = [
+                (pts[b_idx == p], orders, vals[b_idx == p], weight)
+                for (pts, orders, vals, weight), b_idx
+                in zip(deriv_blocks, block_idx)
+                if (b_idx == p).any()
+            ]
             try:
                 tensor, diag = fit_dense_tensor(
                     points[mask], values[mask], sub_domain, n_nodes,
                     l2=l2, rcond=rcond,
+                    derivative_data=piece_blocks or None,
                     sample_weight=(None if sample_weight is None
                                    else sample_weight[mask]))
             except ValueError as e:
@@ -1052,6 +1077,11 @@ class ChebyshevSpline:
             "max_abs_residual": max(
                 d["max_abs_residual"] for d in per_piece),
         }
+        if deriv_blocks:
+            obj.fit_diagnostics["n_derivative_rows"] = int(
+                sum(b[0].shape[0] for b in deriv_blocks))
+            obj.fit_diagnostics["objective_sse"] = float(
+                sum(d.get("objective_sse", d["sse"]) for d in per_piece))
         return obj
 
     @classmethod

@@ -1520,7 +1520,7 @@ class ChebyshevTT:
     @classmethod
     def fit(cls, points, values, num_dimensions: int, domain, n_nodes,
             *, max_rank: int = 5, l2: float = 1e-10, sweeps: int = 10,
-            seed: int = 0, sample_weight=None,
+            seed: int = 0, sample_weight=None, derivative_data=None,
             max_derivative_order: int = 2, additional_data=None,
             descriptor: str = "") -> "ChebyshevTT":
         """TT completion from SCATTERED samples (beyond reference).
@@ -1541,6 +1541,11 @@ class ChebyshevTT:
         raise ``max_rank`` when it plateaus high.  For grid-cache
         completion after a cross build, prefer
         ``build(refine_sweeps=...)``.
+
+        ``derivative_data`` blocks (gradient-enhanced fitting, as in
+        the dense :meth:`ChebyshevApproximation.fit`) stack onto the
+        sample set — each ALS core solve sees the derivative rows with
+        ``D_k^{o_k}`` folded into the per-dim design rows.
         """
         from pychebyshev_tpu.utils.fitting import fit_tt_cores
         from pychebyshev_tpu import Domain, Ns
@@ -1556,7 +1561,8 @@ class ChebyshevTT:
 
         value_cores, diagnostics = fit_tt_cores(
             points, values, domain, n_nodes, max_rank=max_rank, l2=l2,
-            sweeps=sweeps, seed=seed, sample_weight=sample_weight)
+            sweeps=sweeps, seed=seed, sample_weight=sample_weight,
+            derivative_data=derivative_data)
         coeff_cores = [tta.value_core_to_coeff_core(c)
                        for c in value_cores]
         # tolerance feeds downstream algebra's TT-rounding; 1e-12 keeps

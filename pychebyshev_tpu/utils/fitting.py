@@ -44,6 +44,7 @@ import numpy as np
 from pychebyshev_tpu.config import NODE_COINCIDENCE_TOL
 from pychebyshev_tpu.ops.chebyshev import (
     barycentric_weights_np,
+    differentiation_matrix_np,
     nodes_for_dim_np,
 )
 # The ONE row-wise Kronecker definition (pure broadcasting — works on
@@ -53,7 +54,8 @@ from pychebyshev_tpu.ops.chebyshev import (
 from pychebyshev_tpu.ops.eval import _khatri_rao
 
 __all__ = ["barycentric_rows_np", "fit_dense_tensor",
-           "fit_additive_tensors", "fit_tt_cores"]
+           "fit_additive_tensors", "fit_tt_cores",
+           "normalize_derivative_data"]
 
 # Normal-matrix cap: 4096**2 f64 = 128 MB.
 _MAX_GRID_POINTS = 4096
@@ -82,6 +84,135 @@ def barycentric_rows_np(x: np.ndarray, nodes: np.ndarray,
     return rows
 
 
+def normalize_derivative_data(derivative_data, d: int,
+                              domain: Sequence[Sequence[float]],
+                              n_nodes: Sequence[int]):
+    """Validate derivative-observation blocks for the fitters.
+
+    ``derivative_data`` is a sequence of blocks, each
+    ``(points, orders, values)`` or ``(points, orders, values, weight)``:
+    derivative observations ``d^{|orders|} f / dx^orders (points_j) =
+    values_j``, all sharing one ``orders`` multi-index per block (the
+    differential-machine-learning shape: AAD pathwise Greeks observed
+    alongside prices).  ``weight`` (default 1.0, must be > 0) scales the
+    block's squared residuals in the objective — use it to balance the
+    derivative scale against the values (a common choice is
+    ``var(values) / var(block values)``).
+
+    Returns a list of ``(points (Nb, d) f64, orders tuple, values (Nb,)
+    f64, weight float)`` tuples.  Model derivatives of order
+    ``>= n_nodes[k]`` are identically zero (degree ``n_k - 1``
+    polynomials), so such blocks are rejected rather than silently
+    fitting constants against zero rows.
+    """
+    if derivative_data is None:
+        return []
+    blocks = []
+    for bi, block in enumerate(derivative_data):
+        if len(block) not in (3, 4):
+            raise ValueError(
+                f"derivative_data[{bi}] must be (points, orders, values)"
+                f" or (points, orders, values, weight), got "
+                f"{len(block)} elements")
+        pts = np.asarray(block[0], dtype=np.float64)
+        vals = np.asarray(block[2], dtype=np.float64)
+        weight = float(block[3]) if len(block) == 4 else 1.0
+        orders_raw = block[1]
+        if len(orders_raw) != d:
+            raise ValueError(
+                f"derivative_data[{bi}]: orders must have length {d}, "
+                f"got {len(orders_raw)}")
+        orders = []
+        for k, o in enumerate(orders_raw):
+            if not isinstance(o, (int, np.integer)) or o < 0:
+                raise ValueError(
+                    f"derivative_data[{bi}]: orders[{k}] must be a "
+                    f"non-negative int, got {o!r}")
+            if int(o) >= int(n_nodes[k]):
+                raise ValueError(
+                    f"derivative_data[{bi}]: orders[{k}]={int(o)} >= "
+                    f"n_nodes[{k}]={int(n_nodes[k])} — a degree-"
+                    f"{int(n_nodes[k]) - 1} model's derivative of that "
+                    f"order is identically zero; raise n_nodes[{k}] or "
+                    f"drop the block")
+            orders.append(int(o))
+        if pts.ndim != 2 or pts.shape[1] != d:
+            raise ValueError(
+                f"derivative_data[{bi}]: points must be (N, {d}), got "
+                f"{pts.shape}")
+        nb = pts.shape[0]
+        if nb == 0:
+            raise ValueError(
+                f"derivative_data[{bi}]: needs at least one sample")
+        if vals.shape != (nb,):
+            raise ValueError(
+                f"derivative_data[{bi}]: values must be ({nb},), got "
+                f"{vals.shape}")
+        if not np.isfinite(pts).all():
+            raise ValueError(
+                f"derivative_data[{bi}]: points contain NaN or Inf")
+        if not np.isfinite(vals).all():
+            raise ValueError(
+                f"derivative_data[{bi}]: values contain NaN or Inf")
+        if not np.isfinite(weight) or weight <= 0.0:
+            raise ValueError(
+                f"derivative_data[{bi}]: weight must be finite and "
+                f"> 0, got {weight}")
+        for k in range(d):
+            lo, hi = float(domain[k][0]), float(domain[k][1])
+            col = pts[:, k]
+            if col.min() < lo - 1e-12 or col.max() > hi + 1e-12:
+                raise ValueError(
+                    f"derivative_data[{bi}]: points[:, {k}] outside "
+                    f"domain [{lo}, {hi}] — fitting does not "
+                    f"extrapolate")
+        blocks.append((pts, tuple(orders), vals, weight))
+    return blocks
+
+
+class _DimDesign:
+    """Per-dim design-row factory with cached D^order folds.
+
+    A derivative observation's design row along dim ``k`` is the plain
+    barycentric coefficient row folded through the spectral
+    differentiation matrix: ``r_k(x) @ D_k^{o_k}`` (the row form of the
+    eval kernel's tensor-side ``apply_derivative_passes`` — same D, same
+    one-sided node-hit semantics via the one-hot rows).
+    """
+
+    def __init__(self, nodes, weights):
+        self.nodes = nodes
+        self.weights = weights
+        self._pows = {}
+
+    def _dpow(self, k: int, order: int):
+        key = (k, order)
+        if key not in self._pows:
+            dmat = differentiation_matrix_np(self.nodes[k],
+                                             self.weights[k])
+            self._pows[key] = np.linalg.matrix_power(dmat, order)
+        return self._pows[key]
+
+    def rows(self, x: np.ndarray, k: int, order: int = 0) -> np.ndarray:
+        r = barycentric_rows_np(x, self.nodes[k], self.weights[k])
+        if order:
+            r = r @ self._dpow(k, order)
+        return r
+
+
+def _block_residual_stats(design_chunk_fn, sol, pts, vals, chunk):
+    """Chunked unweighted residual stats for one derivative block."""
+    sse = 0.0
+    max_abs = 0.0
+    nb = pts.shape[0]
+    for start in range(0, nb, chunk):
+        sl = slice(start, min(start + chunk, nb))
+        res = design_chunk_fn(sl) @ sol - vals[sl]
+        sse += float(np.sum(res * res))
+        max_abs = max(max_abs, float(np.max(np.abs(res))))
+    return sse, max_abs
+
+
 def fit_dense_tensor(
     points: np.ndarray,
     values: np.ndarray,
@@ -91,6 +222,7 @@ def fit_dense_tensor(
     l2: float = 0.0,
     sample_weight: Optional[np.ndarray] = None,
     rcond: Optional[float] = None,
+    derivative_data=None,
 ) -> Tuple[np.ndarray, dict]:
     """Solve the scattered-data least-squares fit for a dense grid.
 
@@ -106,14 +238,24 @@ def fit_dense_tensor(
         (weighted SSE ``sum w_j (f(x_j) - y_j)^2``).
     rcond : cutoff for the pseudoinverse solve used when ``l2 == 0``
         (forwarded to ``np.linalg.lstsq``).
+    derivative_data : optional derivative-observation blocks
+        ``[(points_b, orders_b, values_b[, weight_b]), ...]`` (see
+        :func:`normalize_derivative_data`) — gradient-enhanced fitting:
+        each block adds rows ``kron_k (r_k(x) @ D_k^{o_k})`` to the
+        same linear system, so AAD/pathwise Greeks tighten the fit at
+        no structural cost.  Block rows count toward the
+        determinedness requirement.
 
     Returns
     -------
     (tensor, diagnostics): the (n_1, ..., n_d) nodal-value tensor and a
-    dict with ``rms`` (weighted training rms over all samples),
+    dict with ``rms`` (weighted training rms over the VALUE samples),
     ``max_abs_residual`` (unweighted |residual| max, excluding
     zero-weight samples), ``n_samples``, ``grid_points``, ``l2``,
-    ``rank`` (None for the Cholesky path).
+    ``rank`` (None for the Cholesky path).  With derivative blocks:
+    ``derivative_blocks`` (per-block unweighted ``rms`` /
+    ``max_abs_residual`` / ``orders`` / ``weight`` / ``n_samples``) and
+    ``objective_sse`` (the full weighted objective).
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -177,15 +319,19 @@ def fit_dense_tensor(
                 "sample_weight must be finite and non-negative")
         if not (sample_weight > 0).any():
             raise ValueError("sample_weight must not be all zero")
-    if l2 == 0.0 and n_samples < grid_points:
+    blocks = normalize_derivative_data(derivative_data, d, domain, counts)
+    total_rows = n_samples + sum(b[0].shape[0] for b in blocks)
+    if l2 == 0.0 and total_rows < grid_points:
         raise ValueError(
-            f"underdetermined fit: {n_samples} samples < "
-            f"{grid_points} grid values; pass l2 > 0 or add samples"
+            f"underdetermined fit: {total_rows} rows (values + "
+            f"derivative observations) < {grid_points} grid values; "
+            f"pass l2 > 0 or add samples"
         )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
                               counts[k]) for k in range(d)]
     weights = [barycentric_weights_np(nd) for nd in nodes]
+    dim_design = _DimDesign(nodes, weights)
 
     ata = np.zeros((grid_points, grid_points))
     aty = np.zeros(grid_points)
@@ -193,9 +339,16 @@ def fit_dense_tensor(
 
     def _design_chunk(sl):
         return _khatri_rao([
-            barycentric_rows_np(points[sl, k], nodes[k], weights[k])
-            for k in range(d)
+            dim_design.rows(points[sl, k], k) for k in range(d)
         ])
+
+    def _block_chunk_fn(pts, orders):
+        def fn(sl):
+            return _khatri_rao([
+                dim_design.rows(pts[sl, k], k, orders[k])
+                for k in range(d)
+            ])
+        return fn
 
     for start in range(0, n_samples, chunk):
         sl = slice(start, min(start + chunk, n_samples))
@@ -207,6 +360,13 @@ def fit_dense_tensor(
             y = y * sw
         ata += rows.T @ rows
         aty += rows.T @ y
+    for pts, orders, vals, weight in blocks:
+        block_fn = _block_chunk_fn(pts, orders)
+        for start in range(0, pts.shape[0], chunk):
+            sl = slice(start, min(start + chunk, pts.shape[0]))
+            rows = block_fn(sl) * np.sqrt(weight)
+            ata += rows.T @ rows
+            aty += rows.T @ (vals[sl] * np.sqrt(weight))
 
     rank = None
     if l2 > 0.0:
@@ -250,6 +410,22 @@ def fit_dense_tensor(
         "rank": None if rank is None else int(rank),
         "max_abs_residual": max_abs,
     }
+    if blocks:
+        block_diags = []
+        objective_sse = sse
+        for pts, orders, vals, weight in blocks:
+            b_sse, b_max = _block_residual_stats(
+                _block_chunk_fn(pts, orders), flat, pts, vals, chunk)
+            objective_sse += weight * b_sse
+            block_diags.append({
+                "orders": list(orders),
+                "n_samples": int(pts.shape[0]),
+                "weight": weight,
+                "rms": float(np.sqrt(b_sse / pts.shape[0])),
+                "max_abs_residual": b_max,
+            })
+        diagnostics["derivative_blocks"] = block_diags
+        diagnostics["objective_sse"] = objective_sse
     return flat.reshape(tuple(counts)), diagnostics
 
 
@@ -263,6 +439,7 @@ def fit_additive_tensors(
     l2: float = 0.0,
     sample_weight: Optional[np.ndarray] = None,
     rcond: Optional[float] = None,
+    derivative_data=None,
 ) -> Tuple[List[np.ndarray], float, dict]:
     """Scattered-data least squares for an ADDITIVE (slider) model.
 
@@ -283,6 +460,15 @@ def fit_additive_tensors(
     ``fit_dense_tensor`` (plus ``columns``); residual semantics match
     it (weighted rms over all samples; unweighted max excluding
     zero-weight samples).
+
+    ``derivative_data`` blocks (see :func:`normalize_derivative_data`)
+    must differentiate dims of at most ONE group: the additive model's
+    cross-group mixed partials are identically zero (the same exact-zero
+    rule the slider eval router applies), so such observations carry no
+    information about the unknowns and are rejected.  A block owning
+    group ``G_i`` contributes rows that are zero outside ``G_i``'s
+    columns (and zero in the intercept column for any differentiated
+    block).
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -352,27 +538,70 @@ def fit_additive_tensors(
                 "sample_weight must be finite and non-negative")
         if not (sample_weight > 0).any():
             raise ValueError("sample_weight must not be all zero")
+    deriv_blocks = normalize_derivative_data(derivative_data, d, domain,
+                                             counts)
+    dim_to_group = {}
+    for gi, g in enumerate(groups):
+        for dim in g:
+            dim_to_group[dim] = gi
+    block_owner: List[Optional[int]] = []
+    for bi, (_, orders, _, _) in enumerate(deriv_blocks):
+        owner_set = {dim_to_group[k] for k, o in enumerate(orders) if o}
+        if len(owner_set) > 1:
+            raise ValueError(
+                f"derivative_data[{bi}]: orders differentiate dims in "
+                f"{len(owner_set)} groups — the additive model's "
+                f"cross-group mixed partials are identically zero, so "
+                f"the observation is uninformative; split it into "
+                f"single-group blocks")
+        block_owner.append(owner_set.pop() if owner_set else None)
+
     # Effective dof excludes the k constant redundancies.
     dof = columns - len(groups)
-    if l2 == 0.0 and n_samples < dof:
+    total_rows = n_samples + sum(b[0].shape[0] for b in deriv_blocks)
+    if l2 == 0.0 and total_rows < dof:
         raise ValueError(
-            f"underdetermined fit: {n_samples} samples < {dof} "
-            f"effective unknowns; pass l2 > 0 or add samples"
+            f"underdetermined fit: {total_rows} rows (values + "
+            f"derivative observations) < {dof} effective unknowns; "
+            f"pass l2 > 0 or add samples"
         )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
                               counts[k]) for k in range(d)]
     weights = [barycentric_weights_np(nd) for nd in nodes]
+    dim_design = _DimDesign(nodes, weights)
 
     def _design_chunk(sl):
         n_rows = points[sl].shape[0]
         blocks = [np.ones((n_rows, 1))]
         for g in groups:
             blocks.append(_khatri_rao([
-                barycentric_rows_np(points[sl, dim], nodes[dim],
-                                    weights[dim]) for dim in g
+                dim_design.rows(points[sl, dim], dim) for dim in g
             ]))
         return np.concatenate(blocks, axis=1)
+
+    def _block_chunk_fn(pts, orders, owner):
+        def fn(sl):
+            n_rows = pts[sl].shape[0]
+            if owner is None:
+                # Undifferentiated block: ordinary additive row.
+                cols = [np.ones((n_rows, 1))]
+                for g in groups:
+                    cols.append(_khatri_rao([
+                        dim_design.rows(pts[sl, dim], dim) for dim in g
+                    ]))
+                return np.concatenate(cols, axis=1)
+            cols = [np.zeros((n_rows, 1))]
+            for gi, g in enumerate(groups):
+                if gi != owner:
+                    cols.append(np.zeros((n_rows, group_sizes[gi])))
+                else:
+                    cols.append(_khatri_rao([
+                        dim_design.rows(pts[sl, dim], dim, orders[dim])
+                        for dim in g
+                    ]))
+            return np.concatenate(cols, axis=1)
+        return fn
 
     ata = np.zeros((columns, columns))
     aty = np.zeros(columns)
@@ -387,6 +616,14 @@ def fit_additive_tensors(
             y = y * sw
         ata += rows.T @ rows
         aty += rows.T @ y
+    for (pts, orders, vals, weight), owner in zip(deriv_blocks,
+                                                  block_owner):
+        block_fn = _block_chunk_fn(pts, orders, owner)
+        for start in range(0, pts.shape[0], chunk):
+            sl = slice(start, min(start + chunk, pts.shape[0]))
+            rows = block_fn(sl) * np.sqrt(weight)
+            ata += rows.T @ rows
+            aty += rows.T @ (vals[sl] * np.sqrt(weight))
 
     rank = None
     if l2 > 0.0:
@@ -433,6 +670,24 @@ def fit_additive_tensors(
         "rank": None if rank is None else int(rank),
         "max_abs_residual": max_abs,
     }
+    if deriv_blocks:
+        block_diags = []
+        objective_sse = sse
+        for (pts, orders, vals, weight), owner in zip(deriv_blocks,
+                                                      block_owner):
+            b_sse, b_max = _block_residual_stats(
+                _block_chunk_fn(pts, orders, owner), theta, pts, vals,
+                chunk)
+            objective_sse += weight * b_sse
+            block_diags.append({
+                "orders": list(orders),
+                "n_samples": int(pts.shape[0]),
+                "weight": weight,
+                "rms": float(np.sqrt(b_sse / pts.shape[0])),
+                "max_abs_residual": b_max,
+            })
+        diagnostics["derivative_blocks"] = block_diags
+        diagnostics["objective_sse"] = objective_sse
     return tensors, c0, diagnostics
 
 
@@ -447,6 +702,7 @@ def fit_tt_cores(
     sweeps: int = 10,
     seed: int = 0,
     sample_weight: Optional[np.ndarray] = None,
+    derivative_data=None,
 ) -> Tuple[List[np.ndarray], dict]:
     """Scattered-data TT completion via alternating least squares.
 
@@ -468,6 +724,16 @@ def fit_tt_cores(
     Returns ``(value_cores, diagnostics)`` — cores are
     ``(r_{k-1}, n_k, r_k)`` value-space tensors (convert with
     ``tt_algorithms.value_core_to_coeff_core``).
+
+    ``derivative_data`` blocks (see :func:`normalize_derivative_data`)
+    compose freely with the TT structure: a derivative observation's
+    per-dim design row is the barycentric row folded through
+    ``D_k^{o_k}``, so the blocks simply STACK onto the sample set (per-
+    row weights carry the block weights) and every ALS core solve sees
+    them as additional rows.  ``sweep_rms`` then tracks the full
+    weighted objective; the returned ``rms`` / ``max_abs_residual``
+    stay value-block-only with per-block stats in
+    ``derivative_blocks``.
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -529,6 +795,9 @@ def fit_tt_cores(
         if not (sample_weight > 0).any():
             raise ValueError("sample_weight must not be all zero")
 
+    deriv_blocks = normalize_derivative_data(derivative_data, d, domain,
+                                             counts)
+
     # Valid TT ranks: clamp against both boundary products.
     ranks = [1] + [int(max_rank)] * (d - 1) + [1]
     for k in range(1, d):
@@ -536,21 +805,40 @@ def fit_tt_cores(
     for k in range(d - 1, 0, -1):
         ranks[k] = min(ranks[k], ranks[k + 1] * counts[k])
     max_core = max(ranks[k] * counts[k] * ranks[k + 1] for k in range(d))
-    if l2 == 0.0 and n_samples < max_core:
+    n_rows_total = n_samples + sum(b[0].shape[0] for b in deriv_blocks)
+    if l2 == 0.0 and n_rows_total < max_core:
         raise ValueError(
-            f"underdetermined fit: {n_samples} samples < {max_core} "
-            f"unknowns in the largest core; pass l2 > 0 or add samples"
+            f"underdetermined fit: {n_rows_total} rows (values + "
+            f"derivative observations) < {max_core} unknowns in the "
+            f"largest core; pass l2 > 0 or add samples"
         )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
                               counts[k]) for k in range(d)]
     weights = [barycentric_weights_np(nd) for nd in nodes]
-    # Per-dim barycentric rows, computed once: d arrays (N, n_k).
-    rows = [barycentric_rows_np(points[:, k], nodes[k], weights[k])
-            for k in range(d)]
-    sqrt_w = (np.sqrt(sample_weight) if sample_weight is not None
-              else None)
-    w_total = (float(np.sum(sample_weight)) if sample_weight is not None
+    dim_design = _DimDesign(nodes, weights)
+    # Per-dim design rows for the value samples and every derivative
+    # block, STACKED: d arrays (N_total, n_k).  Blocks differ from
+    # value rows only by the folded D^o — the ALS below is oblivious.
+    rows = [
+        np.concatenate(
+            [dim_design.rows(points[:, k], k)]
+            + [dim_design.rows(pts[:, k], k, orders[k])
+               for pts, orders, _, _ in deriv_blocks], axis=0)
+        for k in range(d)
+    ]
+    y_all = np.concatenate(
+        [values] + [vals for _, _, vals, _ in deriv_blocks])
+    if sample_weight is not None or deriv_blocks:
+        w_all = np.concatenate(
+            [sample_weight if sample_weight is not None
+             else np.ones(n_samples)]
+            + [np.full(pts.shape[0], weight)
+               for pts, _, _, weight in deriv_blocks])
+    else:
+        w_all = None
+    sqrt_w = np.sqrt(w_all) if w_all is not None else None
+    w_total = (float(np.sum(w_all)) if w_all is not None
                else float(n_samples))
 
     from pychebyshev_tpu.models.tt_algorithms import orth_right_core
@@ -576,11 +864,11 @@ def fit_tt_cores(
     for sweep in range(int(sweeps)):
         # Right interfaces for every position, from the current cores.
         right = [None] * (d + 1)
-        right[d] = np.ones((n_samples, 1))
+        right[d] = np.ones((n_rows_total, 1))
         for k in range(d - 1, 0, -1):
             right[k] = _interface_step(right[k + 1], cores[k], rows[k],
                                        "right")
-        left = np.ones((n_samples, 1))
+        left = np.ones((n_rows_total, 1))
         preds = None
         for k in range(d):
             r0, nk, r1 = ranks[k], counts[k], ranks[k + 1]
@@ -594,10 +882,10 @@ def fit_tt_cores(
 
             ata = np.zeros((p_cols, p_cols))
             aty = np.zeros(p_cols)
-            for start in range(0, n_samples, chunk):
-                sl = slice(start, min(start + chunk, n_samples))
+            for start in range(0, n_rows_total, chunk):
+                sl = slice(start, min(start + chunk, n_rows_total))
                 dchunk = _design_chunk(sl)
-                y = values[sl]
+                y = y_all[sl]
                 if sqrt_w is not None:
                     dchunk = dchunk * sqrt_w[sl, None]
                     y = y * sqrt_w[sl]
@@ -620,13 +908,13 @@ def fit_tt_cores(
                 ranks[k + 1] = cores[k].shape[2]
                 left = _interface_step(left, cores[k], rows[k], "left")
             else:
-                preds = np.empty(n_samples)
-                for start in range(0, n_samples, chunk):
-                    sl = slice(start, min(start + chunk, n_samples))
+                preds = np.empty(n_rows_total)
+                for start in range(0, n_rows_total, chunk):
+                    sl = slice(start, min(start + chunk, n_rows_total))
                     preds[sl] = _design_chunk(sl) @ sol
-        res = preds - values
-        if sample_weight is not None:
-            sse = float(np.sum(sample_weight * res * res))
+        res = preds - y_all
+        if w_all is not None:
+            sse = float(np.sum(w_all * res * res))
         else:
             sse = float(np.sum(res * res))
         sweep_rms.append(float(np.sqrt(sse / w_total)))
@@ -634,19 +922,47 @@ def fit_tt_cores(
                 1e-4 * max(sweep_rms[-2], 1e-300)):
             break
 
+    # Headline residuals are VALUE-block-only (matching the dense
+    # fitter); per-block stats follow.  ``res`` holds the last sweep's
+    # residuals over all stacked rows.
+    val_res = res[:n_samples]
     if sample_weight is not None:
         live = sample_weight > 0
-        max_abs = float(np.max(np.abs(res[live]))) if live.any() else 0.0
+        val_max = (float(np.max(np.abs(val_res[live]))) if live.any()
+                   else 0.0)
+        val_sse = float(np.sum(sample_weight * val_res * val_res))
+        val_w = float(np.sum(sample_weight))
     else:
-        max_abs = float(np.max(np.abs(res)))
+        val_max = float(np.max(np.abs(val_res)))
+        val_sse = float(np.sum(val_res * val_res))
+        val_w = float(n_samples)
     diagnostics = {
-        "rms": sweep_rms[-1],
-        "sse": sse,
+        "rms": (float(np.sqrt(val_sse / val_w)) if val_w > 0 else 0.0),
+        "sse": val_sse,
         "sweep_rms": sweep_rms,
         "n_samples": n_samples,
         "tt_ranks": list(ranks),
         "l2": l2,
         "seed": int(seed),
-        "max_abs_residual": max_abs,
+        "max_abs_residual": val_max,
     }
+    if deriv_blocks:
+        block_diags = []
+        offset = n_samples
+        objective_sse = val_sse
+        for pts, orders, vals, weight in deriv_blocks:
+            nb = pts.shape[0]
+            b_res = res[offset:offset + nb]
+            offset += nb
+            b_sse = float(np.sum(b_res * b_res))
+            objective_sse += weight * b_sse
+            block_diags.append({
+                "orders": list(orders),
+                "n_samples": int(nb),
+                "weight": weight,
+                "rms": float(np.sqrt(b_sse / nb)),
+                "max_abs_residual": float(np.max(np.abs(b_res))),
+            })
+        diagnostics["derivative_blocks"] = block_diags
+        diagnostics["objective_sse"] = objective_sse
     return cores, diagnostics
