@@ -1038,12 +1038,13 @@ class ChebyshevSpline:
                 )
             sub_domain = [list(intervals[d][multi_idx[d]])
                           for d in range(num_dimensions)]
-            piece_blocks = [
-                (pts[b_idx == p], orders, vals[b_idx == p], weight)
-                for (pts, orders, vals, weight), b_idx
-                in zip(deriv_blocks, block_idx)
-                if (b_idx == p).any()
-            ]
+            piece_blocks = []
+            for (pts, orders, vals, weight), b_idx in zip(deriv_blocks,
+                                                          block_idx):
+                b_mask = b_idx == p
+                if b_mask.any():
+                    piece_blocks.append(
+                        (pts[b_mask], orders, vals[b_mask], weight))
             try:
                 tensor, diag = fit_dense_tensor(
                     points[mask], values[mask], sub_domain, n_nodes,

@@ -186,11 +186,14 @@ class _DimDesign:
         self._pows = {}
 
     def _dpow(self, k: int, order: int):
+        base = self._pows.get((k, 1))
+        if base is None:
+            base = differentiation_matrix_np(self.nodes[k],
+                                             self.weights[k])
+            self._pows[(k, 1)] = base
         key = (k, order)
         if key not in self._pows:
-            dmat = differentiation_matrix_np(self.nodes[k],
-                                             self.weights[k])
-            self._pows[key] = np.linalg.matrix_power(dmat, order)
+            self._pows[key] = np.linalg.matrix_power(base, order)
         return self._pows[key]
 
     def rows(self, x: np.ndarray, k: int, order: int = 0) -> np.ndarray:
@@ -198,6 +201,24 @@ class _DimDesign:
         if order:
             r = r @ self._dpow(k, order)
         return r
+
+
+def _capped_block_rows(blocks, counts):
+    """Informative-row cap for derivative blocks (determinedness).
+
+    ``D^o`` along dim k annihilates the degree-<o polynomial subspace,
+    so a block's design rows span at most ``prod_k (n_k - o_k)``
+    directions no matter how many observations it holds; counting its
+    raw row count toward the ``l2 == 0`` determinedness check would
+    let a rank-deficient system through to a silent min-norm solve.
+    ``counts`` may be a sub-selection (the additive fitter passes one
+    group's dims with the matching order slice).
+    """
+    total = 0
+    for pts, orders, _, _ in blocks:
+        span = int(np.prod([c - o for c, o in zip(counts, orders)]))
+        total += min(pts.shape[0], span)
+    return total
 
 
 def _block_residual_stats(design_chunk_fn, sol, pts, vals, chunk):
@@ -320,12 +341,14 @@ def fit_dense_tensor(
         if not (sample_weight > 0).any():
             raise ValueError("sample_weight must not be all zero")
     blocks = normalize_derivative_data(derivative_data, d, domain, counts)
-    total_rows = n_samples + sum(b[0].shape[0] for b in blocks)
-    if l2 == 0.0 and total_rows < grid_points:
+    informative = (min(n_samples, grid_points)
+                   + _capped_block_rows(blocks, counts))
+    if l2 == 0.0 and informative < grid_points:
         raise ValueError(
-            f"underdetermined fit: {total_rows} rows (values + "
-            f"derivative observations) < {grid_points} grid values; "
-            f"pass l2 > 0 or add samples"
+            f"underdetermined fit: {informative} informative rows "
+            f"(value samples + derivative observations capped at their "
+            f"D^o rank) < {grid_points} grid values; pass l2 > 0 or "
+            f"add samples"
         )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
@@ -337,18 +360,16 @@ def fit_dense_tensor(
     aty = np.zeros(grid_points)
     chunk = max(1024, _CHUNK_ELEMS // max(grid_points, 1))
 
-    def _design_chunk(sl):
-        return _khatri_rao([
-            dim_design.rows(points[sl, k], k) for k in range(d)
-        ])
-
-    def _block_chunk_fn(pts, orders):
+    def _block_chunk_fn(pts, orders=(0,) * d):
         def fn(sl):
             return _khatri_rao([
                 dim_design.rows(pts[sl, k], k, orders[k])
                 for k in range(d)
             ])
         return fn
+
+    # The value design is the all-zero-orders special case.
+    _design_chunk = _block_chunk_fn(points)
 
     for start in range(0, n_samples, chunk):
         sl = slice(start, min(start + chunk, n_samples))
@@ -558,42 +579,57 @@ def fit_additive_tensors(
 
     # Effective dof excludes the k constant redundancies.
     dof = columns - len(groups)
-    total_rows = n_samples + sum(b[0].shape[0] for b in deriv_blocks)
-    if l2 == 0.0 and total_rows < dof:
-        raise ValueError(
-            f"underdetermined fit: {total_rows} rows (values + "
-            f"derivative observations) < {dof} effective unknowns; "
-            f"pass l2 > 0 or add samples"
-        )
+    # Determinedness (l2 == 0): differentiated blocks inform ONLY the
+    # owner group's columns, and at most prod_{dim in g}(n_dim - o_dim)
+    # directions there (D^o annihilates low degrees); undifferentiated
+    # blocks act as additional value rows.  Both a global and a
+    # per-group necessary condition are enforced — raw row totals would
+    # let a structurally rank-deficient system through to a silent
+    # min-norm solve (e.g. one starved group).
+    value_like = n_samples + sum(
+        pts.shape[0] for (pts, _, _, _), owner
+        in zip(deriv_blocks, block_owner) if owner is None)
+    owned_caps = [0] * len(groups)
+    for (pts, orders, _, _), owner in zip(deriv_blocks, block_owner):
+        if owner is not None:
+            span = int(np.prod([counts[dim] - orders[dim]
+                                for dim in groups[owner]]))
+            owned_caps[owner] += min(pts.shape[0], span)
+    if l2 == 0.0:
+        informative = min(value_like, dof) + sum(owned_caps)
+        if informative < dof:
+            raise ValueError(
+                f"underdetermined fit: {informative} informative rows "
+                f"(value-like samples + derivative observations capped "
+                f"at their D^o rank) < {dof} effective unknowns; pass "
+                f"l2 > 0 or add samples"
+            )
+        for gi, size in enumerate(group_sizes):
+            have = value_like + owned_caps[gi]
+            if have < size - 1:
+                raise ValueError(
+                    f"underdetermined fit: group {gi} "
+                    f"(dims {list(groups[gi])}) is informed by only "
+                    f"{have} rows for its {size} nodal values; "
+                    f"derivative observations for other groups cannot "
+                    f"constrain it — pass l2 > 0 or add samples"
+                )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),
                               counts[k]) for k in range(d)]
     weights = [barycentric_weights_np(nd) for nd in nodes]
     dim_design = _DimDesign(nodes, weights)
 
-    def _design_chunk(sl):
-        n_rows = points[sl].shape[0]
-        blocks = [np.ones((n_rows, 1))]
-        for g in groups:
-            blocks.append(_khatri_rao([
-                dim_design.rows(points[sl, dim], dim) for dim in g
-            ]))
-        return np.concatenate(blocks, axis=1)
-
-    def _block_chunk_fn(pts, orders, owner):
+    def _block_chunk_fn(pts, orders=(0,) * d, owner=None):
+        # owner None: ordinary additive row (the value design and
+        # undifferentiated blocks).  Differentiated blocks zero the
+        # intercept and every non-owner group's columns.
         def fn(sl):
             n_rows = pts[sl].shape[0]
-            if owner is None:
-                # Undifferentiated block: ordinary additive row.
-                cols = [np.ones((n_rows, 1))]
-                for g in groups:
-                    cols.append(_khatri_rao([
-                        dim_design.rows(pts[sl, dim], dim) for dim in g
-                    ]))
-                return np.concatenate(cols, axis=1)
-            cols = [np.zeros((n_rows, 1))]
+            cols = [np.ones((n_rows, 1)) if owner is None
+                    else np.zeros((n_rows, 1))]
             for gi, g in enumerate(groups):
-                if gi != owner:
+                if owner is not None and gi != owner:
                     cols.append(np.zeros((n_rows, group_sizes[gi])))
                 else:
                     cols.append(_khatri_rao([
@@ -602,6 +638,8 @@ def fit_additive_tensors(
                     ]))
             return np.concatenate(cols, axis=1)
         return fn
+
+    _design_chunk = _block_chunk_fn(points)
 
     ata = np.zeros((columns, columns))
     aty = np.zeros(columns)
@@ -806,11 +844,13 @@ def fit_tt_cores(
         ranks[k] = min(ranks[k], ranks[k + 1] * counts[k])
     max_core = max(ranks[k] * counts[k] * ranks[k + 1] for k in range(d))
     n_rows_total = n_samples + sum(b[0].shape[0] for b in deriv_blocks)
-    if l2 == 0.0 and n_rows_total < max_core:
+    informative = n_samples + _capped_block_rows(deriv_blocks, counts)
+    if l2 == 0.0 and informative < max_core:
         raise ValueError(
-            f"underdetermined fit: {n_rows_total} rows (values + "
-            f"derivative observations) < {max_core} unknowns in the "
-            f"largest core; pass l2 > 0 or add samples"
+            f"underdetermined fit: {informative} informative rows "
+            f"(value samples + derivative observations capped at their "
+            f"D^o rank) < {max_core} unknowns in the largest core; "
+            f"pass l2 > 0 or add samples"
         )
 
     nodes = [nodes_for_dim_np(float(domain[k][0]), float(domain[k][1]),

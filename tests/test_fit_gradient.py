@@ -106,7 +106,7 @@ class TestDenseGradientFit:
         assert block["n_samples"] == 50
         assert block["weight"] == 2.5
         assert block["rms"] < 1e-9
-        assert block["max_abs_residual"] >= block["rms"] * 0.0
+        assert block["max_abs_residual"] >= block["rms"]
         assert diag["objective_sse"] >= diag["sse"]
         # No derivative data -> no block keys (schema unchanged).
         fit2 = ChebyshevApproximation.fit(pts, vals, 2, DOM2, [4, 4])
@@ -217,6 +217,56 @@ class TestDerivativeDataValidation:
         blocks = normalize_derivative_data(
             [(self.pts, [1, 0], self.vals)], 2, DOM2, [4, 4])
         assert blocks[0][3] == 1.0
+
+
+class TestStructuralDeterminedness:
+    """Derivative rows only count up to their D^o rank (review F1).
+
+    Raw row totals would let rank-deficient systems through to a
+    silent min-norm solve; these pin the capped accounting.
+    """
+
+    def test_dense_derivative_rows_cap_at_do_rank(self):
+        # 1 value + 35 d/dx rows on a [6,6] grid: the block's rows
+        # span at most (6-1)*6 = 30 directions, so 1 + 30 < 36 — must
+        # raise, not silently min-norm a rank-31 system.
+        src = _source_model()
+        pts = _points(35, DOM2, seed=60)
+        gx = np.asarray(src.eval_batch(pts, derivative_order=[1, 0]))
+        v1 = np.asarray(src.eval_batch(pts[:1], derivative_order=[0, 0]))
+        with pytest.raises(ValueError, match="informative rows"):
+            ChebyshevApproximation.fit(
+                pts[:1], v1, 2, DOM2, [6, 6],
+                derivative_data=[(pts, [1, 0], gx)])
+
+    def test_slider_starved_group_raises(self):
+        # 4 values + 16 group-0-only derivative rows: group 1's 16
+        # nodal values see only the 4 value rows — the old raw count
+        # (20 rows >= 20 dof) trained to rms 1e-15 and returned
+        # garbage out-of-sample.
+        dom3 = [[0.0, 1.0]] * 3
+        part = [[0], [1, 2]]
+        pts = _points(4, dom3, seed=61)
+        vals = np.ones(4)
+        dpts = _points(16, dom3, seed=62)
+        dvals = np.zeros(16)
+        with pytest.raises(ValueError, match="underdetermined"):
+            ChebyshevSlider.fit(
+                pts, vals, 3, dom3, [5, 4, 4], part, [0.5] * 3,
+                derivative_data=[(dpts, [1, 0, 0], dvals)])
+
+    def test_tt_high_order_block_rows_capped(self):
+        # A (4,4,4)-order block's rows all live in a 1-dim space
+        # (prod(5-4) = 1): 10 values + 15 such rows must still be
+        # underdetermined for a 20-unknown core.
+        dom3 = [[0.0, 1.0]] * 3
+        pts = _points(10, dom3, seed=63)
+        dpts = _points(15, dom3, seed=64)
+        with pytest.raises(ValueError, match="informative rows"):
+            ChebyshevTT.fit(
+                pts, np.ones(10), 3, dom3, [5, 5, 5], max_rank=2,
+                l2=0.0,
+                derivative_data=[(dpts, [4, 4, 4], np.zeros(15))])
 
 
 class TestSliderGradientFit:
