@@ -1431,7 +1431,7 @@ class ChebyshevApproximation:
     @classmethod
     def fit(cls, points, values, num_dimensions, domain, n_nodes, *,
             l2: float = 0.0, sample_weight=None, rcond=None,
-            derivative_data=None,
+            derivative_data=None, engine: str = "host",
             max_derivative_order: int = 2, additional_data=None
             ) -> "ChebyshevApproximation":
         """Least-squares interpolant from SCATTERED samples.
@@ -1463,8 +1463,15 @@ class ChebyshevApproximation:
             ``D_k^{o_k}`` into the barycentric rows, so the system
             stays one linear solve
             (``utils/fitting.py::normalize_derivative_data``).  Block
-            rows count toward the determinedness requirement, letting
-            ``N < prod(n_nodes)`` value samples still pin the model.
+            rows count toward the determinedness requirement (capped
+            at their ``D^o`` rank), letting ``N < prod(n_nodes)``
+            value samples still pin the model.
+        engine : ``"host"`` (default — exact f64 normal equations) or
+            ``"device"`` — accumulate ``A^T A`` on the accelerator
+            with f32/bf16x3 MXU GEMMs, the throughput tier for
+            millions of noisy samples (the ~1e-4-class accumulation
+            rounding sits far below Monte-Carlo noise); the solve and
+            residual diagnostics stay host-f64 either way.
 
         Returns
         -------
@@ -1485,7 +1492,7 @@ class ChebyshevApproximation:
         tensor, diagnostics = fit_dense_tensor(
             points, values, domain, n_nodes, l2=l2,
             sample_weight=sample_weight, rcond=rcond,
-            derivative_data=derivative_data)
+            derivative_data=derivative_data, engine=engine)
         obj = cls.from_values(tensor, num_dimensions, domain,
                               list(n_nodes),
                               max_derivative_order=max_derivative_order)

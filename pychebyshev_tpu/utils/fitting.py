@@ -221,6 +221,109 @@ def _capped_block_rows(blocks, counts):
     return total
 
 
+def _device_normal_accumulation(blocks, nodes, weights, dim_design,
+                                grid_points):
+    """Accumulate the normal equations on the accelerator (f32 tier).
+
+    ``blocks`` is a list of ``(points, orders, values, sqrt_row_scale)``
+    where ``sqrt_row_scale`` is the per-row sqrt-weight vector (ones
+    when unweighted).  Rows are built with the device row kernel
+    (``ops.eval.barycentric_coefficients``) in float32 and contracted
+    onto ``A^T A`` / ``A^T y`` with bf16x3 MXU GEMMs — the same
+    precision tier as the f32 eval path (~1e-4-class normal-matrix
+    entries, far below Monte-Carlo noise in the huge-``N`` regime this
+    serves).  The accumulators stay device-resident across chunks
+    (donated), with ONE host transfer at the end; each distinct
+    ``orders`` tuple compiles one fixed-chunk-shape step, and the last
+    chunk pads with zero-weight rows.
+
+    Host-side reference: the exact-f64 accumulation loops in
+    :func:`fit_dense_tensor`; this is its throughput tier, not a
+    replacement (TPU-first recast of a construction path the reference
+    package does not have — cf. reference ``barycentric.py`` grid-only
+    construction).
+    """
+    import jax.numpy as jnp
+
+    d = len(nodes)
+    nodes_f32 = [jnp.asarray(nd, dtype=jnp.float32) for nd in nodes]
+    weights_f32 = [jnp.asarray(w, dtype=jnp.float32) for w in weights]
+    # Bigger chunks than the host path: each step is one dispatch
+    # (and, over a relayed chip, one RTT), so amortize aggressively —
+    # (C, G) f32 intermediates at ~64 MB are comfortable in HBM.
+    chunk = int(max(256, (1 << 24) // max(grid_points, 1)))
+    step = _get_device_step()
+
+    ata = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
+    aty = jnp.zeros(grid_points, dtype=jnp.float32)
+    for pts, orders, vals, sqrt_scale in blocks:
+        # Always-fold dpow (identity at order 0) keeps ONE jitted
+        # program per shape signature — grid constants travel as
+        # arguments, so JAX's jit cache hits across fit() calls.
+        dpows = [
+            jnp.asarray(
+                np.eye(nodes[k].shape[0]) if orders[k] == 0
+                else dim_design._dpow(k, orders[k]),
+                dtype=jnp.float32)
+            for k in range(d)
+        ]
+        n = pts.shape[0]
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            p_c = np.zeros((chunk, d), dtype=np.float32)
+            y_c = np.zeros(chunk, dtype=np.float32)
+            s_c = np.zeros(chunk, dtype=np.float32)
+            p_c[:end - start] = pts[start:end]
+            y_c[:end - start] = vals[start:end]
+            s_c[:end - start] = sqrt_scale[start:end]
+            ata, aty = step(ata, aty, jnp.asarray(p_c),
+                            jnp.asarray(y_c), jnp.asarray(s_c),
+                            tuple(nodes_f32), tuple(weights_f32),
+                            tuple(dpows))
+    return (np.asarray(ata, dtype=np.float64),
+            np.asarray(aty, dtype=np.float64))
+
+
+_DEVICE_STEP = None
+
+
+def _get_device_step():
+    """Module-level jitted accumulation step (shared jit cache).
+
+    Signature: ``(ata, aty, pts (C, d), y (C,), sw (C,), nodes tuple,
+    weights tuple, dpows tuple) -> (ata, aty)``.  One compiled program
+    per shape signature; accumulators are donated so they stay
+    device-resident across the chunk loop.
+    """
+    global _DEVICE_STEP
+    if _DEVICE_STEP is None:
+        import jax
+        import jax.numpy as jnp
+
+        from pychebyshev_tpu.ops.eval import (
+            _gemm_precision,
+            barycentric_coefficients,
+        )
+
+        prec = _gemm_precision(jnp.float32)
+
+        def step(ata, aty, pts, y, sw, nodes, weights, dpows):
+            per_dim = [
+                jnp.matmul(
+                    barycentric_coefficients(pts[:, k], nodes[k],
+                                             weights[k]),
+                    dpows[k], precision=prec)
+                for k in range(pts.shape[1])
+            ]
+            rows = _khatri_rao(per_dim) * sw[:, None]
+            ata = ata + jnp.matmul(rows.T, rows, precision=prec)
+            aty = aty + jnp.matmul(rows.T, y * sw, precision=prec)
+            return ata, aty
+
+        _DEVICE_STEP = jax.jit(step, donate_argnums=(0, 1))
+    return _DEVICE_STEP
+
+
 def _block_residual_stats(design_chunk_fn, sol, pts, vals, chunk):
     """Chunked unweighted residual stats for one derivative block."""
     sse = 0.0
@@ -244,6 +347,7 @@ def fit_dense_tensor(
     sample_weight: Optional[np.ndarray] = None,
     rcond: Optional[float] = None,
     derivative_data=None,
+    engine: str = "host",
 ) -> Tuple[np.ndarray, dict]:
     """Solve the scattered-data least-squares fit for a dense grid.
 
@@ -277,6 +381,15 @@ def fit_dense_tensor(
     ``derivative_blocks`` (per-block unweighted ``rms`` /
     ``max_abs_residual`` / ``orders`` / ``weight`` / ``n_samples``) and
     ``objective_sse`` (the full weighted objective).
+
+    ``engine="device"`` accumulates the normal equations on the
+    accelerator in the f32 tier (:func:`_device_normal_accumulation`)
+    — the MXU turns the ``N * G**2`` accumulation from the dominant
+    cost into seconds for millions of samples; use it for huge noisy
+    datasets, where its ~1e-4-class normal-matrix rounding sits far
+    below the sampling noise.  The default ``"host"`` engine stays
+    exact f64 (and is the right choice for exact-recovery fits).
+    Residual diagnostics are computed on host in f64 for both engines.
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -300,6 +413,9 @@ def fit_dense_tensor(
     l2 = float(l2)
     if l2 < 0.0 or not np.isfinite(l2):
         raise ValueError(f"l2 must be finite and >= 0, got {l2}")
+    if engine not in ("host", "device"):
+        raise ValueError(
+            f"engine must be 'host' or 'device', got {engine!r}")
 
     counts: List[int] = []
     for k, n in enumerate(n_nodes):
@@ -356,8 +472,6 @@ def fit_dense_tensor(
     weights = [barycentric_weights_np(nd) for nd in nodes]
     dim_design = _DimDesign(nodes, weights)
 
-    ata = np.zeros((grid_points, grid_points))
-    aty = np.zeros(grid_points)
     chunk = max(1024, _CHUNK_ELEMS // max(grid_points, 1))
 
     def _block_chunk_fn(pts, orders=(0,) * d):
@@ -371,23 +485,35 @@ def fit_dense_tensor(
     # The value design is the all-zero-orders special case.
     _design_chunk = _block_chunk_fn(points)
 
-    for start in range(0, n_samples, chunk):
-        sl = slice(start, min(start + chunk, n_samples))
-        rows = _design_chunk(sl)
-        y = values[sl]
-        if sample_weight is not None:
-            sw = np.sqrt(sample_weight[sl])
-            rows = rows * sw[:, None]
-            y = y * sw
-        ata += rows.T @ rows
-        aty += rows.T @ y
-    for pts, orders, vals, weight in blocks:
-        block_fn = _block_chunk_fn(pts, orders)
-        for start in range(0, pts.shape[0], chunk):
-            sl = slice(start, min(start + chunk, pts.shape[0]))
-            rows = block_fn(sl) * np.sqrt(weight)
+    if engine == "device":
+        ones = (np.sqrt(sample_weight) if sample_weight is not None
+                else np.ones(n_samples))
+        spec = [(points, (0,) * d, values, ones)]
+        spec += [(pts, orders, vals,
+                  np.full(pts.shape[0], np.sqrt(weight)))
+                 for pts, orders, vals, weight in blocks]
+        ata, aty = _device_normal_accumulation(
+            spec, nodes, weights, dim_design, grid_points)
+    else:
+        ata = np.zeros((grid_points, grid_points))
+        aty = np.zeros(grid_points)
+        for start in range(0, n_samples, chunk):
+            sl = slice(start, min(start + chunk, n_samples))
+            rows = _design_chunk(sl)
+            y = values[sl]
+            if sample_weight is not None:
+                sw = np.sqrt(sample_weight[sl])
+                rows = rows * sw[:, None]
+                y = y * sw
             ata += rows.T @ rows
-            aty += rows.T @ (vals[sl] * np.sqrt(weight))
+            aty += rows.T @ y
+        for pts, orders, vals, weight in blocks:
+            block_fn = _block_chunk_fn(pts, orders)
+            for start in range(0, pts.shape[0], chunk):
+                sl = slice(start, min(start + chunk, pts.shape[0]))
+                rows = block_fn(sl) * np.sqrt(weight)
+                ata += rows.T @ rows
+                aty += rows.T @ (vals[sl] * np.sqrt(weight))
 
     rank = None
     if l2 > 0.0:
@@ -430,6 +556,7 @@ def fit_dense_tensor(
         "l2": l2,
         "rank": None if rank is None else int(rank),
         "max_abs_residual": max_abs,
+        "engine": engine,
     }
     if blocks:
         block_diags = []

@@ -570,3 +570,53 @@ class TestTTFit:
         assert r[1] <= 5 and r[3] <= 5
         for k, c in enumerate(cores):
             assert c.shape[1] == 5
+
+
+class TestDeviceEngine:
+    """engine="device": accelerator-accumulated normal equations.
+
+    The f32/bf16x3 tier for huge noisy sample sets; on the CPU test
+    backend the same code path runs through XLA, so equivalence with
+    the host-f64 engine is checked directly.
+    """
+
+    def test_matches_host_engine_on_noisy_fit(self):
+        rng = np.random.default_rng(70)
+        pts, clean = _samples(20_000, seed=71)
+        noisy = clean + rng.normal(0, 0.01, clean.shape[0])
+        host = ChebyshevApproximation.fit(
+            pts, noisy, 2, DOM2, [9, 9], l2=1e-9)
+        dev = ChebyshevApproximation.fit(
+            pts, noisy, 2, DOM2, [9, 9], l2=1e-9, engine="device")
+        tst, want = _samples(2000, seed=72)
+        h = np.asarray(host.eval_batch(tst, [0, 0]))
+        d = np.asarray(dev.eval_batch(tst, [0, 0]))
+        # engines agree far below the noise floor
+        assert np.sqrt(np.mean((h - d) ** 2)) < 1e-3
+        assert np.sqrt(np.mean((d - want) ** 2)) < 0.01
+        assert dev.fit_diagnostics["engine"] == "device"
+        assert host.fit_diagnostics["engine"] == "host"
+
+    def test_device_engine_with_gradients_and_weights(self):
+        rng = np.random.default_rng(73)
+        pts, vals = _samples(3000, seed=74)
+        # finite-difference d/dx observations
+        h = 1e-6
+        up = pts.copy(); up[:, 0] += h
+        dn = pts.copy(); dn[:, 0] -= h
+        gx = (_f2(up[:, 0], up[:, 1]) - _f2(dn[:, 0], dn[:, 1])) / (2 * h)
+        sw = rng.uniform(0.5, 2.0, pts.shape[0])
+        dev = ChebyshevApproximation.fit(
+            pts, vals, 2, DOM2, [9, 9], l2=1e-9, engine="device",
+            sample_weight=sw,
+            derivative_data=[(pts, [1, 0], gx, 0.5)])
+        diag = dev.fit_diagnostics
+        assert diag["rms"] < 1e-4
+        assert diag["derivative_blocks"][0]["rms"] < 1e-2
+        assert np.isfinite(diag["objective_sse"])
+
+    def test_engine_validated(self):
+        pts, vals = _samples(100, seed=75)
+        with pytest.raises(ValueError, match="engine must be"):
+            ChebyshevApproximation.fit(pts, vals, 2, DOM2, [4, 4],
+                                       l2=1e-8, engine="gpu")
