@@ -369,6 +369,30 @@ def main() -> None:
         f"(dev from f64 {dev_ddf:.1e}; frontier is flat — see "
         f"docs/performance.md)")
 
+    # ---- exact-compression serving: to_tt + grouped dd chain --------
+    # The dense-model 1e-12-class north star (BASELINE.md): compress
+    # once (TT-SVD, exact serving transform), serve the grouped
+    # supercore digit-GEMM chain.  Measured r4: 18-22M q/s at
+    # 2.5e-13 - 8e-13 total deviation vs the dense f64 path.
+    from pychebyshev_tpu.ops.tt_eval_dd import (
+        tt_eval_batch_dd as _tt_dd,
+    )
+
+    tt_comp = cheb.to_tt(tolerance=1e-13)
+    comp_cores = tt_comp._cores_on_device(np.float64)
+    comp_dom = np.asarray(DOMAIN, dtype=np.float64)
+
+    def run_comp(p):
+        return _tt_dd(comp_cores, comp_dom, p, groups="auto")
+
+    dt_comp = time_fn(run_comp, pts64, iters=6, reps=2)
+    comp_check = np.asarray(run_comp(jnp.asarray(pts_check)))
+    dev_comp = np.abs(comp_check - approx64).max() / scale
+    log(f"exact-compression serving (to_tt ranks "
+        f"{tt_comp.tt_ranks} + grouped dd): {dt_comp * 1e3:.2f} ms -> "
+        f"{n / dt_comp:,.0f} queries/s (dev from dense f64 "
+        f"{dev_comp:.1e} — the 1e-12-class dense serving route)")
+
     # ---- TT digit-GEMM (near-f64 TT serving; ops/tt_eval_dd.py) -----
     from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
 

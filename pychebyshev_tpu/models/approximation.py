@@ -1128,7 +1128,8 @@ class ChebyshevApproximation:
                                              orders)
         return ChebyshevApproximation._from_grid(self, new_tensor)
 
-    def to_tt(self, max_rank=None, tolerance: float = 1e-12):
+    def to_tt(self, max_rank=None, tolerance: float = 1e-12, *,
+              order=None, sup_target: float = None):
         """Compress this dense interpolant into a :class:`ChebyshevTT`.
 
         The inverse of ``ChebyshevTT.to_dense`` (reference
@@ -1142,25 +1143,108 @@ class ChebyshevApproximation:
         docs/performance.md).  Returns an independent object; grid
         metadata, ``max_derivative_order``, ``additional_data`` and the
         descriptor carry over.
+
+        ``order``: ``None`` keeps the canonical dim order; ``"auto"``
+        searches dim permutations (exhaustive for d <= 6, greedy
+        adjacent-swap descent beyond) for the cheapest serving rank
+        chain — the result stores it as its ``dim_order`` frame, so
+        queries stay user-frame; an explicit permutation pins one.
+
+        ``sup_target``: per-bond error budgeting — instead of the
+        uniform relative singular-value ``tolerance``, greedily trim
+        bond ranks while the reconstruction's MEASURED grid sup
+        deviation stays within ``sup_target * max|values|``
+        (``models.tt_algorithms.tt_trim_cores``).  The result carries
+        ``compression_diagnostics`` (order, bond ranks, measured grid
+        sup deviation, chain flops).
         """
         if self.tensor_values is None:
             raise RuntimeError("Call build() first")
         from pychebyshev_tpu.models.tensor_train import ChebyshevTT
+        from pychebyshev_tpu.models import tt_algorithms as tta
+        d = self.num_dimensions
+        sizes = [int(n) for n in self.n_nodes]
         if max_rank is None:
             # Uncapped: tight tolerances legitimately need bond ranks
             # past max(n_nodes), which is from_values' None default.
-            sizes = [int(n) for n in self.n_nodes]
             max_rank = max(
                 min(int(np.prod(sizes[:k + 1])),
                     int(np.prod(sizes[k + 1:])))
-                for k in range(len(sizes) - 1)) if len(sizes) > 1 else 1
-        return ChebyshevTT.from_values(
-            np.asarray(self.tensor_values), self.num_dimensions,
-            [list(b) for b in self.domain], list(self.n_nodes),
-            max_rank=max_rank, tolerance=tolerance,
+                for k in range(len(sizes) - 1)) if d > 1 else 1
+        arr = np.asarray(self.tensor_values, dtype=np.float64)
+        # sup_target drives ranks via measured trimming; the SVD then
+        # runs tight so trimming owns the whole error budget.
+        svd_tol = (tolerance if sup_target is None
+                   else min(tolerance, float(sup_target) * 1e-3))
+
+        def _ranks_cost(perm):
+            cores = tta.tt_svd_from_tensor(
+                arr.transpose(perm), max_rank=max_rank, tol=svd_tol)
+            return cores, sum(c.shape[0] * c.shape[1] * c.shape[2]
+                              for c in cores)
+
+        if order is None:
+            perm = tuple(range(d))
+            value_cores, _ = _ranks_cost(perm)
+        elif order == "auto":
+            if d <= 6:
+                import itertools
+                perm, (value_cores, best) = None, (None, None)
+                for p in itertools.permutations(range(d)):
+                    cores, cost = _ranks_cost(p)
+                    if best is None or cost < best:
+                        perm, value_cores, best = p, cores, cost
+            else:
+                perm = list(range(d))
+                value_cores, best = _ranks_cost(tuple(perm))
+                improved = True
+                while improved:
+                    improved = False
+                    for k in range(d - 1):
+                        cand = list(perm)
+                        cand[k], cand[k + 1] = cand[k + 1], cand[k]
+                        cores, cost = _ranks_cost(tuple(cand))
+                        if cost < best:
+                            perm, value_cores, best = cand, cores, cost
+                            improved = True
+                perm = tuple(perm)
+        else:
+            perm = tuple(int(p) for p in order)
+            if sorted(perm) != list(range(d)):
+                raise ValueError(
+                    f"order must be a permutation of range({d}); "
+                    f"got {order!r}")
+            value_cores, _ = _ranks_cost(perm)
+
+        diagnostics = None
+        if sup_target is not None:
+            value_cores, diagnostics = tta.tt_trim_cores(
+                value_cores, arr.transpose(perm), float(sup_target))
+            diagnostics["order"] = list(perm)
+
+        if perm == tuple(range(d)) and diagnostics is None:
+            obj = ChebyshevTT.from_values(
+                arr, d, [list(b) for b in self.domain], sizes,
+                max_rank=max_rank, tolerance=tolerance,
+                max_derivative_order=self.max_derivative_order,
+                additional_data=self.additional_data,
+                descriptor=self.descriptor)
+            return obj
+
+        coeff_cores = [tta.value_core_to_coeff_core(c)
+                       for c in value_cores]
+        obj = ChebyshevTT._from_coeff_cores(
+            coeff_cores,
+            [list(self.domain[p]) for p in perm],
+            [sizes[p] for p in perm],
+            dim_order=list(perm), max_rank=max_rank,
+            tolerance=tolerance,
             max_derivative_order=self.max_derivative_order,
             additional_data=self.additional_data,
-            descriptor=self.descriptor)
+            descriptor=self.descriptor, method="svd")
+        if diagnostics is not None:
+            obj.compression_diagnostics = diagnostics
+        return obj
 
     # ------------------------------------------------------------------
     # Plotting (optional host-side extras)

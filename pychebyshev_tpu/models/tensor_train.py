@@ -962,7 +962,8 @@ class ChebyshevTT:
                             points)
         return np.asarray(out)
 
-    def eval_batch_dd(self, points, mode: str = "accurate") -> np.ndarray:
+    def eval_batch_dd(self, points, mode: str = "accurate",
+                      groups="auto") -> np.ndarray:
         """Near-f64 batched evaluation via exact integer digit GEMMs.
 
         The TT analog of the dense class's :meth:`eval_batch_dd`
@@ -975,6 +976,13 @@ class ChebyshevTT:
 
         ``mode``: ``"accurate"`` (default) or ``"fast"`` (fewer digit
         pairs, ~1e-9-class deviation at higher throughput).
+
+        ``groups``: ``"auto"`` (default) serves the grouped supercore
+        chain when the calibrated planner predicts a win — on
+        compression-grade rank chains this is severalfold faster at
+        the same f64-class accuracy (docs/performance.md); ``None``
+        forces the per-dim chain; a tuple of contiguous group sizes
+        pins an explicit grouping.
         """
         self._check_built()
         if mode not in ("accurate", "fast"):
@@ -999,7 +1007,8 @@ class ChebyshevTT:
             cutoff = (tt_eval_dd.FAST_PAIR_CUTOFF if mode == "fast"
                       else None)
             out = tt_eval_dd.tt_eval_batch_dd(cores, domain, points,
-                                              cutoff=cutoff)
+                                              cutoff=cutoff,
+                                              groups=groups)
         else:
             out = tt_eval_batch(cores, domain, points)
         return np.asarray(out)

@@ -52,7 +52,10 @@ __all__ = [
     "tt_reconstruct",
     "tt_add_cores",
     "tt_round_cores",
+    "tt_round_cores_ranks",
     "tt_swap_adjacent",
+    "tt_merge_cores",
+    "tt_trim_cores",
 ]
 
 
@@ -796,6 +799,162 @@ def tt_round_cores(cores: List[np.ndarray], max_rank: int,
         cores[k + 1] = np.einsum("lr,rjs->ljs", s[:, None] * vt,
                                  cores[k + 1])
     return cores
+
+
+def tt_round_cores_ranks(cores: List[np.ndarray],
+                         bond_ranks: List[int]) -> List[np.ndarray]:
+    """TT-SVD recompression to EXPLICIT per-bond rank caps.
+
+    Same sweep as :func:`tt_round_cores` (right-QR canonicalization,
+    then left-to-right SVD truncation) but bond ``k`` truncates to
+    ``bond_ranks[k]`` instead of one global ``max_rank`` — the
+    per-bond error-budgeting primitive :func:`tt_trim_cores` drives.
+    ``bond_ranks`` has ``len(cores) - 1`` entries (internal bonds).
+    """
+    cores = [np.asarray(c, dtype=np.float64).copy() for c in cores]
+    d = len(cores)
+    if d == 1:
+        return cores
+    if len(bond_ranks) != d - 1:
+        raise ValueError(
+            f"bond_ranks needs {d - 1} entries, got {len(bond_ranks)}")
+
+    for k in range(d - 1, 0, -1):
+        r_l, n, r_r = cores[k].shape
+        mat = cores[k].reshape(r_l, n * r_r)
+        q, rr = np.linalg.qr(mat.T)
+        qt = q.T
+        cores[k] = qt.reshape(qt.shape[0], n, r_r)
+        cores[k - 1] = np.einsum("ljs,sr->ljr", cores[k - 1], rr.T)
+
+    for k in range(d - 1):
+        r_l, n, r_r = cores[k].shape
+        u, s, vt = np.linalg.svd(cores[k].reshape(r_l * n, r_r),
+                                 full_matrices=False)
+        keep = max(1, min(int(bond_ranks[k]), len(s)))
+        u, s, vt = u[:, :keep], s[:keep], vt[:keep, :]
+        cores[k] = u.reshape(r_l, n, keep)
+        cores[k + 1] = np.einsum("lr,rjs->ljs", s[:, None] * vt,
+                                 cores[k + 1])
+    return cores
+
+
+def tt_merge_cores(cores: List[np.ndarray],
+                   groups: List[int]) -> List[np.ndarray]:
+    """EXACTLY merge adjacent cores into per-group supercores.
+
+    ``groups`` partitions the chain into contiguous runs (e.g.
+    ``[2, 2, 1]`` for five cores); each run's cores contract into one
+    supercore ``(r_left, prod(n_in_run), r_right)`` whose node axis is
+    the row-major (first-dim-major) flattening — matching the
+    Khatri-Rao row ordering of ``ops.eval._khatri_rao``.  No
+    truncation anywhere: the merged chain represents the SAME tensor
+    bit-for-bit (up to f64 contraction rounding).  This is the serving
+    transform behind the grouped digit-GEMM TT mode
+    (``ops.tt_eval_dd``): interior bonds disappear into the supercore,
+    so the per-point GEMMs contract over the group width (MXU-sized K)
+    instead of one dim's nodes.
+    """
+    groups = [int(g) for g in groups]
+    if any(g < 1 for g in groups) or sum(groups) != len(cores):
+        raise ValueError(
+            f"groups {groups} must be positive and sum to {len(cores)}")
+    out = []
+    i = 0
+    for g in groups:
+        c = np.asarray(cores[i], dtype=np.float64)
+        for j in range(i + 1, i + g):
+            r0, n1, _ = c.shape
+            nxt = np.asarray(cores[j], dtype=np.float64)
+            _, n2, r2 = nxt.shape
+            c = np.einsum("anb,bmc->anmc", c, nxt).reshape(r0, n1 * n2,
+                                                           r2)
+        out.append(c)
+        i += g
+    return out
+
+
+def _chain_flops(cores_shapes) -> int:
+    """Serving-cost proxy: per-point GEMM flops of the eval chain."""
+    return int(sum(r_l * n * r_r for r_l, n, r_r in cores_shapes))
+
+
+def tt_trim_cores(cores: List[np.ndarray], reference: np.ndarray,
+                  sup_target: float):
+    """Greedy per-bond rank trimming against a GRID SUP-NORM budget.
+
+    The uniform-tolerance TT-SVD spends its error budget evenly across
+    bonds, but serving cost is dominated by the largest bonds.  This
+    routine trims bond ranks one at a time — each step cutting the
+    bond with the best (chain-flop saving) / (sup-deviation increase)
+    ratio — for as long as the reconstruction's max deviation from
+    ``reference`` stays within ``sup_target * max|reference|``.  Every
+    candidate is re-rounded from the INPUT cores (no compounding of
+    successive truncations) and its deviation measured exactly on the
+    full grid, so the returned guarantee is measured, not modeled.
+
+    Returns ``(trimmed_cores, diagnostics)`` with diagnostics carrying
+    the initial/final bond ranks, measured grid sup deviation
+    (relative to ``max|reference|``), and chain-flop counts.  Host
+    NumPy by design (compress-once, serve-forever workflow); cost is
+    ~(total cuts) * (d - 1) roundings of tiny cores.
+    """
+    reference = np.asarray(reference, dtype=np.float64)
+    scale = float(np.max(np.abs(reference))) or 1.0
+    sup_target = float(sup_target)
+    if sup_target <= 0:
+        raise ValueError(f"sup_target must be > 0, got {sup_target}")
+    d = len(cores)
+    cores = [np.asarray(c, dtype=np.float64) for c in cores]
+    if d == 1:
+        return [c.copy() for c in cores], {
+            "bond_ranks_initial": [], "bond_ranks": [],
+            "grid_sup_dev": 0.0, "chain_flops_initial":
+            _chain_flops([c.shape for c in cores]),
+            "chain_flops": _chain_flops([c.shape for c in cores])}
+
+    def _dev(cs):
+        return float(np.max(np.abs(tt_reconstruct(cs) - reference))
+                     ) / scale
+
+    ranks0 = [cores[k].shape[2] for k in range(d - 1)]
+    ranks = list(ranks0)
+    current = tt_round_cores_ranks(cores, ranks)   # canonical baseline
+    cur_dev = _dev(current)
+    shapes = [c.shape for c in current]
+    n_nodes = [s[1] for s in shapes]
+
+    def _flops(rv):
+        full = [1] + list(rv) + [1]
+        return sum(full[k] * n_nodes[k] * full[k + 1] for k in range(d))
+
+    while True:
+        best = None
+        for k in range(d - 1):
+            if ranks[k] <= 1:
+                continue
+            trial = list(ranks)
+            trial[k] -= 1
+            cand = tt_round_cores_ranks(cores, trial)
+            dev = _dev(cand)
+            if dev > sup_target:
+                continue
+            saving = _flops(ranks) - _flops(trial)
+            score = saving / max(dev - cur_dev, 1e-18)
+            if best is None or score > best[0]:
+                best = (score, k, cand, dev, trial)
+        if best is None:
+            break
+        _, _, current, cur_dev, ranks = best
+
+    diagnostics = {
+        "bond_ranks_initial": ranks0,
+        "bond_ranks": list(ranks),
+        "grid_sup_dev": cur_dev,
+        "chain_flops_initial": _flops(ranks0),
+        "chain_flops": _flops(ranks),
+    }
+    return current, diagnostics
 
 
 def tt_swap_adjacent(cores: List[np.ndarray], i: int, max_rank: int,

@@ -50,13 +50,15 @@ from pychebyshev_tpu.ops.eval import chunked_scalar_map
 from pychebyshev_tpu.ops.eval_dd import (
     _digit_planes_pair,
     _digit_planes_tensor,
+    _khatri_rao_dd,
     _split_f64,
     _dd_mul,
     pair_schedule,
 )
 
 __all__ = ["tt_eval_batch_dd", "tt_eval_batch_dd_models",
-           "tt_dd_book_runner", "tt_supports_dd", "tt_dd_plan"]
+           "tt_dd_book_runner", "tt_supports_dd", "tt_dd_plan",
+           "tt_dd_auto_groups"]
 
 # Row values are T_k(x) with |T_k(x)| <= 1 for x in [-1, 1]; one halving
 # covers the digit-plane contract |hi + lo| <= 1 with margin for mild
@@ -144,15 +146,18 @@ def _dd_recurrence(xhi, xlo, n_d):
     return qhi, qlo
 
 
-def _stage_dd(r_planes, planes_d, scale_d, js_by_i, b, r_l, r_r):
-    """One dim's digit-GEMM ladder -> (ghi, glo) (N, r_l, r_r) stage.
+def _stage_dd(r_planes, planes_d, scale_d, js_by_i, b, r_l, r_r,
+              q_back_log2: int = _Q_SCALE_LOG2):
+    """One stage's digit-GEMM ladder -> (ghi, glo) (N, r_l, r_r).
 
     One bf16 GEMM per row plane against the concatenation of its
     allowed core planes; every product is an integer < 2^24 so the f32
     accumulation is exact, and the power-of-two per-pair scales
-    recombine losslessly.
+    recombine losslessly.  ``q_back_log2`` undoes the row pre-scale —
+    ``_Q_SCALE_LOG2`` per original dim folded into this stage (grouped
+    stages contract a Khatri-Rao of several half-scaled rows).
     """
-    q_scale = np.float32(2.0 ** _Q_SCALE_LOG2)
+    q_scale = np.float32(2.0 ** q_back_log2)
     width = r_l * r_r
     by_scale = {}
     for i, js in enumerate(js_by_i):
@@ -180,12 +185,14 @@ def _stage_dd(r_planes, planes_d, scale_d, js_by_i, b, r_l, r_r):
 
 
 def _chain_model(shapes_m, r_planes_by_dim, planes_m, scales_m,
-                 js_by_i, b):
+                 js_by_i, b, q_back_log2s=None):
     """One model's full stage chain over shared per-dim row planes."""
     uhi = ulo = None
     for d, (r_l, n_d, r_r) in enumerate(shapes_m):
+        qb = (_Q_SCALE_LOG2 if q_back_log2s is None
+              else q_back_log2s[d])
         ghi, glo = _stage_dd(r_planes_by_dim[d], planes_m[d],
-                             scales_m[d], js_by_i, b, r_l, r_r)
+                             scales_m[d], js_by_i, b, r_l, r_r, qb)
         if uhi is None:                             # r_l == 1
             uhi, ulo = ghi[:, 0, :], glo[:, 0, :]
             continue
@@ -229,6 +236,187 @@ def _compiled(shapes: Tuple[Tuple[int, int, int], ...], cutoff: int):
             points, per_point * p_r)
 
     return run, plan
+
+
+# --------------------------------------------------------------------------
+# Grouped digit-GEMM chain: merge adjacent cores into supercores, serve
+# the coarser chain.
+#
+# Why: the per-dim chain's GEMMs contract over one dim's n_d (~11)
+# grid points — an MXU K-dimension padded to a full tile, so ~90% of
+# the systolic array idles — and its double-f32 recombination runs
+# over the full (N, r_l * r_r) stage width (1,000+ lanes on
+# compression-grade bonds).  Merging k adjacent cores (EXACT — see
+# ``models.tt_algorithms.tt_merge_cores``) multiplies the GEMM K to
+# prod(n_d) (e.g. 121), eliminates every interior bond from both the
+# GEMM ladder and the VPU recombination, and costs only a cheap
+# double-f32 Khatri-Rao over the group rows (the same primitive the
+# dense plan uses for its right group).  Measured on the 11^5
+# benchmark's compression chain this recovers the dense path's MXU
+# efficiency at the TT chain's flop count — the route that finally
+# crossed the 10M q/s x 1e-12 line (docs/performance.md).
+# --------------------------------------------------------------------------
+
+
+def _merged_shapes(shapes, groups):
+    """Supercore shapes of a grouped chain (no data movement)."""
+    out = []
+    i = 0
+    for g in groups:
+        width = 1
+        for s in shapes[i:i + g]:
+            width *= s[1]
+        out.append((shapes[i][0], width, shapes[i + g - 1][2]))
+        i += g
+    return tuple(out)
+
+
+# Cost-model constants, calibrated on v5e (scripts/bench_tt_grouped.py):
+# one bf16 MXU flop costs ~1/80 of a VPU f32 op at these shapes, and
+# the GEMM K pads to a full 128-lane tile.
+_MXU_DISCOUNT = 1.0 / 80.0
+_K_TILE = 128.0
+
+
+@functools.lru_cache(maxsize=None)
+def tt_dd_auto_groups(shapes: Tuple[Tuple[int, int, int], ...],
+                      cutoff: int = None) -> Tuple[int, ...]:
+    """Pick the cheapest contiguous core grouping for the dd chain.
+
+    Enumerates all 2^(d-1) contiguous partitions (d <= 12; larger
+    chains return per-dim) and scores each with a calibrated
+    MXU-vs-VPU cost model: GEMM ladder flops at K padded to a tile,
+    plus the double-f32 Khatri-Rao, digit extraction, recombination
+    and rank-reduction VPU work.  Partitions whose merged widths leave
+    the digit budget (``tt_dd_plan`` not ok) are skipped; per-dim is
+    always a candidate, so the result is never worse than the
+    ungrouped plan under the model.
+    """
+    shapes = tuple(tuple(int(x) for x in s) for s in shapes)
+    d = len(shapes)
+    if d <= 1 or d > 12:
+        return (1,) * d
+
+    best_cost, best_groups = None, (1,) * d
+    for mask in range(1 << (d - 1)):
+        groups = []
+        run = 1
+        for k in range(d - 1):
+            if mask & (1 << k):
+                groups.append(run)
+                run = 1
+            else:
+                run += 1
+        groups.append(run)
+        merged = _merged_shapes(shapes, groups)
+        plan = tt_dd_plan(merged, cutoff)
+        if not plan["ok"]:
+            continue
+        b = plan["b"]
+        p_r = plan["p"]
+        npairs = len(plan["pairs"])
+        nscales = len({b * (i + 1) + b * (j + 1)
+                       for i, j in plan["pairs"]})
+        cost = 0.0
+        for (r_l, w, r_r), glen in zip(merged, groups):
+            cost += npairs * max(w, _K_TILE) * r_l * r_r * _MXU_DISCOUNT
+            cost += 10.0 * w * (glen - 1)        # dd Khatri-Rao
+            cost += 3.0 * p_r * w                # digit extraction
+            cost += 8.0 * nscales * r_l * r_r    # scale recombination
+            cost += 12.0 * r_l * r_r             # interface dd mul+sum
+        if best_cost is None or cost < best_cost:
+            best_cost, best_groups = cost, tuple(groups)
+    return best_groups
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_grouped(shapes: Tuple[Tuple[int, int, int], ...],
+                      groups: Tuple[int, ...], cutoff: int):
+    """Jitted grouped-chain runner for one (shapes, groups) plan."""
+    merged = _merged_shapes(shapes, groups)
+    plan = tt_dd_plan(merged, cutoff)
+    b = plan["b"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    dims_n = tuple(s[1] for s in shapes)
+    group_slices = []
+    i = 0
+    for g in groups:
+        group_slices.append((i, i + g))
+        i += g
+    q_backs = tuple(_Q_SCALE_LOG2 * g for g in groups)
+
+    def _one(core_planes, core_scales, lo, hi, pts):
+        pairs_by_dim = []
+        for d, n_d in enumerate(dims_n):
+            x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
+            xhi, xlo = _split_f64(x)
+            pairs_by_dim.append(_dd_recurrence(xhi, xlo, n_d))
+        r_planes_by_group = []
+        for a, z in group_slices:
+            qhi, qlo = _khatri_rao_dd(pairs_by_dim[a:z])
+            r_planes_by_group.append(
+                _digit_planes_pair(qhi, qlo, b, p_r))
+        return _chain_model(merged, r_planes_by_group, core_planes,
+                            core_scales, js_by_i, b, q_backs)
+
+    @jax.jit
+    def run(core_planes, core_scales, lo, hi, points):
+        per_point = max(
+            (1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * w
+            for r_l, w, r_r in merged)
+        return chunked_scalar_map(
+            lambda p: _one(core_planes, core_scales, lo, hi, p),
+            points, per_point * p_r)
+
+    return run, plan
+
+
+# Prepared MERGED-supercore digit planes, identity-keyed on the
+# original core tuple + grouping (merged arrays are ephemeral host
+# temporaries, so they cannot key a cache themselves).
+_grouped_plane_cache: list = []
+
+
+def _grouped_core_planes(cores, groups: Tuple[int, ...], plan):
+    key_ok = all(isinstance(c, jax.Array) for c in cores)
+    plan_key = (plan["cutoff"], plan["b"], tuple(groups))
+    if key_ok:
+        for i, entry in enumerate(_grouped_plane_cache):
+            if (entry[1] == plan_key and len(entry[0]) == len(cores)
+                    and all(a is b for a, b in zip(entry[0], cores))):
+                _grouped_plane_cache.insert(
+                    0, _grouped_plane_cache.pop(i))
+                return entry[2], entry[3]
+
+    from pychebyshev_tpu.models.tt_algorithms import tt_merge_cores
+    merged_host = tt_merge_cores([np.asarray(c, dtype=np.float64)
+                                  for c in cores], list(groups))
+    b = plan["b"]
+    p_used = 1 + max(j for _, j in plan["pairs"])
+    scales = []
+    planes_all = []
+    for host in merged_host:
+        r_l, width, r_r = host.shape
+        flat = host.transpose(1, 0, 2).reshape(width, r_l * r_r)
+        c_max = float(np.abs(flat).max()) or 1.0
+        scale = 2.0 ** np.ceil(np.log2(c_max))
+        planes_host = _digit_planes_tensor(flat / scale, b, p_used)
+        planes_dev = tuple(
+            jnp.asarray(
+                np.concatenate([planes_host[j] for j in js], axis=1),
+                jnp.bfloat16)
+            if js else jnp.zeros((width, 0), jnp.bfloat16)
+            for js in plan["js_by_i"])
+        scales.append(np.float32(scale))
+        planes_all.append(planes_dev)
+    scales = tuple(scales)
+    planes_all = tuple(planes_all)
+    if key_ok:
+        _grouped_plane_cache.insert(0, (tuple(cores), plan_key, scales,
+                                        planes_all))
+        del _grouped_plane_cache[_PLANE_CACHE_SLOTS:]
+    return scales, planes_all
 
 
 # Prepared core digit planes, identity-keyed on the caller's core tuple
@@ -278,7 +466,7 @@ def _core_planes(cores, plan):
 
 
 def tt_eval_batch_dd(coeff_cores, domain, points,
-                     cutoff: int = None) -> jax.Array:
+                     cutoff: int = None, groups=None) -> jax.Array:
     """f64-class batched TT evaluation via exact integer digit GEMMs.
 
     Same signature family as ``ops.tt_eval.tt_eval_batch``; returns f64
@@ -288,6 +476,13 @@ def tt_eval_batch_dd(coeff_cores, domain, points,
     ``cutoff`` trades accuracy for throughput exactly like
     ``ops.eval_dd`` (default ``_PAIR_CUTOFF``; ``FAST_PAIR_CUTOFF`` is
     the class-level ``mode="fast"`` preset).
+
+    ``groups`` selects the grouped supercore chain: ``"auto"`` (the
+    calibrated planner, default at the class/serving layer), an
+    explicit tuple of contiguous group sizes, or ``None`` for the
+    per-dim chain.  Grouping is numerically a different (still
+    f64-class) digit plan over the SAME tensor — deviations stay
+    ~1e-13-class on benchmark grids; see docs/performance.md.
     """
     shapes = tuple(tuple(int(x) for x in np.shape(c))
                    for c in coeff_cores)
@@ -296,6 +491,27 @@ def tt_eval_batch_dd(coeff_cores, domain, points,
         raise ValueError(
             f"TT core shapes {shapes} outside the digit-GEMM budget; "
             f"use ops.tt_eval.tt_eval_batch")
+    if groups == "auto":
+        groups = tt_dd_auto_groups(shapes, plan["cutoff"])
+    if groups is not None and tuple(groups) != (1,) * len(shapes):
+        groups = tuple(int(g) for g in groups)
+        if any(g < 1 for g in groups) or sum(groups) != len(shapes):
+            raise ValueError(
+                f"groups {groups} must be positive and sum to the "
+                f"number of cores ({len(shapes)})")
+        merged = _merged_shapes(shapes, groups)
+        gplan = tt_dd_plan(merged, cutoff)
+        if not gplan["ok"]:
+            raise ValueError(
+                f"grouped shapes {merged} outside the digit-GEMM "
+                f"budget; loosen groups={groups}")
+        run, gplan = _compiled_grouped(shapes, groups, gplan["cutoff"])
+        scales, planes = _grouped_core_planes(tuple(coeff_cores),
+                                              groups, gplan)
+        pts = jnp.asarray(points, jnp.float64)
+        dom = np.asarray(domain, dtype=np.float64)
+        return run(planes, scales, jnp.asarray(dom[:, 0]),
+                   jnp.asarray(dom[:, 1]), pts)
     run, plan = _compiled(shapes, plan["cutoff"])
     scales, planes = _core_planes(tuple(coeff_cores), plan)
     pts = jnp.asarray(points, jnp.float64)

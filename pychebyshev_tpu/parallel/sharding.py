@@ -364,10 +364,12 @@ def slider_batch_dd_dp(slide_data, pivot_value, groups, points,
 
 def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
                         axis_name: str = "dp",
-                        cutoff: int = None) -> jax.Array:
+                        cutoff: int = None, groups="auto") -> jax.Array:
     """Data-parallel TT digit-GEMM chain: core digit planes replicate,
     points shard, each device runs the recurrence + GEMM ladders + rank
-    chain on its slice."""
+    chain on its slice.  ``groups`` follows
+    ``ops.tt_eval_dd.tt_eval_batch_dd`` (``"auto"`` default: grouped
+    supercore chain when the planner predicts a win)."""
     from pychebyshev_tpu.ops import tt_eval_dd as tdd
 
     shapes = tuple(tuple(int(x) for x in np.shape(c))
@@ -377,8 +379,19 @@ def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
         raise ValueError(
             f"TT core shapes {shapes} outside the digit-GEMM budget; "
             f"use tt_pipeline or eval_batch with shard_map")
-    run, plan = tdd._compiled(shapes, plan["cutoff"])
-    scales, planes = tdd._core_planes(tuple(coeff_cores), plan)
+    if groups == "auto":
+        groups = tdd.tt_dd_auto_groups(shapes, plan["cutoff"])
+    if groups is not None and tuple(groups) != (1,) * len(shapes):
+        groups = tuple(int(g) for g in groups)
+        gplan = tdd.tt_dd_plan(tdd._merged_shapes(shapes, groups),
+                               cutoff)
+        run, gplan = tdd._compiled_grouped(shapes, groups,
+                                           gplan["cutoff"])
+        scales, planes = tdd._grouped_core_planes(
+            tuple(coeff_cores), groups, gplan)
+    else:
+        run, plan = tdd._compiled(shapes, plan["cutoff"])
+        scales, planes = tdd._core_planes(tuple(coeff_cores), plan)
 
     replicate = NamedSharding(mesh, P())
     planes = _replicated(planes, mesh)

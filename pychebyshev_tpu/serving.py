@@ -446,7 +446,8 @@ class BatchedEvaluator:
                                            points, self._mesh,
                                            axis_name=self._data_axis)
             from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
-            return tt_eval_batch_dd(self._cores, self._domain, points)
+            return tt_eval_batch_dd(self._cores, self._domain, points,
+                                    groups="auto")
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
         return tt_eval_batch(self._cores, self._domain, points)
 

@@ -37,6 +37,7 @@ sampling the ``l2 = 0`` path falls back to a pseudoinverse solve
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -221,8 +222,43 @@ def _capped_block_rows(blocks, counts):
     return total
 
 
+def _fit_chunk_size(grid_points, blocks, mesh=None,
+                    data_axis: str = "dp"):
+    """Accumulation chunk: amortize dispatches, cap at the data size.
+
+    Bigger chunks than the host path: each step is one dispatch (and,
+    over a relayed chip, one RTT), so amortize aggressively — (C, G)
+    f32 intermediates at ~64 MB are comfortable in HBM.  Cap at the
+    largest block's row count rounded to a power-of-two bucket: a
+    small fit must not pad to the full-amortization chunk (~70x wasted
+    GEMM work on a 3k-sample fit otherwise), and the bucketing keeps
+    the number of distinct compiled shapes bounded.  With a mesh the
+    chunk also rounds up to a multiple of the data axis (zero-weight
+    pad rows are exact).
+    """
+    chunk = int(max(256, (1 << 24) // max(grid_points, 1)))
+    max_rows = max(pts.shape[0] for pts, _, _, _ in blocks)
+    bucket = 1 << int(np.ceil(np.log2(max(max_rows, 256))))
+    chunk = min(chunk, bucket)
+    if mesh is not None:
+        size = int(mesh.shape[data_axis])
+        chunk += (-chunk) % size
+    return chunk
+
+
+def _chunk_arrays(pts, vals, sqrt_scale, start, end, chunk, d):
+    p_c = np.zeros((chunk, d), dtype=np.float64)
+    y_c = np.zeros(chunk, dtype=np.float64)
+    s_c = np.zeros(chunk, dtype=np.float64)
+    p_c[:end - start] = pts[start:end]
+    y_c[:end - start] = vals[start:end]
+    s_c[:end - start] = sqrt_scale[start:end]
+    return p_c, y_c, s_c
+
+
 def _device_normal_accumulation(blocks, nodes, weights, dim_design,
-                                grid_points):
+                                grid_points, mesh=None,
+                                data_axis: str = "dp"):
     """Accumulate the normal equations on the accelerator (f32 tier).
 
     ``blocks`` is a list of ``(points, orders, values, sqrt_row_scale)``
@@ -232,10 +268,15 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
     onto ``A^T A`` / ``A^T y`` with bf16x3 MXU GEMMs — the same
     precision tier as the f32 eval path (~1e-4-class normal-matrix
     entries, far below Monte-Carlo noise in the huge-``N`` regime this
-    serves).  The accumulators stay device-resident across chunks
-    (donated), with ONE host transfer at the end; each distinct
-    ``orders`` tuple compiles one fixed-chunk-shape step, and the last
-    chunk pads with zero-weight rows.
+    serves).  Each distinct ``orders`` tuple compiles one
+    fixed-chunk-shape step, and the last chunk pads with zero-weight
+    rows.
+
+    ``mesh``: sample-block data parallelism — each chunk's rows shard
+    over ``data_axis``, every device builds and contracts its slice,
+    and a ``psum`` assembles the global Gram/rhs (the Gram is a plain
+    sum over samples, so dp composes exactly; reference analog being
+    beaten: the process-pool build parallelism, ``_parallel.py:36-75``).
 
     Host-side reference: the exact-f64 accumulation loops in
     :func:`fit_dense_tensor`; this is its throughput tier, not a
@@ -246,13 +287,12 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
     import jax.numpy as jnp
 
     d = len(nodes)
-    nodes_f32 = [jnp.asarray(nd, dtype=jnp.float32) for nd in nodes]
-    weights_f32 = [jnp.asarray(w, dtype=jnp.float32) for w in weights]
-    # Bigger chunks than the host path: each step is one dispatch
-    # (and, over a relayed chip, one RTT), so amortize aggressively —
-    # (C, G) f32 intermediates at ~64 MB are comfortable in HBM.
-    chunk = int(max(256, (1 << 24) // max(grid_points, 1)))
-    step = _get_device_step()
+    nodes_f32 = tuple(jnp.asarray(nd, dtype=jnp.float32)
+                      for nd in nodes)
+    weights_f32 = tuple(jnp.asarray(w, dtype=jnp.float32)
+                        for w in weights)
+    chunk = _fit_chunk_size(grid_points, blocks, mesh, data_axis)
+    step = _get_device_step(mesh, data_axis)
 
     ata = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
     aty = jnp.zeros(grid_points, dtype=jnp.float32)
@@ -260,68 +300,274 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
         # Always-fold dpow (identity at order 0) keeps ONE jitted
         # program per shape signature — grid constants travel as
         # arguments, so JAX's jit cache hits across fit() calls.
-        dpows = [
+        dpows = tuple(
             jnp.asarray(
                 np.eye(nodes[k].shape[0]) if orders[k] == 0
                 else dim_design._dpow(k, orders[k]),
                 dtype=jnp.float32)
             for k in range(d)
-        ]
+        )
         n = pts.shape[0]
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
-            p_c = np.zeros((chunk, d), dtype=np.float32)
-            y_c = np.zeros(chunk, dtype=np.float32)
-            s_c = np.zeros(chunk, dtype=np.float32)
-            p_c[:end - start] = pts[start:end]
-            y_c[:end - start] = vals[start:end]
-            s_c[:end - start] = sqrt_scale[start:end]
-            ata, aty = step(ata, aty, jnp.asarray(p_c),
-                            jnp.asarray(y_c), jnp.asarray(s_c),
-                            tuple(nodes_f32), tuple(weights_f32),
-                            tuple(dpows))
+            p_c, y_c, s_c = _chunk_arrays(pts, vals, sqrt_scale,
+                                          start, end, chunk, d)
+            ata, aty = step(ata, aty,
+                            jnp.asarray(p_c, jnp.float32),
+                            jnp.asarray(y_c, jnp.float32),
+                            jnp.asarray(s_c, jnp.float32),
+                            nodes_f32, weights_f32, dpows)
     return (np.asarray(ata, dtype=np.float64),
             np.asarray(aty, dtype=np.float64))
 
 
-_DEVICE_STEP = None
-
-
-def _get_device_step():
-    """Module-level jitted accumulation step (shared jit cache).
+@functools.lru_cache(maxsize=None)
+def _get_device_step(mesh=None, data_axis: str = "dp"):
+    """Jitted f32 accumulation step, optionally shard_mapped over dp.
 
     Signature: ``(ata, aty, pts (C, d), y (C,), sw (C,), nodes tuple,
     weights tuple, dpows tuple) -> (ata, aty)``.  One compiled program
-    per shape signature; accumulators are donated so they stay
-    device-resident across the chunk loop.
+    per shape signature.  With a mesh, rows shard over ``data_axis``
+    and the per-device partial Gram/rhs ``psum`` into the replicated
+    accumulators.
     """
-    global _DEVICE_STEP
-    if _DEVICE_STEP is None:
-        import jax
-        import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
-        from pychebyshev_tpu.ops.eval import (
-            _gemm_precision,
-            barycentric_coefficients,
+    from pychebyshev_tpu.ops.eval import (
+        _gemm_precision,
+        barycentric_coefficients,
+    )
+
+    prec = _gemm_precision(jnp.float32)
+
+    def step(ata, aty, pts, y, sw, nodes, weights, dpows):
+        per_dim = [
+            jnp.matmul(
+                barycentric_coefficients(pts[:, k], nodes[k],
+                                         weights[k]),
+                dpows[k], precision=prec)
+            for k in range(pts.shape[1])
+        ]
+        rows = _khatri_rao(per_dim) * sw[:, None]
+        d_ata = jnp.matmul(rows.T, rows, precision=prec)
+        d_aty = jnp.matmul(rows.T, y * sw, precision=prec)
+        if mesh is not None:
+            d_ata = jax.lax.psum(d_ata, data_axis)
+            d_aty = jax.lax.psum(d_aty, data_axis)
+        return ata + d_ata, aty + d_aty
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(data_axis, None), P(data_axis),
+                  P(data_axis), P(), P(), P()),
+        out_specs=(P(), P()),
+    ), donate_argnums=(0, 1))
+
+
+# --------------------------------------------------------------------------
+# Exact (f64-class) device accumulation: the digit-GEMM fit tier.
+#
+# The f32 tier rounds every A^T A partial at 2^-24 — fine under
+# Monte-Carlo noise, ~1e-4-class for exact-recovery fits.  This tier
+# applies the repo's Ozaki digit decomposition (ops/eval_dd.py) to the
+# Gram accumulation itself: design rows are built in double-f32
+# (f64-split per-dim rows, dd Khatri-Rao — the eval_dd row machinery),
+# quantized into signed integer digit planes, and every plane-pair
+# GEMM P_i^T P_j accumulates integers exactly on the MXU
+# (``C * 2^(2b+1) < 2^24`` enforced through the digit width).  The
+# per-scale integer matrices recombine with TwoSum ladders into
+# double-f32 accumulators, so the assembled normal equations carry
+# ~2^-45-class relative error — f64-class — at MXU rates.
+#
+# Sharding: per-scale plane-GEMM outputs are integers whose GLOBAL sum
+# respects the same 2^24 budget as the unsharded chunk, so the psum is
+# EXACT and the mesh path is bit-identical to the single-device one.
+# --------------------------------------------------------------------------
+
+
+def _dd_fit_plan(chunk: int, d: int, max_sqrt_w: float):
+    """Digit widths for the exact Gram accumulation.
+
+    ``b``: plane bits such that a symmetrized pair GEMM over the
+    global chunk stays exact (``2 * C * 2^(2b) < 2^24``).  ``s_log2``:
+    power-of-two row pre-scale covering the Khatri-Rao Lebesgue growth
+    (|row entry| < ~2.8 per dim) times the largest sqrt-weight.
+    ``p``/``cutoff``: plane count / pair cutoff sized so quantization
+    sits ~48 bits below the pre-scale unit.
+    """
+    bits = 23 - int(np.ceil(np.log2(max(chunk, 2))))
+    b = bits // 2
+    if b < 4:
+        return {"ok": False}
+    s_log2 = int(np.ceil(1.5 * d + np.log2(max(max_sqrt_w, 1.0))))
+    cutoff = 48 + s_log2
+    p = min(int(np.ceil(cutoff / b)), 14)
+    return {"ok": True, "b": b, "p": p, "cutoff": cutoff,
+            "s_log2": s_log2}
+
+
+@functools.lru_cache(maxsize=None)
+def _get_device_step_dd(b: int, p: int, cutoff: int, s_log2: int,
+                        mesh=None, data_axis: str = "dp"):
+    """Jitted exact digit-GEMM accumulation step (dd fit tier).
+
+    Signature: ``(ah, al, bh, bl, pts, y, sw, y_scale, nodes, weights,
+    dpows) -> (ah, al, bh, bl)`` with (hi, lo) double-f32 accumulator
+    pairs for A^T A and A^T y.  ``y_scale`` must be a power of two
+    (division is exact).  With a mesh, the per-scale integer GEMM
+    outputs psum EXACTLY (see module comment), making the sharded
+    accumulation bit-identical to the single-device one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pychebyshev_tpu.ops.eval import barycentric_coefficients
+    from pychebyshev_tpu.ops.eval_dd import (
+        _digit_planes_pair,
+        _dd_mul,
+        _khatri_rao_dd,
+        _split_f64,
+    )
+    from pychebyshev_tpu.ops.tt_eval_dd import _dd_add
+
+    pre = np.float64(2.0 ** -s_log2)
+
+    def _ladder(by_scale):
+        acc = comp = None
+        for v in sorted(by_scale):
+            term = by_scale[v] * np.float32(2.0 ** -v)
+            if acc is None:
+                acc, comp = term, jnp.zeros_like(term)
+            else:
+                snew = acc + term
+                bv = snew - acc
+                err = (acc - (snew - bv)) + (term - bv)
+                acc, comp = snew, comp + err
+        return acc, comp
+
+    def step(ah, al, bh, bl, pts, y, sw, y_scale, nodes, weights,
+             dpows):
+        d = pts.shape[1]
+        dim_pairs = []
+        for k in range(d):
+            rows64 = jnp.matmul(
+                barycentric_coefficients(pts[:, k], nodes[k],
+                                         weights[k]),
+                dpows[k], precision=jax.lax.Precision.HIGHEST)
+            dim_pairs.append(_split_f64(rows64))
+        rh, rl = _khatri_rao_dd(dim_pairs)           # (C, G) dd rows
+        swh, swl = _split_f64(sw * pre)              # exact pow2 fold
+        rh, rl = _dd_mul(rh, rl, swh[:, None], swl[:, None])
+        planes = _digit_planes_pair(rh, rl, b, p)
+        yh, yl = _split_f64((y * sw) / y_scale)
+        y_planes = _digit_planes_pair(yh[:, None], yl[:, None], b, p)
+
+        by_scale = {}
+        by_scale_y = {}
+        for i in range(p):
+            for j in range(i, p):
+                v = b * (i + j + 2)
+                if v > cutoff:
+                    continue
+                m = jnp.dot(planes[i].T, planes[j],
+                            preferred_element_type=jnp.float32)
+                t = m + m.T if j > i else m
+                by_scale[v] = (t if v not in by_scale
+                               else by_scale[v] + t)
+        for i in range(p):
+            for j in range(p):
+                v = b * (i + j + 2)
+                if v > cutoff:
+                    continue
+                g = jnp.dot(planes[i].T, y_planes[j],
+                            preferred_element_type=jnp.float32)[:, 0]
+                by_scale_y[v] = (g if v not in by_scale_y
+                                 else by_scale_y[v] + g)
+        if mesh is not None:
+            by_scale = {v: jax.lax.psum(m, data_axis)
+                        for v, m in by_scale.items()}
+            by_scale_y = {v: jax.lax.psum(g, data_axis)
+                          for v, g in by_scale_y.items()}
+        gh, gl = _ladder(by_scale)
+        gyh, gyl = _ladder(by_scale_y)
+        ah, al = _dd_add(ah, al, gh, gl)
+        bh, bl = _dd_add(bh, bl, gyh, gyl)
+        return ah, al, bh, bl
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(data_axis, None),
+                  P(data_axis), P(data_axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    ), donate_argnums=(0, 1, 2, 3))
+
+
+def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
+                                   grid_points, mesh=None,
+                                   data_axis: str = "dp"):
+    """Exact (f64-class) device Gram accumulation — see module comment.
+
+    Same contract as :func:`_device_normal_accumulation`; returns
+    f64 ``(ata, aty)`` deviating ~1e-13-class relative from the host
+    f64 loops (measured in tests/test_fit_device.py) instead of the
+    f32 tier's ~1e-4.
+    """
+    import jax.numpy as jnp
+
+    d = len(nodes)
+    chunk = _fit_chunk_size(grid_points, blocks, mesh, data_axis)
+    max_sw = max(float(np.max(s)) if s.size else 1.0
+                 for _, _, _, s in blocks)
+    plan = _dd_fit_plan(chunk, d, max_sw)
+    if not plan["ok"]:
+        raise ValueError(
+            f"fit chunk {chunk} leaves no digit budget for the exact "
+            f"device tier; use engine='device' or 'host'")
+    max_y = max((float(np.max(np.abs(v * s))) if v.size else 0.0)
+                for _, _, v, s in blocks) or 1.0
+    y_scale = np.float64(2.0 ** np.ceil(np.log2(max_y)))
+    step = _get_device_step_dd(plan["b"], plan["p"], plan["cutoff"],
+                               plan["s_log2"], mesh, data_axis)
+
+    nodes64 = tuple(jnp.asarray(nd, jnp.float64) for nd in nodes)
+    weights64 = tuple(jnp.asarray(w, jnp.float64) for w in weights)
+    ah = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
+    al = jnp.zeros_like(ah)
+    bh = jnp.zeros(grid_points, dtype=jnp.float32)
+    bl = jnp.zeros_like(bh)
+    for pts, orders, vals, sqrt_scale in blocks:
+        dpows = tuple(
+            jnp.asarray(
+                np.eye(nodes[k].shape[0]) if orders[k] == 0
+                else dim_design._dpow(k, orders[k]),
+                dtype=jnp.float64)
+            for k in range(d)
         )
-
-        prec = _gemm_precision(jnp.float32)
-
-        def step(ata, aty, pts, y, sw, nodes, weights, dpows):
-            per_dim = [
-                jnp.matmul(
-                    barycentric_coefficients(pts[:, k], nodes[k],
-                                             weights[k]),
-                    dpows[k], precision=prec)
-                for k in range(pts.shape[1])
-            ]
-            rows = _khatri_rao(per_dim) * sw[:, None]
-            ata = ata + jnp.matmul(rows.T, rows, precision=prec)
-            aty = aty + jnp.matmul(rows.T, y * sw, precision=prec)
-            return ata, aty
-
-        _DEVICE_STEP = jax.jit(step, donate_argnums=(0, 1))
-    return _DEVICE_STEP
+        n = pts.shape[0]
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            p_c, y_c, s_c = _chunk_arrays(pts, vals, sqrt_scale,
+                                          start, end, chunk, d)
+            ah, al, bh, bl = step(
+                ah, al, bh, bl, jnp.asarray(p_c), jnp.asarray(y_c),
+                jnp.asarray(s_c), jnp.asarray(y_scale), nodes64,
+                weights64, dpows)
+    back = np.float64(2.0 ** (2 * plan["s_log2"]))
+    ata = (np.asarray(ah, dtype=np.float64)
+           + np.asarray(al, dtype=np.float64)) * back
+    aty = ((np.asarray(bh, dtype=np.float64)
+            + np.asarray(bl, dtype=np.float64))
+           * np.float64(2.0 ** plan["s_log2"]) * float(y_scale))
+    return ata, aty
 
 
 def _block_residual_stats(design_chunk_fn, sol, pts, vals, chunk):
@@ -416,6 +662,15 @@ def fit_dense_tensor(
     if engine not in ("host", "device"):
         raise ValueError(
             f"engine must be 'host' or 'device', got {engine!r}")
+    if engine == "device" and l2 == 0.0:
+        # Exactly-determined systems squared through an f32-tier A^T A
+        # (cond ~ squared) can lose most of the recovered accuracy;
+        # the host engine is the exact-recovery path (docstring).
+        warnings.warn(
+            "engine='device' accumulates the normal equations in the "
+            "f32 tier; an exact-recovery (l2=0) fit should use "
+            "engine='host' (f64) unless sampling noise dominates.",
+            UserWarning, stacklevel=3)
 
     counts: List[int] = []
     for k, n in enumerate(n_nodes):
@@ -516,6 +771,7 @@ def fit_dense_tensor(
                 aty += rows.T @ (vals[sl] * np.sqrt(weight))
 
     rank = None
+    min_norm = False
     if l2 > 0.0:
         solve_mat = ata + l2 * np.eye(grid_points)
         try:
@@ -525,6 +781,19 @@ def fit_dense_tensor(
                                                rcond=rcond)
     else:
         flat, _, rank, _ = np.linalg.lstsq(ata, aty, rcond=rcond)
+        # The informative-row gate above is a rank UPPER bound only:
+        # duplicated points (or a zero-order derivative block repeating
+        # the value samples) double-count, pass the gate, and land
+        # here rank-deficient — in which case lstsq silently returned
+        # the min-norm solution.  Surface it.
+        if rank is not None and rank < grid_points:
+            min_norm = True
+            warnings.warn(
+                f"fit is rank-deficient ({rank} < {grid_points} grid "
+                f"values) despite passing the informative-row check "
+                f"(e.g. duplicated sample points); the solution is the "
+                f"minimum-norm one. Pass l2 > 0 or deduplicate "
+                f"samples.", UserWarning, stacklevel=3)
 
     # Training residuals: one exact chunked re-pass over ALL samples
     # (O(N*G) — negligible next to the O(N*G^2) accumulation, and it
@@ -557,6 +826,7 @@ def fit_dense_tensor(
         "rank": None if rank is None else int(rank),
         "max_abs_residual": max_abs,
         "engine": engine,
+        "min_norm": min_norm,
     }
     if blocks:
         block_diags = []
