@@ -1516,6 +1516,7 @@ class ChebyshevApproximation:
     def fit(cls, points, values, num_dimensions, domain, n_nodes, *,
             l2: float = 0.0, sample_weight=None, rcond=None,
             derivative_data=None, engine: str = "host",
+            mesh=None, data_axis: str = "dp",
             max_derivative_order: int = 2, additional_data=None
             ) -> "ChebyshevApproximation":
         """Least-squares interpolant from SCATTERED samples.
@@ -1550,12 +1551,20 @@ class ChebyshevApproximation:
             rows count toward the determinedness requirement (capped
             at their ``D^o`` rank), letting ``N < prod(n_nodes)``
             value samples still pin the model.
-        engine : ``"host"`` (default — exact f64 normal equations) or
+        engine : ``"host"`` (default — exact f64 normal equations);
             ``"device"`` — accumulate ``A^T A`` on the accelerator
             with f32/bf16x3 MXU GEMMs, the throughput tier for
             millions of noisy samples (the ~1e-4-class accumulation
-            rounding sits far below Monte-Carlo noise); the solve and
-            residual diagnostics stay host-f64 either way.
+            rounding sits far below Monte-Carlo noise); or
+            ``"device-dd"`` — the exact digit-GEMM tier: f64-class
+            normal equations (~1e-13 relative vs host) at MXU rates,
+            the device engine for tight-accuracy fits.  The solve and
+            residual diagnostics stay host-f64 for every engine.
+        mesh : optional ``jax.sharding.Mesh`` (device engines only) —
+            sample chunks shard over ``data_axis`` and per-device
+            Gram/rhs partials ``psum``; the dd tier's integer psums
+            make the sharded accumulation bit-identical to the
+            single-device one.
 
         Returns
         -------
@@ -1576,7 +1585,8 @@ class ChebyshevApproximation:
         tensor, diagnostics = fit_dense_tensor(
             points, values, domain, n_nodes, l2=l2,
             sample_weight=sample_weight, rcond=rcond,
-            derivative_data=derivative_data, engine=engine)
+            derivative_data=derivative_data, engine=engine,
+            mesh=mesh, data_axis=data_axis)
         obj = cls.from_values(tensor, num_dimensions, domain,
                               list(n_nodes),
                               max_derivative_order=max_derivative_order)

@@ -797,6 +797,7 @@ class ChebyshevSlider:
     def fit(cls, points, values, num_dimensions, domain, n_nodes,
             partition, pivot_point, *, l2: float = 0.0,
             sample_weight=None, rcond=None, derivative_data=None,
+            engine: str = "host", mesh=None, data_axis: str = "dp",
             max_derivative_order: int = 2) -> "ChebyshevSlider":
         """Least-squares slider from SCATTERED high-dimensional samples.
 
@@ -827,6 +828,10 @@ class ChebyshevSlider:
         differentiate dims of at most one partition group — the
         additive model's cross-group mixed partials are identically
         zero, matching the per-call eval router's exact-zero rule.
+
+        ``engine`` / ``mesh`` / ``data_axis`` as in the dense fit:
+        the additive Gram accumulates on the accelerator (f32 or
+        exact-dd tier), optionally dp-sharded.
         """
         from pychebyshev_tpu.utils.fitting import (
             barycentric_rows_np,
@@ -859,7 +864,8 @@ class ChebyshevSlider:
         tensors, c0, diagnostics = fit_additive_tensors(
             points, values, domain, n_nodes, partition, l2=l2,
             sample_weight=sample_weight, rcond=rcond,
-            derivative_data=derivative_data)
+            derivative_data=derivative_data, engine=engine,
+            mesh=mesh, data_axis=data_axis)
 
         # Re-gauge: pin every slide to the pivot.  With b_i = h_i(z_i)
         # and p = c0 + sum b_i, the slides g_i = h_i + (p - b_i) give

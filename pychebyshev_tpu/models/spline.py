@@ -959,7 +959,8 @@ class ChebyshevSpline:
     @classmethod
     def fit(cls, points, values, num_dimensions, domain, n_nodes, knots,
             *, l2: float = 0.0, sample_weight=None, rcond=None,
-            derivative_data=None,
+            derivative_data=None, engine: str = "host",
+            mesh=None, data_axis: str = "dp",
             max_derivative_order: int = 2) -> "ChebyshevSpline":
         """Least-squares spline from SCATTERED samples (kinked data).
 
@@ -987,6 +988,10 @@ class ChebyshevSpline:
         samples alone decide piece starvation: a piece seen only by
         derivative rows is constant-indeterminate, so the usual
         "received no samples" error still fires for it.
+
+        ``engine`` / ``mesh`` / ``data_axis`` forward to every piece's
+        dense solve (see :meth:`ChebyshevApproximation.fit`): the f32
+        or exact-dd device accumulation tier, optionally dp-sharded.
         """
         from pychebyshev_tpu.utils.fitting import (
             fit_dense_tensor,
@@ -1051,7 +1056,8 @@ class ChebyshevSpline:
                     l2=l2, rcond=rcond,
                     derivative_data=piece_blocks or None,
                     sample_weight=(None if sample_weight is None
-                                   else sample_weight[mask]))
+                                   else sample_weight[mask]),
+                    engine=engine, mesh=mesh, data_axis=data_axis)
             except ValueError as e:
                 # Per-piece failures (underdetermined, all-zero weights
                 # within the piece, ...) name the piece — the global

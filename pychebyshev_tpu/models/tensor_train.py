@@ -99,7 +99,8 @@ class ChebyshevTT:
     def build(self, verbose: bool | int = True, seed: Optional[int] = None,
               method: str = "cross", init_rank: Optional[int] = None,
               kick: int = 2, refine_sweeps: int = 0,
-              refine_samples: int = 0) -> None:
+              refine_samples: int = 0, mesh=None,
+              data_axis: str = "dp") -> None:
         """Build value cores (cross / svd / als), convert to coefficient
         cores via the DCT-II cosine matrix.
 
@@ -116,6 +117,15 @@ class ChebyshevTT:
         samples.  Typically 2-4x lower off-pivot error at zero or tiny
         additional evaluation cost; defaults off to keep seeded builds
         digit-for-digit identical to the reference.
+
+        ``mesh`` (requires ``vectorized=True`` with a JAX-traceable
+        oracle): shard every oracle batch — the cross matrices, SVD/ALS
+        full-grid evaluation, refinement samples — over the mesh's
+        ``data_axis``.  The expensive-oracle build phase then uses the
+        whole mesh; eval counts match the unsharded build, and cores
+        are bit-identical across mesh sizes (the traced program is
+        per-shard elementwise; vs the eager unsharded oracle, XLA
+        fusion may shift values by ulps).
         """
         if method not in ("cross", "svd", "als"):
             raise ValueError(
@@ -130,10 +140,12 @@ class ChebyshevTT:
         import jax
         with jax.profiler.TraceAnnotation(f"chebyshev:tt_build_{method}"):
             self._build_impl(verbose, seed, method, init_rank, kick,
-                             refine_sweeps, refine_samples)
+                             refine_sweeps, refine_samples, mesh,
+                             data_axis)
 
     def _build_impl(self, verbose, seed, method, init_rank=None,
-                    kick=2, refine_sweeps=0, refine_samples=0) -> None:
+                    kick=2, refine_sweeps=0, refine_samples=0,
+                    mesh=None, data_axis: str = "dp") -> None:
         start = time.time()
         self._cached_error_estimate = None
 
@@ -147,7 +159,8 @@ class ChebyshevTT:
         grids = self._storage_grids()
         oracle = tta.GridOracle(self.function, grids,
                                 additional_data=self.additional_data,
-                                vectorized=self.vectorized)
+                                vectorized=self.vectorized,
+                                mesh=mesh, data_axis=data_axis)
 
         if method == "cross":
             if verbose:
@@ -243,10 +256,12 @@ class ChebyshevTT:
                                     self._coeff_cores[k]))
 
     def run_completion(self, tolerance: float = 1e-8, max_iter: int = 50,
-                       verbose: bool = False) -> None:
+                       verbose: bool = False, mesh=None,
+                       data_axis: str = "dp") -> None:
         """Refine the TT at its current rank via fixed-rank ALS sweeps
         against fresh grid samples (re-evaluates the function on the full
-        grid; rank does not grow)."""
+        grid; rank does not grow).  ``mesh`` shards the full-grid
+        oracle evaluation like :meth:`build`."""
         self._check_built()
         if self.function is None:
             raise RuntimeError(
@@ -259,7 +274,8 @@ class ChebyshevTT:
         grids = self._storage_grids()
         oracle = tta.GridOracle(self.function, grids,
                                 additional_data=self.additional_data,
-                                vectorized=self.vectorized)
+                                vectorized=self.vectorized,
+                                mesh=mesh, data_axis=data_axis)
         target = oracle.full_tensor(list(self.n_nodes))
         refined = tta.als_fixed_rank_sweeps(
             value_cores, target, tolerance=tolerance, max_iter=max_iter,

@@ -115,12 +115,33 @@ class GridOracle:
     """
 
     def __init__(self, function: Callable, grids: List[np.ndarray],
-                 additional_data=None, vectorized: bool = False):
+                 additional_data=None, vectorized: bool = False,
+                 mesh=None, data_axis: str = "dp"):
         self.function = function
         self.grids = [np.asarray(g, dtype=np.float64) for g in grids]
         self.additional_data = additional_data
         self.vectorized = vectorized
         self._cache: dict = {}
+        # Sharded oracle evaluation (VERDICT r3 item 3): for expensive
+        # JAX-traceable oracles the cross-matrix batches — the most
+        # expensive build phase — shard over the mesh's data axis
+        # instead of leaving every device but one idle.  Values come
+        # from the same jit-traced program per shard (no cross-batch
+        # reductions), so sharded builds are bit-identical across mesh
+        # sizes; vs the UNSHARDED oracle (which calls the function
+        # eagerly) results can differ by XLA-fusion ulps.
+        self._eval_fn = function
+        if mesh is not None:
+            if not vectorized:
+                raise ValueError(
+                    "mesh-sharded oracle evaluation requires "
+                    "vectorized=True (a JAX-traceable batched oracle); "
+                    "black-box scalar callables evaluate on host")
+            from pychebyshev_tpu.parallel.sharding import (
+                sharded_vectorized,
+            )
+            self._eval_fn = sharded_vectorized(function, mesh,
+                                               data_axis)
 
     @property
     def n_evals(self) -> int:
@@ -141,7 +162,7 @@ class GridOracle:
                     pts[r, dim] = self.grids[dim][key[dim]]
             if self.vectorized:
                 vals = np.asarray(
-                    self.function(pts, self.additional_data),
+                    self._eval_fn(pts, self.additional_data),
                     dtype=np.float64).reshape(-1)
             else:
                 vals = np.array([

@@ -196,10 +196,19 @@ def sharded_vectorized(function: Callable, mesh: Mesh,
     builds (``vectorized=True``) automatically shard grid evaluation
     across the mesh."""
     def wrapped(points, data):
-        pts = jax.device_put(jnp.asarray(points, dtype=jnp.float64),
-                             NamedSharding(mesh, P(axis_name, None)))
+        pts = jnp.asarray(points, dtype=jnp.float64)
+        n = pts.shape[0]
+        pad = -n % mesh.shape[axis_name]
+        if pad:
+            # Batches (e.g. TT cross matrices) rarely divide the axis;
+            # replicate the first point into the tail, drop after.
+            pts = jnp.concatenate(
+                [pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
+        pts = jax.device_put(pts, NamedSharding(mesh, P(axis_name,
+                                                        None)))
         out = jax.jit(lambda p: function(p, data))(pts)
-        return np.asarray(jax.device_put(out, NamedSharding(mesh, P())))
+        return np.asarray(jax.device_put(
+            out, NamedSharding(mesh, P())))[:n]
     return wrapped
 
 

@@ -37,6 +37,7 @@ sampling the ``l2 = 0`` path falls back to a pseudoinverse solve
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import List, Optional, Sequence, Tuple
 
@@ -256,9 +257,82 @@ def _chunk_arrays(pts, vals, sqrt_scale, start, end, chunk, d):
     return p_c, y_c, s_c
 
 
+def _layout_for_block(groups=None, owner=None):
+    """Static design-layout key for the device steps.
+
+    ``("dense",)`` — one Khatri-Rao block over all dims (the dense
+    fit).  ``("additive", groups, owner)`` — the slider design
+    ``[1 | A_1 | ... | A_k]``; ``owner`` is ``None`` for value-like
+    rows or the owning group's index for differentiated blocks (zero
+    intercept + zero non-owner columns, mirroring the host
+    ``_block_chunk_fn``).
+    """
+    if groups is None:
+        return ("dense",)
+    return ("additive", tuple(tuple(int(x) for x in g) for g in groups),
+            owner)
+
+
+def _build_rows_f32(pts, nodes, weights, dpows, layout, prec):
+    import jax.numpy as jnp
+
+    def dim_rows(k):
+        from pychebyshev_tpu.ops.eval import barycentric_coefficients
+        return jnp.matmul(
+            barycentric_coefficients(pts[:, k], nodes[k], weights[k]),
+            dpows[k], precision=prec)
+
+    if layout[0] == "dense":
+        return _khatri_rao([dim_rows(k) for k in range(pts.shape[1])])
+    _, groups, owner = layout
+    n_rows = pts.shape[0]
+    one = (jnp.ones if owner is None else jnp.zeros)
+    cols = [one((n_rows, 1), pts.dtype)]
+    for gi, g in enumerate(groups):
+        if owner is not None and gi != owner:
+            size = int(np.prod([dpows[k].shape[1] for k in g]))
+            cols.append(jnp.zeros((n_rows, size), pts.dtype))
+        else:
+            cols.append(_khatri_rao([dim_rows(k) for k in g]))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _build_rows_dd(pts, nodes, weights, dpows, layout):
+    """Double-f32 design rows -> (hi, lo) of (C, P)."""
+    import jax
+    import jax.numpy as jnp
+    from pychebyshev_tpu.ops.eval import barycentric_coefficients
+    from pychebyshev_tpu.ops.eval_dd import _khatri_rao_dd, _split_f64
+
+    def dim_pair(k):
+        rows64 = jnp.matmul(
+            barycentric_coefficients(pts[:, k], nodes[k], weights[k]),
+            dpows[k], precision=jax.lax.Precision.HIGHEST)
+        return _split_f64(rows64)
+
+    if layout[0] == "dense":
+        return _khatri_rao_dd([dim_pair(k)
+                               for k in range(pts.shape[1])])
+    _, groups, owner = layout
+    n_rows = pts.shape[0]
+    his = [(jnp.ones if owner is None else jnp.zeros)(
+        (n_rows, 1), jnp.float32)]
+    los = [jnp.zeros((n_rows, 1), jnp.float32)]
+    for gi, g in enumerate(groups):
+        if owner is not None and gi != owner:
+            size = int(np.prod([dpows[k].shape[1] for k in g]))
+            his.append(jnp.zeros((n_rows, size), jnp.float32))
+            los.append(jnp.zeros((n_rows, size), jnp.float32))
+        else:
+            gh, gl = _khatri_rao_dd([dim_pair(k) for k in g])
+            his.append(gh)
+            los.append(gl)
+    return jnp.concatenate(his, axis=1), jnp.concatenate(los, axis=1)
+
+
 def _device_normal_accumulation(blocks, nodes, weights, dim_design,
                                 grid_points, mesh=None,
-                                data_axis: str = "dp"):
+                                data_axis: str = "dp", layouts=None):
     """Accumulate the normal equations on the accelerator (f32 tier).
 
     ``blocks`` is a list of ``(points, orders, values, sqrt_row_scale)``
@@ -292,11 +366,13 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
     weights_f32 = tuple(jnp.asarray(w, dtype=jnp.float32)
                         for w in weights)
     chunk = _fit_chunk_size(grid_points, blocks, mesh, data_axis)
-    step = _get_device_step(mesh, data_axis)
+    if layouts is None:
+        layouts = [("dense",)] * len(blocks)
 
     ata = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
     aty = jnp.zeros(grid_points, dtype=jnp.float32)
-    for pts, orders, vals, sqrt_scale in blocks:
+    for (pts, orders, vals, sqrt_scale), layout in zip(blocks, layouts):
+        step = _get_device_step(mesh, data_axis, layout)
         # Always-fold dpow (identity at order 0) keeps ONE jitted
         # program per shape signature — grid constants travel as
         # arguments, so JAX's jit cache hits across fit() calls.
@@ -322,34 +398,27 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
 
 
 @functools.lru_cache(maxsize=None)
-def _get_device_step(mesh=None, data_axis: str = "dp"):
+def _get_device_step(mesh=None, data_axis: str = "dp",
+                     layout=("dense",)):
     """Jitted f32 accumulation step, optionally shard_mapped over dp.
 
     Signature: ``(ata, aty, pts (C, d), y (C,), sw (C,), nodes tuple,
     weights tuple, dpows tuple) -> (ata, aty)``.  One compiled program
     per shape signature.  With a mesh, rows shard over ``data_axis``
     and the per-device partial Gram/rhs ``psum`` into the replicated
-    accumulators.
+    accumulators.  ``layout`` selects the design row build
+    (:func:`_layout_for_block`).
     """
     import jax
     import jax.numpy as jnp
 
-    from pychebyshev_tpu.ops.eval import (
-        _gemm_precision,
-        barycentric_coefficients,
-    )
+    from pychebyshev_tpu.ops.eval import _gemm_precision
 
     prec = _gemm_precision(jnp.float32)
 
     def step(ata, aty, pts, y, sw, nodes, weights, dpows):
-        per_dim = [
-            jnp.matmul(
-                barycentric_coefficients(pts[:, k], nodes[k],
-                                         weights[k]),
-                dpows[k], precision=prec)
-            for k in range(pts.shape[1])
-        ]
-        rows = _khatri_rao(per_dim) * sw[:, None]
+        rows = _build_rows_f32(pts, nodes, weights, dpows, layout,
+                               prec) * sw[:, None]
         d_ata = jnp.matmul(rows.T, rows, precision=prec)
         d_aty = jnp.matmul(rows.T, y * sw, precision=prec)
         if mesh is not None:
@@ -405,15 +474,19 @@ def _dd_fit_plan(chunk: int, d: int, max_sqrt_w: float):
     if b < 4:
         return {"ok": False}
     s_log2 = int(np.ceil(1.5 * d + np.log2(max(max_sqrt_w, 1.0))))
-    cutoff = 48 + s_log2
-    p = min(int(np.ceil(cutoff / b)), 14)
+    # Dropped-pair residual ~ C * 2^-cutoff is the binding error term;
+    # 58 + s lands the assembled Gram ~1e-13-class relative (measured;
+    # 48 + s measured 4e-11 on the 3-D test problem).
+    cutoff = 58 + s_log2
+    p = min(int(np.ceil(cutoff / b)), 16)
     return {"ok": True, "b": b, "p": p, "cutoff": cutoff,
             "s_log2": s_log2}
 
 
 @functools.lru_cache(maxsize=None)
 def _get_device_step_dd(b: int, p: int, cutoff: int, s_log2: int,
-                        mesh=None, data_axis: str = "dp"):
+                        mesh=None, data_axis: str = "dp",
+                        layout=("dense",)):
     """Jitted exact digit-GEMM accumulation step (dd fit tier).
 
     Signature: ``(ah, al, bh, bl, pts, y, sw, y_scale, nodes, weights,
@@ -421,16 +494,15 @@ def _get_device_step_dd(b: int, p: int, cutoff: int, s_log2: int,
     pairs for A^T A and A^T y.  ``y_scale`` must be a power of two
     (division is exact).  With a mesh, the per-scale integer GEMM
     outputs psum EXACTLY (see module comment), making the sharded
-    accumulation bit-identical to the single-device one.
+    accumulation bit-identical to the single-device one.  ``layout``
+    selects the design row build (:func:`_layout_for_block`).
     """
     import jax
     import jax.numpy as jnp
 
-    from pychebyshev_tpu.ops.eval import barycentric_coefficients
     from pychebyshev_tpu.ops.eval_dd import (
         _digit_planes_pair,
         _dd_mul,
-        _khatri_rao_dd,
         _split_f64,
     )
     from pychebyshev_tpu.ops.tt_eval_dd import _dd_add
@@ -452,15 +524,7 @@ def _get_device_step_dd(b: int, p: int, cutoff: int, s_log2: int,
 
     def step(ah, al, bh, bl, pts, y, sw, y_scale, nodes, weights,
              dpows):
-        d = pts.shape[1]
-        dim_pairs = []
-        for k in range(d):
-            rows64 = jnp.matmul(
-                barycentric_coefficients(pts[:, k], nodes[k],
-                                         weights[k]),
-                dpows[k], precision=jax.lax.Precision.HIGHEST)
-            dim_pairs.append(_split_f64(rows64))
-        rh, rl = _khatri_rao_dd(dim_pairs)           # (C, G) dd rows
+        rh, rl = _build_rows_dd(pts, nodes, weights, dpows, layout)
         swh, swl = _split_f64(sw * pre)              # exact pow2 fold
         rh, rl = _dd_mul(rh, rl, swh[:, None], swl[:, None])
         planes = _digit_planes_pair(rh, rl, b, p)
@@ -513,7 +577,8 @@ def _get_device_step_dd(b: int, p: int, cutoff: int, s_log2: int,
 
 def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
                                    grid_points, mesh=None,
-                                   data_axis: str = "dp"):
+                                   data_axis: str = "dp",
+                                   layouts=None):
     """Exact (f64-class) device Gram accumulation — see module comment.
 
     Same contract as :func:`_device_normal_accumulation`; returns
@@ -535,8 +600,8 @@ def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
     max_y = max((float(np.max(np.abs(v * s))) if v.size else 0.0)
                 for _, _, v, s in blocks) or 1.0
     y_scale = np.float64(2.0 ** np.ceil(np.log2(max_y)))
-    step = _get_device_step_dd(plan["b"], plan["p"], plan["cutoff"],
-                               plan["s_log2"], mesh, data_axis)
+    if layouts is None:
+        layouts = [("dense",)] * len(blocks)
 
     nodes64 = tuple(jnp.asarray(nd, jnp.float64) for nd in nodes)
     weights64 = tuple(jnp.asarray(w, jnp.float64) for w in weights)
@@ -544,7 +609,10 @@ def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
     al = jnp.zeros_like(ah)
     bh = jnp.zeros(grid_points, dtype=jnp.float32)
     bl = jnp.zeros_like(bh)
-    for pts, orders, vals, sqrt_scale in blocks:
+    for (pts, orders, vals, sqrt_scale), layout in zip(blocks, layouts):
+        step = _get_device_step_dd(plan["b"], plan["p"],
+                                   plan["cutoff"], plan["s_log2"],
+                                   mesh, data_axis, layout)
         dpows = tuple(
             jnp.asarray(
                 np.eye(nodes[k].shape[0]) if orders[k] == 0
@@ -594,6 +662,8 @@ def fit_dense_tensor(
     rcond: Optional[float] = None,
     derivative_data=None,
     engine: str = "host",
+    mesh=None,
+    data_axis: str = "dp",
 ) -> Tuple[np.ndarray, dict]:
     """Solve the scattered-data least-squares fit for a dense grid.
 
@@ -633,9 +703,19 @@ def fit_dense_tensor(
     — the MXU turns the ``N * G**2`` accumulation from the dominant
     cost into seconds for millions of samples; use it for huge noisy
     datasets, where its ~1e-4-class normal-matrix rounding sits far
-    below the sampling noise.  The default ``"host"`` engine stays
-    exact f64 (and is the right choice for exact-recovery fits).
-    Residual diagnostics are computed on host in f64 for both engines.
+    below the sampling noise.  ``engine="device-dd"`` accumulates
+    through the exact digit-GEMM tier
+    (:func:`_device_normal_accumulation_dd`): f64-class normal
+    equations (~1e-13 relative vs the host loops) at MXU rates — the
+    device engine for exact-recovery and tight-noise fits.  The
+    default ``"host"`` engine stays exact f64.  Residual diagnostics
+    are computed on host in f64 for every engine.
+
+    ``mesh``: data-parallel accumulation for the device engines —
+    sample chunks shard over ``data_axis``, partial Gram/rhs psum.
+    The f32 tier changes only summation order; the dd tier's integer
+    psums are exact, so its sharded result is bit-identical to the
+    single-device one.
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -659,9 +739,14 @@ def fit_dense_tensor(
     l2 = float(l2)
     if l2 < 0.0 or not np.isfinite(l2):
         raise ValueError(f"l2 must be finite and >= 0, got {l2}")
-    if engine not in ("host", "device"):
+    if engine not in ("host", "device", "device-dd"):
         raise ValueError(
-            f"engine must be 'host' or 'device', got {engine!r}")
+            f"engine must be 'host', 'device' or 'device-dd', got "
+            f"{engine!r}")
+    if mesh is not None and engine == "host":
+        raise ValueError(
+            "mesh= requires a device engine ('device' or "
+            "'device-dd'); the host engine is single-process f64")
     if engine == "device" and l2 == 0.0:
         # Exactly-determined systems squared through an f32-tier A^T A
         # (cond ~ squared) can lose most of the recovered accuracy;
@@ -740,15 +825,19 @@ def fit_dense_tensor(
     # The value design is the all-zero-orders special case.
     _design_chunk = _block_chunk_fn(points)
 
-    if engine == "device":
+    if engine in ("device", "device-dd"):
         ones = (np.sqrt(sample_weight) if sample_weight is not None
                 else np.ones(n_samples))
         spec = [(points, (0,) * d, values, ones)]
         spec += [(pts, orders, vals,
                   np.full(pts.shape[0], np.sqrt(weight)))
                  for pts, orders, vals, weight in blocks]
-        ata, aty = _device_normal_accumulation(
-            spec, nodes, weights, dim_design, grid_points)
+        accumulate = (_device_normal_accumulation_dd
+                      if engine == "device-dd"
+                      else _device_normal_accumulation)
+        ata, aty = accumulate(spec, nodes, weights, dim_design,
+                              grid_points, mesh=mesh,
+                              data_axis=data_axis)
     else:
         ata = np.zeros((grid_points, grid_points))
         aty = np.zeros(grid_points)
@@ -858,6 +947,9 @@ def fit_additive_tensors(
     sample_weight: Optional[np.ndarray] = None,
     rcond: Optional[float] = None,
     derivative_data=None,
+    engine: str = "host",
+    mesh=None,
+    data_axis: str = "dp",
 ) -> Tuple[List[np.ndarray], float, dict]:
     """Scattered-data least squares for an ADDITIVE (slider) model.
 
@@ -887,6 +979,12 @@ def fit_additive_tensors(
     group ``G_i`` contributes rows that are zero outside ``G_i``'s
     columns (and zero in the intercept column for any differentiated
     block).
+
+    ``engine`` / ``mesh`` / ``data_axis``: as in
+    :func:`fit_dense_tensor` — the additive design accumulates on the
+    accelerator through the same f32 or exact-dd step machinery (the
+    concatenated ``[1 | A_i]`` layout is a static step variant),
+    optionally dp-sharded with psum'd partials.
     """
     points = np.asarray(points, dtype=np.float64)
     values = np.asarray(values, dtype=np.float64)
@@ -1038,27 +1136,52 @@ def fit_additive_tensors(
 
     _design_chunk = _block_chunk_fn(points)
 
-    ata = np.zeros((columns, columns))
-    aty = np.zeros(columns)
+    if engine not in ("host", "device", "device-dd"):
+        raise ValueError(
+            f"engine must be 'host', 'device' or 'device-dd', got "
+            f"{engine!r}")
+    if mesh is not None and engine == "host":
+        raise ValueError(
+            "mesh= requires a device engine ('device' or "
+            "'device-dd'); the host engine is single-process f64")
     chunk = max(1024, _CHUNK_ELEMS // max(columns, 1))
-    for start in range(0, n_samples, chunk):
-        sl = slice(start, min(start + chunk, n_samples))
-        rows = _design_chunk(sl)
-        y = values[sl]
-        if sample_weight is not None:
-            sw = np.sqrt(sample_weight[sl])
-            rows = rows * sw[:, None]
-            y = y * sw
-        ata += rows.T @ rows
-        aty += rows.T @ y
-    for (pts, orders, vals, weight), owner in zip(deriv_blocks,
-                                                  block_owner):
-        block_fn = _block_chunk_fn(pts, orders, owner)
-        for start in range(0, pts.shape[0], chunk):
-            sl = slice(start, min(start + chunk, pts.shape[0]))
-            rows = block_fn(sl) * np.sqrt(weight)
+    if engine in ("device", "device-dd"):
+        ones = (np.sqrt(sample_weight) if sample_weight is not None
+                else np.ones(n_samples))
+        spec = [(points, (0,) * d, values, ones)]
+        layouts = [_layout_for_block(groups, None)]
+        for (pts, orders, vals, weight), owner in zip(deriv_blocks,
+                                                      block_owner):
+            spec.append((pts, orders, vals,
+                         np.full(pts.shape[0], np.sqrt(weight))))
+            layouts.append(_layout_for_block(groups, owner))
+        accumulate = (_device_normal_accumulation_dd
+                      if engine == "device-dd"
+                      else _device_normal_accumulation)
+        ata, aty = accumulate(spec, nodes, weights, dim_design,
+                              columns, mesh=mesh, data_axis=data_axis,
+                              layouts=layouts)
+    else:
+        ata = np.zeros((columns, columns))
+        aty = np.zeros(columns)
+        for start in range(0, n_samples, chunk):
+            sl = slice(start, min(start + chunk, n_samples))
+            rows = _design_chunk(sl)
+            y = values[sl]
+            if sample_weight is not None:
+                sw = np.sqrt(sample_weight[sl])
+                rows = rows * sw[:, None]
+                y = y * sw
             ata += rows.T @ rows
-            aty += rows.T @ (vals[sl] * np.sqrt(weight))
+            aty += rows.T @ y
+        for (pts, orders, vals, weight), owner in zip(deriv_blocks,
+                                                      block_owner):
+            block_fn = _block_chunk_fn(pts, orders, owner)
+            for start in range(0, pts.shape[0], chunk):
+                sl = slice(start, min(start + chunk, pts.shape[0]))
+                rows = block_fn(sl) * np.sqrt(weight)
+                ata += rows.T @ rows
+                aty += rows.T @ (vals[sl] * np.sqrt(weight))
 
     rank = None
     if l2 > 0.0:
@@ -1104,6 +1227,7 @@ def fit_additive_tensors(
         "l2": l2,
         "rank": None if rank is None else int(rank),
         "max_abs_residual": max_abs,
+        "engine": engine,
     }
     if deriv_blocks:
         block_diags = []
