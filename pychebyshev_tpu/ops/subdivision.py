@@ -267,24 +267,31 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
     """Best-first branch-and-bound driver shared by the dense and TT
     bounders.
 
-    ``evaluate_boxes(boxes)`` maps a (B, d, 2) batch of local sub-boxes
-    to ``(boxes, lb, cand_val, cand_loc, split_dim)``:
+    ``evaluate_boxes(boxes, aux)`` maps a (B, d, 2) batch of local
+    sub-boxes plus a length-B list of opaque per-box payloads (parent's
+    payload for split children; ``None`` for the root) to
+    ``(boxes, lb, cand_val, cand_loc, split_dim, aux_out)``:
 
     - ``boxes``: the boxes, possibly NARROWED in place (a monotonicity
       collapse pins a dim to one face when the gradient's enclosure has
       a fixed sign there — the minimum over the original box provably
       lies on that face, so bounds on the narrowed box bound the
-      original);
+      original) or REBASED into a new frame the payload describes (the
+      dense bounder's anchor promotion);
     - ``lb``: a proved lower bound on each (narrowed) box;
-    - ``cand_val`` / ``cand_loc``: the best EXACT interpolant value the
-      bounder saw in the box (center/corners) and its local coords;
+    - ``cand_val`` / ``cand_loc``: an ATTAINED-or-overestimating value
+      the bounder saw in the box and its ROOT-frame local coords
+      (anchored evaluations add their rigorous anchor error, keeping
+      the incumbent a valid upper bound on the true minimum);
     - ``split_dim``: the bisection dim, or -1 when nothing is left to
-      split (the box is then retired, its lb folded into the gap).
+      split (the box is then retired, its lb folded into the gap);
+    - ``aux_out``: the payload to carry on each returned box.
 
-    Children are always re-derived from the ROOT representation (exact
-    restriction; no error accumulation down the tree), and the incumbent
-    is only ever an exact interpolant value, so the returned ``value``
-    is attained and ``gap`` bounds its distance from the true minimum.
+    Children re-derive from their anchor representation (exact
+    restriction; anchor chains carry explicit rigorous error bounds
+    folded into ``lb``/``cand_val``), so the returned ``value`` upper-
+    bounds an attained value and ``gap`` bounds its distance from the
+    true minimum.
     """
     tol = float(tol)
     if tol <= 0.0:
@@ -301,10 +308,11 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
             best_loc = cand_loc[imin].copy()
 
     root = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
-    boxes, lb, cand_val, cand_loc, split_dim = evaluate_boxes(root)
+    boxes, lb, cand_val, cand_loc, split_dim, aux = evaluate_boxes(
+        root, [None])
     take_incumbent(cand_val, cand_loc)
-    # Heap of (lower_bound, counter, box, split_dim).
-    heap: List[Tuple[float, int, np.ndarray, int]] = []
+    # Heap of (lower_bound, counter, box, split_dim, payload).
+    heap: List[Tuple[float, int, np.ndarray, int, object]] = []
     counter = 0
     retired_lb = np.inf  # best-possible value inside retired boxes
     lb0 = float(lb[0])
@@ -313,7 +321,7 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
             retired_lb = lb0
         else:
             heapq.heappush(heap, (lb0, counter, boxes[0],
-                                  int(split_dim[0])))
+                                  int(split_dim[0]), aux[0]))
             counter += 1
 
     processed = 1
@@ -325,18 +333,19 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
             lb_all = min(proved_lb, retired_lb)
             return GlobalResult(best, best_loc, max(best - lb_all, 0.0),
                                 lb_all >= best - tol, processed)
-        batch, dims = [], []
+        batch, dims, payloads = [], [], []
         while heap and len(batch) < beam:
-            box_lb, _, box, sd = heapq.heappop(heap)
+            box_lb, _, box, sd, pl = heapq.heappop(heap)
             if box_lb >= best - tol:
                 continue
             batch.append(box)
             dims.append(sd)
+            payloads.append(pl)
         if not batch:
             continue
         children = _split_boxes(np.stack(batch), np.asarray(dims))
-        boxes, lbs, cand_val, cand_loc, split_dim = evaluate_boxes(
-            children)
+        boxes, lbs, cand_val, cand_loc, split_dim, aux = evaluate_boxes(
+            children, payloads + payloads)
         processed += children.shape[0]
         take_incumbent(cand_val, cand_loc)
         for i in np.argsort(lbs):
@@ -345,7 +354,8 @@ def _bnb_minimize(d: int, evaluate_boxes, *, tol: float, max_boxes: int,
                     retired_lb = min(retired_lb, float(lbs[i]))
                 else:
                     heapq.heappush(heap, (float(lbs[i]), counter,
-                                          boxes[i], int(split_dim[i])))
+                                          boxes[i], int(split_dim[i]),
+                                          aux[i]))
                     counter += 1
 
     if heap:
@@ -402,10 +412,15 @@ def eval_coeff_tensor_at(coeffs: np.ndarray, loc: np.ndarray) -> float:
     return float(v)
 
 
-def _choose_split_dims(boxes: np.ndarray, score: np.ndarray) -> np.ndarray:
+def _choose_split_dims(boxes: np.ndarray, score: np.ndarray,
+                       scale: Optional[np.ndarray] = None) -> np.ndarray:
     """Bisection dim per box from (tail score x width); -1 when every
-    dim is at the width floor (nothing left to split)."""
+    dim is at the width floor (nothing left to split).  ``scale`` maps
+    local widths to root-frame widths (anchored frames), so the width
+    floor stays an absolute root-frame quantity."""
     widths = boxes[:, :, 1] - boxes[:, :, 0]
+    if scale is not None:
+        widths = widths * scale
     ranked = np.where(widths > _MIN_BOX_WIDTH,
                       score * widths + widths * 1e-300, -np.inf)
     dims = np.argmax(ranked, axis=1)
@@ -437,15 +452,20 @@ def _best_exact_in_box(cen: np.ndarray, corners: np.ndarray,
 # temporaries.  Small tensors stay on numpy (jit compile time would
 # dominate).
 _JAX_STATS_MIN_SIZE = 20000
-_JAX_STATS_BUCKETS = (64, 256, 1024)
+_JAX_STATS_BUCKETS = (8, 32, 64, 256, 1024)
 
 
-@functools.lru_cache(maxsize=64)
-def _box_stats_jitted(shape: Tuple[int, ...]):
+@functools.lru_cache(maxsize=256)
+def _box_stats_jitted(shape: Tuple[int, ...], batched: bool = False):
     """Fused per-round statistics for a batch of sub-boxes of one
     coefficient-tensor shape: restriction chain, |c| enclosure, axis
     mass profiles, center and corner values, and derivative-range
-    ingredients — one XLA program, cached per (shape, bucket)."""
+    ingredients — one XLA program, cached per (shape, bucket).
+
+    ``batched=True`` takes per-box coefficient tensors ``(B,) + shape``
+    (the anchored search's mixed-anchor batches); the default
+    broadcasts ONE shared tensor, keeping the root path copy-free.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -453,7 +473,8 @@ def _box_stats_jitted(shape: Tuple[int, ...]):
 
     def stats(coeffs, mats):
         bsz = mats[0].shape[0]
-        sub = jnp.broadcast_to(coeffs, (bsz,) + shape)
+        sub = (coeffs if batched
+               else jnp.broadcast_to(coeffs, (bsz,) + shape))
         # Per-box restriction: mode products via moveaxis + batched
         # einsum (XLA plans the layouts and fuses the chain).
         for i in range(d):
@@ -488,6 +509,345 @@ def _box_stats_jitted(shape: Tuple[int, ...]):
                 tuple(masses), tuple(fibers))
 
     return jax.jit(stats, backend="cpu")
+
+
+def _make_full_stats(work: np.ndarray):
+    """Per-tensor bound machinery: ``full_stats(boxes) -> (lb,
+    cand_val, cand_loc, tails, glo, ghi)`` for batches of local
+    sub-boxes of ``work``'s cube.  Large tensors route through the
+    fused jitted XLA program (bucket-padded so compiles cache), small
+    ones through numpy."""
+    d = work.ndim
+    use_jax = work.size >= _JAX_STATS_MIN_SIZE
+    jit_stats = _box_stats_jitted(work.shape) if use_jax else None
+
+    def _raw_stats(boxes):
+        """(c0, total, centers, corners, axis masses, axis-0 fibers)."""
+        bsz = boxes.shape[0]
+        if use_jax:
+            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
+            padded = boxes
+            if nb != bsz:
+                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
+                padded = np.concatenate([boxes, pad])
+            mats = tuple(
+                np.stack([restriction_matrix(work.shape[i],
+                                             padded[b, i, 0],
+                                             padded[b, i, 1])
+                          for b in range(nb)])
+                for i in range(d))
+            c0, total, cen, cor, masses, fibers = jit_stats(work, mats)
+            return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
+                    np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
+                    [np.asarray(m)[:bsz] for m in masses],
+                    [np.asarray(f)[:bsz] for f in fibers])
+        sub = restrict_box_coeffs(work, boxes)
+        a = np.abs(sub)
+        masses = []
+        fibers = []
+        for i in range(d):
+            other = tuple(ax + 1 for ax in range(d) if ax != i)
+            masses.append(a.sum(axis=other))
+            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
+                              + (0,) * (d - 1 - i)])
+        total = masses[0].sum(axis=1)
+        c0 = sub.reshape(bsz, -1)[:, 0]
+        return (c0, total, center_values(sub),
+                corner_values(sub).reshape(bsz, -1), masses, fibers)
+
+    def _derivative_ranges(masses, fibers):
+        """Per-dim enclosures of d q / d local_i on each box WITHOUT
+        materializing derivative tensors: the exact constant term is an
+        O(n) fiber dot, and the variation is bounded by the
+        |.|-triangle-inequality column weights of the coefficient
+        differentiation operator applied to the axis mass profile."""
+        bsz = fibers[0].shape[0]
+        lo = np.empty((bsz, d))
+        hi = np.empty((bsz, d))
+        for i in range(d):
+            dm = _coeff_diff_matrix(work.shape[i])
+            g0 = fibers[i] @ dm[0]
+            full = masses[i] @ np.abs(dm).sum(axis=0)  # >= sum |c'_km|
+            rest = np.maximum(full - np.abs(g0), 0.0)
+            lo[:, i] = g0 - rest
+            hi[:, i] = g0 + rest
+        return lo, hi
+
+    def full_stats(boxes):
+        c0, total, cen, cor, masses, fibers = _raw_stats(boxes)
+        lb = c0 - (total - np.abs(c0))
+        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
+        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
+        glo, ghi = _derivative_ranges(masses, fibers)
+        # Mean-value form: q >= q(center) - sum_i max|dq/d local_i| —
+        # quadratically tighter than the coefficient enclosure on small
+        # boxes, rigorous by the mean value theorem.
+        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
+        lb = np.maximum(lb, cen - mv_slack)
+        return lb, cand_val, cand_loc, tails, glo, ghi
+
+    return full_stats
+
+
+@functools.lru_cache(maxsize=256)
+def _make_batched_stats(shape: Tuple[int, ...]):
+    """:func:`_make_full_stats` for PER-BOX coefficient tensors.
+
+    ``full_stats(boxes, coeffs)`` with coeffs ``(B,) + shape`` — the
+    anchored search's mixed-anchor batches: boxes from many small
+    anchors of one (menu-rounded) shape evaluate in ONE fused call
+    instead of one fragmented call per anchor."""
+    d = len(shape)
+    size = int(np.prod(shape))
+    use_jax = size >= _JAX_STATS_MIN_SIZE
+    jit_stats = _box_stats_jitted(shape, True) if use_jax else None
+
+    def _raw_stats(boxes, coeffs):
+        bsz = boxes.shape[0]
+        if use_jax:
+            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
+            padded = boxes
+            pcoeffs = coeffs
+            if nb != bsz:
+                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
+                padded = np.concatenate([boxes, pad])
+                pcoeffs = np.concatenate(
+                    [coeffs, np.broadcast_to(coeffs[:1],
+                                             (nb - bsz,) + shape)])
+            mats = tuple(
+                np.stack([restriction_matrix(shape[i], padded[b, i, 0],
+                                             padded[b, i, 1])
+                          for b in range(nb)])
+                for i in range(d))
+            c0, total, cen, cor, masses, fibers = jit_stats(pcoeffs,
+                                                           mats)
+            return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
+                    np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
+                    [np.asarray(m)[:bsz] for m in masses],
+                    [np.asarray(f)[:bsz] for f in fibers])
+        sub = np.stack([
+            restrict_box_coeffs(coeffs[b], boxes[b:b + 1])[0]
+            for b in range(bsz)])
+        a = np.abs(sub)
+        masses = []
+        fibers = []
+        for i in range(d):
+            other = tuple(ax + 1 for ax in range(d) if ax != i)
+            masses.append(a.sum(axis=other))
+            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
+                              + (0,) * (d - 1 - i)])
+        total = masses[0].sum(axis=1)
+        c0 = sub.reshape(bsz, -1)[:, 0]
+        return (c0, total, center_values(sub),
+                corner_values(sub).reshape(bsz, -1), masses, fibers)
+
+    def _derivative_ranges(masses, fibers):
+        bsz = fibers[0].shape[0]
+        lo = np.empty((bsz, d))
+        hi = np.empty((bsz, d))
+        for i in range(d):
+            dm = _coeff_diff_matrix(shape[i])
+            g0 = fibers[i] @ dm[0]
+            full = masses[i] @ np.abs(dm).sum(axis=0)
+            rest = np.maximum(full - np.abs(g0), 0.0)
+            lo[:, i] = g0 - rest
+            hi[:, i] = g0 + rest
+        return lo, hi
+
+    def full_stats(boxes, coeffs):
+        c0, total, cen, cor, masses, fibers = _raw_stats(boxes, coeffs)
+        lb = c0 - (total - np.abs(c0))
+        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
+        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
+        glo, ghi = _derivative_ranges(masses, fibers)
+        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
+        lb = np.maximum(lb, cen - mv_slack)
+        return lb, cand_val, cand_loc, tails, glo, ghi
+
+    return full_stats
+
+
+# --------------------------------------------------------------------------
+# Hierarchical anchoring: multilevel re-truncation of the search tree.
+#
+# Round-3 profiling showed certified search on large tensors spends
+# ~100% of wall time in the fused bound evaluator, whose per-box cost
+# is the ROOT tensor size — every box re-restricts from the root for
+# exactness.  But a restricted polynomial on a small box is much
+# smoother than the root: most of its Chebyshev mass truncates away
+# within a tiny budget.  Anchoring makes that a multilevel scheme:
+# when a subtree's box has descended _ANCHOR_DEPTH levels from its
+# anchor, its restricted tensor is materialized ONCE (host restriction
+# from the parent anchor), re-truncated with a geometrically-shrinking
+# rigorous budget (total over any chain <= tol/4), and becomes the new
+# local root for the subtree — descendants then pay the truncated size
+# instead of n^d.  All error is explicit: each anchor carries the
+# cumulative |p_restricted - p_anchor| bound; box lower bounds subtract
+# it, incumbent candidates add it, so every certificate remains
+# rigorous end-to-end.  Measured on an oscillatory 21^5 tensor this is
+# the difference between 626 s (uncertified at max_boxes) and seconds
+# (scripts/bench_global_calculus.py).
+# --------------------------------------------------------------------------
+
+_ANCHOR_DEPTH = 2              # levels between re-anchoring attempts
+_ANCHOR_MIN_SIZE = 20000       # don't anchor below the jit threshold
+_ANCHOR_SHRINK = 0.6           # promote only if <= this size fraction
+_ANCHOR_BYTE_BUDGET = 1 << 28  # stop creating anchors past 256 MB
+_PROMOTE_BYTES_PER_CALL = 1 << 28  # host-restriction work cap per call
+# Shape menu for anchor tensors: rounding keeps jit bucket reuse high.
+_ANCHOR_SHAPE_MENU = (2, 3, 4, 5, 6, 7, 8, 9, 11, 13, 15, 17, 21, 25,
+                      31, 41, 51, 65, 81, 101, 129)
+
+
+def _menu_ceil(n: int, cap: int) -> int:
+    for m in _ANCHOR_SHAPE_MENU:
+        if m >= n:
+            return min(m, cap)
+    return cap
+
+
+class _Anchor(NamedTuple):
+    tensor: np.ndarray   # truncated restricted coefficient tensor
+    eps: float           # cumulative rigorous |q_root - q_anchor| bound
+    mid: np.ndarray      # (d,) root-frame center of the anchor box
+    half: np.ndarray     # (d,) root-frame half-widths
+    chain: int           # anchors above this one (root = 0)
+
+
+def _make_anchored_evaluator(work: np.ndarray, tol_q: float,
+                             monotonicity: bool):
+    """The dense bounder's ``evaluate_boxes(boxes, aux)`` with
+    hierarchical anchoring; aux = (anchor_id, depth_since_anchor)."""
+    d = work.ndim
+    anchors = {0: _Anchor(work, 0.0, np.zeros(d), np.ones(d), 0)}
+    stats = {0: _make_full_stats(work)}
+    anchor_bytes = [work.nbytes]
+    next_id = [1]
+
+    def _promote(aid: int, box: np.ndarray):
+        parent = anchors[aid]
+        if parent.tensor.size < _ANCHOR_MIN_SIZE:
+            return None
+        if anchor_bytes[0] > _ANCHOR_BYTE_BUDGET:
+            return None
+        sub = restrict_box_coeffs(parent.tensor, box[None])[0]
+        budget = tol_q * 2.0 ** -(parent.chain + 4)
+        cropped, _ = truncate_coeff_tensor(sub, budget)
+        shape = tuple(_menu_ceil(cropped.shape[i], sub.shape[i])
+                      for i in range(d))
+        if np.prod(shape) > _ANCHOR_SHRINK * parent.tensor.size:
+            return None
+        kept = sub[tuple(slice(0, s) for s in shape)]
+        dropped = float(np.abs(sub).sum() - np.abs(kept).sum())
+        if dropped > budget:
+            return None
+        mid = parent.mid + parent.half * 0.5 * (box[:, 0] + box[:, 1])
+        half = parent.half * 0.5 * (box[:, 1] - box[:, 0])
+        new_id = next_id[0]
+        next_id[0] += 1
+        anchors[new_id] = _Anchor(np.ascontiguousarray(kept),
+                                  parent.eps + dropped, mid, half,
+                                  parent.chain + 1)
+        stats[new_id] = _make_full_stats(anchors[new_id].tensor)
+        anchor_bytes[0] += kept.nbytes
+        return new_id
+
+    def evaluate_boxes(boxes, aux):
+        bsz = boxes.shape[0]
+        boxes = boxes.copy()
+        out_aux = []
+        promote_budget = _PROMOTE_BYTES_PER_CALL
+        for b in range(bsz):
+            if aux[b] is None:
+                out_aux.append((0, 0))
+                continue
+            aid, depth = aux[b]
+            depth += 1
+            if depth >= _ANCHOR_DEPTH:
+                parent_bytes = anchors[aid].tensor.nbytes
+                if promote_budget >= parent_bytes:
+                    new_id = _promote(aid, boxes[b])
+                    if new_id is not None:
+                        promote_budget -= parent_bytes
+                        boxes[b] = np.tile(np.array([[-1.0, 1.0]]),
+                                           (d, 1))
+                        aid, depth = new_id, 0
+            out_aux.append((aid, depth))
+
+        lb = np.empty(bsz)
+        cand_val = np.empty(bsz)
+        cand_loc = np.empty((bsz, d))
+        split_dim = np.empty(bsz, dtype=np.intp)
+        # Group by anchor-tensor SHAPE, not anchor id: deep searches
+        # hold hundreds of small anchors, and per-anchor evaluation
+        # fragments the beam into bucket-padded single-digit jit calls
+        # (measured ~40% of round-4 wall time before this).  Boxes of
+        # equal shape evaluate in ONE call — shared-anchor groups via
+        # the broadcast program, mixed-anchor groups via the
+        # batched-coeffs program with stacked per-box tensors.
+        by_shape = {}
+        for b, (aid, _) in enumerate(out_aux):
+            by_shape.setdefault(anchors[aid].tensor.shape,
+                                []).append(b)
+
+        for shape, idx_list in by_shape.items():
+            idxs = np.asarray(idx_list)
+            aids = [out_aux[b][0] for b in idx_list]
+            gboxes = boxes[idxs]
+            single = all(a == aids[0] for a in aids)
+            if single:
+                full_stats = stats[aids[0]]
+
+                def run_stats(bx, sel=None, fs=full_stats):
+                    return fs(bx)
+            else:
+                batched = _make_batched_stats(shape)
+                gcoeffs = np.stack([anchors[a].tensor for a in aids])
+
+                def run_stats(bx, sel=None, batched=batched,
+                              gcoeffs=gcoeffs):
+                    cf = gcoeffs if sel is None else gcoeffs[sel]
+                    return batched(bx, cf)
+
+            glb, gcv, gcl, gtails, glo, ghi = run_stats(gboxes)
+            if monotonicity:
+                # Monotonicity: wherever partial i has a fixed sign on
+                # the box, the minimum lies on that face — collapse dim
+                # i to a point restriction there and re-evaluate the
+                # narrowed box.  The collapse proves q's own
+                # face-minimality; the p certificate only uses
+                # |p - q| <= eps on values.
+                pinned = np.zeros(gboxes.shape[0], dtype=bool)
+                for i in range(d):
+                    still_wide = gboxes[:, i, 0] < gboxes[:, i, 1]
+                    to_lo = still_wide & (glo[:, i] > 0.0)
+                    to_hi = still_wide & (ghi[:, i] < 0.0)
+                    gboxes[to_lo, i, 1] = gboxes[to_lo, i, 0]
+                    gboxes[to_hi, i, 0] = gboxes[to_hi, i, 1]
+                    pinned |= to_lo | to_hi
+                if pinned.any():
+                    sub = np.where(pinned)[0]
+                    klb, kcv, kcl, ktails, _, _ = run_stats(
+                        gboxes[sub], sub)
+                    glb[sub] = np.maximum(glb[sub], klb)
+                    better = kcv < gcv[sub]
+                    gcv[sub] = np.where(better, kcv, gcv[sub])
+                    gcl[sub] = np.where(better[:, None], kcl, gcl[sub])
+                    gtails[sub] = ktails
+            # Anchor error: lb must hold for the ROOT q, incumbents
+            # must overestimate an attained root-q value.
+            eps_v = np.array([anchors[a].eps for a in aids])
+            mid_v = np.stack([anchors[a].mid for a in aids])
+            half_v = np.stack([anchors[a].half for a in aids])
+            lb[idxs] = glb - eps_v
+            cand_val[idxs] = gcv + eps_v
+            cand_loc[idxs] = mid_v + half_v * gcl
+            boxes[idxs] = gboxes
+            split_dim[idxs] = _choose_split_dims(gboxes, gtails,
+                                                 scale=half_v)
+        return boxes, lb, cand_val, cand_loc, split_dim, out_aux
+
+    return evaluate_boxes
 
 
 def minimize_coeff_tensor(
@@ -547,105 +907,7 @@ def minimize_coeff_tensor(
         best = float(seed_value) + eps
         seeded = True
 
-    use_jax = work.size >= _JAX_STATS_MIN_SIZE
-    jit_stats = _box_stats_jitted(work.shape) if use_jax else None
-
-    def _raw_stats(boxes):
-        """(c0, total, centers, corners, axis masses, axis-0 fibers)
-        for a batch of boxes — through the fused jitted program for
-        large tensors (bucket-padded with full-domain boxes so the
-        compile caches), host numpy otherwise."""
-        bsz = boxes.shape[0]
-        if use_jax:
-            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
-            padded = boxes
-            if nb != bsz:
-                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
-                padded = np.concatenate([boxes, pad])
-            mats = tuple(
-                np.stack([restriction_matrix(work.shape[i],
-                                             padded[b, i, 0],
-                                             padded[b, i, 1])
-                          for b in range(nb)])
-                for i in range(d))
-            c0, total, cen, cor, masses, fibers = jit_stats(work, mats)
-            return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
-                    np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
-                    [np.asarray(m)[:bsz] for m in masses],
-                    [np.asarray(f)[:bsz] for f in fibers])
-        sub = restrict_box_coeffs(work, boxes)
-        a = np.abs(sub)
-        masses = []
-        fibers = []
-        for i in range(d):
-            other = tuple(ax + 1 for ax in range(d) if ax != i)
-            masses.append(a.sum(axis=other))
-            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
-                              + (0,) * (d - 1 - i)])
-        total = masses[0].sum(axis=1)
-        c0 = sub.reshape(bsz, -1)[:, 0]
-        return (c0, total, center_values(sub),
-                corner_values(sub).reshape(bsz, -1), masses, fibers)
-
-    def _derivative_ranges(masses, fibers):
-        """Per-dim enclosures of d q / d local_i on each box WITHOUT
-        materializing derivative tensors: the exact constant term is an
-        O(n) fiber dot, and the variation is bounded by the
-        |.|-triangle-inequality column weights of the coefficient
-        differentiation operator applied to the axis mass profile."""
-        bsz = fibers[0].shape[0]
-        lo = np.empty((bsz, d))
-        hi = np.empty((bsz, d))
-        for i in range(d):
-            dm = _coeff_diff_matrix(work.shape[i])
-            g0 = fibers[i] @ dm[0]
-            full = masses[i] @ np.abs(dm).sum(axis=0)  # >= sum |c'_km|
-            rest = np.maximum(full - np.abs(g0), 0.0)
-            lo[:, i] = g0 - rest
-            hi[:, i] = g0 + rest
-        return lo, hi
-
-    def _full_stats(boxes):
-        c0, total, cen, cor, masses, fibers = _raw_stats(boxes)
-        lb = c0 - (total - np.abs(c0))
-        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
-        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
-        glo, ghi = _derivative_ranges(masses, fibers)
-        # Mean-value form: q >= q(center) - sum_i max|dq/d local_i| —
-        # quadratically tighter than the coefficient enclosure on small
-        # boxes, rigorous by the mean value theorem.
-        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
-        lb = np.maximum(lb, cen - mv_slack)
-        return lb, cand_val, cand_loc, tails, glo, ghi
-
-    def evaluate_boxes(boxes):
-        boxes = boxes.copy()
-        lb, cand_val, cand_loc, tails, glo, ghi = _full_stats(boxes)
-        if monotonicity:
-            # Monotonicity: wherever partial i has a fixed sign on the
-            # box, the minimum lies on that face — collapse dim i to a
-            # point restriction there and re-evaluate the narrowed box.
-            # The collapse proves q's own face-minimality; the p
-            # certificate only uses |p - q| <= eps on values.
-            pinned = np.zeros(boxes.shape[0], dtype=bool)
-            for i in range(d):
-                still_wide = boxes[:, i, 0] < boxes[:, i, 1]
-                to_lo = still_wide & (glo[:, i] > 0.0)
-                to_hi = still_wide & (ghi[:, i] < 0.0)
-                boxes[to_lo, i, 1] = boxes[to_lo, i, 0]
-                boxes[to_hi, i, 0] = boxes[to_hi, i, 1]
-                pinned |= to_lo | to_hi
-            if pinned.any():
-                idx = np.where(pinned)[0]
-                klb, kcv, kcl, ktails, _, _ = _full_stats(boxes[idx])
-                lb[idx] = np.maximum(lb[idx], klb)
-                better = kcv < cand_val[idx]
-                cand_val[idx] = np.where(better, kcv, cand_val[idx])
-                cand_loc[idx] = np.where(better[:, None], kcl,
-                                         cand_loc[idx])
-                tails[idx] = ktails
-        split_dim = _choose_split_dims(boxes, tails)
-        return boxes, lb, cand_val, cand_loc, split_dim
+    evaluate_boxes = _make_anchored_evaluator(work, tol_q, monotonicity)
 
     res = _bnb_minimize(d, evaluate_boxes, tol=tol_q, max_boxes=max_boxes,
                         beam=beam, seed_value=best, seed_loc=best_loc)
@@ -742,7 +1004,7 @@ def minimize_tt_cores(
     if seed_loc is None:
         seed_loc = np.zeros(d)
 
-    def evaluate_boxes(boxes):
+    def evaluate_boxes(boxes, aux):
         bsz = boxes.shape[0]
         lb = np.empty(bsz)
         cv = np.empty(bsz)
@@ -754,7 +1016,7 @@ def minimize_tt_cores(
             sc[b] = tails
         mids = 0.5 * (boxes[:, :, 0] + boxes[:, :, 1])
         return (boxes, lb, cv, mids,
-                _choose_split_dims(boxes, sc))
+                _choose_split_dims(boxes, sc), [None] * bsz)
 
     return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
                          beam=beam, seed_value=seed_value,
