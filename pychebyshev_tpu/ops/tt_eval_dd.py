@@ -258,6 +258,11 @@ def _compiled(shapes: Tuple[Tuple[int, int, int], ...], cutoff: int):
 # --------------------------------------------------------------------------
 
 
+def grid_dims(shapes) -> Tuple[int, ...]:
+    """Per-dim node counts of a core-shape chain."""
+    return tuple(s[1] for s in shapes)
+
+
 def _merged_shapes(shapes, groups):
     """Supercore shapes of a grouped chain (no data movement)."""
     out = []
@@ -537,29 +542,54 @@ def tt_eval_batch_dd(coeff_cores, domain, points,
 
 @functools.lru_cache(maxsize=None)
 def _compiled_book(models_shapes: Tuple[Tuple[Tuple[int, int, int],
-                                              ...], ...], cutoff: int):
-    plan = tt_dd_plan(models_shapes[0], cutoff)
+                                              ...], ...], cutoff: int,
+                   groups: Tuple[int, ...] = None):
+    """Jitted book runner.  With ``groups``, every model serves the
+    grouped supercore chain over ONE shared set of per-group
+    Khatri-Rao row planes (group widths depend only on the common
+    grid, so the digit plan is shared too)."""
+    dims_n = tuple(s[1] for s in models_shapes[0])
+    if groups is not None:
+        merged_all = tuple(_merged_shapes(s, groups)
+                           for s in models_shapes)
+        plan = tt_dd_plan(merged_all[0], cutoff)
+        q_backs = tuple(_Q_SCALE_LOG2 * g for g in groups)
+        group_slices = []
+        i = 0
+        for g in groups:
+            group_slices.append((i, i + g))
+            i += g
+    else:
+        merged_all = models_shapes
+        plan = tt_dd_plan(models_shapes[0], cutoff)
+        q_backs = None
+        group_slices = [(k, k + 1) for k in range(len(dims_n))]
     b = plan["b"]
     js_by_i = plan["js_by_i"]
     p_r = 1 + max(i for i, _ in plan["pairs"])
-    dims_n = tuple(s[1] for s in models_shapes[0])
 
     def _one(models_planes, models_scales, lo, hi, pts):
-        r_planes_by_dim = []
+        pairs_by_dim = []
         for d, n_d in enumerate(dims_n):
             x = 2.0 * (pts[:, d] - lo[d]) / (hi[d] - lo[d]) - 1.0
             xhi, xlo = _split_f64(x)
-            qhi, qlo = _dd_recurrence(xhi, xlo, n_d)
-            r_planes_by_dim.append(_digit_planes_pair(qhi, qlo, b, p_r))
+            pairs_by_dim.append(_dd_recurrence(xhi, xlo, n_d))
+        r_planes = []
+        for a, z in group_slices:
+            if z - a == 1:
+                qhi, qlo = pairs_by_dim[a]
+            else:
+                qhi, qlo = _khatri_rao_dd(pairs_by_dim[a:z])
+            r_planes.append(_digit_planes_pair(qhi, qlo, b, p_r))
         return jnp.stack([
-            _chain_model(shapes_m, r_planes_by_dim, models_planes[m],
-                         models_scales[m], js_by_i, b)
-            for m, shapes_m in enumerate(models_shapes)])
+            _chain_model(shapes_m, r_planes, models_planes[m],
+                         models_scales[m], js_by_i, b, q_backs)
+            for m, shapes_m in enumerate(merged_all)])
 
     per_point = sum(
         max((1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * n_d
             for r_l, n_d, r_r in shapes_m)
-        for shapes_m in models_shapes)
+        for shapes_m in merged_all)
 
     @jax.jit
     def run(models_planes, models_scales, lo, hi, points):
@@ -575,7 +605,8 @@ def _compiled_book(models_shapes: Tuple[Tuple[Tuple[int, int, int],
 
 
 def tt_eval_batch_dd_models(models_cores, domain, points,
-                            cutoff: int = None) -> jax.Array:
+                            cutoff: int = None,
+                            groups="auto") -> jax.Array:
     """Book-of-TT-models digit-GEMM evaluation -> (M, N).
 
     The near-f64 analog of the stacked f32 TT book: M same-grid TT
@@ -583,6 +614,10 @@ def tt_eval_batch_dd_models(models_cores, domain, points,
     and row-plane build per dim; each model adds only its exact GEMM
     ladders and double-f32 rank chain.  With ``differentiate()`` models
     this serves a whole TT Greek report at ~1e-11 deviation.
+
+    ``groups`` (``"auto"`` default) serves every model through the
+    grouped supercore chain over shared per-group rows — group widths
+    depend only on the common grid, so one grouping fits the book.
     """
     models_cores = tuple(tuple(cs) for cs in models_cores)
     if not models_cores:
@@ -601,24 +636,53 @@ def tt_eval_batch_dd_models(models_cores, domain, points,
                 f"model {i} per-dim node counts "
                 f"{tuple(s[1] for s in sh)} differ from model 0's "
                 f"{grid0}; a book shares one grid")
-    return tt_dd_book_runner(models_cores, domain, cutoff)(points)
+    return tt_dd_book_runner(models_cores, domain, cutoff,
+                             groups=groups)(points)
 
 
 def tt_dd_book_runner(models_cores, domain, cutoff: int = None,
-                      mesh=None, data_axis: str = "dp"):
+                      mesh=None, data_axis: str = "dp",
+                      groups="auto"):
     """Prepare-once form of :func:`tt_eval_batch_dd_models`: returns a
     ``points -> (M, N)`` callable closing over every model's prepared
     core planes.  With ``mesh``, planes replicate and points shard
-    over ``data_axis``."""
+    over ``data_axis``.  ``groups`` as in
+    :func:`tt_eval_batch_dd_models` (``"auto"``: cost-model pick on
+    the widest-rank model; ``None``: per-dim chain)."""
     models_cores = tuple(tuple(cs) for cs in models_cores)
     models_shapes = tuple(
         tuple(tuple(int(x) for x in np.shape(c)) for c in cs)
         for cs in models_cores)
-    run, plan = _compiled_book(
-        models_shapes, tt_dd_plan(models_shapes[0], cutoff)["cutoff"])
+    cutoff = tt_dd_plan(models_shapes[0], cutoff)["cutoff"]
+    if groups == "auto":
+        # Plan on the model with the largest total rank load (the one
+        # the chain cost model should optimize for).
+        widest = max(models_shapes,
+                     key=lambda sh: sum(r * n * s for r, n, s in sh))
+        groups = tt_dd_auto_groups(widest, cutoff)
+    if groups is not None and tuple(groups) == (1,) * len(grid_dims(
+            models_shapes[0])):
+        groups = None
+    if groups is not None:
+        groups = tuple(int(g) for g in groups)
+        if (any(g < 1 for g in groups)
+                or sum(groups) != len(models_shapes[0])):
+            raise ValueError(
+                f"groups {groups} must be positive and sum to the "
+                f"number of cores ({len(models_shapes[0])})")
+        for sh in models_shapes:
+            if not tt_dd_plan(_merged_shapes(sh, groups),
+                              cutoff)["ok"]:
+                raise ValueError(
+                    f"grouped shapes outside the digit-GEMM budget; "
+                    f"loosen groups={groups}")
+    run, plan = _compiled_book(models_shapes, cutoff, groups)
     scales_all, planes_all = [], []
     for cs in models_cores:
-        scales, planes = _core_planes(cs, plan)
+        if groups is not None:
+            scales, planes = _grouped_core_planes(cs, groups, plan)
+        else:
+            scales, planes = _core_planes(cs, plan)
         scales_all.append(scales)
         planes_all.append(planes)
     scales_all, planes_all = tuple(scales_all), tuple(planes_all)

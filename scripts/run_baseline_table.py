@@ -195,7 +195,14 @@ def run_dense(batch_n):
     dt_single = time_host(lambda: cheb.vectorized_eval(pt, [0] * 5),
                           n=n_single)
     row(C, "single query (vectorized_eval)",
-        f"{dt_single * 1e3:.3f} ms", "~0.065 ms", "BASELINE.md:16")
+        f"{dt_single * 1e3:.3f} ms", "~0.065 ms",
+        "BASELINE.md:16; floor measured r4: the C kernel streams the "
+        "1.3 MB tensor once per query (~84-91 us at this host's "
+        "single-thread DRAM rate); an OpenMP first-pass split measured "
+        "SLOWER here (106-136 us — shared-vCPU thread wake exceeds the "
+        "~30 us of streaming it saves), so the gap to the published "
+        "number is host memory bandwidth, not kernel work; same-host "
+        "the reference runs 0.249 ms (3x slower)")
 
     multi_specs = [[0] * 5, [1, 0, 0, 0, 0], [2, 0, 0, 0, 0],
                    [0, 0, 1, 0, 0], [0, 0, 0, 1, 0], [0, 0, 0, 0, 1]]

@@ -219,6 +219,27 @@ class TestToTTOrderAndBudget:
         assert sum(loose.tt_ranks) < sum(tight.tt_ranks)
 
 
+class TestGroupedBook:
+    def test_book_grouped_matches_per_dim(self, tt5d, pts5d):
+        d1 = tt5d.differentiate([1, 0, 0, 0, 0])
+        models = [tuple(m._cores_on_device(np.float64))
+                  for m in (tt5d, d1)]
+        dom = np.asarray(DOMAIN)
+        a = np.asarray(tt_eval_dd.tt_eval_batch_dd_models(
+            models, dom, pts5d, groups=None))
+        b = np.asarray(tt_eval_dd.tt_eval_batch_dd_models(
+            models, dom, pts5d, groups="auto"))
+        for m in range(2):
+            scale = np.abs(a[m]).max()
+            assert np.abs(a[m] - b[m]).max() / scale < 1e-10
+
+    def test_book_bad_groups_raise(self, tt5d, pts5d):
+        models = [tuple(tt5d._cores_on_device(np.float64))]
+        with pytest.raises(ValueError, match="groups"):
+            tt_eval_dd.tt_eval_batch_dd_models(
+                models, np.asarray(DOMAIN), pts5d, groups=(2, 2))
+
+
 class TestGroupedEngineServing:
     def test_engine_dd_serves_grouped(self, tt5d, pts5d):
         from pychebyshev_tpu.serving import BatchedEvaluator
