@@ -284,6 +284,21 @@ class TestTTDigitGemmOnChip:
         scale = np.abs(ref).max()
         assert np.abs(fast - ref).max() / scale < 1e-8
 
+    def test_grouped_supercore_chain_on_chip(self, cheb):
+        # The round-4 north-star route under real Mosaic/XLA lowering:
+        # exact-compression to_tt + grouped dd chain must stay inside
+        # 1e-12 of the dense f64 path ON CHIP (the measured serving
+        # config: 18.3M q/s @ 2.5e-13).
+        tt = cheb.to_tt(tolerance=1e-13)
+        pts = np.stack([np.random.default_rng(23).uniform(lo, hi, 2048)
+                        for lo, hi in DOMAIN], axis=1)
+        ref = np.asarray(cheb.vectorized_eval_batch(pts, [0] * 5))
+        scale = np.abs(ref).max()
+        grouped = tt.eval_batch_dd(pts, groups="auto")
+        assert np.abs(grouped - ref).max() / scale < 1e-12
+        per_dim = tt.eval_batch_dd(pts, groups=None)
+        assert np.abs(grouped - per_dim).max() / scale < 1e-11
+
 
 class TestSliderDigitGemmOnChip:
     def test_slider_dd_near_f64_on_chip(self):
