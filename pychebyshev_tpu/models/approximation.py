@@ -1222,15 +1222,9 @@ class ChebyshevApproximation:
                 value_cores, arr.transpose(perm), float(sup_target))
             diagnostics["order"] = list(perm)
 
-        if perm == tuple(range(d)) and diagnostics is None:
-            obj = ChebyshevTT.from_values(
-                arr, d, [list(b) for b in self.domain], sizes,
-                max_rank=max_rank, tolerance=tolerance,
-                max_derivative_order=self.max_derivative_order,
-                additional_data=self.additional_data,
-                descriptor=self.descriptor)
-            return obj
-
+        # Every branch builds from the ALREADY-COMPUTED cores (the
+        # canonical path used to round-trip through from_values and
+        # re-run the identical TT-SVD — 2x the compression cost).
         coeff_cores = [tta.value_core_to_coeff_core(c)
                        for c in value_cores]
         obj = ChebyshevTT._from_coeff_cores(

@@ -1571,6 +1571,13 @@ class ChebyshevTT:
         the dense :meth:`ChebyshevApproximation.fit`) stack onto the
         sample set — each ALS core solve sees the derivative rows with
         ``D_k^{o_k}`` folded into the per-dim design rows.
+
+        Unlike the dense/spline/slider fits, there is no
+        ``engine=``/``mesh=`` here by design: the ALS solves are tiny
+        (``r n r`` unknowns per core) and the per-sweep interface
+        recurrences are sequential host work — the TT family's
+        data-parallel story is the build oracle
+        (:meth:`build` ``mesh=``), not the completion solver.
         """
         from pychebyshev_tpu.utils.fitting import fit_tt_cores
         from pychebyshev_tpu import Domain, Ns

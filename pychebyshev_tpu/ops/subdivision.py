@@ -511,6 +511,83 @@ def _box_stats_jitted(shape: Tuple[int, ...], batched: bool = False):
     return jax.jit(stats, backend="cpu")
 
 
+def _sub_raw_stats(sub: np.ndarray):
+    """(c0, total, centers, corners, axis masses, axis-0 fibers) from
+    a (B, *shape) batch of restricted coefficient tensors (numpy
+    fallback path; the jitted program computes the same quantities)."""
+    bsz = sub.shape[0]
+    d = sub.ndim - 1
+    a = np.abs(sub)
+    masses = []
+    fibers = []
+    for i in range(d):
+        other = tuple(ax + 1 for ax in range(d) if ax != i)
+        masses.append(a.sum(axis=other))
+        fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
+                          + (0,) * (d - 1 - i)])
+    total = masses[0].sum(axis=1)
+    c0 = sub.reshape(bsz, -1)[:, 0]
+    return (c0, total, center_values(sub),
+            corner_values(sub).reshape(bsz, -1), masses, fibers)
+
+
+def _derivative_ranges(shape, masses, fibers):
+    """Per-dim enclosures of d q / d local_i on each box WITHOUT
+    materializing derivative tensors: the exact constant term is an
+    O(n) fiber dot, and the variation is bounded by the
+    |.|-triangle-inequality column weights of the coefficient
+    differentiation operator applied to the axis mass profile."""
+    d = len(shape)
+    bsz = fibers[0].shape[0]
+    lo = np.empty((bsz, d))
+    hi = np.empty((bsz, d))
+    for i in range(d):
+        dm = _coeff_diff_matrix(shape[i])
+        g0 = fibers[i] @ dm[0]
+        full = masses[i] @ np.abs(dm).sum(axis=0)  # >= sum |c'_km|
+        rest = np.maximum(full - np.abs(g0), 0.0)
+        lo[:, i] = g0 - rest
+        hi[:, i] = g0 + rest
+    return lo, hi
+
+
+def _assemble_bounds(shape, boxes, raw):
+    """lb / candidates / tails / gradient ranges from raw stats — the
+    ONE owner of the bound formulas (shared by the broadcast and
+    batched-coeffs stats builders; a one-sided fix here cannot desync
+    the two paths)."""
+    c0, total, cen, cor, masses, fibers = raw
+    lb = c0 - (total - np.abs(c0))
+    tails = np.stack([total - m[:, 0] for m in masses], axis=1)
+    cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
+    glo, ghi = _derivative_ranges(shape, masses, fibers)
+    # Mean-value form: q >= q(center) - sum_i max|dq/d local_i| —
+    # quadratically tighter than the coefficient enclosure on small
+    # boxes, rigorous by the mean value theorem.
+    mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
+    lb = np.maximum(lb, cen - mv_slack)
+    return lb, cand_val, cand_loc, tails, glo, ghi
+
+
+def _restriction_mats(shape, padded):
+    """Per-box restriction matrices for the jitted stats programs."""
+    d = len(shape)
+    nb = padded.shape[0]
+    return tuple(
+        np.stack([restriction_matrix(shape[i], padded[b, i, 0],
+                                     padded[b, i, 1])
+                  for b in range(nb)])
+        for i in range(d))
+
+
+def _pad_boxes(boxes, bsz, d):
+    nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
+    if nb == bsz:
+        return boxes, nb
+    pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
+    return np.concatenate([boxes, pad]), nb
+
+
 def _make_full_stats(work: np.ndarray):
     """Per-tensor bound machinery: ``full_stats(boxes) -> (lb,
     cand_val, cand_loc, tails, glo, ghi)`` for batches of local
@@ -518,73 +595,24 @@ def _make_full_stats(work: np.ndarray):
     fused jitted XLA program (bucket-padded so compiles cache), small
     ones through numpy."""
     d = work.ndim
+    shape = work.shape
     use_jax = work.size >= _JAX_STATS_MIN_SIZE
-    jit_stats = _box_stats_jitted(work.shape) if use_jax else None
+    jit_stats = _box_stats_jitted(shape) if use_jax else None
 
     def _raw_stats(boxes):
-        """(c0, total, centers, corners, axis masses, axis-0 fibers)."""
         bsz = boxes.shape[0]
         if use_jax:
-            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
-            padded = boxes
-            if nb != bsz:
-                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
-                padded = np.concatenate([boxes, pad])
-            mats = tuple(
-                np.stack([restriction_matrix(work.shape[i],
-                                             padded[b, i, 0],
-                                             padded[b, i, 1])
-                          for b in range(nb)])
-                for i in range(d))
-            c0, total, cen, cor, masses, fibers = jit_stats(work, mats)
+            padded, nb = _pad_boxes(boxes, bsz, d)
+            out = jit_stats(work, _restriction_mats(shape, padded))
+            c0, total, cen, cor, masses, fibers = out
             return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
                     np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
                     [np.asarray(m)[:bsz] for m in masses],
                     [np.asarray(f)[:bsz] for f in fibers])
-        sub = restrict_box_coeffs(work, boxes)
-        a = np.abs(sub)
-        masses = []
-        fibers = []
-        for i in range(d):
-            other = tuple(ax + 1 for ax in range(d) if ax != i)
-            masses.append(a.sum(axis=other))
-            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
-                              + (0,) * (d - 1 - i)])
-        total = masses[0].sum(axis=1)
-        c0 = sub.reshape(bsz, -1)[:, 0]
-        return (c0, total, center_values(sub),
-                corner_values(sub).reshape(bsz, -1), masses, fibers)
-
-    def _derivative_ranges(masses, fibers):
-        """Per-dim enclosures of d q / d local_i on each box WITHOUT
-        materializing derivative tensors: the exact constant term is an
-        O(n) fiber dot, and the variation is bounded by the
-        |.|-triangle-inequality column weights of the coefficient
-        differentiation operator applied to the axis mass profile."""
-        bsz = fibers[0].shape[0]
-        lo = np.empty((bsz, d))
-        hi = np.empty((bsz, d))
-        for i in range(d):
-            dm = _coeff_diff_matrix(work.shape[i])
-            g0 = fibers[i] @ dm[0]
-            full = masses[i] @ np.abs(dm).sum(axis=0)  # >= sum |c'_km|
-            rest = np.maximum(full - np.abs(g0), 0.0)
-            lo[:, i] = g0 - rest
-            hi[:, i] = g0 + rest
-        return lo, hi
+        return _sub_raw_stats(restrict_box_coeffs(work, boxes))
 
     def full_stats(boxes):
-        c0, total, cen, cor, masses, fibers = _raw_stats(boxes)
-        lb = c0 - (total - np.abs(c0))
-        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
-        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
-        glo, ghi = _derivative_ranges(masses, fibers)
-        # Mean-value form: q >= q(center) - sum_i max|dq/d local_i| —
-        # quadratically tighter than the coefficient enclosure on small
-        # boxes, rigorous by the mean value theorem.
-        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
-        lb = np.maximum(lb, cen - mv_slack)
-        return lb, cand_val, cand_loc, tails, glo, ghi
+        return _assemble_bounds(shape, boxes, _raw_stats(boxes))
 
     return full_stats
 
@@ -596,7 +624,9 @@ def _make_batched_stats(shape: Tuple[int, ...]):
     ``full_stats(boxes, coeffs)`` with coeffs ``(B,) + shape`` — the
     anchored search's mixed-anchor batches: boxes from many small
     anchors of one (menu-rounded) shape evaluate in ONE fused call
-    instead of one fragmented call per anchor."""
+    instead of one fragmented call per anchor.  Shares the raw-stats
+    and bound-assembly formulas with the broadcast builder
+    (:func:`_sub_raw_stats` / :func:`_assemble_bounds`)."""
     d = len(shape)
     size = int(np.prod(shape))
     use_jax = size >= _JAX_STATS_MIN_SIZE
@@ -605,64 +635,25 @@ def _make_batched_stats(shape: Tuple[int, ...]):
     def _raw_stats(boxes, coeffs):
         bsz = boxes.shape[0]
         if use_jax:
-            nb = next((b for b in _JAX_STATS_BUCKETS if bsz <= b), bsz)
-            padded = boxes
+            padded, nb = _pad_boxes(boxes, bsz, d)
             pcoeffs = coeffs
             if nb != bsz:
-                pad = np.tile(np.array([[-1.0, 1.0]]), (nb - bsz, d, 1))
-                padded = np.concatenate([boxes, pad])
                 pcoeffs = np.concatenate(
                     [coeffs, np.broadcast_to(coeffs[:1],
                                              (nb - bsz,) + shape)])
-            mats = tuple(
-                np.stack([restriction_matrix(shape[i], padded[b, i, 0],
-                                             padded[b, i, 1])
-                          for b in range(nb)])
-                for i in range(d))
-            c0, total, cen, cor, masses, fibers = jit_stats(pcoeffs,
-                                                           mats)
+            out = jit_stats(pcoeffs, _restriction_mats(shape, padded))
+            c0, total, cen, cor, masses, fibers = out
             return (np.asarray(c0)[:bsz], np.asarray(total)[:bsz],
                     np.asarray(cen)[:bsz], np.asarray(cor)[:bsz],
                     [np.asarray(m)[:bsz] for m in masses],
                     [np.asarray(f)[:bsz] for f in fibers])
-        sub = np.stack([
+        return _sub_raw_stats(np.stack([
             restrict_box_coeffs(coeffs[b], boxes[b:b + 1])[0]
-            for b in range(bsz)])
-        a = np.abs(sub)
-        masses = []
-        fibers = []
-        for i in range(d):
-            other = tuple(ax + 1 for ax in range(d) if ax != i)
-            masses.append(a.sum(axis=other))
-            fibers.append(sub[(slice(None),) + (0,) * i + (slice(None),)
-                              + (0,) * (d - 1 - i)])
-        total = masses[0].sum(axis=1)
-        c0 = sub.reshape(bsz, -1)[:, 0]
-        return (c0, total, center_values(sub),
-                corner_values(sub).reshape(bsz, -1), masses, fibers)
-
-    def _derivative_ranges(masses, fibers):
-        bsz = fibers[0].shape[0]
-        lo = np.empty((bsz, d))
-        hi = np.empty((bsz, d))
-        for i in range(d):
-            dm = _coeff_diff_matrix(shape[i])
-            g0 = fibers[i] @ dm[0]
-            full = masses[i] @ np.abs(dm).sum(axis=0)
-            rest = np.maximum(full - np.abs(g0), 0.0)
-            lo[:, i] = g0 - rest
-            hi[:, i] = g0 + rest
-        return lo, hi
+            for b in range(bsz)]))
 
     def full_stats(boxes, coeffs):
-        c0, total, cen, cor, masses, fibers = _raw_stats(boxes, coeffs)
-        lb = c0 - (total - np.abs(c0))
-        tails = np.stack([total - m[:, 0] for m in masses], axis=1)
-        cand_val, cand_loc = _best_exact_in_box(cen, cor, boxes)
-        glo, ghi = _derivative_ranges(masses, fibers)
-        mv_slack = np.maximum(np.abs(glo), np.abs(ghi)).sum(axis=1)
-        lb = np.maximum(lb, cen - mv_slack)
-        return lb, cand_val, cand_loc, tails, glo, ghi
+        return _assemble_bounds(shape, boxes,
+                                _raw_stats(boxes, coeffs))
 
     return full_stats
 
@@ -764,14 +755,25 @@ def _make_anchored_evaluator(work: np.ndarray, tol_q: float,
             aid, depth = aux[b]
             depth += 1
             if depth >= _ANCHOR_DEPTH:
-                parent_bytes = anchors[aid].tensor.nbytes
-                if promote_budget >= parent_bytes:
+                parent = anchors[aid]
+                eligible = (parent.tensor.size >= _ANCHOR_MIN_SIZE
+                            and anchor_bytes[0] <= _ANCHOR_BYTE_BUDGET)
+                if eligible and promote_budget >= parent.tensor.nbytes:
+                    # Charge the ATTEMPT (the host restriction is paid
+                    # whether or not the shrink check accepts), and on
+                    # failure reset the depth counter so a lineage
+                    # retries only every _ANCHOR_DEPTH levels — deeper
+                    # boxes truncate better (review r4 finding: the
+                    # old success-only charge let failed attempts
+                    # bypass the cap every round).
+                    promote_budget -= parent.tensor.nbytes
                     new_id = _promote(aid, boxes[b])
                     if new_id is not None:
-                        promote_budget -= parent_bytes
                         boxes[b] = np.tile(np.array([[-1.0, 1.0]]),
                                            (d, 1))
                         aid, depth = new_id, 0
+                    else:
+                        depth = 0
             out_aux.append((aid, depth))
 
         lb = np.empty(bsz)
@@ -988,6 +990,64 @@ def _tt_box_stats(cores: Sequence[np.ndarray], box: np.ndarray):
     return mid, radius, float(vc[0, 0]), tails
 
 
+def _tt_box_stats_batch(cores: Sequence[np.ndarray],
+                        boxes: np.ndarray):
+    """:func:`_tt_box_stats` over a (B, d, 2) batch in one numpy pass.
+
+    Same interval transfer-matrix chain, vectorized: per dim the
+    per-box restricted cores come from ONE grouped batched einsum per
+    distinct (dyadic) interval, and the d+1 chain runs are batched
+    (B, r, r) matmuls.  The per-box Python loop this replaces was the
+    TT bounder's dominant cost (~35x the dense search's per-box time
+    on the bench table).  Returns (mid (B,), radius (B,), center (B,),
+    tails (B, d)).
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    bsz, d = boxes.shape[0], boxes.shape[1]
+    mids: List[np.ndarray] = []
+    rads: List[np.ndarray] = []
+    cens: List[np.ndarray] = []
+    for k, core in enumerate(cores):
+        r0, n, r1 = core.shape
+        pairs = boxes[:, k, :]
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        all_full = (uniq.shape[0] == 1 and uniq[0, 0] == -1.0
+                    and uniq[0, 1] == 1.0)
+        if all_full:
+            sub = np.broadcast_to(core, (bsz, r0, n, r1))
+        else:
+            sub = np.broadcast_to(core, (bsz, r0, n, r1)).copy()
+            for u, (lo, hi) in enumerate(uniq):
+                if lo == -1.0 and hi == 1.0:
+                    continue
+                m = restriction_matrix(n, lo, hi)
+                mask = inv == u
+                sub[mask] = np.einsum("brns,kn->brks", sub[mask], m)
+        mids.append(np.ascontiguousarray(sub[:, :, 0, :]))
+        rads.append(np.abs(sub[:, :, 1:, :]).sum(axis=2))
+        cens.append(np.einsum("brns,n->brs", sub, _t_at_zero(n)))
+
+    def chain(live):
+        vm = np.ones((bsz, 1, 1))
+        vr = np.zeros((bsz, 1, 1))
+        for k in range(d):
+            rk = rads[k] if live[k] else np.zeros_like(rads[k])
+            vm, vr = (vm @ mids[k],
+                      np.abs(vm) @ rk + vr @ np.abs(mids[k]) + vr @ rk)
+        return vm[:, 0, 0], vr[:, 0, 0]
+
+    mid, radius = chain([True] * d)
+    vc = np.ones((bsz, 1, 1))
+    for k in range(d):
+        vc = vc @ cens[k]
+    tails = np.empty((bsz, d))
+    for k in range(d):
+        live = [False] * d
+        live[k] = True
+        tails[:, k] = chain(live)[1]
+    return mid, radius, vc[:, 0, 0], tails
+
+
 def minimize_tt_cores(
     cores: Sequence[np.ndarray],
     *,
@@ -1006,17 +1066,11 @@ def minimize_tt_cores(
 
     def evaluate_boxes(boxes, aux):
         bsz = boxes.shape[0]
-        lb = np.empty(bsz)
-        cv = np.empty(bsz)
-        sc = np.empty((bsz, d))
-        for b in range(bsz):
-            mid, radius, center, tails = _tt_box_stats(cores, boxes[b])
-            lb[b] = mid - radius
-            cv[b] = center
-            sc[b] = tails
+        mid, radius, center, tails = _tt_box_stats_batch(cores, boxes)
+        lb = mid - radius
         mids = 0.5 * (boxes[:, :, 0] + boxes[:, :, 1])
-        return (boxes, lb, cv, mids,
-                _choose_split_dims(boxes, sc), [None] * bsz)
+        return (boxes, lb, center, mids,
+                _choose_split_dims(boxes, tails), [None] * bsz)
 
     return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
                          beam=beam, seed_value=seed_value,
@@ -1068,12 +1122,12 @@ def isolate_common_zeros_tt(
         keep = np.ones(batch.shape[0], dtype=bool)
         tails = np.zeros((batch.shape[0], d))
         for cores, margin in zip(core_lists, margins):
-            for b in range(batch.shape[0]):
-                if not keep[b]:
-                    continue
-                mid, radius, _, t = _tt_box_stats(cores, batch[b])
-                keep[b] &= abs(mid) <= radius + margin
-                tails[b] += t
+            if not keep.any():
+                break
+            idx = np.where(keep)[0]
+            mid, radius, _, t = _tt_box_stats_batch(cores, batch[idx])
+            keep[idx] &= np.abs(mid) <= radius + margin
+            tails[idx] += t
         batch = batch[keep]
         tails = tails[keep]
         if not batch.shape[0]:

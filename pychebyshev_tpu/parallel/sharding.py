@@ -392,8 +392,16 @@ def tt_eval_batch_dd_dp(coeff_cores, domain, points, mesh: Mesh,
         groups = tdd.tt_dd_auto_groups(shapes, plan["cutoff"])
     if groups is not None and tuple(groups) != (1,) * len(shapes):
         groups = tuple(int(g) for g in groups)
+        if any(g < 1 for g in groups) or sum(groups) != len(shapes):
+            raise ValueError(
+                f"groups {groups} must be positive and sum to the "
+                f"number of cores ({len(shapes)})")
         gplan = tdd.tt_dd_plan(tdd._merged_shapes(shapes, groups),
                                cutoff)
+        if not gplan["ok"]:
+            raise ValueError(
+                f"grouped shapes outside the digit-GEMM budget; "
+                f"loosen groups={groups}")
         run, gplan = tdd._compiled_grouped(shapes, groups,
                                            gplan["cutoff"])
         scales, planes = tdd._grouped_core_planes(

@@ -223,8 +223,14 @@ def _capped_block_rows(blocks, counts):
     return total
 
 
-def _fit_chunk_size(grid_points, blocks, mesh=None,
-                    data_axis: str = "dp"):
+# The exact tier's digit budget (2 * C * 2^(2b) < 2^24 with b >= 4)
+# caps the contracted chunk at 2^15 rows; larger fits just take more
+# chunks (review r4 finding: erroring here broke exactly the large-N
+# workloads the tier exists for).
+_DD_MAX_CHUNK = 1 << 15
+
+
+def _fit_chunk_size(grid_points, blocks, cap=None):
     """Accumulation chunk: amortize dispatches, cap at the data size.
 
     Bigger chunks than the host path: each step is one dispatch (and,
@@ -233,28 +239,40 @@ def _fit_chunk_size(grid_points, blocks, mesh=None,
     largest block's row count rounded to a power-of-two bucket: a
     small fit must not pad to the full-amortization chunk (~70x wasted
     GEMM work on a 3k-sample fit otherwise), and the bucketing keeps
-    the number of distinct compiled shapes bounded.  With a mesh the
-    chunk also rounds up to a multiple of the data axis (zero-weight
-    pad rows are exact).
+    the number of distinct compiled shapes bounded.
+
+    The chunk is deliberately MESH-INDEPENDENT: the sharded runs pad
+    each chunk's arrays up to the data-axis multiple (zero rows are
+    exact in both tiers) while keeping the same chunk BOUNDARIES, so
+    the dd tier's cross-chunk accumulation order — and hence its
+    bit-identical-under-sharding guarantee — does not depend on the
+    mesh size.
     """
     chunk = int(max(256, (1 << 24) // max(grid_points, 1)))
     max_rows = max(pts.shape[0] for pts, _, _, _ in blocks)
     bucket = 1 << int(np.ceil(np.log2(max(max_rows, 256))))
     chunk = min(chunk, bucket)
-    if mesh is not None:
-        size = int(mesh.shape[data_axis])
-        chunk += (-chunk) % size
+    if cap is not None:
+        chunk = min(chunk, int(cap))
     return chunk
 
 
-def _chunk_arrays(pts, vals, sqrt_scale, start, end, chunk, d):
-    p_c = np.zeros((chunk, d), dtype=np.float64)
-    y_c = np.zeros(chunk, dtype=np.float64)
-    s_c = np.zeros(chunk, dtype=np.float64)
+def _chunk_arrays(pts, vals, sqrt_scale, start, end, alloc, d):
+    p_c = np.zeros((alloc, d), dtype=np.float64)
+    y_c = np.zeros(alloc, dtype=np.float64)
+    s_c = np.zeros(alloc, dtype=np.float64)
     p_c[:end - start] = pts[start:end]
     y_c[:end - start] = vals[start:end]
     s_c[:end - start] = sqrt_scale[start:end]
     return p_c, y_c, s_c
+
+
+def _chunk_alloc(chunk, mesh, data_axis):
+    """Row allocation for one chunk: the chunk itself, padded up to a
+    data-axis multiple when sharded (padding rows are zero-weight)."""
+    if mesh is None:
+        return chunk
+    return chunk + (-chunk) % int(mesh.shape[data_axis])
 
 
 def _layout_for_block(groups=None, owner=None):
@@ -365,7 +383,8 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
                       for nd in nodes)
     weights_f32 = tuple(jnp.asarray(w, dtype=jnp.float32)
                         for w in weights)
-    chunk = _fit_chunk_size(grid_points, blocks, mesh, data_axis)
+    chunk = _fit_chunk_size(grid_points, blocks)
+    alloc = _chunk_alloc(chunk, mesh, data_axis)
     if layouts is None:
         layouts = [("dense",)] * len(blocks)
 
@@ -387,7 +406,7 @@ def _device_normal_accumulation(blocks, nodes, weights, dim_design,
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             p_c, y_c, s_c = _chunk_arrays(pts, vals, sqrt_scale,
-                                          start, end, chunk, d)
+                                          start, end, alloc, d)
             ata, aty = step(ata, aty,
                             jnp.asarray(p_c, jnp.float32),
                             jnp.asarray(y_c, jnp.float32),
@@ -459,28 +478,63 @@ def _get_device_step(mesh=None, data_axis: str = "dp",
 # --------------------------------------------------------------------------
 
 
-def _dd_fit_plan(chunk: int, d: int, max_sqrt_w: float):
-    """Digit widths for the exact Gram accumulation.
+def _dd_fit_plan(chunk: int, row_bound: float):
+    """Digit widths for the exact Gram accumulation of one block.
 
     ``b``: plane bits such that a symmetrized pair GEMM over the
     global chunk stays exact (``2 * C * 2^(2b) < 2^24``).  ``s_log2``:
-    power-of-two row pre-scale covering the Khatri-Rao Lebesgue growth
-    (|row entry| < ~2.8 per dim) times the largest sqrt-weight.
-    ``p``/``cutoff``: plane count / pair cutoff sized so quantization
-    sits ~48 bits below the pre-scale unit.
+    power-of-two row pre-scale covering ``row_bound`` — a rigorous
+    bound on the block's design-row entries INCLUDING derivative
+    folds: the Khatri-Rao Lebesgue growth per dim times each folded
+    ``|D^o|`` column sum times the largest sqrt-weight (review r4
+    finding: the old Lebesgue-only scale silently broke the digit
+    contract for derivative blocks).  ``p``/``cutoff``: plane count /
+    pair cutoff sized so quantization sits ~48 bits below the
+    pre-scale unit.
     """
     bits = 23 - int(np.ceil(np.log2(max(chunk, 2))))
     b = bits // 2
     if b < 4:
         return {"ok": False}
-    s_log2 = int(np.ceil(1.5 * d + np.log2(max(max_sqrt_w, 1.0))))
+    s_log2 = max(0, int(np.ceil(np.log2(max(row_bound, 1.0)))))
     # Dropped-pair residual ~ C * 2^-cutoff is the binding error term;
     # 58 + s lands the assembled Gram ~1e-13-class relative (measured;
     # 48 + s measured 4e-11 on the 3-D test problem).
     cutoff = 58 + s_log2
-    p = min(int(np.ceil(cutoff / b)), 16)
+    p = min(int(np.ceil(cutoff / b)), 24)
     return {"ok": True, "b": b, "p": p, "cutoff": cutoff,
             "s_log2": s_log2}
+
+
+def _block_row_bound(orders, dim_design, counts, max_sw, layout):
+    """Rigorous sup bound on one block's design-row entries.
+
+    Per dim: the barycentric row is bounded by the Lebesgue-style
+    factor ~2.8 (the eval_dd bound); a derivative fold multiplies by
+    ``max_j sum_i |D^o_{ij}|`` (|y_j| = |sum_i r_i D_ij| <=
+    max|r| * colsum_j).  Khatri-Rao multiplies the per-dim bounds; for
+    the additive layout each COLUMN belongs to one group (or the
+    intercept, bounded by 1), so the max over groups bounds every
+    entry.
+    """
+    d = len(counts)
+    per_dim = np.empty(d)
+    for k in range(d):
+        leb = 2.0 ** 1.5
+        if orders[k] > 0:
+            dmat = dim_design._dpow(k, orders[k])
+            leb *= float(np.abs(dmat).sum(axis=0).max())
+        per_dim[k] = leb
+    if layout[0] == "dense":
+        bound = float(np.prod(per_dim))
+    else:
+        _, groups, owner = layout
+        bound = 1.0
+        for gi, g in enumerate(groups):
+            if owner is not None and gi != owner:
+                continue
+            bound = max(bound, float(np.prod([per_dim[k] for k in g])))
+    return bound * max(max_sw, 1.0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -589,27 +643,40 @@ def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
     import jax.numpy as jnp
 
     d = len(nodes)
-    chunk = _fit_chunk_size(grid_points, blocks, mesh, data_axis)
-    max_sw = max(float(np.max(s)) if s.size else 1.0
-                 for _, _, _, s in blocks)
-    plan = _dd_fit_plan(chunk, d, max_sw)
-    if not plan["ok"]:
+    counts = [int(nd.shape[0]) for nd in nodes]
+    chunk = _fit_chunk_size(grid_points, blocks, cap=_DD_MAX_CHUNK)
+    alloc = _chunk_alloc(chunk, mesh, data_axis)
+    plan0 = _dd_fit_plan(chunk, 1.0)
+    if not plan0["ok"]:
         raise ValueError(
             f"fit chunk {chunk} leaves no digit budget for the exact "
             f"device tier; use engine='device' or 'host'")
-    max_y = max((float(np.max(np.abs(v * s))) if v.size else 0.0)
-                for _, _, v, s in blocks) or 1.0
-    y_scale = np.float64(2.0 ** np.ceil(np.log2(max_y)))
     if layouts is None:
         layouts = [("dense",)] * len(blocks)
 
     nodes64 = tuple(jnp.asarray(nd, jnp.float64) for nd in nodes)
     weights64 = tuple(jnp.asarray(w, jnp.float64) for w in weights)
-    ah = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
-    al = jnp.zeros_like(ah)
-    bh = jnp.zeros(grid_points, dtype=jnp.float32)
-    bl = jnp.zeros_like(bh)
+    ata = np.zeros((grid_points, grid_points))
+    aty = np.zeros(grid_points)
+    # Each block gets its OWN digit plan (the pre-scale must cover its
+    # derivative folds' |D^o| column sums) and its own accumulator
+    # pair, descaled to f64 before the cross-block sum — blocks with
+    # wildly different row magnitudes never share a quantization unit.
     for (pts, orders, vals, sqrt_scale), layout in zip(blocks, layouts):
+        max_sw = float(np.max(sqrt_scale)) if sqrt_scale.size else 1.0
+        bound = _block_row_bound(orders, dim_design, counts, max_sw,
+                                 layout)
+        # Digit widths key on the NONZERO row count (the chunk): mesh
+        # padding rows are exact zeros in every integer sum, so the
+        # plan — and the accumulation — stay mesh-independent.
+        plan = _dd_fit_plan(chunk, bound)
+        if not plan["ok"]:
+            raise ValueError(
+                f"fit chunk {chunk} leaves no digit budget for the "
+                f"exact device tier; use engine='device' or 'host'")
+        max_y = (float(np.max(np.abs(vals * sqrt_scale)))
+                 if vals.size else 0.0) or 1.0
+        y_scale = np.float64(2.0 ** np.ceil(np.log2(max_y)))
         step = _get_device_step_dd(plan["b"], plan["p"],
                                    plan["cutoff"], plan["s_log2"],
                                    mesh, data_axis, layout)
@@ -620,21 +687,25 @@ def _device_normal_accumulation_dd(blocks, nodes, weights, dim_design,
                 dtype=jnp.float64)
             for k in range(d)
         )
+        ah = jnp.zeros((grid_points, grid_points), dtype=jnp.float32)
+        al = jnp.zeros_like(ah)
+        bh = jnp.zeros(grid_points, dtype=jnp.float32)
+        bl = jnp.zeros_like(bh)
         n = pts.shape[0]
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             p_c, y_c, s_c = _chunk_arrays(pts, vals, sqrt_scale,
-                                          start, end, chunk, d)
+                                          start, end, alloc, d)
             ah, al, bh, bl = step(
                 ah, al, bh, bl, jnp.asarray(p_c), jnp.asarray(y_c),
                 jnp.asarray(s_c), jnp.asarray(y_scale), nodes64,
                 weights64, dpows)
-    back = np.float64(2.0 ** (2 * plan["s_log2"]))
-    ata = (np.asarray(ah, dtype=np.float64)
-           + np.asarray(al, dtype=np.float64)) * back
-    aty = ((np.asarray(bh, dtype=np.float64)
-            + np.asarray(bl, dtype=np.float64))
-           * np.float64(2.0 ** plan["s_log2"]) * float(y_scale))
+        back = np.float64(2.0 ** (2 * plan["s_log2"]))
+        ata += (np.asarray(ah, dtype=np.float64)
+                + np.asarray(al, dtype=np.float64)) * back
+        aty += ((np.asarray(bh, dtype=np.float64)
+                 + np.asarray(bl, dtype=np.float64))
+                * np.float64(2.0 ** plan["s_log2"]) * float(y_scale))
     return ata, aty
 
 

@@ -127,15 +127,15 @@ def main():
     tt = ChebyshevTT(q3, 3, [[-1, 1]] * 3, [9, 9, 9], tolerance=1e-12,
                      max_rank=8, vectorized=True)
     tt.build(verbose=False)
-    (v, pt), dt = timed(lambda: tt.minimize(tol=1e-9), reps=1)
-    rows.append(("TT 3-D rank<=8, certified 1e-9 (interval chain)",
+    (v, pt), dt = timed(lambda: tt.minimize(tol=1e-9), reps=2)
+    rows.append(("TT 3-D rank<=8, certified 1e-9 (warm; batched chain)",
                  f"{dt * 1e3:.0f} ms", f"min {v:+.2e}"))
 
     cps, dt = timed(lambda: c3.critical_points())
     rows.append(("critical_points dense 3-D",
                  f"{dt * 1e3:.0f} ms", f"{len(cps)} points"))
 
-    cps, dt = timed(lambda: tt.critical_points(), reps=1)
+    cps, dt = timed(lambda: tt.critical_points(), reps=2)
     rows.append(("critical_points TT 3-D (gradient TTs)",
                  f"{dt * 1e3:.0f} ms", f"{len(cps)} points"))
 

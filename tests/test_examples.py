@@ -31,6 +31,7 @@ EXAMPLES = [
     "fit_scattered",
     "multi_chip",
     "fdm_baseline",
+    "compressed_serving",
 ]
 
 

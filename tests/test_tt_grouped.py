@@ -164,6 +164,16 @@ class TestGroupedDD:
             tt_eval_dd.tt_eval_batch_dd(cores, dom, pts5d,
                                         groups=(2, 2))
 
+    def test_dp_bad_groups_raise(self, tt5d, pts5d):
+        from pychebyshev_tpu.parallel import sharding as sh
+        mesh = sh.make_mesh(8)
+        cores = tt5d._cores_on_device(np.float64)
+        dom = np.asarray(DOMAIN)
+        for bad in ((2, 2), (2, 0, 1, 1, 1)):
+            with pytest.raises(ValueError, match="groups"):
+                sh.tt_eval_batch_dd_dp(cores, dom, pts5d, mesh,
+                                       groups=bad)
+
     def test_grouped_dp_matches(self, tt5d, pts5d):
         from pychebyshev_tpu.parallel import sharding as sh
         mesh = sh.make_mesh(8)
