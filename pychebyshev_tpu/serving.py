@@ -449,6 +449,11 @@ class BatchedEvaluator:
             return tt_eval_batch_dd(self._cores, self._domain, points,
                                     groups="auto")
         from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        # Per-dim chain for BOTH f32 and f64: grouping was measured
+        # SLOWER for the f32 tier (110M -> 60M q/s on the compression
+        # chain — the f32 chain is fusion/HBM-bound and the Khatri-Rao
+        # row materialization adds traffic; docs/performance.md), so
+        # the grouped transform stays a dd-tier win.
         return tt_eval_batch(self._cores, self._domain, points)
 
     def _run_slider(self, points: jax.Array) -> jax.Array:

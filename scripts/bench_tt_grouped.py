@@ -98,6 +98,24 @@ def main():
                      "qps": n / dt})
         log(f"{label}: {dt * 1e3:.2f} ms -> {n / dt:,.0f} q/s")
 
+    # f32 tier: per-dim vs grouped chain on the compression ranks.
+    from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+    cores32 = tt_a._cores_on_device(np.float32)
+    dom_a = np.asarray(tt_a.domain, dtype=np.float64)
+    pts32 = pts.astype(jnp.float32)
+    for label, groups in (("A f32 per-dim", None),
+                          ("A f32 grouped auto", "auto")):
+        def fn32(p, groups=groups):
+            return tt_eval_batch(cores32, dom_a, p, groups=groups)
+
+        t0 = time.time()
+        fn32(pts32[:65536])
+        log(f"{label}: compile+first {time.time() - t0:.1f}s")
+        dt = chained_time_fn(fn32, pts32, iters=6, reps=2)
+        rows.append({"config": label, "groups": str(groups),
+                     "ms": dt * 1e3, "qps": n / dt})
+        log(f"{label}: {dt * 1e3:.2f} ms -> {n / dt:,.0f} q/s")
+
     # Accuracy pass: dense f64 truth on the probe slice.
     dense_ref = np.asarray(cheb.eval_batch(
         np.asarray(probe), derivative_order=[0] * 5))

@@ -229,6 +229,46 @@ class TestToTTOrderAndBudget:
         assert sum(loose.tt_ranks) < sum(tight.tt_ranks)
 
 
+class TestGroupedF32Chain:
+    def test_f32_grouped_matches_f64(self, tt5d, pts5d):
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        cores64 = tt5d._cores_on_device(np.float64)
+        cores32 = tt5d._cores_on_device(np.float32)
+        dom = np.asarray(DOMAIN)
+        ref = np.asarray(tt_eval_batch(cores64, dom, pts5d))
+        scale = np.abs(ref).max()
+        got = np.asarray(tt_eval_batch(
+            cores32, dom, pts5d.astype(np.float32), groups="auto"))
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_f64_grouped_exact_transform(self, tt5d, pts5d):
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        cores64 = tt5d._cores_on_device(np.float64)
+        dom = np.asarray(DOMAIN)
+        a = np.asarray(tt_eval_batch(cores64, dom, pts5d))
+        b = np.asarray(tt_eval_batch(cores64, dom, pts5d,
+                                     groups=(2, 2, 1)))
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-13
+
+    def test_f32_bad_groups_raise(self, tt5d, pts5d):
+        from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+        cores = tt5d._cores_on_device(np.float64)
+        with pytest.raises(ValueError, match="groups"):
+            tt_eval_batch(cores, np.asarray(DOMAIN), pts5d,
+                          groups=(2, 2))
+
+    def test_f32_engine_accuracy(self, tt5d, pts5d):
+        # The engine keeps the per-dim chain for f32 (grouping was
+        # measured SLOWER there — docs/performance.md); accuracy
+        # pinned either way.
+        import jax.numpy as jnp
+        from pychebyshev_tpu.serving import BatchedEvaluator
+        eng = BatchedEvaluator(tt5d, dtype=jnp.float32)
+        got = np.asarray(eng(pts5d))
+        ref = tt5d.eval_batch(pts5d)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
 class TestGroupedBook:
     def test_book_grouped_matches_per_dim(self, tt5d, pts5d):
         d1 = tt5d.differentiate([1, 0, 0, 0, 0])
