@@ -277,6 +277,28 @@ def run_dense(batch_n):
     except Exception as e:
         row(C, "batched digit-GEMM (near-f64) throughput",
             f"skipped ({type(e).__name__})", "—", "")
+
+    # Exact-compression serving: the 1e-12-class route past 10M q/s
+    # (to_tt + grouped supercore dd chain, round 4).
+    try:
+        from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
+        ttc = cheb.to_tt(tolerance=1e-13)
+        comp_cores = ttc._cores_on_device(np.float64)
+        comp_dom = np.asarray(ttc.domain, dtype=np.float64)
+        dt_c = time_fn(lambda p: tt_eval_batch_dd(
+            comp_cores, comp_dom, p, groups="auto"),
+            pts64, iters=6, reps=2)
+        got = np.asarray(tt_eval_batch_dd(comp_cores, comp_dom,
+                                          jnp.asarray(pts),
+                                          groups="auto"))
+        dev_c = np.abs(got - approx).max() / np.abs(exact).max()
+        row(C, "compressed (to_tt 1e-13) grouped dd throughput",
+            f"{batch_n / dt_c:,.0f} q/s", "—",
+            f"dev from dense f64 {dev_c:.1e} — 1e-12-class serving "
+            f"past the 10M north star (docs/performance.md)")
+    except Exception as e:
+        row(C, "compressed (to_tt 1e-13) grouped dd throughput",
+            f"skipped ({type(e).__name__})", "—", "")
     return cheb
 
 

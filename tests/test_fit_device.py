@@ -304,6 +304,34 @@ class TestAdditiveFitEngines:
         assert np.abs(s_h.eval_batch(q) - s_d.eval_batch(q)).max() \
             < 1e-9
 
+    def test_f32_engine_predictions(self, samples6):
+        # The f32 additive device layout (_build_rows_f32 additive
+        # branch) — noisy-data tier, ~1e-3-class predictions.
+        pts, y = samples6
+        s_h = ChebyshevSlider.fit(pts, y, 6, self.DOM6, [6] * 6,
+                                  self.GROUPS, [0.5] * 6, l2=1e-6)
+        s_d = ChebyshevSlider.fit(pts, y, 6, self.DOM6, [6] * 6,
+                                  self.GROUPS, [0.5] * 6, l2=1e-6,
+                                  engine="device")
+        q = np.random.default_rng(7).uniform(0.05, 0.95, (300, 6))
+        scale = np.abs(s_h.eval_batch(q)).max()
+        assert np.abs(s_h.eval_batch(q) - s_d.eval_batch(q)).max() \
+            / scale < 5e-3
+
+    def test_f32_derivative_block_device(self, samples6):
+        # Additive f32 layout with a differentiated (owner-masked)
+        # block.
+        pts, y = samples6
+        rng = np.random.default_rng(8)
+        dpts = rng.uniform(0, 1, (200, 6))
+        dvals = 3 * np.cos(3 * dpts[:, 0]) * dpts[:, 1]
+        db = [(dpts, (1, 0, 0, 0, 0, 0), dvals, 1.0)]
+        t, c0, diag = fitting.fit_additive_tensors(
+            pts, y, self.DOM6, [6] * 6, self.GROUPS, l2=1e-6,
+            derivative_data=db, engine="device")
+        assert diag["engine"] == "device"
+        assert diag["rms"] < 0.05
+
     def test_engine_validation(self, samples6, mesh8):
         pts, y = samples6
         with pytest.raises(ValueError, match="engine"):

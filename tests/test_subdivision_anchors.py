@@ -116,6 +116,26 @@ class TestBatchedStats:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=1e-12)
 
+    def test_batched_jit_path_matches_numpy(self, monkeypatch):
+        # Force the fused jit program (batched-coeffs variant) on a
+        # small tensor and pin it against the numpy path.
+        rng = np.random.default_rng(2)
+        coeffs = rng.normal(size=(5, 5, 5))
+        coeffs[2:] *= 0.01
+        boxes = np.stack([
+            np.array([[-1.0, 0.0], [0.0, 1.0], [-0.5, 0.5]]),
+            np.array([[-0.25, 0.75], [-1.0, 1.0], [0.0, 0.5]]),
+        ])
+        stacked = np.stack([coeffs, coeffs * 0.5])
+        ref = sd._make_batched_stats((5, 5, 5))(boxes, stacked)
+        monkeypatch.setattr(sd, "_JAX_STATS_MIN_SIZE", 1)
+        sd._make_batched_stats.cache_clear()
+        jit_out = sd._make_batched_stats((5, 5, 5))(boxes, stacked)
+        sd._make_batched_stats.cache_clear()
+        for a, b in zip(ref, jit_out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
+
     def test_batched_distinct_tensors(self):
         rng = np.random.default_rng(1)
         c1 = rng.normal(size=(6, 6))
