@@ -614,7 +614,27 @@ def _make_full_stats(work: np.ndarray):
     def full_stats(boxes):
         return _assemble_bounds(shape, boxes, _raw_stats(boxes))
 
+    full_stats.raw_stats = _raw_stats
     return full_stats
+
+
+# Routing isolation through the fused jitted stats was MEASURED and
+# refuted (round 4): at 31^3 numpy 2.0 s vs fused 4.9 s warm, and even
+# at 25^4 (390k elements, direct isolate_common_zeros A/B) numpy
+# 59.7 s vs fused 68.7 s — the isolation beam (128 -> 256-bucket
+# padding) never amortizes the jit overhead the way minimize's
+# 1024-wide anchored batches do, and its per-box work is lighter (no
+# derivative enclosures to reuse).  The helper stays as the single
+# seam a future anchored isolation would replace.
+def _make_isolation_stats(tensor: np.ndarray):
+    """``(boxes) -> (c0, radius, per-dim tails)`` for the zero
+    isolation loop (matches :func:`box_enclosure` /
+    :func:`_tail_mass_per_dim` exactly)."""
+    def f(boxes):
+        sub = restrict_box_coeffs(tensor, boxes)
+        c0, rad = box_enclosure(sub)
+        return c0, rad, _tail_mass_per_dim(sub)
+    return f
 
 
 @functools.lru_cache(maxsize=256)
@@ -1181,6 +1201,8 @@ def isolate_common_zeros(
         raise ValueError(f"delta must be in (0, 1), got {delta}")
     margins = [1e-12 * max(float(np.abs(t).sum()), 1e-300)
                for t in coeff_tensors]
+    stats = [_make_isolation_stats(np.asarray(t, dtype=np.float64))
+             for t in coeff_tensors]
 
     active = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
     done: List[np.ndarray] = []
@@ -1195,15 +1217,14 @@ def isolate_common_zeros(
         batch, active = active[:beam], active[beam:]
         keep = np.ones(batch.shape[0], dtype=bool)
         tails = np.zeros((batch.shape[0], d))
-        for tensor, margin in zip(coeff_tensors, margins):
-            sub = restrict_box_coeffs(tensor, batch)
-            c0, rad = box_enclosure(sub)
+        for comp_stats, margin in zip(stats, margins):
+            c0, rad, comp_tails = comp_stats(batch)
             # The roundoff margin keeps zeros attained exactly on the
             # domain boundary or a bisection plane from being "proved"
             # away by ~eps noise in the restriction products (the
             # enclosure there is a knife edge: [c0 - rad, 0]).
             keep &= np.abs(c0) <= rad + margin
-            tails += _tail_mass_per_dim(sub)
+            tails += comp_tails
         batch = batch[keep]
         tails = tails[keep]
         if not batch.shape[0]:
