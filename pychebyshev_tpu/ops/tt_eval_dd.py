@@ -283,25 +283,53 @@ _MXU_DISCOUNT = 1.0 / 80.0
 _K_TILE = 128.0
 
 
-@functools.lru_cache(maxsize=None)
-def tt_dd_auto_groups(shapes: Tuple[Tuple[int, int, int], ...],
-                      cutoff: int = None) -> Tuple[int, ...]:
-    """Pick the cheapest contiguous core grouping for the dd chain.
+def _pair_fields(b: int, cutoff: int):
+    """(npairs, p, nscales) of a b-bit uniform digit plan — the three
+    schedule quantities the group cost model consumes."""
+    pairs, _ = pair_schedule(b, b, cutoff)
+    p = int(cutoff // b) + 1
+    nscales = len({b * (i + 1) + b * (j + 1) for i, j in pairs})
+    return len(pairs), p, nscales
 
-    Enumerates all 2^(d-1) contiguous partitions (d <= 12; larger
-    chains return per-dim) and scores each with a calibrated
-    MXU-vs-VPU cost model: GEMM ladder flops at K padded to a tile,
-    plus the double-f32 Khatri-Rao, digit extraction, recombination
-    and rank-reduction VPU work.  Partitions whose merged widths leave
-    the digit budget (``tt_dd_plan`` not ok) are skipped; per-dim is
-    always a candidate, so the result is never worse than the
-    ungrouped plan under the model.
-    """
-    shapes = tuple(tuple(int(x) for x in s) for s in shapes)
+
+def _width_digit_bits(w: int) -> int:
+    """Digit width a merged supercore of ``w`` grid columns allows
+    (mirrors ``tt_dd_plan``'s budget: 3 slack bits for the exact
+    same-scale pre-sums)."""
+    bits_budget = 24 - int(np.ceil(np.log2(max(w, 1)))) - 3
+    return min(8, bits_budget // 2)
+
+
+def _score_partition(shapes, groups, cutoff):
+    """(model cost, break mask) of one contiguous partition — the ONE
+    owner of the calibrated cost formula (the DP transition accumulates
+    the same five terms in the same order, so DP == enumeration
+    bit-exactly).  Returns (inf, mask) outside the digit budget."""
+    merged = _merged_shapes(shapes, groups)
+    plan = tt_dd_plan(merged, cutoff)
+    mask = 0
+    pos = 0
+    for g in groups[:-1]:
+        pos += g
+        mask |= 1 << (pos - 1)
+    if not plan["ok"]:
+        return np.inf, mask
+    b = plan["b"]
+    npairs, p_r, nscales = _pair_fields(b, plan["cutoff"])
+    cost = 0.0
+    for (r_l, w, r_r), glen in zip(merged, groups):
+        cost += npairs * max(w, _K_TILE) * r_l * r_r * _MXU_DISCOUNT
+        cost += 10.0 * w * (glen - 1)        # dd Khatri-Rao
+        cost += 3.0 * p_r * w                # digit extraction
+        cost += 8.0 * nscales * r_l * r_r    # scale recombination
+        cost += 12.0 * r_l * r_r             # interface dd mul+sum
+    return cost, mask
+
+
+def _enumerate_auto_groups(shapes, cutoff) -> Tuple[int, ...]:
+    """Reference 2^(d-1) enumeration of the planner (kept as the
+    regression oracle for the O(d^2) DP; not called in production)."""
     d = len(shapes)
-    if d <= 1 or d > 12:
-        return (1,) * d
-
     best_cost, best_groups = None, (1,) * d
     for mask in range(1 << (d - 1)):
         groups = []
@@ -313,24 +341,85 @@ def tt_dd_auto_groups(shapes: Tuple[Tuple[int, int, int], ...],
             else:
                 run += 1
         groups.append(run)
-        merged = _merged_shapes(shapes, groups)
-        plan = tt_dd_plan(merged, cutoff)
-        if not plan["ok"]:
+        cost, _ = _score_partition(shapes, tuple(groups), cutoff)
+        if not np.isfinite(cost):
             continue
-        b = plan["b"]
-        p_r = plan["p"]
-        npairs = len(plan["pairs"])
-        nscales = len({b * (i + 1) + b * (j + 1)
-                       for i, j in plan["pairs"]})
-        cost = 0.0
-        for (r_l, w, r_r), glen in zip(merged, groups):
-            cost += npairs * max(w, _K_TILE) * r_l * r_r * _MXU_DISCOUNT
-            cost += 10.0 * w * (glen - 1)        # dd Khatri-Rao
-            cost += 3.0 * p_r * w                # digit extraction
-            cost += 8.0 * nscales * r_l * r_r    # scale recombination
-            cost += 12.0 * r_l * r_r             # interface dd mul+sum
         if best_cost is None or cost < best_cost:
             best_cost, best_groups = cost, tuple(groups)
+    return best_groups
+
+
+@functools.lru_cache(maxsize=None)
+def tt_dd_auto_groups(shapes: Tuple[Tuple[int, int, int], ...],
+                      cutoff: int = None) -> Tuple[int, ...]:
+    """Pick the cheapest contiguous core grouping for the dd chain.
+
+    An O(d^2) dynamic program over contiguous partitions (any d — the
+    former 2^(d-1) enumeration silently fell back to per-dim past
+    d = 12, exactly where high-d slider->TT chains starve the MXU K
+    the most), scored with the calibrated MXU-vs-VPU cost model of
+    :func:`_score_partition`: GEMM ladder flops at K padded to a tile,
+    plus the double-f32 Khatri-Rao, digit extraction, recombination
+    and rank-reduction VPU work.
+
+    The digit width is set by the WIDEST merged supercore
+    (``tt_dd_plan``), which couples groups — so the DP runs once per
+    candidate width b (at most five), restricted to groups that allow
+    >= b, and the winners are re-scored with their true plan.  Because
+    the cost model is monotone non-increasing in b, the re-scored
+    minimum — ties broken by the enumeration's mask order — equals the
+    full enumeration's answer exactly (pinned by
+    ``tests/test_tt_grouped.py``).  Partitions outside the digit
+    budget are infeasible; per-dim is always a candidate, so the
+    result is never worse than the ungrouped plan under the model.
+    """
+    shapes = tuple(tuple(int(x) for x in s) for s in shapes)
+    d = len(shapes)
+    if d <= 1:
+        return (1,) * d
+    if cutoff is None:
+        cutoff = _PAIR_CUTOFF
+
+    dims_n = [s[1] for s in shapes]
+    candidates = []
+    for b in range(4, 9):
+        npairs, p_r, nscales = _pair_fields(b, cutoff)
+        # dp[j] = (cost, mask, groups) of the best partition of
+        # shapes[:j] whose every group allows digit width >= b.
+        dp = [(np.inf, 0, ())] * (d + 1)
+        dp[0] = (0.0, 0, ())
+        for j in range(1, d + 1):
+            best = (np.inf, 0, ())
+            for i in range(j - 1, -1, -1):
+                w = 1
+                for n in dims_n[i:j]:
+                    w *= n
+                if _width_digit_bits(w) < b:
+                    break                # widths only grow as i drops
+                pc, pmask, pgroups = dp[i]
+                if not np.isfinite(pc):
+                    continue
+                r_l, r_r = shapes[i][0], shapes[j - 1][2]
+                glen = j - i
+                c = pc
+                c += (npairs * max(w, _K_TILE) * r_l * r_r
+                      * _MXU_DISCOUNT)
+                c += 10.0 * w * (glen - 1)
+                c += 3.0 * p_r * w
+                c += 8.0 * nscales * r_l * r_r
+                c += 12.0 * r_l * r_r
+                mask = pmask | (1 << (i - 1)) if i > 0 else pmask
+                if (c, mask) < best[:2]:
+                    best = (c, mask, pgroups + (glen,))
+            dp[j] = best
+        if np.isfinite(dp[d][0]):
+            candidates.append(dp[d][2])
+
+    best_key, best_groups = None, (1,) * d
+    for groups in candidates:
+        key = _score_partition(shapes, groups, cutoff)
+        if np.isfinite(key[0]) and (best_key is None or key < best_key):
+            best_key, best_groups = key, groups
     return best_groups
 
 

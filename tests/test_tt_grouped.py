@@ -297,3 +297,63 @@ class TestGroupedEngineServing:
         got = np.asarray(eng(pts5d))
         ref = tt5d.eval_batch(pts5d)
         assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-12
+
+
+class TestAutoGroupsDP:
+    """The O(d^2) planner DP must reproduce the 2^(d-1) enumeration
+    exactly (cost model AND mask tie-break) wherever the enumeration is
+    tractable, and keep planning past the enumeration's old d=12
+    silent-fallback point."""
+
+    @staticmethod
+    def _random_chain(rng, d):
+        ranks = [1] + [int(rng.integers(1, 9)) for _ in range(d - 1)] \
+            + [1]
+        dims = [int(rng.integers(2, 22)) for _ in range(d)]
+        return tuple((ranks[k], dims[k], ranks[k + 1])
+                     for k in range(d))
+
+    def test_dp_equals_enumeration(self):
+        rng = np.random.default_rng(7)
+        for d in range(2, 13):
+            for _ in range(4):
+                shapes = self._random_chain(rng, d)
+                dp = tt_eval_dd.tt_dd_auto_groups(shapes)
+                ref = tt_eval_dd._enumerate_auto_groups(shapes, 44)
+                assert dp == ref, (shapes, dp, ref)
+
+    def test_dp_equals_enumeration_benchmark_chain(self, tt5d):
+        shapes = tuple(tuple(int(x) for x in c.shape)
+                       for c in tt5d._coeff_cores)
+        assert tt_eval_dd.tt_dd_auto_groups(shapes) == \
+            tt_eval_dd._enumerate_auto_groups(shapes, 44)
+
+    def test_high_d_chains_group(self):
+        # A 16-D rank-4 chain of 5-node dims: K=5 starves the MXU, so
+        # the planner must merge — the old enumeration returned per-dim
+        # for every d > 12 without a word.
+        shapes = tuple((1 if k == 0 else 4, 5,
+                        1 if k == 15 else 4) for k in range(16))
+        groups = tt_eval_dd.tt_dd_auto_groups(shapes)
+        assert sum(groups) == 16 and all(g >= 1 for g in groups)
+        assert groups != (1,) * 16
+        # Every merged width must stay inside the digit budget.
+        merged = tt_eval_dd._merged_shapes(shapes, groups)
+        assert tt_eval_dd.tt_dd_plan(merged)["ok"]
+
+    def test_high_d_never_worse_than_per_dim(self):
+        rng = np.random.default_rng(21)
+        for d in (13, 17, 25):
+            shapes = self._random_chain(rng, d)
+            groups = tt_eval_dd.tt_dd_auto_groups(shapes)
+            assert sum(groups) == d
+            c_dp, _ = tt_eval_dd._score_partition(shapes, groups, 44)
+            c_pd, _ = tt_eval_dd._score_partition(shapes, (1,) * d, 44)
+            assert c_dp <= c_pd
+
+    def test_cutoff_participates(self, tt5d):
+        shapes = tuple(tuple(int(x) for x in c.shape)
+                       for c in tt5d._coeff_cores)
+        for cutoff in (36, 44):
+            assert tt_eval_dd.tt_dd_auto_groups(shapes, cutoff) == \
+                tt_eval_dd._enumerate_auto_groups(shapes, cutoff)
