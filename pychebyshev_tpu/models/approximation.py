@@ -1850,7 +1850,11 @@ class ChebyshevApproximation:
             in ascending dim order.
         derivative_order : per-REMAINING-dim orders (ascending dim
             order), or None.
-        dtype : None (f64 parity) or ``jnp.float32`` throughput tier.
+        dtype : None (f64 parity), ``jnp.float32`` (throughput tier),
+            or ``"dd"`` — the near-f64 digit-GEMM tier (~1e-11-class;
+            falls back to f64 for grids outside the digit-plan budget,
+            like :meth:`eval_batch_dd`), so bucketed conditional
+            expectations serve at dd accuracy instead of software f64.
 
         Returns
         -------
@@ -1860,6 +1864,7 @@ class ChebyshevApproximation:
             raise RuntimeError("Call build() first")
         from pychebyshev_tpu.ops.integrate import (
             partial_integrate_eval_batch,
+            partial_integrate_eval_batch_dd,
         )
         from pychebyshev_tpu.utils.calculus import (
             validate_partial_integrate_args_batch,
@@ -1872,6 +1877,17 @@ class ChebyshevApproximation:
         full_orders = [0] * self.num_dimensions
         for k, o in zip(remaining, rem_orders):
             full_orders[k] = o
+
+        if isinstance(dtype, str) and dtype == "dd":
+            from pychebyshev_tpu.ops.eval_dd import supports_dd
+            if supports_dd(tuple(self.tensor_values.shape)):
+                out = partial_integrate_eval_batch_dd(
+                    self.tensor_values,
+                    np.asarray(self.domain, dtype=np.float64),
+                    self.nodes, self.weights, self.diff_matrices,
+                    tuple(dims), arr, pts, orders=tuple(full_orders))
+                return np.asarray(out)
+            dtype = None    # documented fallback outside the budget
 
         out = partial_integrate_eval_batch(
             self.tensor_values, np.asarray(self.domain, dtype=np.float64),

@@ -434,19 +434,37 @@ class ChebyshevTT:
         bounds : (B, d, 2) array-like — per-box, per-dim (lo, hi) in the
             USER frame, inside the domain.  Zero-measure dims integrate
             to an exact 0.
+        dtype : None (f64 parity), a float dtype (throughput tier), or
+            ``"dd"`` — the near-f64 grouped digit-GEMM tier
+            (~1e-12-class vs the f64 chain; falls back to f64 for
+            chains outside the digit budget, like :meth:`eval_batch`
+            with ``dtype="dd"``).
 
         Returns
         -------
         (B,) ndarray of box integrals.
         """
         self._check_built()
-        from pychebyshev_tpu.ops.integrate import tt_integrate_box_batch
+        from pychebyshev_tpu.ops.integrate import (
+            tt_integrate_box_batch,
+            tt_integrate_box_batch_dd,
+        )
         from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
 
         arr = normalize_bounds_batch(bounds, self._user_frame_domain())
         canonical = list(range(self.num_dimensions))
         if self._dim_order != canonical:
             arr = arr[:, self._dim_order, :]
+        if isinstance(dtype, str) and dtype == "dd":
+            from pychebyshev_tpu.ops.tt_eval_dd import tt_supports_dd
+            cores = self._cores_on_device(np.float64)
+            if tt_supports_dd(tuple(tuple(int(x) for x in c.shape)
+                                    for c in cores)):
+                out = tt_integrate_box_batch_dd(
+                    cores, np.asarray(self.domain, dtype=np.float64),
+                    arr, groups="auto")
+                return np.asarray(out)
+            dtype = None    # documented fallback outside the budget
         np_dtype = np.float64 if dtype is None else np.dtype(dtype)
         out = tt_integrate_box_batch(
             self._cores_on_device(np_dtype),
@@ -464,11 +482,14 @@ class ChebyshevTT:
 
         ``bounds``: (B, len(dims), 2) in sorted user-``dims`` order;
         ``points``: (B, d - len(dims)) in ascending remaining user-dim
-        order.  Returns (B,).
+        order.  ``dtype``: None (f64 parity), a float dtype, or
+        ``"dd"`` — the near-f64 grouped digit-GEMM tier (falls back to
+        f64 outside the digit budget).  Returns (B,).
         """
         self._check_built()
         from pychebyshev_tpu.ops.integrate import (
             tt_partial_integrate_eval_batch,
+            tt_partial_integrate_eval_batch_dd,
         )
         from pychebyshev_tpu.utils.calculus import (
             validate_partial_integrate_args_batch,
@@ -487,6 +508,17 @@ class ChebyshevTT:
                        if sp not in set(storage_int)]
         pts_cols = [remaining.index(self._dim_order[sp])
                     for sp in storage_rem]
+        if isinstance(dtype, str) and dtype == "dd":
+            from pychebyshev_tpu.ops.tt_eval_dd import tt_supports_dd
+            cores = self._cores_on_device(np.float64)
+            if tt_supports_dd(tuple(tuple(int(x) for x in c.shape)
+                                    for c in cores)):
+                out = tt_partial_integrate_eval_batch_dd(
+                    cores, np.asarray(self.domain, dtype=np.float64),
+                    tuple(storage_int), arr[:, arr_cols, :],
+                    pts[:, pts_cols], groups="auto")
+                return np.asarray(out)
+            dtype = None    # documented fallback outside the budget
         np_dtype = np.float64 if dtype is None else np.dtype(dtype)
         out = tt_partial_integrate_eval_batch(
             self._cores_on_device(np_dtype),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -38,8 +39,11 @@ from pychebyshev_tpu.ops.quadrature import (
 
 __all__ = ["integrate_box_batch", "integrate_box_batch_dd",
            "integrate_box_batch_models",
-           "partial_integrate_eval_batch", "tt_integrate_box_batch",
-           "tt_partial_integrate_eval_batch"]
+           "partial_integrate_eval_batch",
+           "partial_integrate_eval_batch_dd",
+           "tt_integrate_box_batch", "tt_integrate_box_batch_dd",
+           "tt_partial_integrate_eval_batch",
+           "tt_partial_integrate_eval_batch_dd"]
 
 
 def _quadrature_coeff_fn(shape, lo, hi):
@@ -205,6 +209,148 @@ def partial_integrate_eval_batch(tensor, domain, nodes, weights,
     return _partial_integrate_eval_impl(
         tensor, nodes, weights, diffs, dom[:, 0], dom[:, 1], packed,
         int_dims, orders)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_partial_dd(shape: tuple, int_dims: tuple, cutoff):
+    """Jitted mixed quadrature x barycentric digit-GEMM kernel for one
+    (grid shape, integrated-dims) plan.
+
+    The dense dd bilinear form (``ops.eval_dd._compiled``) with
+    per-dim row builders swapped by role: integrated dims get
+    sub-interval Fejer weight rows (f64 — one DCT-III matmul per dim,
+    cheap), evaluated dims get barycentric rows; derivative orders fold
+    into the cached tensor planes like ``eval_batch_dd``.  The shared
+    2^-5 right-group pre-scale stays valid for ANY dim mix: quadrature
+    row entries satisfy |w_i| <= 2 < 2.6 (sub-interval moments are
+    bounded by the measure <= 2 and the DCT-III's 1/n cancels the
+    k-sum), so a <= 3-dim right-group product stays under
+    2.6^3 < 2^5 — the same Lebesgue budget the eval plan uses.
+    """
+    from pychebyshev_tpu.ops import eval_dd
+    from pychebyshev_tpu.ops.eval import _khatri_rao
+
+    plan = eval_dd.dd_plan(shape, cutoff)
+    s = plan["s"]
+    n_left, n_right = plan["n_left"], plan["n_right"]
+    b_r, b_t = plan["b_r"], plan["b_t"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    n_dims = len(shape)
+    n_int = len(int_dims)
+    int_pos = {dim: i for i, dim in enumerate(int_dims)}
+    eval_pos = {dim: i for i, dim in
+                enumerate(k for k in range(n_dims) if k not in int_pos)}
+    wr_scale = np.float64(2.0 ** eval_dd._WR_SCALE_LOG2)
+    chunk = max(512, _DD_CHUNK_ELEMS_TARGET // max(n_right, 1))
+
+    def _rows(packed, lo, hi, nodes, weights):
+        boxes = packed[:, :2 * n_int].reshape(-1, n_int, 2)
+        pts = packed[:, 2 * n_int:]
+        rows = []
+        for dim in range(n_dims):
+            if dim in int_pos:
+                i = int_pos[dim]
+                a, c = lo[dim], hi[dim]
+                t_lo = 2.0 * (boxes[:, i, 0] - a) / (c - a) - 1.0
+                t_hi = 2.0 * (boxes[:, i, 1] - a) / (c - a) - 1.0
+                w = sub_interval_weight_matrix(shape[dim], t_lo, t_hi)
+                degenerate = boxes[:, i, 0] == boxes[:, i, 1]
+                rows.append(jnp.where(degenerate[:, None], 0.0, w))
+            else:
+                rows.append(barycentric_coefficients(
+                    pts[:, eval_pos[dim]], nodes[dim], weights[dim]))
+        return rows
+
+    def _one(tensor_planes, t_scale, lo, hi, halfs_masked, nodes,
+             weights, packed):
+        rows = _rows(packed, lo, hi, nodes, weights)
+        # Left group stays f64 (narrow); its integrated dims' physical
+        # measures fold in here (evaluated dims contribute 1).
+        w_left = _khatri_rao(rows[:s]) * jnp.prod(halfs_masked[:s])
+        scaled_first = rows[s] * (1.0 / wr_scale)
+        right_pairs = [eval_dd._split_f64(scaled_first)] + \
+            [eval_dd._split_f64(r) for r in rows[s + 1:]]
+        qhi, qlo = eval_dd._khatri_rao_dd(right_pairs)
+        r_planes = eval_dd._digit_planes_pair(qhi, qlo, b_r, p_r)
+        acc, comp = eval_dd.dd_gemm_ladder(r_planes, tensor_planes,
+                                           js_by_i, b_r, b_t, n_left)
+        right_scale = (wr_scale * t_scale
+                       * jnp.prod(halfs_masked[s:]))
+        y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
+            * right_scale
+        return jnp.sum(w_left * y, axis=1)
+
+    @jax.jit
+    def run(tensor_planes, t_scale, lo, hi, halfs_masked, nodes,
+            weights, packed):
+        n = packed.shape[0]
+        if n <= chunk:
+            return _one(tensor_planes, t_scale, lo, hi, halfs_masked,
+                        nodes, weights, packed)
+        pad = (-n) % chunk
+        padded = jnp.pad(packed, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, packed.shape[1])
+        out = jax.lax.map(
+            lambda p: _one(tensor_planes, t_scale, lo, hi, halfs_masked,
+                           nodes, weights, p), chunks)
+        return out.reshape(-1)[:n]
+
+    return run, plan
+
+
+def partial_integrate_eval_batch_dd(tensor, domain, nodes, weights,
+                                    diff_matrices, int_dims, bounds,
+                                    points, orders=None,
+                                    cutoff: int = None) -> jax.Array:
+    """Near-f64 batched conditional expectations via exact digit GEMMs.
+
+    The dd tier of :func:`partial_integrate_eval_batch` — same
+    signature and semantics, ~1e-12-class (scale-normalized) deviation
+    from the f64 path at a large multiple of the software-f64 rate:
+    mixed per-dim rows (sub-interval Fejer weights on ``int_dims``,
+    barycentric rows elsewhere) run through the shared exact digit-GEMM
+    ladder against the same cached (optionally derivative-folded)
+    tensor planes ``eval_batch_dd`` uses.  This makes the
+    bucket-mass / conditional-expectation workflow — the reference's
+    production scenario calculus (reference ``barycentric.py:2160-2275``
+    one box at a time) — servable at the dd tier instead of dropping to
+    software f64 the moment a box appears.  Raises for grids outside
+    the digit-plan budget (callers fall back to f64).
+    """
+    from pychebyshev_tpu.ops import eval_dd
+
+    shape = tuple(int(n) for n in tensor.shape)
+    d = len(shape)
+    int_dims = tuple(int(k) for k in int_dims)
+    orders = tuple(int(o) for o in (orders or (0,) * d))
+    if any(orders[k] > 0 for k in int_dims):
+        raise ValueError(
+            f"derivative orders {orders} nonzero on integrated dims "
+            f"{int_dims}")
+    if not eval_dd.supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use partial_integrate_eval_batch")
+    run, plan = _compiled_partial_dd(shape, int_dims, cutoff)
+    t_scale, tensor_planes = eval_dd._tensor_planes(
+        tensor, tuple(diff_matrices), orders, plan)
+    dom = jnp.asarray(domain, dtype=jnp.float64)
+    halfs = (dom[:, 1] - dom[:, 0]) * 0.5
+    mask = jnp.asarray([1.0 if k in set(int_dims) else 0.0
+                        for k in range(d)], jnp.float64)
+    halfs_masked = halfs * mask + (1.0 - mask)
+    b = jnp.asarray(bounds, dtype=jnp.float64).reshape(
+        -1, 2 * len(int_dims))
+    p = jnp.asarray(points, dtype=jnp.float64).reshape(
+        b.shape[0], d - len(int_dims))
+    packed = jnp.concatenate([b, p], axis=1)
+    nodes64 = tuple(jnp.asarray(nodes[k], jnp.float64) for k in range(d))
+    weights64 = tuple(jnp.asarray(weights[k], jnp.float64)
+                      for k in range(d))
+    return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
+               dom[:, 0], dom[:, 1], halfs_masked, nodes64, weights64,
+               packed)
 
 
 def _moment_row(n, a, c, b_lo, b_hi):
@@ -378,6 +524,306 @@ def tt_integrate_box_batch(coeff_cores, domain, bounds,
     return _tt_integrate_box_batch_impl(
         cores, dom[:, 0], dom[:, 1],
         b.reshape(b.shape[0], 2 * len(cores)))
+
+
+# --- near-f64 TT digit-GEMM tier --------------------------------------------
+# Box integration and conditional expectations through the (grouped)
+# TT digit-GEMM chain of ops.tt_eval_dd: the per-dim Chebyshev
+# polynomial rows are replaced by sub-interval MOMENT rows built in
+# double-f32 from the same T_k/2 recurrence the eval chain uses (the
+# antiderivative identity needs only differences of T values, integer
+# reciprocals as (hi, lo) constant pairs, and exact power-of-two
+# scalings), so the rows never touch software f64.  |m_k| <= measure
+# <= 2, so the eval chain's 2^-1 per-dim pre-scale and group back-
+# scales apply unchanged, and the prepared core digit planes are THE
+# SAME planes the eval chain caches — a serving engine answering evals
+# and bucket masses holds one set.  Physical measures fold into one
+# exact f64 scalar at the end.
+
+
+def _dd_moment_pairs(t_lo, t_hi, n: int):
+    """Half-scaled sub-interval Chebyshev moment rows ``m_k / 2`` in
+    double-f32: (qhi, qlo) of shape (N, n) with
+    ``m_k = integral_{t_lo}^{t_hi} T_k(t) dt`` (t-domain), accurate to
+    ~2^-45 absolute — inside the digit-plane budget.  The degenerate
+    (t_lo == t_hi) mask is the caller's job."""
+    from pychebyshev_tpu.ops.eval_dd import (
+        _dd_mul,
+        _split_f64,
+    )
+    from pychebyshev_tpu.ops.tt_eval_dd import _dd_add, _dd_recurrence
+
+    lhi, llo = _split_f64(t_lo)
+    hhi, hlo = _split_f64(t_hi)
+    half = np.float32(0.5)
+    # (t_hi - t_lo)/2 and (t_hi + t_lo)/2 as dd pairs.
+    dhi, dlo = _dd_add(hhi * half, hlo * half, -(lhi * half),
+                       -(llo * half))
+    cols_hi = [dhi]
+    cols_lo = [dlo]
+    if n > 1:
+        shi, slo = _dd_add(hhi * half, hlo * half, lhi * half,
+                           llo * half)
+        m1hi, m1lo = _dd_mul(dhi, dlo, shi, slo)   # (t_hi^2-t_lo^2)/4
+        cols_hi.append(m1hi)
+        cols_lo.append(m1lo)
+    if n > 2:
+        # T_k/2 at both endpoints for k <= n, then the antiderivative
+        # identity column-wise: m_k/2 = 0.5*(dTh_{k+1}/(k+1)
+        # - dTh_{k-1}/(k-1)) with dTh_k = (T_k(hi) - T_k(lo))/2.
+        thhi, thlo = _dd_recurrence(hhi, hlo, n + 1)
+        tlhi, tllo = _dd_recurrence(lhi, llo, n + 1)
+        dthi, dtlo = _dd_add(thhi, thlo, -tlhi, -tllo)
+        ks = np.arange(2, n)
+        rp = 1.0 / (ks + 1.0)
+        rm = 1.0 / (ks - 1.0)
+        rphi = rp.astype(np.float32)
+        rplo = (rp - rphi).astype(np.float32)
+        rmhi = rm.astype(np.float32)
+        rmlo = (rm - rmhi).astype(np.float32)
+        phi, plo = _dd_mul(dthi[:, ks + 1], dtlo[:, ks + 1],
+                           jnp.asarray(rphi)[None, :],
+                           jnp.asarray(rplo)[None, :])
+        mhi, mlo = _dd_mul(dthi[:, ks - 1], dtlo[:, ks - 1],
+                           jnp.asarray(rmhi)[None, :],
+                           jnp.asarray(rmlo)[None, :])
+        khi, klo = _dd_add(phi, plo, -mhi, -mlo)
+        cols_hi.append(khi * half)                 # exact halving
+        cols_lo.append(klo * half)
+    qhi = jnp.concatenate(
+        [c[:, None] if c.ndim == 1 else c for c in cols_hi], axis=1)
+    qlo = jnp.concatenate(
+        [c[:, None] if c.ndim == 1 else c for c in cols_lo], axis=1)
+    return qhi, qlo
+
+
+def _resolve_tt_dd_groups(shapes, groups, cutoff):
+    """Shared groups resolution for the TT dd integration kernels —
+    mirrors ``ops.tt_eval_dd.tt_eval_batch_dd`` exactly (auto planner,
+    per-dim for None, validation + merged-budget check)."""
+    from pychebyshev_tpu.ops.tt_eval_dd import (
+        _merged_shapes,
+        tt_dd_auto_groups,
+        tt_dd_plan,
+    )
+
+    plan = tt_dd_plan(shapes, cutoff)
+    if not plan["ok"]:
+        raise ValueError(
+            f"TT core shapes {shapes} outside the digit-GEMM budget; "
+            f"use the f64 path")
+    if groups == "auto":
+        groups = tt_dd_auto_groups(shapes, plan["cutoff"])
+    if groups is None:
+        groups = (1,) * len(shapes)
+    groups = tuple(int(g) for g in groups)
+    if any(g < 1 for g in groups) or sum(groups) != len(shapes):
+        raise ValueError(
+            f"groups {groups} must be positive and sum to the "
+            f"number of cores ({len(shapes)})")
+    gplan = tt_dd_plan(_merged_shapes(shapes, groups), plan["cutoff"])
+    if not gplan["ok"]:
+        raise ValueError(
+            f"grouped shapes outside the digit-GEMM budget; loosen "
+            f"groups={groups}")
+    return groups, gplan
+
+
+def _tt_dd_planes(coeff_cores, groups, gplan):
+    """Prepared core digit planes — the SAME caches the eval chain
+    uses (``ops.tt_eval_dd._core_planes`` / ``_grouped_core_planes``),
+    so engines serving evals and integrals share one working set."""
+    from pychebyshev_tpu.ops import tt_eval_dd as ttdd
+
+    cores = tuple(coeff_cores)
+    if groups == (1,) * len(cores):
+        return ttdd._core_planes(cores, gplan)
+    return ttdd._grouped_core_planes(cores, groups, gplan)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_tt_integrate_dd(shapes: tuple, groups: tuple, cutoff):
+    """Jitted grouped moment-row digit-GEMM chain for one plan."""
+    from pychebyshev_tpu.ops import tt_eval_dd as ttdd
+    from pychebyshev_tpu.ops.eval_dd import (
+        _digit_planes_pair,
+        _khatri_rao_dd,
+    )
+
+    merged = ttdd._merged_shapes(shapes, groups)
+    plan = ttdd.tt_dd_plan(merged, cutoff)
+    b = plan["b"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    dims_n = ttdd.grid_dims(shapes)
+    group_slices = []
+    i = 0
+    for g in groups:
+        group_slices.append((i, i + g))
+        i += g
+    q_backs = tuple(ttdd._Q_SCALE_LOG2 * g for g in groups)
+
+    def _one(core_planes, core_scales, lo, hi, measure, bflat):
+        boxes = bflat.reshape(-1, len(dims_n), 2)
+        pairs_by_dim = []
+        for d, n_d in enumerate(dims_n):
+            a, c = lo[d], hi[d]
+            t_lo = 2.0 * (boxes[:, d, 0] - a) / (c - a) - 1.0
+            t_hi = 2.0 * (boxes[:, d, 1] - a) / (c - a) - 1.0
+            qhi, qlo = _dd_moment_pairs(t_lo, t_hi, n_d)
+            degenerate = (boxes[:, d, 0] == boxes[:, d, 1])[:, None]
+            pairs_by_dim.append((jnp.where(degenerate, 0.0, qhi),
+                                 jnp.where(degenerate, 0.0, qlo)))
+        r_planes = []
+        for a2, z in group_slices:
+            ghi, glo = _khatri_rao_dd(pairs_by_dim[a2:z])
+            r_planes.append(_digit_planes_pair(ghi, glo, b, p_r))
+        out = ttdd._chain_model(merged, r_planes, core_planes,
+                                core_scales, js_by_i, b, q_backs)
+        return out * measure
+
+    @jax.jit
+    def run(core_planes, core_scales, lo, hi, measure, bflat):
+        per_point = max(
+            (1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * w
+            for r_l, w, r_r in merged)
+        return chunked_scalar_map(
+            lambda bf: _one(core_planes, core_scales, lo, hi, measure,
+                            bf), bflat, per_point * p_r)
+
+    return run, plan
+
+
+def tt_integrate_box_batch_dd(coeff_cores, domain, bounds,
+                              cutoff: int = None,
+                              groups="auto") -> jax.Array:
+    """Near-f64 batched TT box integration via exact digit GEMMs.
+
+    The dd tier of :func:`tt_integrate_box_batch` (reference analog of
+    the contraction: ``_calculus.py:388-404``, one box per call): the
+    (grouped supercore) rank chain of ``ops.tt_eval_dd`` runs with
+    double-f32 sub-interval moment rows instead of polynomial rows,
+    against the SAME cached core digit planes the eval chain prepares.
+    ~1e-12-class (scale-normalized) deviation from the f64 path at a
+    large multiple of the software-f64 rate.  ``groups`` as in
+    ``tt_eval_batch_dd`` (``"auto"`` default — the calibrated planner).
+    """
+    shapes = tuple(tuple(int(x) for x in np.shape(c))
+                   for c in coeff_cores)
+    groups, gplan = _resolve_tt_dd_groups(shapes, groups, cutoff)
+    run, gplan = _compiled_tt_integrate_dd(shapes, groups,
+                                           gplan["cutoff"])
+    scales, planes = _tt_dd_planes(coeff_cores, groups, gplan)
+    dom = np.asarray(domain, dtype=np.float64)
+    measure = float(np.prod((dom[:, 1] - dom[:, 0]) * 0.5))
+    bns = jnp.asarray(bounds, dtype=jnp.float64)
+    return run(planes, scales, jnp.asarray(dom[:, 0]),
+               jnp.asarray(dom[:, 1]),
+               jnp.asarray(measure, jnp.float64),
+               bns.reshape(bns.shape[0], 2 * len(shapes)))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_tt_partial_dd(shapes: tuple, groups: tuple,
+                            int_dims: tuple, cutoff):
+    """Jitted mixed moment x polynomial digit-GEMM chain: moment-row
+    pairs on ``int_dims`` (per-scenario boxes), eval-chain recurrence
+    pairs elsewhere (per-scenario coordinates) — both at the same 2^-1
+    per-dim pre-scale, so the group back-scales are unchanged."""
+    from pychebyshev_tpu.ops import tt_eval_dd as ttdd
+    from pychebyshev_tpu.ops.eval_dd import (
+        _digit_planes_pair,
+        _khatri_rao_dd,
+        _split_f64,
+    )
+
+    merged = ttdd._merged_shapes(shapes, groups)
+    plan = ttdd.tt_dd_plan(merged, cutoff)
+    b = plan["b"]
+    js_by_i = plan["js_by_i"]
+    p_r = 1 + max(i for i, _ in plan["pairs"])
+    dims_n = ttdd.grid_dims(shapes)
+    n_int = len(int_dims)
+    int_pos = {dim: i for i, dim in enumerate(int_dims)}
+    eval_pos = {dim: i for i, dim in
+                enumerate(k for k in range(len(dims_n))
+                          if k not in int_pos)}
+    group_slices = []
+    i = 0
+    for g in groups:
+        group_slices.append((i, i + g))
+        i += g
+    q_backs = tuple(ttdd._Q_SCALE_LOG2 * g for g in groups)
+
+    def _one(core_planes, core_scales, lo, hi, measure, packed):
+        boxes = packed[:, :2 * n_int].reshape(-1, n_int, 2)
+        pts = packed[:, 2 * n_int:]
+        pairs_by_dim = []
+        for d, n_d in enumerate(dims_n):
+            a, c = lo[d], hi[d]
+            if d in int_pos:
+                j = int_pos[d]
+                t_lo = 2.0 * (boxes[:, j, 0] - a) / (c - a) - 1.0
+                t_hi = 2.0 * (boxes[:, j, 1] - a) / (c - a) - 1.0
+                qhi, qlo = _dd_moment_pairs(t_lo, t_hi, n_d)
+                degenerate = (boxes[:, j, 0] == boxes[:, j, 1])[:, None]
+                pairs_by_dim.append((jnp.where(degenerate, 0.0, qhi),
+                                     jnp.where(degenerate, 0.0, qlo)))
+            else:
+                x = (2.0 * (pts[:, eval_pos[d]] - a) / (c - a) - 1.0)
+                xhi, xlo = _split_f64(x)
+                pairs_by_dim.append(
+                    ttdd._dd_recurrence(xhi, xlo, n_d))
+        r_planes = []
+        for a2, z in group_slices:
+            ghi, glo = _khatri_rao_dd(pairs_by_dim[a2:z])
+            r_planes.append(_digit_planes_pair(ghi, glo, b, p_r))
+        out = ttdd._chain_model(merged, r_planes, core_planes,
+                                core_scales, js_by_i, b, q_backs)
+        return out * measure
+
+    @jax.jit
+    def run(core_planes, core_scales, lo, hi, measure, packed):
+        per_point = max(
+            (1 + max(len(js) for js in js_by_i)) * r_l * r_r + 2 * w
+            for r_l, w, r_r in merged)
+        return chunked_scalar_map(
+            lambda pk: _one(core_planes, core_scales, lo, hi, measure,
+                            pk), packed, per_point * p_r)
+
+    return run, plan
+
+
+def tt_partial_integrate_eval_batch_dd(coeff_cores, domain, int_dims,
+                                       bounds, points,
+                                       cutoff: int = None,
+                                       groups="auto") -> jax.Array:
+    """Near-f64 TT conditional expectations via exact digit GEMMs.
+
+    The dd tier of :func:`tt_partial_integrate_eval_batch` (storage
+    frame, value only): the grouped rank chain runs with double-f32
+    moment rows on ``int_dims`` and the eval chain's Chebyshev
+    recurrence rows elsewhere, against the shared cached core planes.
+    ~1e-12-class deviation from the f64 path.
+    """
+    shapes = tuple(tuple(int(x) for x in np.shape(c))
+                   for c in coeff_cores)
+    int_dims = tuple(int(k) for k in int_dims)
+    groups, gplan = _resolve_tt_dd_groups(shapes, groups, cutoff)
+    run, gplan = _compiled_tt_partial_dd(shapes, groups, int_dims,
+                                         gplan["cutoff"])
+    scales, planes = _tt_dd_planes(coeff_cores, groups, gplan)
+    dom = np.asarray(domain, dtype=np.float64)
+    halfs = (dom[:, 1] - dom[:, 0]) * 0.5
+    measure = float(np.prod(halfs[list(int_dims)]))
+    b = jnp.asarray(bounds, dtype=jnp.float64).reshape(
+        -1, 2 * len(int_dims))
+    p = jnp.asarray(points, dtype=jnp.float64).reshape(
+        b.shape[0], len(shapes) - len(int_dims))
+    packed = jnp.concatenate([b, p], axis=1)
+    return run(planes, scales, jnp.asarray(dom[:, 0]),
+               jnp.asarray(dom[:, 1]),
+               jnp.asarray(measure, jnp.float64), packed)
 
 
 @functools.partial(jax.jit, static_argnames=("int_dims",))

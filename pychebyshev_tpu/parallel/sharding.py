@@ -42,6 +42,7 @@ __all__ = [
     "sharded_vectorized",
     "eval_batch_dp",
     "integrate_box_batch_dp",
+    "tt_integrate_box_batch_dd_dp",
     "eval_batch_dd_dp",
     "slider_batch_dd_dp",
     "tt_eval_batch_dd_dp",
@@ -303,6 +304,39 @@ def eval_batch_dd_dp(tensor, nodes, weights, diff_matrices, points,
     pts, n, pad = _dp_points(points, mesh, axis_name)
     out = _dp_run(run, 4, mesh, axis_name)(planes, t_scale, nodes64,
                                            weights64, pts)
+    return out[:n] if pad else out
+
+
+def tt_integrate_box_batch_dd_dp(coeff_cores, domain, bounds,
+                                 mesh: Mesh, axis_name: str = "dp",
+                                 cutoff: int = None,
+                                 groups="auto") -> jax.Array:
+    """Data-parallel near-f64 TT box integration: boxes shard over
+    ``axis_name``, the prepared (grouped) core digit planes replicate —
+    the scenario-calculus analog of :func:`eval_batch_dd_dp`, so a
+    mesh serves bucket masses at the per-chip dd rate x the axis size
+    with zero collectives past the initial broadcast."""
+    from pychebyshev_tpu.ops import integrate as integrate_ops
+
+    shapes = tuple(tuple(int(x) for x in np.shape(c))
+                   for c in coeff_cores)
+    groups, gplan = integrate_ops._resolve_tt_dd_groups(shapes, groups,
+                                                        cutoff)
+    run, gplan = integrate_ops._compiled_tt_integrate_dd(
+        shapes, groups, gplan["cutoff"])
+    scales, planes = integrate_ops._tt_dd_planes(coeff_cores, groups,
+                                                 gplan)
+    dom = np.asarray(domain, dtype=np.float64)
+    measure = jnp.asarray(float(np.prod((dom[:, 1] - dom[:, 0]) * 0.5)),
+                          jnp.float64)
+    planes, lo, hi, measure = _replicated(
+        (planes, jnp.asarray(dom[:, 0]), jnp.asarray(dom[:, 1]),
+         measure), mesh)
+    b = jnp.asarray(bounds, jnp.float64)
+    flat, n, pad = _dp_points(b.reshape(b.shape[0], 2 * len(shapes)),
+                              mesh, axis_name)
+    out = _dp_run(run, 5, mesh, axis_name)(planes, scales, lo, hi,
+                                           measure, flat)
     return out[:n] if pad else out
 
 
