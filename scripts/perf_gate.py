@@ -11,9 +11,11 @@ modes:
     when any metric falls below its floor fraction of the prior round.
     Floors encode the MEASURED run-to-run variance of this tunneled
     platform (CLAUDE.md): most rates band within ~±15%, the fused
-    kernel has swung 92-110M between healthy runs (floor 0.70), and
-    TT f32 ranges 60-190M run-to-run (docs/performance.md:189 — floor
-    0.35 until longer chains tighten it).
+    kernel has swung 92-110M between healthy runs (floor 0.70).
+    TT f32 historically ranged 60-190M because bench.py measured it
+    mid-process; round 5 moved it to an isolated subprocess (the
+    kernel is stable 163-180M standalone, docs/performance.md), so
+    its floor tightened 0.35 -> 0.70.
 
 ``--cpu``
     The CI-runnable accuracy gate: rates are hardware-bound, but the
@@ -42,7 +44,7 @@ _METRICS = {
     "fused_qps": (r"^pallas fused f32: .*-> ([\d,]+) queries/s", 0.70),
     "greeks_sets": (r"^f32 price\+5 Greeks batched: .*-> ([\d,]+) "
                     r"full Greek-sets/s", 0.70),
-    "tt_f32_qps": (r"^TT f32 batched: .*-> ([\d,]+) queries/s", 0.35),
+    "tt_f32_qps": (r"^TT f32 batched: .*-> ([\d,]+) queries/s", 0.70),
     "book_evals": (r"^8-model book batched \(f32\): .*-> ([\d,]+) "
                    r"model-evals/s", 0.70),
     "dd_qps": (r"^digit-GEMM \(dd\) batched: .*-> ([\d,]+) queries/s",
