@@ -126,6 +126,88 @@ def main():
         lambda b: tt_integrate_box_batch(cores, dom, b), dev_boxes)
     log(f"TT integrate_batch: {t_tt * 1e3:.2f} ms / {B:,} boxes")
     print(f"tt batched: {B / t_tt / 1e6:.2f}M boxes/s")
+
+    # ---- round-5 dd scenario calculus ------------------------------
+    from pychebyshev_tpu.ops.integrate import (
+        partial_integrate_eval_batch_dd,
+        tt_integrate_box_batch_dd,
+        tt_partial_integrate_eval_batch_dd,
+    )
+
+    # TT box integration through the grouped dd chain (exact
+    # compression model — the 1e-12-class serving route).
+    ttc = cheb.to_tt(tolerance=1e-13)
+    ccores = ttc._cores_on_device(np.float64)
+    ttdd_small = np.asarray(tt_integrate_box_batch_dd(
+        ccores, dom, boxes[:2048], groups="auto"))
+    ref_small = np.asarray(tt_integrate_box_batch(ccores, dom,
+                                                  boxes[:2048]))
+    dev_ttdd = (np.abs(ttdd_small - ref_small).max()
+                / max(1.0, np.abs(ref_small).max()))
+    t_ttdd = chained_time_fn(
+        lambda b: tt_integrate_box_batch_dd(ccores, dom, b,
+                                            groups="auto"), dev_boxes)
+    log(f"TT dd integrate_batch (grouped, compression chain): "
+        f"{t_ttdd * 1e3:.2f} ms / {B:,} boxes "
+        f"(dev from f64 {dev_ttdd:.1e})")
+    print(f"tt dd batched: {B / t_ttdd / 1e6:.2f}M boxes/s")
+
+    # Dense conditional expectations (partial integrate + eval) at the
+    # dd tier: integrate (S, T) buckets, evaluate the rest.
+    int_dims = (0, 2)
+    pib = boxes[:, [0, 2], :]
+    pib_pts = rng.uniform(dom[[1, 3, 4], 0], dom[[1, 3, 4], 1], (B, 3))
+    packed_b = jnp.asarray(pib)
+    packed_p = jnp.asarray(pib_pts)
+    pdd_small = np.asarray(partial_integrate_eval_batch_dd(
+        tensor, dom, cheb.nodes, cheb.weights, cheb.diff_matrices,
+        int_dims, pib[:2048], pib_pts[:2048]))
+    from pychebyshev_tpu.ops.integrate import (
+        partial_integrate_eval_batch,
+    )
+    pref = np.asarray(partial_integrate_eval_batch(
+        tensor, dom, cheb.nodes, cheb.weights, cheb.diff_matrices,
+        int_dims, pib[:2048], pib_pts[:2048]))
+    dev_pdd = np.abs(pdd_small - pref).max() / max(1.0,
+                                                   np.abs(pref).max())
+
+    def run_pdd(b):
+        return partial_integrate_eval_batch_dd(
+            tensor, dom, cheb.nodes, cheb.weights, cheb.diff_matrices,
+            int_dims, b, packed_p)
+
+    t_pdd = chained_time_fn(run_pdd, packed_b)
+    log(f"dense dd partial_integrate_batch (2 int dims): "
+        f"{t_pdd * 1e3:.2f} ms / {B:,} scenarios "
+        f"(dev from f64 {dev_pdd:.1e})")
+    print(f"dense dd conditional: {B / t_pdd / 1e6:.2f}M scenarios/s")
+
+    t_p64 = chained_time_fn(
+        lambda b: partial_integrate_eval_batch(
+            tensor, dom, cheb.nodes, cheb.weights, cheb.diff_matrices,
+            int_dims, b, packed_p), packed_b)
+    log(f"dense f64 partial_integrate_batch: {t_p64 * 1e3:.2f} ms")
+    print(f"dense f64 conditional: {B / t_p64 / 1e6:.2f}M scenarios/s")
+
+    # TT conditional expectations at the dd tier (compression chain).
+    tpdd_small = np.asarray(tt_partial_integrate_eval_batch_dd(
+        ccores, dom, int_dims, pib[:2048], pib_pts[:2048],
+        groups="auto"))
+    from pychebyshev_tpu.ops.integrate import (
+        tt_partial_integrate_eval_batch,
+    )
+    tpref = np.asarray(tt_partial_integrate_eval_batch(
+        ccores, dom, int_dims, pib[:2048], pib_pts[:2048]))
+    dev_tpdd = (np.abs(tpdd_small - tpref).max()
+                / max(1.0, np.abs(tpref).max()))
+    t_tpdd = chained_time_fn(
+        lambda b: tt_partial_integrate_eval_batch_dd(
+            ccores, dom, int_dims, b, packed_p, groups="auto"),
+        packed_b)
+    log(f"TT dd partial_integrate_batch (grouped): "
+        f"{t_tpdd * 1e3:.2f} ms / {B:,} scenarios "
+        f"(dev from f64 {dev_tpdd:.1e})")
+    print(f"tt dd conditional: {B / t_tpdd / 1e6:.2f}M scenarios/s")
     return 0
 
 

@@ -180,6 +180,30 @@ def gate_cpu() -> int:
     if f32 is not None:
         check("f32_dev", np.abs(f32 - ref).max() / scale, 2e-4)
 
+    # dd scenario calculus (round 5): bucket masses + conditional
+    # expectations at the digit-GEMM tier on dense and TT.
+    brng = np.random.default_rng(11)
+    blo = brng.uniform(lo, hi, (512, 5))
+    bhi = brng.uniform(blo, hi[None, :], (512, 5))
+    bxs = np.stack([blo, bhi], axis=-1)
+    ib_ref = cheb.integrate_batch(bxs)
+    ib_scale = max(np.abs(ib_ref).max(), 1e-300)
+    tt_ib = tt.integrate_batch(bxs, dtype="dd")
+    check("tt_dd_integrate_dev",
+          np.abs(tt_ib - tt.integrate_batch(bxs)).max() / ib_scale,
+          1e-10)
+    sub = bxs[:, [0, 2], :]
+    ppts = brng.uniform(lo[[1, 3, 4]], hi[[1, 3, 4]], (512, 3))
+    p_ref = cheb.partial_integrate_batch([0, 2], sub, ppts)
+    p_dd = cheb.partial_integrate_batch([0, 2], sub, ppts, dtype="dd")
+    p_scale = max(np.abs(p_ref).max(), 1e-300)
+    check("dense_dd_partial_dev",
+          np.abs(p_dd - p_ref).max() / p_scale, 1e-10)
+    tp_ref = tt.partial_integrate_batch([0, 2], sub, ppts)
+    tp_dd = tt.partial_integrate_batch([0, 2], sub, ppts, dtype="dd")
+    check("tt_dd_partial_dev",
+          np.abs(tp_dd - tp_ref).max() / p_scale, 1e-10)
+
     if any(not ok for _, _, _, ok in checks):
         print("\nPERF GATE (CPU accuracy invariants) FAILED")
         return 1
