@@ -618,23 +618,15 @@ def _make_full_stats(work: np.ndarray):
     return full_stats
 
 
-# Routing isolation through the fused jitted stats was MEASURED and
-# refuted (round 4): at 31^3 numpy 2.0 s vs fused 4.9 s warm, and even
-# at 25^4 (390k elements, direct isolate_common_zeros A/B) numpy
-# 59.7 s vs fused 68.7 s — the isolation beam (128 -> 256-bucket
-# padding) never amortizes the jit overhead the way minimize's
-# 1024-wide anchored batches do, and its per-box work is lighter (no
-# derivative enclosures to reuse).  The helper stays as the single
-# seam a future anchored isolation would replace.
-def _make_isolation_stats(tensor: np.ndarray):
-    """``(boxes) -> (c0, radius, per-dim tails)`` for the zero
-    isolation loop (matches :func:`box_enclosure` /
-    :func:`_tail_mass_per_dim` exactly)."""
-    def f(boxes):
-        sub = restrict_box_coeffs(tensor, boxes)
-        c0, rad = box_enclosure(sub)
-        return c0, rad, _tail_mass_per_dim(sub)
-    return f
+# Round-4 note, kept for the record: routing isolation through the
+# fused jitted stats WITHOUT anchors was measured and refuted (31^3
+# numpy 2.0 s vs fused 4.9 s; 25^4 59.7 s vs 68.7 s) — the isolation
+# beam never amortizes the jit overhead, and its per-box work is
+# lighter than minimize's.  The round-5 anchored loop below wins by
+# TENSOR SHRINKAGE instead (the lever that bought minimize 29x): all K
+# component tensors re-anchor together, and each anchor's rigorous
+# cumulative truncation bound folds into the zero-exclusion margin so
+# no box containing a true common zero is ever discarded.
 
 
 @functools.lru_cache(maxsize=256)
@@ -1010,43 +1002,10 @@ def _tt_box_stats(cores: Sequence[np.ndarray], box: np.ndarray):
     return mid, radius, float(vc[0, 0]), tails
 
 
-def _tt_box_stats_batch(cores: Sequence[np.ndarray],
-                        boxes: np.ndarray):
-    """:func:`_tt_box_stats` over a (B, d, 2) batch in one numpy pass.
-
-    Same interval transfer-matrix chain, vectorized: per dim the
-    per-box restricted cores come from ONE grouped batched einsum per
-    distinct (dyadic) interval, and the d+1 chain runs are batched
-    (B, r, r) matmuls.  The per-box Python loop this replaces was the
-    TT bounder's dominant cost (~35x the dense search's per-box time
-    on the bench table).  Returns (mid (B,), radius (B,), center (B,),
-    tails (B, d)).
-    """
-    boxes = np.asarray(boxes, dtype=np.float64)
-    bsz, d = boxes.shape[0], boxes.shape[1]
-    mids: List[np.ndarray] = []
-    rads: List[np.ndarray] = []
-    cens: List[np.ndarray] = []
-    for k, core in enumerate(cores):
-        r0, n, r1 = core.shape
-        pairs = boxes[:, k, :]
-        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-        all_full = (uniq.shape[0] == 1 and uniq[0, 0] == -1.0
-                    and uniq[0, 1] == 1.0)
-        if all_full:
-            sub = np.broadcast_to(core, (bsz, r0, n, r1))
-        else:
-            sub = np.broadcast_to(core, (bsz, r0, n, r1)).copy()
-            for u, (lo, hi) in enumerate(uniq):
-                if lo == -1.0 and hi == 1.0:
-                    continue
-                m = restriction_matrix(n, lo, hi)
-                mask = inv == u
-                sub[mask] = np.einsum("brns,kn->brks", sub[mask], m)
-        mids.append(np.ascontiguousarray(sub[:, :, 0, :]))
-        rads.append(np.abs(sub[:, :, 1:, :]).sum(axis=2))
-        cens.append(np.einsum("brns,n->brs", sub, _t_at_zero(n)))
-
+def _tt_interval_chains(mids, rads, cens, bsz: int, d: int):
+    """The d+1 interval transfer-matrix chain runs over prepared
+    per-dim (B, r, r) midpoint/radius/center blocks — shared by the
+    broadcast and per-box-cores stats builders."""
     def chain(live):
         vm = np.ones((bsz, 1, 1))
         vr = np.zeros((bsz, 1, 1))
@@ -1068,6 +1027,337 @@ def _tt_box_stats_batch(cores: Sequence[np.ndarray],
     return mid, radius, vc[:, 0, 0], tails
 
 
+def _tt_restrict_stats_dim(sub, boxes, k, bsz, broadcast_core=None):
+    """Per-box restricted (mid, rad, cen) blocks for one dim; grouped
+    one batched einsum per distinct (dyadic) interval."""
+    n = sub.shape[2]
+    pairs = boxes[:, k, :]
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    all_full = (uniq.shape[0] == 1 and uniq[0, 0] == -1.0
+                and uniq[0, 1] == 1.0)
+    if not all_full:
+        if broadcast_core is not None:
+            sub = sub.copy()
+        for u, (lo, hi) in enumerate(uniq):
+            if lo == -1.0 and hi == 1.0:
+                continue
+            m = restriction_matrix(n, lo, hi)
+            mask = inv == u
+            sub[mask] = np.einsum("brns,kn->brks", sub[mask], m)
+    return (np.ascontiguousarray(sub[:, :, 0, :]),
+            np.abs(sub[:, :, 1:, :]).sum(axis=2),
+            np.einsum("brns,n->brs", sub, _t_at_zero(n)))
+
+
+def _tt_box_stats_batch(cores: Sequence[np.ndarray],
+                        boxes: np.ndarray):
+    """:func:`_tt_box_stats` over a (B, d, 2) batch in one numpy pass.
+
+    Same interval transfer-matrix chain, vectorized: per dim the
+    per-box restricted cores come from ONE grouped batched einsum per
+    distinct (dyadic) interval, and the d+1 chain runs are batched
+    (B, r, r) matmuls.  The per-box Python loop this replaces was the
+    TT bounder's dominant cost (~35x the dense search's per-box time
+    on the bench table).  Returns (mid (B,), radius (B,), center (B,),
+    tails (B, d)).
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    bsz, d = boxes.shape[0], boxes.shape[1]
+    mids: List[np.ndarray] = []
+    rads: List[np.ndarray] = []
+    cens: List[np.ndarray] = []
+    for k, core in enumerate(cores):
+        r0, n, r1 = core.shape
+        sub = np.broadcast_to(core, (bsz, r0, n, r1))
+        m, r, cn = _tt_restrict_stats_dim(sub, boxes, k, bsz,
+                                          broadcast_core=core)
+        mids.append(m)
+        rads.append(r)
+        cens.append(cn)
+    return _tt_interval_chains(mids, rads, cens, bsz, d)
+
+
+def _tt_box_stats_batch_cores(stacked: Sequence[np.ndarray],
+                              boxes: np.ndarray):
+    """:func:`_tt_box_stats_batch` with PER-BOX cores — ``stacked`` is
+    a list over dims of (B, r0, n, r1) arrays (the anchored search's
+    mixed-anchor batches of one menu-rounded shape, exactly like the
+    dense search's batched-coeffs stats)."""
+    boxes = np.asarray(boxes, dtype=np.float64)
+    bsz, d = boxes.shape[0], boxes.shape[1]
+    mids: List[np.ndarray] = []
+    rads: List[np.ndarray] = []
+    cens: List[np.ndarray] = []
+    for k in range(d):
+        sub = np.ascontiguousarray(stacked[k])
+        m, r, cn = _tt_restrict_stats_dim(sub, boxes, k, bsz)
+        mids.append(m)
+        rads.append(r)
+        cens.append(cn)
+    return _tt_interval_chains(mids, rads, cens, bsz, d)
+
+
+# --------------------------------------------------------------------------
+# TT anchoring: multilevel rank + degree re-truncation of the TT search.
+#
+# The TT bounder's per-box cost is the FULL chain — O(sum r n^2 r) core
+# restrictions plus d+1 interval chain runs at the root's bond ranks —
+# for every box, however deep.  But a TT restricted to a small box is
+# numerically low-rank: its coefficient mass concentrates on the
+# constant term, so both trailing DEGREE slices (abs-chain tail bounds,
+# exactly like the dense search's truncate_coeff_tensor) and trailing
+# SINGULAR VALUES (right-canonical TT-SVD sweep; Frobenius error is
+# the root-sum-square of dropped sigmas, and sup <= sqrt(prod n) * Frob
+# for a Chebyshev coefficient error tensor) truncate away within a
+# rigorous budget.  Anchors carry the cumulative |q_root - q_anchor|
+# bound; box lower bounds subtract it and incumbents add it, exactly
+# like the dense anchoring, so certificates remain rigorous end-to-end
+# (up to the module's stated f64 roundoff caveat).
+# --------------------------------------------------------------------------
+
+_TT_ANCHOR_MIN_COST = 4096     # don't anchor chains cheaper than this
+# TT promote attempts are cheap individually (KB-scale cores) but a
+# failed lineage would retry every _ANCHOR_DEPTH levels forever — on a
+# 10-D rank-4 chain that measured 8x SLOWER than no anchoring at all.
+# Failed attempts back off geometrically (truncation succeeds DEEP,
+# where the restricted chain actually collapses), and each
+# evaluate_boxes call attempts at most this many promotions.
+_TT_PROMOTE_ATTEMPTS_PER_CALL = 64
+# Only attempt promotion once the box is genuinely small in the ROOT
+# frame: restricted-chain truncation is driven by (width/2)^k
+# coefficient decay, so wide boxes cannot crop and the 2^d-wide
+# shallow tree would otherwise burn ~23% of boxes on doomed attempts
+# (measured on the 10-D bench chain).
+_TT_ANCHOR_MAX_WIDTH = 0.25
+
+
+def _tt_chain_cost(cores) -> float:
+    """Per-box bound-evaluation cost proxy: the restriction einsums
+    dominate (O(r_l n^2 r_r) per core)."""
+    return float(sum(c.shape[0] * c.shape[1] * c.shape[1] * c.shape[2]
+                     for c in cores))
+
+
+def _tt_restrict_cores(cores, box: np.ndarray):
+    """Exact restriction of every core to one local sub-box."""
+    out = []
+    for k, c in enumerate(cores):
+        lo, hi = box[k]
+        if lo == -1.0 and hi == 1.0:
+            out.append(np.asarray(c, dtype=np.float64))
+        else:
+            m = restriction_matrix(c.shape[1], lo, hi)
+            out.append(np.einsum("rns,kn->rks", c, m))
+    return out
+
+
+def _tt_degree_crop(cores, budget: float, menu: bool = False):
+    """Crop trailing node slices per core while the RIGOROUS dropped
+    sup mass fits in ``budget``.  The bound for dropping core k's last
+    slice is the abs chain through that slice alone:
+    ``pre_k @ |tail| @ suf_k`` (prefix from already-cropped cores,
+    suffix from the uncropped originals — both conservative).
+
+    ``menu=True`` rounds each cropped node count UP to the anchor
+    shape menu (re-adding slices, which only shrinks the dropped
+    mass): anchors of equal shape then batch into one stats call
+    instead of fragmenting the beam (same trick as the dense
+    search's ``_menu_ceil``)."""
+    cores = [np.asarray(c, dtype=np.float64) for c in cores]
+    d = len(cores)
+    suf = [None] * d
+    v = np.ones((cores[-1].shape[2], 1))
+    for k in range(d - 1, -1, -1):
+        suf[k] = v
+        v = np.abs(cores[k]).sum(axis=1) @ v
+    pre = np.ones((1, cores[0].shape[0]))
+    dropped = 0.0
+    for k in range(d):
+        n_k = cores[k].shape[1]
+        keep = n_k
+        slice_bounds = []
+        while keep > 2:
+            tail = np.abs(cores[k][:, keep - 1, :])
+            bound = float(pre @ tail @ suf[k])
+            if dropped + bound <= budget:
+                dropped += bound
+                slice_bounds.append(bound)
+                keep -= 1
+            else:
+                break
+        if menu and keep < n_k:
+            target = _menu_ceil(keep, n_k)
+            while keep < target:
+                dropped -= slice_bounds.pop()
+                keep += 1
+        if keep < n_k:
+            cores[k] = np.ascontiguousarray(cores[k][:, :keep, :])
+        pre = pre @ np.abs(cores[k]).sum(axis=1)
+    return cores, dropped
+
+
+def _tt_round_cores_bounded(cores, frob_budget: float):
+    """TT-SVD recompression with a FROBENIUS error budget: the sweep of
+    ``models.tt_algorithms.tt_round_cores`` (right-QR canonicalization,
+    left-to-right SVD truncation) dropping trailing singular values
+    greedily while the cumulative root-sum-square stays within
+    ``frob_budget`` — the standard sequential-truncation bound
+    ``|A - B|_F <= sqrt(sum dropped sigma^2)`` (right remainder stays
+    canonical).  Returns (rounded cores, Frobenius bound actually
+    spent)."""
+    cores = [np.asarray(c, dtype=np.float64).copy() for c in cores]
+    d = len(cores)
+    if d == 1:
+        return cores, 0.0
+    for k in range(d - 1, 0, -1):
+        r_l, n, r_r = cores[k].shape
+        q, rr = np.linalg.qr(cores[k].reshape(r_l, n * r_r).T)
+        qt = q.T
+        cores[k] = qt.reshape(qt.shape[0], n, r_r)
+        cores[k - 1] = np.einsum("ljs,sr->ljr", cores[k - 1], rr.T)
+    budget2 = frob_budget * frob_budget
+    dropped2 = 0.0
+    for k in range(d - 1):
+        r_l, n, r_r = cores[k].shape
+        u, s, vt = np.linalg.svd(cores[k].reshape(r_l * n, r_r),
+                                 full_matrices=False)
+        keep = len(s)
+        while keep > 1 and dropped2 + s[keep - 1] ** 2 <= budget2:
+            dropped2 += float(s[keep - 1]) ** 2
+            keep -= 1
+        u, s, vt = u[:, :keep], s[:keep], vt[:keep, :]
+        cores[k] = u.reshape(r_l, n, keep)
+        cores[k + 1] = np.einsum("lr,rjs->ljs", s[:, None] * vt,
+                                 cores[k + 1])
+    return cores, float(np.sqrt(dropped2))
+
+
+class _TTAnchor(NamedTuple):
+    cores: Tuple[np.ndarray, ...]  # restricted + re-truncated chain
+    eps: float                     # cumulative rigorous sup bound
+    mid: np.ndarray                # (d,) root-frame center
+    half: np.ndarray               # (d,) root-frame half-widths
+    chain: int
+
+
+def _make_tt_anchored_evaluator(cores0, tol_q: float, stats=None):
+    """The TT bounder's ``evaluate_boxes(boxes, aux)`` with
+    hierarchical rank/degree anchoring; aux = (anchor_id, depth,
+    backoff).  ``stats`` (optional dict) collects attempt/success
+    counters for benches and tests."""
+    d = len(cores0)
+    cores0 = tuple(np.asarray(c, dtype=np.float64) for c in cores0)
+    anchors = {0: _TTAnchor(cores0, 0.0, np.zeros(d), np.ones(d), 0)}
+    anchor_bytes = [sum(c.nbytes for c in cores0)]
+    next_id = [1]
+    if stats is not None:
+        stats.setdefault("attempts", 0)
+        stats.setdefault("anchors", 0)
+
+    def _promote(aid: int, box: np.ndarray):
+        parent = anchors[aid]
+        sub = _tt_restrict_cores(parent.cores, box)
+        budget = tol_q * 2.0 ** -(parent.chain + 4)
+        cropped, deg_eps = _tt_degree_crop(sub, 0.5 * budget,
+                                           menu=True)
+        n_total = float(np.prod([c.shape[1] for c in cropped]))
+        rounded, frob = _tt_round_cores_bounded(
+            cropped, 0.5 * budget / np.sqrt(n_total))
+        rank_eps = float(np.sqrt(n_total)) * frob
+        if (_tt_chain_cost(rounded)
+                > _ANCHOR_SHRINK * _tt_chain_cost(parent.cores)):
+            return None
+        mid = parent.mid + parent.half * 0.5 * (box[:, 0] + box[:, 1])
+        half = parent.half * 0.5 * (box[:, 1] - box[:, 0])
+        new_id = next_id[0]
+        next_id[0] += 1
+        anchors[new_id] = _TTAnchor(
+            tuple(np.ascontiguousarray(c) for c in rounded),
+            parent.eps + deg_eps + rank_eps, mid, half,
+            parent.chain + 1)
+        anchor_bytes[0] += sum(c.nbytes for c in rounded)
+        if stats is not None:
+            stats["anchors"] += 1
+        return new_id
+
+    def evaluate_boxes(boxes, aux):
+        bsz = boxes.shape[0]
+        boxes = boxes.copy()
+        out_aux = []
+        attempts = _TT_PROMOTE_ATTEMPTS_PER_CALL
+        for b in range(bsz):
+            if aux[b] is None:
+                out_aux.append((0, 0, _ANCHOR_DEPTH))
+                continue
+            aid, depth, backoff = aux[b]
+            depth += 1
+            if depth >= backoff:
+                parent = anchors[aid]
+                root_w = float(np.max(
+                    parent.half * (boxes[b, :, 1] - boxes[b, :, 0])))
+                eligible = (_tt_chain_cost(parent.cores)
+                            >= _TT_ANCHOR_MIN_COST
+                            and root_w <= _TT_ANCHOR_MAX_WIDTH
+                            and anchor_bytes[0] <= _ANCHOR_BYTE_BUDGET)
+                if eligible and attempts > 0:
+                    attempts -= 1
+                    if stats is not None:
+                        stats["attempts"] += 1
+                    new_id = _promote(aid, boxes[b])
+                    if new_id is not None:
+                        boxes[b] = np.tile(np.array([[-1.0, 1.0]]),
+                                           (d, 1))
+                        aid, depth = new_id, 0
+                        backoff = _ANCHOR_DEPTH
+                    else:
+                        # Truncation fires only once the restricted
+                        # chain collapses; geometric backoff keeps
+                        # failed lineages from paying the attempt
+                        # forever (measured 8x pessimization without).
+                        depth = 0
+                        backoff = min(2 * backoff, 64)
+            out_aux.append((aid, depth, backoff))
+
+        lb = np.empty(bsz)
+        cand_val = np.empty(bsz)
+        cand_loc = np.empty((bsz, d))
+        split_dim = np.empty(bsz, dtype=np.intp)
+        # Group by chain SHAPE, not anchor id (deep searches hold
+        # thousands of small anchors — per-anchor evaluation fragments
+        # the beam into tiny chain calls; same fix as the dense
+        # search's by-shape grouping, enabled by the menu-rounded
+        # degree crops).
+        by_shape = {}
+        for b, (aid, *_) in enumerate(out_aux):
+            key = tuple(c.shape for c in anchors[aid].cores)
+            by_shape.setdefault(key, []).append(b)
+        for key, idx_list in by_shape.items():
+            idxs = np.asarray(idx_list)
+            aids = [out_aux[b][0] for b in idx_list]
+            gboxes = boxes[idxs]
+            if all(a == aids[0] for a in aids):
+                mid, radius, center, tails = _tt_box_stats_batch(
+                    list(anchors[aids[0]].cores), gboxes)
+            else:
+                stacked = [np.stack([anchors[a].cores[k]
+                                     for a in aids])
+                           for k in range(d)]
+                mid, radius, center, tails = _tt_box_stats_batch_cores(
+                    stacked, gboxes)
+            eps_v = np.array([anchors[a].eps for a in aids])
+            mid_v = np.stack([anchors[a].mid for a in aids])
+            half_v = np.stack([anchors[a].half for a in aids])
+            lb[idxs] = mid - radius - eps_v
+            cand_val[idxs] = center + eps_v
+            local_mid = 0.5 * (gboxes[:, :, 0] + gboxes[:, :, 1])
+            cand_loc[idxs] = mid_v + half_v * local_mid
+            split_dim[idxs] = _choose_split_dims(gboxes, tails,
+                                                 scale=half_v)
+        return boxes, lb, cand_val, cand_loc, split_dim, out_aux
+
+    return evaluate_boxes
+
+
 def minimize_tt_cores(
     cores: Sequence[np.ndarray],
     *,
@@ -1079,18 +1369,17 @@ def minimize_tt_cores(
 ) -> GlobalResult:
     """Certified global minimum of a TT in coefficient-core form over
     [-1, 1]^d — the n^d-free counterpart of
-    :func:`minimize_coeff_tensor` for tensor-train interpolants."""
+    :func:`minimize_coeff_tensor` for tensor-train interpolants.
+
+    Hierarchical anchoring (round 5): subtrees re-restrict the chain to
+    their box and re-truncate both degrees and BOND RANKS with rigorous
+    cumulative sup bounds (see the block comment above), so deep boxes
+    pay a collapsed chain instead of the root's full ranks."""
     d = len(cores)
     if seed_loc is None:
         seed_loc = np.zeros(d)
 
-    def evaluate_boxes(boxes, aux):
-        bsz = boxes.shape[0]
-        mid, radius, center, tails = _tt_box_stats_batch(cores, boxes)
-        lb = mid - radius
-        mids = 0.5 * (boxes[:, :, 0] + boxes[:, :, 1])
-        return (boxes, lb, center, mids,
-                _choose_split_dims(boxes, tails), [None] * bsz)
+    evaluate_boxes = _make_tt_anchored_evaluator(cores, tol)
 
     return _bnb_minimize(d, evaluate_boxes, tol=tol, max_boxes=max_boxes,
                          beam=beam, seed_value=seed_value,
@@ -1175,6 +1464,18 @@ def isolate_common_zeros_tt(
 # Zero isolation for polynomial systems (critical points, solve_system)
 # ----------------------------------------------------------------------
 
+class _ZeroAnchor(NamedTuple):
+    """One re-anchoring of the WHOLE system: all K component tensors
+    restricted to the anchor box and re-truncated together."""
+
+    tensors: Tuple[np.ndarray, ...]   # K truncated restricted tensors
+    eps: Tuple[float, ...]            # per-component cumulative sup
+    #                                   bounds |p_k_root - q_k_anchor|
+    mid: np.ndarray                   # (d,) root-frame center
+    half: np.ndarray                  # (d,) root-frame half-widths
+    chain: int                        # anchors above this one
+
+
 def isolate_common_zeros(
     coeff_tensors: Sequence[np.ndarray],
     *,
@@ -1187,10 +1488,23 @@ def isolate_common_zeros(
     ``delta`` per dim.
 
     A box is *proved free* of solutions as soon as any component's
-    enclosure excludes 0 (``|c0| > radius``).  Returns the surviving box
-    centers, (K, d) — candidates for Newton polishing by the caller.
-    Raises if the budget is exhausted with wide boxes still open (the
-    zero set is then likely non-isolated — a manifold, not points).
+    enclosure excludes 0 (``|c0| > radius + margin + eps``).  Returns
+    the surviving box centers, (K, d) — candidates for Newton polishing
+    by the caller.  Raises if the budget is exhausted with wide boxes
+    still open (the zero set is then likely non-isolated — a manifold,
+    not points).
+
+    Hierarchical anchoring (round 5): like the dense minimize bounder,
+    a subtree that has descended ``_ANCHOR_DEPTH`` levels re-restricts
+    ALL K component tensors once, re-truncates each with a rigorous
+    budget geometrically tied to its roundoff margin (cumulative
+    ``eps_k < margin_k`` over any chain), and serves its descendants
+    from the small anchor tensors — per-box restriction cost drops
+    from the root n^d to the truncated size.  Rigor is one-sided by
+    construction: the anchored exclusion test widens by ``eps_k``, so
+    a box containing a true common zero of the ORIGINAL system is
+    never discarded (if p_k(x*) = 0 in the box then the anchored
+    enclosure satisfies |c0| <= rad + eps_k <= rad + margin + eps_k).
     """
     d = coeff_tensors[0].ndim
     for t in coeff_tensors:
@@ -1199,12 +1513,40 @@ def isolate_common_zeros(
                              "dimensionality")
     if not (0.0 < delta < 1.0):
         raise ValueError(f"delta must be in (0, 1), got {delta}")
+    tensors0 = tuple(np.ascontiguousarray(t, dtype=np.float64)
+                     for t in coeff_tensors)
     margins = [1e-12 * max(float(np.abs(t).sum()), 1e-300)
-               for t in coeff_tensors]
-    stats = [_make_isolation_stats(np.asarray(t, dtype=np.float64))
-             for t in coeff_tensors]
+               for t in tensors0]
+
+    anchors = {0: _ZeroAnchor(tensors0, (0.0,) * len(tensors0),
+                              np.zeros(d), np.ones(d), 0)}
+    anchor_bytes = [sum(t.nbytes for t in tensors0)]
+    next_id = [1]
+
+    def _promote(aid: int, box: np.ndarray):
+        parent = anchors[aid]
+        new_tensors, new_eps, total = [], [], 0
+        for k, tensor in enumerate(parent.tensors):
+            sub = restrict_box_coeffs(tensor, box[None])[0]
+            budget = margins[k] * 2.0 ** -(parent.chain + 1)
+            cropped, dropped = truncate_coeff_tensor(sub, budget)
+            new_tensors.append(np.ascontiguousarray(cropped))
+            new_eps.append(parent.eps[k] + dropped)
+            total += cropped.size
+        if total > _ANCHOR_SHRINK * sum(t.size for t in parent.tensors):
+            return None
+        mid = parent.mid + parent.half * 0.5 * (box[:, 0] + box[:, 1])
+        half = parent.half * 0.5 * (box[:, 1] - box[:, 0])
+        new_id = next_id[0]
+        next_id[0] += 1
+        anchors[new_id] = _ZeroAnchor(tuple(new_tensors),
+                                      tuple(new_eps), mid, half,
+                                      parent.chain + 1)
+        anchor_bytes[0] += sum(t.nbytes for t in new_tensors)
+        return new_id
 
     active = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
+    active_aux: List[object] = [None]
     done: List[np.ndarray] = []
     processed = 1
     while active.shape[0]:
@@ -1214,36 +1556,90 @@ def isolate_common_zeros(
                 f"{active.shape[0]} boxes still open — the solution set "
                 "is probably not isolated points (try a larger delta, "
                 "or reduce the system)")
-        batch, active = active[:beam], active[beam:]
-        keep = np.ones(batch.shape[0], dtype=bool)
-        tails = np.zeros((batch.shape[0], d))
-        for comp_stats, margin in zip(stats, margins):
-            c0, rad, comp_tails = comp_stats(batch)
-            # The roundoff margin keeps zeros attained exactly on the
-            # domain boundary or a bisection plane from being "proved"
-            # away by ~eps noise in the restriction products (the
-            # enclosure there is a knife edge: [c0 - rad, 0]).
-            keep &= np.abs(c0) <= rad + margin
-            tails += comp_tails
-        batch = batch[keep]
-        tails = tails[keep]
+        batch = active[:beam].copy()
+        batch_aux = active_aux[:beam]
+        active = active[beam:]
+        active_aux = active_aux[beam:]
+        bsz = batch.shape[0]
+
+        promote_budget = _PROMOTE_BYTES_PER_CALL
+        aux = []
+        for b in range(bsz):
+            if batch_aux[b] is None:
+                aux.append((0, 0))
+                continue
+            aid, depth = batch_aux[b]
+            depth += 1
+            if depth >= _ANCHOR_DEPTH:
+                parent = anchors[aid]
+                pbytes = sum(t.nbytes for t in parent.tensors)
+                eligible = (sum(t.size for t in parent.tensors)
+                            >= _ANCHOR_MIN_SIZE
+                            and anchor_bytes[0] <= _ANCHOR_BYTE_BUDGET)
+                if eligible and promote_budget >= pbytes:
+                    # Charge the ATTEMPT; on failure reset the depth
+                    # counter so a lineage retries every _ANCHOR_DEPTH
+                    # levels (same accounting as the minimize bounder).
+                    promote_budget -= pbytes
+                    new_id = _promote(aid, batch[b])
+                    if new_id is not None:
+                        batch[b] = np.tile(np.array([[-1.0, 1.0]]),
+                                           (d, 1))
+                        aid, depth = new_id, 0
+                    else:
+                        depth = 0
+            aux.append((aid, depth))
+
+        keep = np.ones(bsz, dtype=bool)
+        tails = np.zeros((bsz, d))
+        by_aid = {}
+        for b, (aid, _) in enumerate(aux):
+            by_aid.setdefault(aid, []).append(b)
+        for aid, idx_list in by_aid.items():
+            anc = anchors[aid]
+            idxs = np.asarray(idx_list)
+            for k, tensor in enumerate(anc.tensors):
+                live = idxs[keep[idxs]]
+                if not live.size:
+                    break
+                sub = restrict_box_coeffs(tensor, batch[live])
+                c0, rad = box_enclosure(sub)
+                # The roundoff margin keeps zeros attained exactly on
+                # the domain boundary or a bisection plane from being
+                # "proved" away by ~eps noise in the restriction
+                # products (the enclosure there is a knife edge:
+                # [c0 - rad, 0]); the anchor eps widens the test the
+                # same conservative direction.
+                keep[live] &= (np.abs(c0)
+                               <= rad + margins[k] + anc.eps[k])
+                tails[live] += _tail_mass_per_dim(sub)
+
+        halfs = np.stack([anchors[a].half for a, _ in aux])
+        mids = np.stack([anchors[a].mid for a, _ in aux])
+        batch, tails = batch[keep], tails[keep]
+        halfs, mids = halfs[keep], mids[keep]
+        aux = [a for a, k in zip(aux, keep) if k]
         if not batch.shape[0]:
             continue
-        widths = batch[:, :, 1] - batch[:, :, 0]
+        # Width tests and split scores live in the ROOT frame.
+        widths = (batch[:, :, 1] - batch[:, :, 0]) * halfs
         narrow = np.all(widths <= delta, axis=1)
-        done.extend(batch[narrow])
+        centers = mids + halfs * 0.5 * (batch[:, :, 0] + batch[:, :, 1])
+        done.extend(centers[narrow])
         wide = batch[~narrow]
-        tails = tails[~narrow]
         if wide.shape[0]:
             # Split the widest dim, weighted by residual variation.
-            w = wide[:, :, 1] - wide[:, :, 0]
-            score = np.where(w > delta, w * (tails + 1e-300), -np.inf)
+            w = widths[~narrow]
+            score = np.where(w > delta,
+                             w * (tails[~narrow] + 1e-300), -np.inf)
             dims = np.argmax(score, axis=1)
             children = _split_boxes(wide, dims)
             processed += children.shape[0]
+            wide_aux = [a for a, n in zip(aux, narrow) if not n]
             active = (np.concatenate([active, children])
                       if active.shape[0] else children)
+            active_aux = active_aux + wide_aux + wide_aux
 
     if not done:
         return np.zeros((0, d))
-    return np.stack([0.5 * (b[:, 0] + b[:, 1]) for b in done])
+    return np.stack(done)
