@@ -1386,6 +1386,17 @@ def minimize_tt_cores(
                          seed_loc=seed_loc)
 
 
+class _TTSysAnchor(NamedTuple):
+    """One re-anchoring of a whole TT system: all K component chains
+    restricted to the anchor box and re-truncated together."""
+
+    systems: Tuple[Tuple[np.ndarray, ...], ...]  # K core tuples
+    eps: Tuple[float, ...]                       # per-component bounds
+    mid: np.ndarray
+    half: np.ndarray
+    chain: int
+
+
 def isolate_common_zeros_tt(
     core_lists: Sequence[Sequence[np.ndarray]],
     *,
@@ -1402,6 +1413,15 @@ def isolate_common_zeros_tt(
 
     Returns surviving box centers (K, d).  Raises on budget exhaustion
     with wide boxes open (likely a non-isolated zero set).
+
+    Hierarchical anchoring (round 5): deep subtrees re-restrict ALL K
+    chains to their box and re-truncate degrees and bond ranks with
+    rigorous per-component sup bounds (the machinery of the anchored
+    ``minimize_tt_cores``), each bound widening its component's
+    zero-exclusion margin — conservative by construction, so a box
+    containing a true common zero is never discarded.  Attempts are
+    width-gated and back off geometrically (the TT lessons measured on
+    the minimize side).
     """
     d = len(core_lists[0])
     for cores in core_lists:
@@ -1410,14 +1430,49 @@ def isolate_common_zeros_tt(
                              "dimensionality")
     if not (0.0 < delta < 1.0):
         raise ValueError(f"delta must be in (0, 1), got {delta}")
+    systems0 = tuple(tuple(np.asarray(c, dtype=np.float64)
+                           for c in cores) for cores in core_lists)
     margins = []
-    for cores in core_lists:
+    for cores in systems0:
         z = np.ones((1, 1))
         for core in cores:
             z = z @ np.abs(core).sum(axis=1)
         margins.append(1e-12 * max(float(z[0, 0]), 1e-300))
 
+    anchors = {0: _TTSysAnchor(systems0, (0.0,) * len(systems0),
+                               np.zeros(d), np.ones(d), 0)}
+    next_id = [1]
+
+    def _promote(aid: int, box: np.ndarray):
+        parent = anchors[aid]
+        new_systems, new_eps, new_cost = [], [], 0.0
+        for k, cores in enumerate(parent.systems):
+            sub = _tt_restrict_cores(list(cores), box)
+            budget = margins[k] * 2.0 ** -(parent.chain + 1)
+            cropped, deg_eps = _tt_degree_crop(sub, 0.5 * budget,
+                                               menu=True)
+            n_total = float(np.prod([c.shape[1] for c in cropped]))
+            rounded, frob = _tt_round_cores_bounded(
+                cropped, 0.5 * budget / np.sqrt(n_total))
+            new_systems.append(tuple(np.ascontiguousarray(c)
+                                     for c in rounded))
+            new_eps.append(parent.eps[k] + deg_eps
+                           + float(np.sqrt(n_total)) * frob)
+            new_cost += _tt_chain_cost(rounded)
+        if new_cost > _ANCHOR_SHRINK * sum(
+                _tt_chain_cost(cs) for cs in parent.systems):
+            return None
+        mid = parent.mid + parent.half * 0.5 * (box[:, 0] + box[:, 1])
+        half = parent.half * 0.5 * (box[:, 1] - box[:, 0])
+        new_id = next_id[0]
+        next_id[0] += 1
+        anchors[new_id] = _TTSysAnchor(tuple(new_systems),
+                                       tuple(new_eps), mid, half,
+                                       parent.chain + 1)
+        return new_id
+
     active = np.tile(np.array([[-1.0, 1.0]]), (d, 1))[None]
+    active_aux: List[object] = [None]
     done: List[np.ndarray] = []
     processed = 1
     while active.shape[0]:
@@ -1427,37 +1482,85 @@ def isolate_common_zeros_tt(
                 f"{active.shape[0]} boxes still open — the solution set "
                 "is probably not isolated points (try a larger delta, "
                 "or reduce the system)")
-        batch, active = active[:beam], active[beam:]
-        keep = np.ones(batch.shape[0], dtype=bool)
-        tails = np.zeros((batch.shape[0], d))
-        for cores, margin in zip(core_lists, margins):
-            if not keep.any():
-                break
-            idx = np.where(keep)[0]
-            mid, radius, _, t = _tt_box_stats_batch(cores, batch[idx])
-            keep[idx] &= np.abs(mid) <= radius + margin
-            tails[idx] += t
-        batch = batch[keep]
-        tails = tails[keep]
+        batch = active[:beam].copy()
+        batch_aux = active_aux[:beam]
+        active = active[beam:]
+        active_aux = active_aux[beam:]
+        bsz = batch.shape[0]
+
+        attempts = _TT_PROMOTE_ATTEMPTS_PER_CALL
+        aux = []
+        for b in range(bsz):
+            if batch_aux[b] is None:
+                aux.append((0, 0, _ANCHOR_DEPTH))
+                continue
+            aid, depth, backoff = batch_aux[b]
+            depth += 1
+            if depth >= backoff:
+                parent = anchors[aid]
+                root_w = float(np.max(
+                    parent.half * (batch[b, :, 1] - batch[b, :, 0])))
+                cost = sum(_tt_chain_cost(cs) for cs in parent.systems)
+                if (cost >= _TT_ANCHOR_MIN_COST
+                        and root_w <= _TT_ANCHOR_MAX_WIDTH
+                        and attempts > 0):
+                    attempts -= 1
+                    new_id = _promote(aid, batch[b])
+                    if new_id is not None:
+                        batch[b] = np.tile(np.array([[-1.0, 1.0]]),
+                                           (d, 1))
+                        aid, depth = new_id, 0
+                        backoff = _ANCHOR_DEPTH
+                    else:
+                        depth = 0
+                        backoff = min(2 * backoff, 64)
+            aux.append((aid, depth, backoff))
+
+        keep = np.ones(bsz, dtype=bool)
+        tails = np.zeros((bsz, d))
+        by_aid = {}
+        for b, (aid, *_) in enumerate(aux):
+            by_aid.setdefault(aid, []).append(b)
+        for aid, idx_list in by_aid.items():
+            anc = anchors[aid]
+            idxs = np.asarray(idx_list)
+            for k, cores in enumerate(anc.systems):
+                live = idxs[keep[idxs]]
+                if not live.size:
+                    break
+                mid, radius, _, t = _tt_box_stats_batch(
+                    list(cores), batch[live])
+                keep[live] &= (np.abs(mid)
+                               <= radius + margins[k] + anc.eps[k])
+                tails[live] += t
+
+        halfs = np.stack([anchors[a].half for a, *_ in aux])
+        mids = np.stack([anchors[a].mid for a, *_ in aux])
+        batch, tails = batch[keep], tails[keep]
+        halfs, mids = halfs[keep], mids[keep]
+        aux = [a for a, kp in zip(aux, keep) if kp]
         if not batch.shape[0]:
             continue
-        widths = batch[:, :, 1] - batch[:, :, 0]
+        widths = (batch[:, :, 1] - batch[:, :, 0]) * halfs
         narrow = np.all(widths <= delta, axis=1)
-        done.extend(batch[narrow])
+        centers = mids + halfs * 0.5 * (batch[:, :, 0] + batch[:, :, 1])
+        done.extend(centers[narrow])
         wide = batch[~narrow]
-        tails = tails[~narrow]
         if wide.shape[0]:
-            w = wide[:, :, 1] - wide[:, :, 0]
-            score = np.where(w > delta, w * (tails + 1e-300), -np.inf)
+            w = widths[~narrow]
+            score = np.where(w > delta,
+                             w * (tails[~narrow] + 1e-300), -np.inf)
             dims = np.argmax(score, axis=1)
             children = _split_boxes(wide, dims)
             processed += children.shape[0]
+            wide_aux = [a for a, nr in zip(aux, narrow) if not nr]
             active = (np.concatenate([active, children])
                       if active.shape[0] else children)
+            active_aux = active_aux + wide_aux + wide_aux
 
     if not done:
         return np.zeros((0, d))
-    return np.stack([0.5 * (b[:, 0] + b[:, 1]) for b in done])
+    return np.stack(done)
 
 
 # ----------------------------------------------------------------------

@@ -204,3 +204,38 @@ class TestAnchoredTTMinimize:
         pts = np.stack(np.meshgrid(g, g, g, indexing="ij"),
                        axis=-1).reshape(-1, 3)
         assert val <= f(pts).min() + 1e-5
+
+
+class TestAnchoredTTIsolation:
+    @staticmethod
+    def _tt_of(f, d=2, n=9, rank=4):
+        tt = ChebyshevTT(f, d, [[-1, 1]] * d, [n] * d, max_rank=rank,
+                         tolerance=1e-12, vectorized=True)
+        tt.build(verbose=False)
+        return [np.asarray(c, float) for c in tt._coeff_cores]
+
+    def test_forced_anchors_match_plain(self, monkeypatch):
+        c1 = self._tt_of(lambda p, _=None:
+                         np.asarray(p)[..., 0] ** 2
+                         + np.asarray(p)[..., 1] ** 2 - 0.5)
+        c2 = self._tt_of(lambda p, _=None:
+                         np.asarray(p)[..., 0] - np.asarray(p)[..., 1])
+        plain = sd.isolate_common_zeros_tt([c1, c2], delta=1e-3)
+        monkeypatch.setattr(sd, "_TT_ANCHOR_MIN_COST", 1)
+        monkeypatch.setattr(sd, "_TT_ANCHOR_MAX_WIDTH", 2.0)
+        anch = sd.isolate_common_zeros_tt([c1, c2], delta=1e-3)
+        assert anch.shape == plain.shape
+        a = anch[np.lexsort(anch.T)]
+        b = plain[np.lexsort(plain.T)]
+        np.testing.assert_allclose(a, b, atol=1e-3)
+        # The two true common zeros at +-(0.5, 0.5) both survive.
+        for r in (np.array([0.5, 0.5]), np.array([-0.5, -0.5])):
+            assert np.min(np.abs(anch - r).max(axis=1)) < 1e-2
+
+    def test_no_common_zero_empty(self, monkeypatch):
+        monkeypatch.setattr(sd, "_TT_ANCHOR_MIN_COST", 1)
+        monkeypatch.setattr(sd, "_TT_ANCHOR_MAX_WIDTH", 2.0)
+        c1 = self._tt_of(lambda p, _=None:
+                         np.asarray(p)[..., 0] ** 2
+                         + np.asarray(p)[..., 1] ** 2 + 1.0)
+        assert sd.isolate_common_zeros_tt([c1, c1]).shape[0] == 0
