@@ -39,6 +39,7 @@ from pychebyshev_tpu.ops.quadrature import (
 
 __all__ = ["integrate_box_batch", "integrate_box_batch_dd",
            "integrate_box_batch_models",
+           "integrate_box_batch_models_dd",
            "partial_integrate_eval_batch",
            "partial_integrate_eval_batch_dd",
            "tt_integrate_box_batch", "tt_integrate_box_batch_dd",
@@ -419,15 +420,16 @@ def _compiled_integrate_dd(shape: tuple, cutoff):
             rows.append(jnp.where(degenerate[:, None], 0.0, w))
         return rows
 
-    def _one(tensor_planes, t_scale, lo, hi, halfs, bflat):
+    def _row_planes(bflat, lo, hi, halfs):
         rows = _t_rows(bflat, lo, hi)
         # Left group stays f64 (narrow): fold its physical measures in.
-        left_scale = jnp.prod(halfs[:s])
-        w_left = _khatri_rao(rows[:s]) * left_scale
+        w_left = _khatri_rao(rows[:s]) * jnp.prod(halfs[:s])
         # Right group: 2^-1 per dim keeps |q| <= 1 for the digit planes.
         right_pairs = [eval_dd._split_f64(r * 0.5) for r in rows[s:]]
         qhi, qlo = eval_dd._khatri_rao_dd(right_pairs)
-        r_planes = eval_dd._digit_planes_pair(qhi, qlo, b_r, p_r)
+        return w_left, eval_dd._digit_planes_pair(qhi, qlo, b_r, p_r)
+
+    def _model_value(w_left, r_planes, tensor_planes, t_scale, halfs):
         acc, comp = eval_dd.dd_gemm_ladder(r_planes, tensor_planes,
                                            js_by_i, b_r, b_t, n_left)
         right_scale = (t_scale * (2.0 ** n_right_dims)
@@ -435,6 +437,20 @@ def _compiled_integrate_dd(shape: tuple, cutoff):
         y = (acc.astype(jnp.float64) + comp.astype(jnp.float64)) \
             * right_scale
         return jnp.sum(w_left * y, axis=1)
+
+    def _one(tensor_planes, t_scale, lo, hi, halfs, bflat):
+        w_left, r_planes = _row_planes(bflat, lo, hi, halfs)
+        return _model_value(w_left, r_planes, tensor_planes, t_scale,
+                            halfs)
+
+    def _one_multi(models_planes, models_scales, lo, hi, halfs, bflat):
+        # M models share ONE quadrature row-plane build (the dominant
+        # per-box cost); each adds only its exact GEMM ladder — the
+        # bucket-mass analog of eval_dd's book primitive.
+        w_left, r_planes = _row_planes(bflat, lo, hi, halfs)
+        return jnp.stack(
+            [_model_value(w_left, r_planes, tp, ts, halfs)
+             for tp, ts in zip(models_planes, models_scales)], axis=1)
 
     @jax.jit
     def run(tensor_planes, t_scale, lo, hi, halfs, bflat):
@@ -449,7 +465,22 @@ def _compiled_integrate_dd(shape: tuple, cutoff):
             chunks)
         return out.reshape(-1)[:n]
 
-    return run, plan
+    @jax.jit
+    def run_multi(models_planes, models_scales, lo, hi, halfs, bflat):
+        n = bflat.shape[0]
+        m = len(models_planes)
+        if n <= chunk:
+            return _one_multi(models_planes, models_scales, lo, hi,
+                              halfs, bflat)
+        pad = (-n) % chunk
+        padded = jnp.pad(bflat, ((0, pad), (0, 0)))
+        chunks = padded.reshape(-1, chunk, bflat.shape[1])
+        out = jax.lax.map(
+            lambda b: _one_multi(models_planes, models_scales, lo, hi,
+                                 halfs, b), chunks)
+        return out.reshape(-1, m)[:n]
+
+    return run, run_multi, plan
 
 
 def integrate_box_batch_dd(tensor, domain, bounds,
@@ -472,7 +503,7 @@ def integrate_box_batch_dd(tensor, domain, bounds,
         raise ValueError(
             f"grid shape {shape} outside digit-GEMM budget; "
             f"use integrate_box_batch")
-    run, plan = _compiled_integrate_dd(shape, cutoff)
+    run, _, plan = _compiled_integrate_dd(shape, cutoff)
     t_scale, tensor_planes = eval_dd._tensor_planes(
         tensor, (), (0,) * len(shape), plan)
     dom = jnp.asarray(domain, dtype=jnp.float64)
@@ -481,6 +512,44 @@ def integrate_box_batch_dd(tensor, domain, bounds,
     return run(tensor_planes, jnp.asarray(t_scale, jnp.float64),
                dom[:, 0], dom[:, 1], halfs,
                b.reshape(b.shape[0], 2 * len(shape)))
+
+
+def integrate_box_batch_models_dd(tensors, domain, bounds,
+                                  cutoff: int = None) -> jax.Array:
+    """Near-f64 book bucket masses -> (M, B) via exact digit GEMMs.
+
+    The dd tier of :func:`integrate_box_batch_models`: M same-grid
+    value tensors share ONE per-chunk quadrature row-plane build (the
+    dominant per-box cost); each model adds only its exact GEMM ladder
+    against its own cached tensor planes — a whole portfolio's bucket
+    masses at ~1e-12-class deviation in one dispatch.
+    """
+    from pychebyshev_tpu.ops import eval_dd
+
+    tensors = tuple(tensors)
+    if not tensors:
+        raise ValueError("tensors must be a non-empty sequence")
+    shape = tuple(int(n) for n in tensors[0].shape)
+    if any(tuple(int(n) for n in t.shape) != shape for t in tensors):
+        raise ValueError("all tensors must share one grid shape")
+    if not eval_dd.supports_dd(shape):
+        raise ValueError(
+            f"grid shape {shape} outside digit-GEMM budget; "
+            f"use integrate_box_batch_models")
+    _, run_multi, plan = _compiled_integrate_dd(shape, cutoff)
+    scales, planes = [], []
+    for t in tensors:
+        t_scale, tensor_planes = eval_dd._tensor_planes(
+            t, (), (0,) * len(shape), plan)
+        scales.append(jnp.asarray(t_scale, jnp.float64))
+        planes.append(tensor_planes)
+    dom = jnp.asarray(domain, dtype=jnp.float64)
+    halfs = (dom[:, 1] - dom[:, 0]) * 0.5
+    b = jnp.asarray(bounds, dtype=jnp.float64)
+    out = run_multi(tuple(planes), tuple(scales), dom[:, 0],
+                    dom[:, 1], halfs,
+                    b.reshape(b.shape[0], 2 * len(shape)))
+    return out.T
 
 
 def _tt_chain_moments(cores, lo, hi, bounds_flat):

@@ -1511,12 +1511,18 @@ def integrate_book(models, bounds, dtype=None) -> np.ndarray:
     ----------
     models : sequence of built same-grid ``ChebyshevApproximation``.
     bounds : (B, d, 2) boxes inside the shared domain.
-    dtype : None (f64 parity) or ``jnp.float32`` throughput tier.
+    dtype : None (f64 parity), ``jnp.float32`` (throughput tier), or
+        ``"dd"`` — the near-f64 digit-GEMM tier (shared quadrature row
+        planes, one exact GEMM ladder per model; falls back to f64
+        outside the digit budget).
     """
     from pychebyshev_tpu.models.approximation import (
         ChebyshevApproximation,
     )
-    from pychebyshev_tpu.ops.integrate import integrate_box_batch_models
+    from pychebyshev_tpu.ops.integrate import (
+        integrate_box_batch_models,
+        integrate_box_batch_models_dd,
+    )
     from pychebyshev_tpu.utils.calculus import normalize_bounds_batch
 
     models = list(models)
@@ -1537,6 +1543,14 @@ def integrate_book(models, bounds, dtype=None) -> np.ndarray:
                 f"models[{i}] grid (n_nodes/domain) differs from "
                 f"models[0]; a book shares one grid")
     arr = normalize_bounds_batch(bounds, first.domain)
+    if isinstance(dtype, str) and dtype == "dd":
+        from pychebyshev_tpu.ops.eval_dd import supports_dd
+        if supports_dd(tuple(int(n) for n in first.n_nodes)):
+            out = integrate_box_batch_models_dd(
+                tuple(m.tensor_values for m in models),
+                np.asarray(first.domain, dtype=np.float64), arr)
+            return np.asarray(out)
+        dtype = None    # documented fallback outside the budget
     out = integrate_box_batch_models(
         tuple(m.tensor_values for m in models),
         np.asarray(first.domain, dtype=np.float64), arr,

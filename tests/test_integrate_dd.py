@@ -225,3 +225,26 @@ class TestMeshDD:
             cores, dom, boxes, groups="auto")
         got = tt_integrate_box_batch_dd_dp(cores, dom, boxes, mesh)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestBookDD:
+    def test_integrate_book_dd_parity(self, dense5d, scenarios):
+        from pychebyshev_tpu.serving import integrate_book
+        boxes, _ = scenarios
+        b2 = dense5d * 1.1
+        ref = integrate_book([dense5d, b2], boxes[:128])
+        got = integrate_book([dense5d, b2], boxes[:128], dtype="dd")
+        assert got.shape == ref.shape == (2, 128)
+        assert _dev(got, ref) < 5e-11
+
+    def test_ops_level_models_dd(self, dense5d, scenarios):
+        boxes, _ = scenarios
+        ts = (dense5d.tensor_values, dense5d.tensor_values * 2.0)
+        ref = np.asarray(integrate_ops.integrate_box_batch_models(
+            ts, np.asarray(DOMAIN, float), boxes[:64]))
+        got = np.asarray(integrate_ops.integrate_box_batch_models_dd(
+            ts, np.asarray(DOMAIN, float), boxes[:64]))
+        assert _dev(got, ref) < 5e-11
+        with pytest.raises(ValueError, match="non-empty"):
+            integrate_ops.integrate_box_batch_models_dd(
+                (), np.asarray(DOMAIN, float), boxes[:4])
