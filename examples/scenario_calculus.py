@@ -78,6 +78,18 @@ def main():
           f"{cond_mean.max():+.4f}]; per-call diff "
           f"{abs(cond[0] - one):.1e}")
 
+    # --- the same workflow at the near-f64 digit-GEMM tier (round 5) -
+    # On f64-less TPUs the f64 rows above run in software emulation;
+    # dtype="dd" serves the identical quantities through exact integer
+    # digit GEMMs (measured 3.2M scenarios/s vs 0.46M f64 on a v5e, at
+    # ~1e-11-class deviation; Greeks on the evaluated dims included).
+    cond_dd = pnl.partial_integrate_batch([0], s_buckets, vr,
+                                          dtype="dd")
+    masses_dd = pnl.integrate_batch(boxes, dtype="dd")
+    print(f"dd tier: conditional dev "
+          f"{np.abs(cond_dd - cond).max():.1e}, bucket-mass dev "
+          f"{np.abs(masses_dd - masses).max():.1e} vs the f64 path")
+
     # --- breakeven spot moves across (vol, rate) scenarios -----------
     n_scen = 128
     vol_s = rng.uniform(*dom[1], n_scen)
