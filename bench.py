@@ -457,6 +457,57 @@ def main() -> None:
         f"{n / dt_comp:,.0f} queries/s (dev from dense f64 "
         f"{dev_comp:.1e} — the 1e-12-class dense serving route)")
 
+    # ---- dd scenario calculus (round 5): bucket masses on the
+    # compression chain + dense conditional expectations ------------
+    from pychebyshev_tpu.ops.integrate import (
+        partial_integrate_eval_batch,
+        partial_integrate_eval_batch_dd,
+        tt_integrate_box_batch,
+        tt_integrate_box_batch_dd,
+    )
+
+    nb = 1 << 17
+    rngb = np.random.default_rng(21)
+    dom_np = np.asarray(DOMAIN, dtype=np.float64)
+    b_lo = rngb.uniform(dom_np[:, 0], dom_np[:, 1], (nb, 5))
+    b_hi = rngb.uniform(b_lo, dom_np[None, :, 1])
+    bxs = jnp.asarray(np.stack([b_lo, b_hi], axis=-1))
+
+    def run_tt_ib_dd(b):
+        return tt_integrate_box_batch_dd(comp_cores, comp_dom, b,
+                                         groups="auto")
+
+    dt_ttib = time_fn(run_tt_ib_dd, bxs, iters=6, reps=2)
+    ib_ref = np.asarray(tt_integrate_box_batch(comp_cores, comp_dom,
+                                               bxs[:4096]))
+    ib_dd = np.asarray(run_tt_ib_dd(bxs[:4096]))
+    dev_ib = np.abs(ib_dd - ib_ref).max() / max(np.abs(ib_ref).max(),
+                                                1e-300)
+    log(f"TT dd bucket masses (grouped compression chain): "
+        f"{dt_ttib * 1e3:.2f} ms / {nb:,} boxes -> "
+        f"{nb / dt_ttib / 1e6:.2f}M boxes/s (dev from f64 {dev_ib:.1e})")
+
+    cond_pts = jnp.asarray(rngb.uniform(dom_np[[1, 3, 4], 0],
+                                        dom_np[[1, 3, 4], 1], (nb, 3)))
+    sub_b = bxs[:, jnp.asarray([0, 2]), :]
+
+    def run_cond_dd(b):
+        return partial_integrate_eval_batch_dd(
+            cheb.tensor_values, dom_np, nodes, weights, diffs,
+            (0, 2), b, cond_pts)
+
+    dt_cond = time_fn(run_cond_dd, sub_b, iters=6, reps=2)
+    c_ref = np.asarray(partial_integrate_eval_batch(
+        cheb.tensor_values, dom_np, nodes, weights, diffs, (0, 2),
+        sub_b[:4096], cond_pts[:4096]))
+    c_dd = np.asarray(run_cond_dd(sub_b[:4096]))
+    dev_c = np.abs(c_dd - c_ref).max() / max(np.abs(c_ref).max(),
+                                             1e-300)
+    log(f"dense dd conditional expectations (2 int dims): "
+        f"{dt_cond * 1e3:.2f} ms / {nb:,} scenarios -> "
+        f"{nb / dt_cond / 1e6:.2f}M scenarios/s "
+        f"(dev from f64 {dev_c:.1e})")
+
     # ---- TT digit-GEMM (near-f64 TT serving; ops/tt_eval_dd.py) -----
     from pychebyshev_tpu.ops.tt_eval_dd import tt_eval_batch_dd
 

@@ -53,6 +53,10 @@ _METRICS = {
                     0.80),
     "compression_qps": (r"^exact-compression serving .*-> ([\d,]+) "
                         r"queries/s", 0.75),
+    "tt_dd_boxes": (r"^TT dd bucket masses .*-> ([\d.]+)M boxes/s",
+                    0.75),
+    "dd_cond": (r"^dense dd conditional expectations .*-> "
+                r"([\d.]+)M scenarios/s", 0.75),
     "tt_dd_qps": (r"^TT digit-GEMM \(dd\) batched: .*-> ([\d,]+) "
                   r"queries/s", 0.75),
     "slider_sets": (r"^slider near-f64 Greek report .*-> ([\d,]+) "
