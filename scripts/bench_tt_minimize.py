@@ -25,11 +25,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def _load_head():
+def _load_head(ref="r5-pre-anchor"):
     import importlib.util
 
     src = subprocess.run(
-        ["git", "show", "HEAD:pychebyshev_tpu/ops/subdivision.py"],
+        ["git", "show",
+         f"{ref}:pychebyshev_tpu/ops/subdivision.py"],
         check=True, capture_output=True, text=True,
         cwd=Path(__file__).resolve().parent.parent).stdout
     tmp = tempfile.NamedTemporaryFile(

@@ -27,12 +27,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def _load_head_isolation():
-    """Import HEAD's subdivision module under a throwaway name."""
+def _load_head_isolation(ref="r5-pre-anchor"):
+    """Import the pre-anchor subdivision module (git ref
+    ``r5-pre-anchor`` — the anchoring landed in the next commit, so
+    plain HEAD would compare the anchored code to itself)."""
     import importlib.util
 
     src = subprocess.run(
-        ["git", "show", "HEAD:pychebyshev_tpu/ops/subdivision.py"],
+        ["git", "show",
+         f"{ref}:pychebyshev_tpu/ops/subdivision.py"],
         check=True, capture_output=True, text=True,
         cwd=Path(__file__).resolve().parent.parent).stdout
     tmp = tempfile.NamedTemporaryFile(
