@@ -500,7 +500,9 @@ def main() -> None:
     c_ref = np.asarray(partial_integrate_eval_batch(
         cheb.tensor_values, dom_np, nodes, weights, diffs, (0, 2),
         sub_b[:4096], cond_pts[:4096]))
-    c_dd = np.asarray(run_cond_dd(sub_b[:4096]))
+    c_dd = np.asarray(partial_integrate_eval_batch_dd(
+        cheb.tensor_values, dom_np, nodes, weights, diffs, (0, 2),
+        sub_b[:4096], cond_pts[:4096]))
     dev_c = np.abs(c_dd - c_ref).max() / max(np.abs(c_ref).max(),
                                              1e-300)
     log(f"dense dd conditional expectations (2 int dims): "
