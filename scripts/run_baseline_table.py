@@ -204,6 +204,19 @@ def run_dense(batch_n):
         "number is host memory bandwidth, not kernel work; same-host "
         "the reference runs 0.249 ms (3x slower)")
 
+    # Compressed single-query route (r5): the C TT kernel
+    # (cpp/hosteval.c pch_tt_eval) streams ~190 KB of exact-compression
+    # cores instead of the 1.3 MB dense tensor — the latency answer for
+    # hosts whose DRAM bandwidth binds the dense kernel.
+    tt_single = cheb.to_tt(tolerance=1e-13)
+    v_tt = tt_single.eval(pt)
+    v_dense = float(cheb.vectorized_eval(pt, [0] * 5))
+    dt_tt_single = time_host(lambda: tt_single.eval(pt), n=n_single)
+    row(C, "single query via exact compression (to_tt(1e-13).eval)",
+        f"{dt_tt_single * 1e3:.3f} ms", "~0.065 ms",
+        f"r5: same value to {abs(v_tt - v_dense):.1e}; the compressed "
+        f"C kernel reads ~7x less memory per query than the dense one")
+
     multi_specs = [[0] * 5, [1, 0, 0, 0, 0], [2, 0, 0, 0, 0],
                    [0, 0, 1, 0, 0], [0, 0, 0, 1, 0], [0, 0, 0, 0, 1]]
     dt_multi = time_host(
