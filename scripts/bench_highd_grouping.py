@@ -69,6 +69,39 @@ def main():
                   f"({auto if groups else (1,) * d}): "
                   f"{n / dt / 1e6:6.1f}M q/s  dev {dev:.1e}")
 
+    # A fat-rank high-d chain — the regime the DP planner exists for
+    # (K-starved stages whose r_l*r_r recombination width dominates).
+    # Random decayed cores: the dd kernel's cost depends only on
+    # shapes; accuracy is measured against the f64 chain of the SAME
+    # cores.
+    d, nn, r = 14, 7, 8
+    rng = np.random.default_rng(3)
+    raw = []
+    for k in range(d):
+        r0 = 1 if k == 0 else r
+        r1 = 1 if k == d - 1 else r
+        c = rng.normal(size=(r0, nn, r1))
+        c[:, 2:, :] *= np.exp(-1.2 * np.arange(nn - 2))[None, :, None]
+        raw.append(c / (1.1 * np.abs(c).sum(axis=1).max()))
+    cores = tuple(jnp.asarray(c) for c in raw)
+    shapes = tuple(tuple(int(x) for x in c.shape) for c in cores)
+    auto = tt_eval_dd.tt_dd_auto_groups(shapes)
+    log(f"{d}-D rank-{r} synthetic chain; auto groups {auto}")
+    dom = np.asarray([[-1.0, 1.0]] * d)
+    pts = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    probe = pts[:16384]
+    from pychebyshev_tpu.ops.tt_eval import tt_eval_batch
+    ref = np.asarray(tt_eval_batch(cores, dom, probe))
+    scale = np.abs(ref).max()
+    for tag, groups in (("per-dim", None), ("auto", "auto")):
+        fn = lambda p, g=groups: tt_eval_dd.tt_eval_batch_dd(
+            cores, dom, p, groups=g)
+        dev = np.abs(np.asarray(fn(probe)) - ref).max() / scale
+        dt = chained_time_fn(fn, pts, iters=6, reps=2)
+        print(f"{d}-D rank-{r} dd {tag:8s} "
+              f"({auto if groups else (1,) * d}): "
+              f"{n / dt / 1e6:6.1f}M q/s  dev {dev:.1e}")
+
 
 if __name__ == "__main__":
     sys.exit(main() or 0)
